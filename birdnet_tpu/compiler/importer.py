@@ -1,0 +1,208 @@
+"""ONNX graph → JAX function importer.
+
+This is the TPU-native replacement for the reference's
+``Session::commit_from_file`` boundary into the ONNX Runtime C++ engine
+(reference: src/classifier.rs:348-350): the graph is decoded by
+:mod:`birdnet_tpu.onnx.proto`, its float initializers become a params pytree
+(jit arguments, so they can be donated/sharded/cast), and the node list is
+abstractly interpreted into a pure, jittable function via the op registry in
+:mod:`birdnet_tpu.compiler.ops`.
+
+Compile-time constant folding comes for free: constants stay concrete numpy /
+eager-JAX values during tracing, so ``Shape``/``Gather``/``Concat``/
+``Reshape`` chains evaluate away and never reach XLA.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..errors import ModelLoadError
+from ..onnx import proto as onnx_proto
+from ..onnx.proto import GraphProto, ModelProto, NodeProto
+from . import ops as op_registry
+
+# Float initializers become jit params; tiny ones (thresholds, exponents,
+# epsilon tensors) and all integer tensors stay compile-time constants so
+# shape/axis computations fold.
+_PARAM_MIN_SIZE = 16
+
+
+@dataclass
+class ImportedModel:
+    """A decoded ONNX model ready for JAX execution."""
+
+    graph: GraphProto
+    opset: int
+    params: Dict[str, np.ndarray]  # float weights (jit arguments)
+    consts: Dict[str, np.ndarray]  # compile-time constants
+    input_names: List[str] = field(default_factory=list)
+    input_shapes: List[List[Optional[int]]] = field(default_factory=list)
+    output_names: List[str] = field(default_factory=list)
+    output_shapes: List[List[Optional[int]]] = field(default_factory=list)
+
+    @property
+    def num_outputs(self) -> int:
+        return len(self.output_names)
+
+    def param_bytes(self) -> int:
+        return sum(int(p.nbytes) for p in self.params.values())
+
+    def detection_shapes(self) -> Tuple[List[int], List[List[int]]]:
+        """Input/output shapes in the form ``detect_model_type`` expects
+        (dynamic dims reported as 1, mirroring the reference's treatment of
+        symbolic batch dims; reference: src/classifier.rs:387-420)."""
+        inp = [d if d is not None else 1 for d in self.input_shapes[0]]
+        outs = [
+            [d if d is not None else 1 for d in sh] for sh in self.output_shapes
+        ]
+        return inp, outs
+
+
+def import_onnx(
+    source: Union[str, bytes, ModelProto], optimize: bool = True
+) -> ImportedModel:
+    """Load an ONNX model from a path, serialized bytes, or ModelProto.
+
+    ``optimize`` runs the import-time graph rewrites (Conv+BN folding,
+    identity elimination) from :mod:`birdnet_tpu.compiler.optimize`.
+    """
+    try:
+        if isinstance(source, ModelProto):
+            model = source
+        elif isinstance(source, (bytes, bytearray, memoryview)):
+            model = onnx_proto.decode_model(source)
+        else:
+            model = onnx_proto.load_model(source)
+    except (OSError, ValueError) as e:
+        raise ModelLoadError(str(e)) from e
+
+    if model.graph is None:
+        raise ModelLoadError("model has no graph")
+    graph = model.graph
+    opset = 17
+    for imp in model.opset_import:
+        if imp.domain in ("", "ai.onnx"):
+            opset = imp.version
+
+    tensors: Dict[str, np.ndarray] = {
+        init.name: init.to_numpy() for init in graph.initializer
+    }
+    if optimize:
+        from .optimize import optimize_graph
+
+        optimize_graph(graph, tensors)
+
+    params: Dict[str, np.ndarray] = {}
+    consts: Dict[str, np.ndarray] = {}
+    for name, arr in tensors.items():
+        if np.issubdtype(arr.dtype, np.floating) and arr.size >= _PARAM_MIN_SIZE:
+            params[name] = arr
+        else:
+            consts[name] = arr
+
+    initializer_names = set(params) | set(consts)
+    input_names, input_shapes = [], []
+    for vi in graph.input:
+        if vi.name in initializer_names:
+            continue  # weights listed as graph inputs (older exporters)
+        input_names.append(vi.name)
+        input_shapes.append(_static_shape(vi))
+    output_names = [vi.name for vi in graph.output]
+    output_shapes = [_static_shape(vi) for vi in graph.output]
+
+    imported = ImportedModel(
+        graph=graph,
+        opset=opset,
+        params=params,
+        consts=consts,
+        input_names=input_names,
+        input_shapes=input_shapes,
+        output_names=output_names,
+        output_shapes=output_shapes,
+    )
+    _validate_ops(imported)
+    return imported
+
+
+def _static_shape(vi) -> List[Optional[int]]:
+    if vi.type is None or vi.type.tensor_type is None or vi.type.tensor_type.shape is None:
+        return []
+    out = []
+    for d in vi.type.tensor_type.shape.dim:
+        out.append(int(d.dim_value) if d.dim_value is not None and d.dim_value > 0 else None)
+    return out
+
+
+def _validate_ops(model: ImportedModel) -> None:
+    unsupported = sorted(
+        {n.op_type for n in model.graph.node}
+        - set(op_registry.supported_ops())
+    )
+    if unsupported:
+        raise ModelLoadError(
+            f"model uses unsupported ops: {', '.join(unsupported)}"
+        )
+
+
+def make_forward(model: ImportedModel, precision: str = "fp32"):
+    """Build the pure forward function ``fn(params, *inputs) -> tuple(outputs)``.
+
+    The returned function abstractly interprets the node list; under
+    ``jax.jit`` this happens once at trace time, after which XLA owns the
+    whole fused program (the analog of the reference's compiled ORT session).
+
+    ``precision``: ``fp32`` | ``mixed`` (bf16 MXU operands, fp32 accumulate)
+    | ``bf16``.
+    """
+    graph = model.graph
+    opset = model.opset
+    consts = model.consts
+    nodes = graph.node
+    input_names = model.input_names
+    output_names = model.output_names
+
+    # Pre-resolve lowering callables and contexts once.
+    lowered = []
+    for node in nodes:
+        fn = op_registry.get_lowering(node.op_type)
+        ctx = op_registry.OpContext(
+            op_type=node.op_type,
+            attrs=node.attrs,
+            opset=opset,
+            precision=precision,
+            node_name=node.name,
+            num_outputs=len([o for o in node.output if o]),
+        )
+        lowered.append((node, fn, ctx))
+
+    def forward(params: Dict[str, np.ndarray], *inputs):
+        if len(inputs) != len(input_names):
+            raise ValueError(
+                f"model expects {len(input_names)} inputs, got {len(inputs)}"
+            )
+        env: Dict[str, object] = dict(consts)
+        env.update(params)
+        for name, x in zip(input_names, inputs):
+            env[name] = x
+        for node, fn, ctx in lowered:
+            try:
+                args = [env[i] if i else None for i in node.input]
+            except KeyError as e:
+                raise ModelLoadError(
+                    f"node {node.name!r} ({node.op_type}) references unknown "
+                    f"value {e}"
+                ) from e
+            # Trim trailing absent optional inputs.
+            while args and args[-1] is None:
+                args.pop()
+            outs = fn(ctx, *args)
+            for out_name, out_val in zip(node.output, outs):
+                if out_name:
+                    env[out_name] = out_val
+        return tuple(env[o] for o in output_names)
+
+    return forward

@@ -1,0 +1,1049 @@
+"""ONNX op → JAX lowering registry.
+
+Each supported ONNX operator is lowered to jax.numpy / jax.lax primitives.
+XLA then fuses and tiles these onto the TPU MXU/VPU — this registry plus XLA
+is the TPU-native equivalent of the ONNX Runtime kernel library the reference
+drives through ``ort`` (reference: src/classifier.rs:637-639).
+
+Conventions:
+- Tensors follow ONNX layouts (NCHW for convs). XLA's layout assignment maps
+  these onto TPU-friendly tilings; a separate optimization pass may rewrite
+  layouts before lowering.
+- "Static" inputs (shapes, axes, slice bounds) must be compile-time concrete.
+  The importer keeps initializer-derived integer tensors as numpy constants,
+  and ops like ``Shape`` return numpy arrays (shapes are static under jit),
+  so shape-computation chains fold away at trace time.
+- Matmul/conv honor a precision policy: ``mixed`` casts operands to bfloat16
+  with float32 accumulation (``preferred_element_type``) for MXU speed.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..onnx.proto import DataType as _DT
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def op(*names):
+    def deco(fn):
+        for n in names:
+            _REGISTRY[n] = fn
+        return fn
+
+    return deco
+
+
+def get_lowering(op_type: str) -> Callable:
+    fn = _REGISTRY.get(op_type)
+    if fn is None:
+        raise NotImplementedError(
+            f"ONNX op '{op_type}' is not supported by the birdnet_tpu compiler"
+        )
+    return fn
+
+
+def supported_ops() -> List[str]:
+    return sorted(_REGISTRY)
+
+
+class OpContext:
+    """Per-node lowering context."""
+
+    __slots__ = ("op_type", "attrs", "opset", "precision", "node_name", "num_outputs")
+
+    def __init__(self, op_type, attrs, opset=17, precision="fp32", node_name="", num_outputs=1):
+        self.op_type = op_type
+        self.attrs = attrs
+        self.opset = opset
+        self.precision = precision
+        self.node_name = node_name
+        self.num_outputs = num_outputs
+
+    def attr(self, name, default=None):
+        return self.attrs.get(name, default)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _is_static(x) -> bool:
+    """True if x is a compile-time concrete value."""
+    return not isinstance(x, jax.core.Tracer)
+
+
+def _static_ints(x, what: str) -> List[int]:
+    if not _is_static(x):
+        raise ValueError(f"{what} must be a compile-time constant")
+    return [int(v) for v in np.asarray(x).reshape(-1)]
+
+
+def _static_int(x, what: str) -> int:
+    vals = _static_ints(x, what)
+    return vals[0]
+
+
+_ONNX_TO_NP = {
+    _DT.FLOAT: jnp.float32,
+    _DT.UINT8: jnp.uint8,
+    _DT.INT8: jnp.int8,
+    _DT.UINT16: jnp.uint16,
+    _DT.INT16: jnp.int16,
+    _DT.INT32: jnp.int32,
+    _DT.INT64: jnp.int64,
+    _DT.BOOL: jnp.bool_,
+    _DT.FLOAT16: jnp.float16,
+    _DT.DOUBLE: jnp.float64,
+    _DT.UINT32: jnp.uint32,
+    _DT.UINT64: jnp.uint64,
+    _DT.BFLOAT16: jnp.bfloat16,
+}
+
+
+def _mxu_operands(ctx: OpContext, *xs):
+    """Apply the precision policy to matmul/conv operands."""
+    if ctx.precision == "mixed":
+        return tuple(
+            x.astype(jnp.bfloat16) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x
+            for x in xs
+        )
+    if ctx.precision == "bf16":
+        return tuple(
+            x.astype(jnp.bfloat16) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x
+            for x in xs
+        )
+    return xs
+
+
+def _acc_dtype(ctx: OpContext):
+    return jnp.bfloat16 if ctx.precision == "bf16" else jnp.float32
+
+
+def _out_cast(ctx: OpContext, y, orig_dtype):
+    if ctx.precision == "mixed" and y.dtype != orig_dtype:
+        return y.astype(orig_dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# trivial / elementwise
+# ---------------------------------------------------------------------------
+
+
+@op("Identity")
+def _identity(ctx, x):
+    return [jnp.asarray(x)]
+
+
+@op("Dropout")
+def _dropout(ctx, x, ratio=None, training_mode=None):
+    # Inference-only framework: Dropout is identity; optional mask output.
+    outs = [jnp.asarray(x)]
+    if ctx.num_outputs > 1:
+        outs.append(jnp.ones(jnp.shape(x), dtype=jnp.bool_))
+    return outs
+
+
+@op("Cast")
+def _cast(ctx, x):
+    to = ctx.attr("to")
+    return [jnp.asarray(x).astype(_ONNX_TO_NP[int(to)])]
+
+
+@op("CastLike")
+def _cast_like(ctx, x, like):
+    return [jnp.asarray(x).astype(jnp.asarray(like).dtype)]
+
+
+@op("Constant")
+def _constant(ctx):
+    for key in ("value", "value_float", "value_int", "value_floats", "value_ints"):
+        v = ctx.attr(key)
+        if v is not None:
+            if key == "value":
+                return [v.to_numpy()]
+            if key == "value_float":
+                return [np.float32(v)]
+            if key == "value_int":
+                return [np.int64(v)]
+            if key == "value_floats":
+                return [np.asarray(v, dtype=np.float32)]
+            return [np.asarray(v, dtype=np.int64)]
+    raise ValueError("Constant node without a value attribute")
+
+
+@op("ConstantOfShape")
+def _constant_of_shape(ctx, shape):
+    dims = _static_ints(shape, "ConstantOfShape shape")
+    v = ctx.attr("value")
+    if v is None:
+        return [np.zeros(dims, dtype=np.float32)]
+    fill = v.to_numpy()
+    return [np.full(dims, fill.reshape(-1)[0], dtype=fill.dtype)]
+
+
+def _binary(fn):
+    def impl(ctx, a, b):
+        return [fn(jnp.asarray(a), jnp.asarray(b))]
+
+    return impl
+
+
+op("Add")(_binary(jnp.add))
+op("Sub")(_binary(jnp.subtract))
+op("Mul")(_binary(jnp.multiply))
+def _div_impl(a, b):
+    # ONNX Div on integers truncates toward zero (lax.div); floats divide.
+    if jnp.issubdtype(jnp.result_type(a, b), jnp.integer):
+        return lax.div(a, jnp.asarray(b, dtype=a.dtype))
+    return jnp.divide(a, b)
+
+
+op("Div")(_binary(_div_impl))
+op("Pow")(_binary(lambda a, b: jnp.power(a, b.astype(a.dtype))))
+op("Equal")(_binary(jnp.equal))
+op("Greater")(_binary(jnp.greater))
+op("Less")(_binary(jnp.less))
+op("GreaterOrEqual")(_binary(jnp.greater_equal))
+op("LessOrEqual")(_binary(jnp.less_equal))
+op("And")(_binary(jnp.logical_and))
+op("Or")(_binary(jnp.logical_or))
+op("Xor")(_binary(jnp.logical_xor))
+op("BitwiseAnd")(_binary(jnp.bitwise_and))
+op("BitwiseOr")(_binary(jnp.bitwise_or))
+op("Mod")(_binary(jnp.mod))
+
+
+@op("Min")
+def _min(ctx, *xs):
+    r = jnp.asarray(xs[0])
+    for x in xs[1:]:
+        r = jnp.minimum(r, jnp.asarray(x))
+    return [r]
+
+
+@op("Max")
+def _max(ctx, *xs):
+    r = jnp.asarray(xs[0])
+    for x in xs[1:]:
+        r = jnp.maximum(r, jnp.asarray(x))
+    return [r]
+
+
+@op("Sum")
+def _sum_op(ctx, *xs):
+    r = jnp.asarray(xs[0])
+    for x in xs[1:]:
+        r = r + jnp.asarray(x)
+    return [r]
+
+
+@op("Mean")
+def _mean_op(ctx, *xs):
+    r = jnp.asarray(xs[0])
+    for x in xs[1:]:
+        r = r + jnp.asarray(x)
+    return [r / float(len(xs))]
+
+
+def _unary(fn):
+    def impl(ctx, x):
+        return [fn(jnp.asarray(x))]
+
+    return impl
+
+
+op("Sqrt")(_unary(jnp.sqrt))
+op("Exp")(_unary(jnp.exp))
+op("Log")(_unary(jnp.log))
+op("Abs")(_unary(jnp.abs))
+op("Neg")(_unary(jnp.negative))
+op("Floor")(_unary(jnp.floor))
+op("Ceil")(_unary(jnp.ceil))
+op("Round")(_unary(jnp.round))
+op("Sign")(_unary(jnp.sign))
+op("Not")(_unary(jnp.logical_not))
+op("Reciprocal")(_unary(lambda x: 1.0 / x))
+op("Sin")(_unary(jnp.sin))
+op("Cos")(_unary(jnp.cos))
+op("Tan")(_unary(jnp.tan))
+op("Asin")(_unary(jnp.arcsin))
+op("Acos")(_unary(jnp.arccos))
+op("Atan")(_unary(jnp.arctan))
+op("Sinh")(_unary(jnp.sinh))
+op("Cosh")(_unary(jnp.cosh))
+op("Tanh")(_unary(jnp.tanh))
+op("Erf")(_unary(lax.erf))
+op("Relu")(_unary(jax.nn.relu))
+op("Sigmoid")(_unary(jax.nn.sigmoid))
+op("Softplus")(_unary(jax.nn.softplus))
+op("Softsign")(_unary(jax.nn.soft_sign))
+op("Mish")(_unary(lambda x: x * jnp.tanh(jax.nn.softplus(x))))
+op("HardSwish")(_unary(jax.nn.hard_swish))
+op("IsNaN")(_unary(jnp.isnan))
+op("IsInf")(_unary(jnp.isinf))
+
+
+@op("LeakyRelu")
+def _leaky_relu(ctx, x):
+    alpha = float(ctx.attr("alpha", 0.01))
+    x = jnp.asarray(x)
+    return [jnp.where(x >= 0, x, alpha * x)]
+
+
+@op("PRelu")
+def _prelu(ctx, x, slope):
+    x = jnp.asarray(x)
+    return [jnp.where(x >= 0, x, jnp.asarray(slope) * x)]
+
+
+@op("Elu")
+def _elu(ctx, x):
+    alpha = float(ctx.attr("alpha", 1.0))
+    x = jnp.asarray(x)
+    return [jnp.where(x > 0, x, alpha * jnp.expm1(x))]
+
+
+@op("Selu")
+def _selu(ctx, x):
+    alpha = float(ctx.attr("alpha", 1.6732632423543772))
+    gamma = float(ctx.attr("gamma", 1.0507009873554805))
+    x = jnp.asarray(x)
+    return [gamma * jnp.where(x > 0, x, alpha * jnp.expm1(x))]
+
+
+@op("HardSigmoid")
+def _hard_sigmoid(ctx, x):
+    alpha = float(ctx.attr("alpha", 0.2))
+    beta = float(ctx.attr("beta", 0.5))
+    return [jnp.clip(alpha * jnp.asarray(x) + beta, 0.0, 1.0)]
+
+
+@op("Gelu")
+def _gelu(ctx, x):
+    approx = ctx.attr("approximate", "none")
+    return [jax.nn.gelu(jnp.asarray(x), approximate=(approx == "tanh"))]
+
+
+@op("Clip")
+def _clip(ctx, x, lo=None, hi=None):
+    x = jnp.asarray(x)
+    if ctx.opset < 11:
+        lo = ctx.attr("min", -3.402823e38)
+        hi = ctx.attr("max", 3.402823e38)
+    if lo is not None:
+        x = jnp.maximum(x, jnp.asarray(lo, dtype=x.dtype))
+    if hi is not None:
+        x = jnp.minimum(x, jnp.asarray(hi, dtype=x.dtype))
+    return [x]
+
+
+@op("Where")
+def _where(ctx, cond, a, b):
+    return [jnp.where(jnp.asarray(cond), jnp.asarray(a), jnp.asarray(b))]
+
+
+@op("Softmax")
+def _softmax(ctx, x):
+    x = jnp.asarray(x)
+    if ctx.opset >= 13:
+        axis = int(ctx.attr("axis", -1))
+        return [jax.nn.softmax(x, axis=axis)]
+    # opset < 13: flatten from axis, softmax over the flattened tail
+    axis = int(ctx.attr("axis", 1))
+    if axis < 0:
+        axis += x.ndim
+    shape = x.shape
+    flat = x.reshape(shape[:axis] + (-1,))
+    return [jax.nn.softmax(flat, axis=-1).reshape(shape)]
+
+
+@op("LogSoftmax")
+def _log_softmax(ctx, x):
+    x = jnp.asarray(x)
+    axis = int(ctx.attr("axis", -1 if ctx.opset >= 13 else 1))
+    return [jax.nn.log_softmax(x, axis=axis)]
+
+
+# ---------------------------------------------------------------------------
+# matmul / gemm
+# ---------------------------------------------------------------------------
+
+
+@op("MatMul")
+def _matmul(ctx, a, b):
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    orig = a.dtype
+    a2, b2 = _mxu_operands(ctx, a, b)
+    y = jnp.matmul(a2, b2, preferred_element_type=_acc_dtype(ctx))
+    return [_out_cast(ctx, y, orig)]
+
+
+@op("Gemm")
+def _gemm(ctx, a, b, c=None):
+    alpha = float(ctx.attr("alpha", 1.0))
+    beta = float(ctx.attr("beta", 1.0))
+    ta = int(ctx.attr("transA", 0))
+    tb = int(ctx.attr("transB", 0))
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if ta:
+        a = a.T
+    if tb:
+        b = b.T
+    orig = a.dtype
+    a2, b2 = _mxu_operands(ctx, a, b)
+    y = jnp.matmul(a2, b2, preferred_element_type=_acc_dtype(ctx))
+    y = _out_cast(ctx, y, orig)
+    if alpha != 1.0:
+        y = alpha * y
+    if c is not None:
+        y = y + (beta * jnp.asarray(c) if beta != 1.0 else jnp.asarray(c))
+    return [y]
+
+
+@op("Einsum")
+def _einsum(ctx, *xs):
+    eq = ctx.attr("equation")
+    xs = [jnp.asarray(x) for x in xs]
+    orig = xs[0].dtype
+    xs2 = _mxu_operands(ctx, *xs)
+    y = jnp.einsum(eq, *xs2, preferred_element_type=_acc_dtype(ctx))
+    return [_out_cast(ctx, y, orig)]
+
+
+# ---------------------------------------------------------------------------
+# convolution
+# ---------------------------------------------------------------------------
+
+
+def _resolve_pads(ctx, x_spatial, kernel, strides, dilations):
+    """Return list[(lo, hi)] per spatial dim from pads/auto_pad attrs."""
+    nd = len(kernel)
+    auto_pad = ctx.attr("auto_pad", "NOTSET")
+    if auto_pad in ("NOTSET", "", b"NOTSET"):
+        pads = ctx.attr("pads")
+        if pads is None:
+            return [(0, 0)] * nd
+        pads = [int(p) for p in pads]
+        return [(pads[i], pads[i + nd]) for i in range(nd)]
+    if auto_pad == "VALID":
+        return [(0, 0)] * nd
+    out = []
+    for i in range(nd):
+        in_dim = x_spatial[i]
+        eff_k = (kernel[i] - 1) * dilations[i] + 1
+        out_dim = -(-in_dim // strides[i])  # ceil
+        total = max((out_dim - 1) * strides[i] + eff_k - in_dim, 0)
+        if auto_pad == "SAME_UPPER":
+            out.append((total // 2, total - total // 2))
+        elif auto_pad == "SAME_LOWER":
+            out.append((total - total // 2, total // 2))
+        else:
+            raise ValueError(f"unsupported auto_pad {auto_pad!r}")
+    return out
+
+
+@op("Conv")
+def _conv(ctx, x, w, b=None):
+    x = jnp.asarray(x)
+    w = jnp.asarray(w)
+    nd = x.ndim - 2  # spatial rank
+    kernel = list(ctx.attr("kernel_shape", w.shape[2:]))
+    strides = [int(s) for s in ctx.attr("strides", [1] * nd)]
+    dilations = [int(d) for d in ctx.attr("dilations", [1] * nd)]
+    group = int(ctx.attr("group", 1))
+    pads = _resolve_pads(ctx, x.shape[2:], kernel, strides, dilations)
+
+    spec = tuple(range(nd + 2))
+    dn = lax.ConvDimensionNumbers(lhs_spec=spec, rhs_spec=spec, out_spec=spec)
+    orig = x.dtype
+    x2, w2 = _mxu_operands(ctx, x, w)
+    y = lax.conv_general_dilated(
+        x2,
+        w2,
+        window_strides=strides,
+        padding=pads,
+        rhs_dilation=dilations,
+        dimension_numbers=dn,
+        feature_group_count=group,
+        preferred_element_type=_acc_dtype(ctx),
+    )
+    y = _out_cast(ctx, y, orig)
+    if b is not None:
+        bias = jnp.asarray(b).reshape((1, -1) + (1,) * nd)
+        y = y + bias.astype(y.dtype)
+    return [y]
+
+
+@op("ConvTranspose")
+def _conv_transpose(ctx, x, w, b=None):
+    x = jnp.asarray(x)
+    w = jnp.asarray(w)  # ONNX: (C_in, C_out/group, *k)
+    nd = x.ndim - 2
+    kernel = list(ctx.attr("kernel_shape", w.shape[2:]))
+    strides = [int(s) for s in ctx.attr("strides", [1] * nd)]
+    dilations = [int(d) for d in ctx.attr("dilations", [1] * nd)]
+    group = int(ctx.attr("group", 1))
+    output_padding = [int(p) for p in ctx.attr("output_padding", [0] * nd)]
+    if group != 1:
+        raise NotImplementedError("grouped ConvTranspose not supported yet")
+    pads = _resolve_pads(ctx, x.shape[2:], kernel, strides, dilations)
+
+    # lax.conv_transpose with transpose_kernel=True expects IOHW kernels,
+    # which matches the ONNX ConvTranspose (C_in, C_out, *k) layout.
+    spec = tuple(range(nd + 2))
+    dn = lax.ConvDimensionNumbers(lhs_spec=spec, rhs_spec=spec, out_spec=spec)
+    # Effective transpose padding: p' = k - 1 - p (per side) with dilation.
+    tpads = []
+    for i in range(nd):
+        eff_k = (kernel[i] - 1) * dilations[i] + 1
+        lo = eff_k - 1 - pads[i][0]
+        hi = eff_k - 1 - pads[i][1] + output_padding[i]
+        tpads.append((lo, hi))
+    y = lax.conv_general_dilated(
+        x,
+        jnp.flip(w, axis=tuple(range(2, 2 + nd))).swapaxes(0, 1),
+        window_strides=[1] * nd,
+        padding=tpads,
+        lhs_dilation=strides,
+        rhs_dilation=dilations,
+        dimension_numbers=dn,
+        preferred_element_type=_acc_dtype(ctx),
+    )
+    y = _out_cast(ctx, y, x.dtype)
+    if b is not None:
+        y = y + jnp.asarray(b).reshape((1, -1) + (1,) * nd).astype(y.dtype)
+    return [y]
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+
+@op("BatchNormalization")
+def _batchnorm(ctx, x, scale, bias, mean, var):
+    eps = float(ctx.attr("epsilon", 1e-5))
+    x = jnp.asarray(x)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    scale = jnp.asarray(scale).reshape(shape)
+    bias = jnp.asarray(bias).reshape(shape)
+    mean = jnp.asarray(mean).reshape(shape)
+    var = jnp.asarray(var).reshape(shape)
+    inv = scale * lax.rsqrt(var + eps)
+    return [x * inv + (bias - mean * inv)]
+
+
+@op("InstanceNormalization")
+def _instancenorm(ctx, x, scale, bias):
+    eps = float(ctx.attr("epsilon", 1e-5))
+    x = jnp.asarray(x)
+    axes = tuple(range(2, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return [
+        jnp.asarray(scale).reshape(shape) * (x - mean) * lax.rsqrt(var + eps)
+        + jnp.asarray(bias).reshape(shape)
+    ]
+
+
+@op("LayerNormalization")
+def _layernorm(ctx, x, scale, bias=None):
+    axis = int(ctx.attr("axis", -1))
+    eps = float(ctx.attr("epsilon", 1e-5))
+    x = jnp.asarray(x)
+    if axis < 0:
+        axis += x.ndim
+    axes = tuple(range(axis, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    inv = lax.rsqrt(var + eps)
+    y = (x - mean) * inv * jnp.asarray(scale)
+    if bias is not None:
+        y = y + jnp.asarray(bias)
+    outs = [y]
+    if ctx.num_outputs > 1:
+        outs.append(mean)
+    if ctx.num_outputs > 2:
+        outs.append(inv)
+    return outs
+
+
+@op("GroupNormalization")
+def _groupnorm(ctx, x, scale, bias):
+    eps = float(ctx.attr("epsilon", 1e-5))
+    groups = int(ctx.attr("num_groups"))
+    x = jnp.asarray(x)
+    n, c = x.shape[0], x.shape[1]
+    spatial = x.shape[2:]
+    xg = x.reshape((n, groups, c // groups) + spatial)
+    axes = tuple(range(2, xg.ndim))
+    mean = jnp.mean(xg, axis=axes, keepdims=True)
+    var = jnp.var(xg, axis=axes, keepdims=True)
+    xg = (xg - mean) * lax.rsqrt(var + eps)
+    y = xg.reshape(x.shape)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return [y * jnp.asarray(scale).reshape(shape) + jnp.asarray(bias).reshape(shape)]
+
+
+@op("LRN")
+def _lrn(ctx, x):
+    size = int(ctx.attr("size"))
+    alpha = float(ctx.attr("alpha", 1e-4))
+    beta = float(ctx.attr("beta", 0.75))
+    bias = float(ctx.attr("bias", 1.0))
+    x = jnp.asarray(x)
+    sq = x * x
+    half = size // 2
+    pad = [(0, 0), (half, size - 1 - half)] + [(0, 0)] * (x.ndim - 2)
+    sq = jnp.pad(sq, pad)
+    window = [1, size] + [1] * (x.ndim - 2)
+    ssum = lax.reduce_window(sq, 0.0, lax.add, window, [1] * x.ndim, "VALID")
+    return [x / jnp.power(bias + (alpha / size) * ssum, beta)]
+
+
+# ---------------------------------------------------------------------------
+# pooling
+# ---------------------------------------------------------------------------
+
+
+def _pool_common(ctx, x):
+    nd = x.ndim - 2
+    kernel = [int(k) for k in ctx.attr("kernel_shape")]
+    strides = [int(s) for s in ctx.attr("strides", [1] * nd)]
+    dilations = [int(d) for d in ctx.attr("dilations", [1] * nd)]
+    pads = _resolve_pads(ctx, x.shape[2:], kernel, strides, dilations)
+    if int(ctx.attr("ceil_mode", 0)):
+        # Extend end padding so the window count matches ceil division.
+        new_pads = []
+        for i in range(nd):
+            in_dim = x.shape[2 + i]
+            eff_k = (kernel[i] - 1) * dilations[i] + 1
+            lo, hi = pads[i]
+            out_ceil = -(-(in_dim + lo + hi - eff_k) // strides[i]) + 1
+            need = (out_ceil - 1) * strides[i] + eff_k - in_dim - lo
+            new_pads.append((lo, max(hi, need)))
+        pads = new_pads
+    window = [1, 1] + kernel
+    win_strides = [1, 1] + strides
+    win_dil = [1, 1] + dilations
+    full_pads = [(0, 0), (0, 0)] + pads
+    return window, win_strides, win_dil, full_pads
+
+
+@op("MaxPool")
+def _maxpool(ctx, x):
+    x = jnp.asarray(x)
+    window, strides, dil, pads = _pool_common(ctx, x)
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    y = lax.reduce_window(
+        x, jnp.asarray(init, x.dtype), lax.max, window, strides, pads, window_dilation=dil
+    )
+    return [y]
+
+
+@op("AveragePool")
+def _avgpool(ctx, x):
+    x = jnp.asarray(x)
+    window, strides, dil, pads = _pool_common(ctx, x)
+    count_include_pad = int(ctx.attr("count_include_pad", 0))
+    ssum = lax.reduce_window(x, jnp.asarray(0, x.dtype), lax.add, window, strides, pads, window_dilation=dil)
+    if count_include_pad:
+        denom = float(np.prod(window))
+        return [ssum / denom]
+    ones = jnp.ones(x.shape, dtype=x.dtype)
+    counts = lax.reduce_window(
+        ones, jnp.asarray(0, x.dtype), lax.add, window, strides, pads, window_dilation=dil
+    )
+    return [ssum / counts]
+
+
+@op("GlobalAveragePool")
+def _global_avgpool(ctx, x):
+    x = jnp.asarray(x)
+    return [jnp.mean(x, axis=tuple(range(2, x.ndim)), keepdims=True)]
+
+
+@op("GlobalMaxPool")
+def _global_maxpool(ctx, x):
+    x = jnp.asarray(x)
+    return [jnp.max(x, axis=tuple(range(2, x.ndim)), keepdims=True)]
+
+
+# ---------------------------------------------------------------------------
+# shape manipulation
+# ---------------------------------------------------------------------------
+
+
+@op("Shape")
+def _shape(ctx, x):
+    shape = np.asarray(jnp.shape(x), dtype=np.int64)
+    start = int(ctx.attr("start", 0))
+    end = ctx.attr("end")
+    return [shape[start: int(end) if end is not None else None]]
+
+
+@op("Size")
+def _size(ctx, x):
+    return [np.int64(int(np.prod(jnp.shape(x))))]
+
+
+@op("Reshape")
+def _reshape(ctx, x, shape):
+    x = jnp.asarray(x)
+    dims = _static_ints(shape, "Reshape shape")
+    allowzero = int(ctx.attr("allowzero", 0))
+    out = []
+    for i, d in enumerate(dims):
+        if d == 0 and not allowzero:
+            out.append(x.shape[i])
+        else:
+            out.append(d)
+    return [x.reshape(out)]
+
+
+@op("Transpose")
+def _transpose(ctx, x):
+    x = jnp.asarray(x)
+    perm = ctx.attr("perm")
+    if perm is None:
+        perm = list(range(x.ndim))[::-1]
+    return [jnp.transpose(x, [int(p) for p in perm])]
+
+
+@op("Flatten")
+def _flatten(ctx, x):
+    x = jnp.asarray(x)
+    axis = int(ctx.attr("axis", 1))
+    if axis < 0:
+        axis += x.ndim
+    lead = int(np.prod(x.shape[:axis])) if axis > 0 else 1
+    return [x.reshape(lead, -1)]
+
+
+def _axes_arg(ctx, x, axes_input):
+    """Resolve axes from attr (opset<13) or input (>=13)."""
+    if axes_input is not None:
+        return _static_ints(axes_input, "axes")
+    axes = ctx.attr("axes")
+    return [int(a) for a in axes] if axes is not None else None
+
+
+@op("Squeeze")
+def _squeeze(ctx, x, axes=None):
+    x = jnp.asarray(x)
+    ax = _axes_arg(ctx, x, axes)
+    if ax is None:
+        ax = [i for i, d in enumerate(x.shape) if d == 1]
+    ax = [a + x.ndim if a < 0 else a for a in ax]
+    return [jnp.squeeze(x, axis=tuple(ax))]
+
+
+@op("Unsqueeze")
+def _unsqueeze(ctx, x, axes=None):
+    x = jnp.asarray(x)
+    ax = _axes_arg(ctx, x, axes)
+    out_ndim = x.ndim + len(ax)
+    ax = sorted(a + out_ndim if a < 0 else a for a in ax)
+    for a in ax:
+        x = jnp.expand_dims(x, a)
+    return [x]
+
+
+@op("Concat")
+def _concat(ctx, *xs):
+    axis = int(ctx.attr("axis"))
+    arrs = [jnp.asarray(x) for x in xs]
+    if all(_is_static(x) for x in xs):
+        return [np.concatenate([np.asarray(x) for x in xs], axis=axis)]
+    return [jnp.concatenate(arrs, axis=axis)]
+
+
+@op("Split")
+def _split(ctx, x, split=None):
+    x = jnp.asarray(x)
+    axis = int(ctx.attr("axis", 0))
+    if axis < 0:
+        axis += x.ndim
+    if split is None:
+        split = ctx.attr("split")
+    if split is not None:
+        sizes = _static_ints(split, "Split sizes") if not isinstance(split, list) else [int(s) for s in split]
+        offsets = np.cumsum([0] + sizes)
+        return [
+            lax.slice_in_dim(x, int(offsets[i]), int(offsets[i + 1]), axis=axis)
+            for i in range(len(sizes))
+        ]
+    n = ctx.num_outputs
+    total = x.shape[axis]
+    size = -(-total // n)
+    return [
+        lax.slice_in_dim(x, i * size, min((i + 1) * size, total), axis=axis)
+        for i in range(n)
+    ]
+
+
+@op("Slice")
+def _slice(ctx, x, starts=None, ends=None, axes=None, steps=None):
+    x = jnp.asarray(x)
+    if ctx.opset < 10 or starts is None:
+        starts = ctx.attr("starts")
+        ends = ctx.attr("ends")
+        axes = ctx.attr("axes")
+        steps = None
+    starts = _static_ints(starts, "Slice starts") if not isinstance(starts, list) else starts
+    ends = _static_ints(ends, "Slice ends") if not isinstance(ends, list) else ends
+    if axes is None:
+        axes_l = list(range(len(starts)))
+    else:
+        axes_l = _static_ints(axes, "Slice axes") if not isinstance(axes, list) else axes
+    steps_l = (
+        [1] * len(starts)
+        if steps is None
+        else (_static_ints(steps, "Slice steps") if not isinstance(steps, list) else steps)
+    )
+    slices = [slice(None)] * x.ndim
+    for st, en, ax, sp in zip(starts, ends, axes_l, steps_l):
+        if ax < 0:
+            ax += x.ndim
+        dim = x.shape[ax]
+        # ONNX clamping semantics (INT64_MAX/MIN sentinels included)
+        if sp > 0:
+            st = max(st + dim, 0) if st < 0 else min(st, dim)
+            en = max(en + dim, 0) if en < 0 else min(en, dim)
+            slices[ax] = slice(st, en, sp)
+        else:
+            st = st + dim if st < 0 else min(st, dim - 1)
+            en = en + dim if -dim <= en < 0 else en
+            slices[ax] = slice(st, None if en < 0 else en, sp)
+    return [x[tuple(slices)]]
+
+
+@op("Gather")
+def _gather(ctx, x, indices):
+    axis = int(ctx.attr("axis", 0))
+    if _is_static(x) and _is_static(indices):
+        return [np.take(np.asarray(x), np.asarray(indices).astype(np.int64), axis=axis)]
+    return [jnp.take(jnp.asarray(x), jnp.asarray(indices), axis=axis)]
+
+
+@op("GatherElements")
+def _gather_elements(ctx, x, indices):
+    axis = int(ctx.attr("axis", 0))
+    return [jnp.take_along_axis(jnp.asarray(x), jnp.asarray(indices), axis=axis)]
+
+
+@op("Expand")
+def _expand(ctx, x, shape):
+    x = jnp.asarray(x)
+    dims = _static_ints(shape, "Expand shape")
+    target = np.broadcast_shapes(tuple(x.shape), tuple(dims))
+    return [jnp.broadcast_to(x, target)]
+
+
+@op("Tile")
+def _tile(ctx, x, repeats):
+    reps = _static_ints(repeats, "Tile repeats")
+    return [jnp.tile(jnp.asarray(x), reps)]
+
+
+@op("Pad")
+def _pad(ctx, x, pads=None, constant_value=None, axes=None):
+    x = jnp.asarray(x)
+    mode = ctx.attr("mode", "constant")
+    if isinstance(mode, bytes):
+        mode = mode.decode()
+    if pads is None:
+        pads_l = [int(p) for p in ctx.attr("pads")]
+    else:
+        pads_l = _static_ints(pads, "Pad pads")
+    if axes is not None:
+        ax = _static_ints(axes, "Pad axes")
+    else:
+        ax = list(range(x.ndim))
+    n = len(ax)
+    width = [(0, 0)] * x.ndim
+    for i, a in enumerate(ax):
+        if a < 0:
+            a += x.ndim
+        width[a] = (pads_l[i], pads_l[i + n])
+    if mode == "constant":
+        cv = 0
+        if constant_value is not None:
+            cv = np.asarray(constant_value).reshape(-1)
+            cv = cv[0] if cv.size else 0
+        return [jnp.pad(x, width, constant_values=cv)]
+    jmode = {"reflect": "reflect", "edge": "edge", "wrap": "wrap"}[mode]
+    return [jnp.pad(x, width, mode=jmode)]
+
+
+@op("Range")
+def _range(ctx, start, limit, delta):
+    s = _static_int(start, "Range start")
+    l = _static_int(limit, "Range limit")
+    d = _static_int(delta, "Range delta")
+    dtype = np.asarray(start).dtype
+    return [np.arange(s, l, d, dtype=dtype)]
+
+
+@op("OneHot")
+def _onehot(ctx, indices, depth, values):
+    axis = int(ctx.attr("axis", -1))
+    d = _static_int(depth, "OneHot depth")
+    values = jnp.asarray(values)
+    oh = jax.nn.one_hot(jnp.asarray(indices), d, axis=axis, dtype=values.dtype)
+    return [oh * (values[1] - values[0]) + values[0]]
+
+
+# ---------------------------------------------------------------------------
+# reductions
+# ---------------------------------------------------------------------------
+
+
+def _reduce(fn, needs_float=False):
+    def impl(ctx, x, axes=None):
+        x = jnp.asarray(x)
+        if ctx.opset >= 18 or axes is not None:
+            ax = _axes_arg(ctx, x, axes)
+        else:
+            ax = ctx.attr("axes")
+            ax = [int(a) for a in ax] if ax is not None else None
+        keepdims = bool(int(ctx.attr("keepdims", 1)))
+        noop = bool(int(ctx.attr("noop_with_empty_axes", 0)))
+        if ax is None or len(ax) == 0:
+            if noop and (ax is not None and len(ax) == 0):
+                return [x]
+            ax = None
+        else:
+            ax = tuple(ax)
+        return [fn(x, axis=ax, keepdims=keepdims)]
+
+    return impl
+
+
+op("ReduceSum")(_reduce(jnp.sum))
+op("ReduceMean")(_reduce(jnp.mean))
+op("ReduceMax")(_reduce(jnp.max))
+op("ReduceMin")(_reduce(jnp.min))
+op("ReduceProd")(_reduce(jnp.prod))
+op("ReduceL1")(_reduce(lambda x, axis, keepdims: jnp.sum(jnp.abs(x), axis=axis, keepdims=keepdims)))
+op("ReduceL2")(_reduce(lambda x, axis, keepdims: jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims))))
+op("ReduceLogSum")(_reduce(lambda x, axis, keepdims: jnp.log(jnp.sum(x, axis=axis, keepdims=keepdims))))
+op("ReduceLogSumExp")(_reduce(lambda x, axis, keepdims: jax.scipy.special.logsumexp(x, axis=axis, keepdims=keepdims)))
+op("ReduceSumSquare")(_reduce(lambda x, axis, keepdims: jnp.sum(x * x, axis=axis, keepdims=keepdims)))
+
+
+@op("ArgMax")
+def _argmax(ctx, x):
+    x = jnp.asarray(x)
+    axis = int(ctx.attr("axis", 0))
+    keepdims = bool(int(ctx.attr("keepdims", 1)))
+    y = jnp.argmax(x, axis=axis).astype(jnp.int64)
+    if keepdims:
+        y = jnp.expand_dims(y, axis)
+    return [y]
+
+
+@op("ArgMin")
+def _argmin(ctx, x):
+    x = jnp.asarray(x)
+    axis = int(ctx.attr("axis", 0))
+    keepdims = bool(int(ctx.attr("keepdims", 1)))
+    y = jnp.argmin(x, axis=axis).astype(jnp.int64)
+    if keepdims:
+        y = jnp.expand_dims(y, axis)
+    return [y]
+
+
+@op("TopK")
+def _topk(ctx, x, k):
+    x = jnp.asarray(x)
+    kk = _static_int(k, "TopK k")
+    axis = int(ctx.attr("axis", -1))
+    largest = int(ctx.attr("largest", 1))
+    if axis < 0:
+        axis += x.ndim
+    moved = jnp.moveaxis(x, axis, -1)
+    if largest:
+        vals, idxs = lax.top_k(moved, kk)
+    else:
+        vals, idxs = lax.top_k(-moved, kk)
+        vals = -vals
+    return [
+        jnp.moveaxis(vals, -1, axis),
+        jnp.moveaxis(idxs.astype(jnp.int64), -1, axis),
+    ]
+
+
+@op("CumSum")
+def _cumsum(ctx, x, axis):
+    ax = _static_int(axis, "CumSum axis")
+    x = jnp.asarray(x)
+    exclusive = int(ctx.attr("exclusive", 0))
+    reverse = int(ctx.attr("reverse", 0))
+    if reverse:
+        x = jnp.flip(x, ax)
+    y = jnp.cumsum(x, axis=ax)
+    if exclusive:
+        y = y - x
+    if reverse:
+        y = jnp.flip(y, ax)
+    return [y]
+
+
+# ---------------------------------------------------------------------------
+# signal / misc
+# ---------------------------------------------------------------------------
+
+
+@op("Resize")
+def _resize(ctx, x, roi=None, scales=None, sizes=None):
+    x = jnp.asarray(x)
+    mode = ctx.attr("mode", "nearest")
+    if isinstance(mode, bytes):
+        mode = mode.decode()
+    if sizes is not None:
+        out_shape = _static_ints(sizes, "Resize sizes")
+    else:
+        sc = np.asarray(scales, dtype=np.float64).reshape(-1)
+        out_shape = [int(math.floor(d * s)) for d, s in zip(x.shape, sc)]
+    method = {"nearest": "nearest", "linear": "linear", "cubic": "cubic"}[mode]
+    return [jax.image.resize(x, out_shape, method=method).astype(x.dtype)]
+
+
+@op("DepthToSpace")
+def _depth_to_space(ctx, x):
+    x = jnp.asarray(x)
+    bs = int(ctx.attr("blocksize"))
+    mode = ctx.attr("mode", "DCR")
+    n, c, h, w = x.shape
+    if mode == "DCR":
+        y = x.reshape(n, bs, bs, c // (bs * bs), h, w)
+        y = y.transpose(0, 3, 4, 1, 5, 2)
+    else:
+        y = x.reshape(n, c // (bs * bs), bs, bs, h, w)
+        y = y.transpose(0, 1, 4, 2, 5, 3)
+    return [y.reshape(n, c // (bs * bs), h * bs, w * bs)]
+
+
+@op("SpaceToDepth")
+def _space_to_depth(ctx, x):
+    x = jnp.asarray(x)
+    bs = int(ctx.attr("blocksize"))
+    n, c, h, w = x.shape
+    y = x.reshape(n, c, h // bs, bs, w // bs, bs)
+    y = y.transpose(0, 3, 5, 1, 2, 4)
+    return [y.reshape(n, c * bs * bs, h // bs, w // bs)]

@@ -1,0 +1,816 @@
+"""Self-contained ONNX protobuf codec (decoder + encoder).
+
+The reference delegates graph loading to the ONNX Runtime C++ engine
+(reference: src/classifier.rs:348-350 ``commit_from_file``). This framework
+has no ONNX Runtime; instead this module implements the protobuf *wire
+format* directly for the subset of ``onnx.proto`` needed to load and build
+models: ModelProto, GraphProto, NodeProto, AttributeProto, TensorProto,
+ValueInfoProto, TypeProto and TensorShapeProto.
+
+Zero third-party dependencies. Large weight payloads (``raw_data``) are
+sliced, not iterated, so loading a ~50 MB model is fast in pure Python.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Wire-format primitives
+# ---------------------------------------------------------------------------
+
+_WIRE_VARINT = 0
+_WIRE_64BIT = 1
+_WIRE_LEN = 2
+_WIRE_32BIT = 5
+
+
+def _read_varint(buf: memoryview, pos: int) -> Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("malformed varint")
+
+
+def _read_signed_varint(buf: memoryview, pos: int) -> Tuple[int, int]:
+    v, pos = _read_varint(buf, pos)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v, pos
+
+
+def _skip_field(buf: memoryview, pos: int, wire_type: int) -> int:
+    if wire_type == _WIRE_VARINT:
+        _, pos = _read_varint(buf, pos)
+        return pos
+    if wire_type == _WIRE_64BIT:
+        return pos + 8
+    if wire_type == _WIRE_LEN:
+        n, pos = _read_varint(buf, pos)
+        return pos + n
+    if wire_type == _WIRE_32BIT:
+        return pos + 4
+    raise ValueError(f"unsupported wire type {wire_type}")
+
+
+def _write_varint(out: bytearray, value: int) -> None:
+    if value < 0:
+        value += 1 << 64
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _write_tag(out: bytearray, field_num: int, wire_type: int) -> None:
+    _write_varint(out, (field_num << 3) | wire_type)
+
+
+def _write_len_field(out: bytearray, field_num: int, payload: bytes) -> None:
+    _write_tag(out, field_num, _WIRE_LEN)
+    _write_varint(out, len(payload))
+    out.extend(payload)
+
+
+def _write_string(out: bytearray, field_num: int, s: str) -> None:
+    _write_len_field(out, field_num, s.encode("utf-8"))
+
+
+def _write_int_field(out: bytearray, field_num: int, v: int) -> None:
+    _write_tag(out, field_num, _WIRE_VARINT)
+    _write_varint(out, v)
+
+
+def _write_float_field(out: bytearray, field_num: int, v: float) -> None:
+    _write_tag(out, field_num, _WIRE_32BIT)
+    out.extend(struct.pack("<f", v))
+
+
+def _write_packed_int64(out: bytearray, field_num: int, values) -> None:
+    payload = bytearray()
+    for v in values:
+        _write_varint(payload, int(v))
+    _write_len_field(out, field_num, bytes(payload))
+
+
+def _write_packed_float(out: bytearray, field_num: int, values) -> None:
+    _write_len_field(out, field_num, struct.pack(f"<{len(values)}f", *values))
+
+
+# ---------------------------------------------------------------------------
+# ONNX message dataclasses
+# ---------------------------------------------------------------------------
+
+# TensorProto.DataType values (public ONNX spec).
+class DataType:
+    UNDEFINED = 0
+    FLOAT = 1
+    UINT8 = 2
+    INT8 = 3
+    UINT16 = 4
+    INT16 = 5
+    INT32 = 6
+    INT64 = 7
+    STRING = 8
+    BOOL = 9
+    FLOAT16 = 10
+    DOUBLE = 11
+    UINT32 = 12
+    UINT64 = 13
+    BFLOAT16 = 16
+
+
+_DTYPE_TO_NUMPY = {
+    DataType.FLOAT: np.dtype(np.float32),
+    DataType.UINT8: np.dtype(np.uint8),
+    DataType.INT8: np.dtype(np.int8),
+    DataType.UINT16: np.dtype(np.uint16),
+    DataType.INT16: np.dtype(np.int16),
+    DataType.INT32: np.dtype(np.int32),
+    DataType.INT64: np.dtype(np.int64),
+    DataType.BOOL: np.dtype(np.bool_),
+    DataType.FLOAT16: np.dtype(np.float16),
+    DataType.DOUBLE: np.dtype(np.float64),
+    DataType.UINT32: np.dtype(np.uint32),
+    DataType.UINT64: np.dtype(np.uint64),
+}
+
+_NUMPY_TO_DTYPE = {
+    np.dtype(np.float32): DataType.FLOAT,
+    np.dtype(np.uint8): DataType.UINT8,
+    np.dtype(np.int8): DataType.INT8,
+    np.dtype(np.uint16): DataType.UINT16,
+    np.dtype(np.int16): DataType.INT16,
+    np.dtype(np.int32): DataType.INT32,
+    np.dtype(np.int64): DataType.INT64,
+    np.dtype(np.bool_): DataType.BOOL,
+    np.dtype(np.float16): DataType.FLOAT16,
+    np.dtype(np.float64): DataType.DOUBLE,
+    np.dtype(np.uint32): DataType.UINT32,
+    np.dtype(np.uint64): DataType.UINT64,
+}
+
+
+@dataclass
+class TensorProto:
+    name: str = ""
+    data_type: int = DataType.UNDEFINED
+    dims: List[int] = field(default_factory=list)
+    raw_data: bytes = b""
+    float_data: List[float] = field(default_factory=list)
+    int32_data: List[int] = field(default_factory=list)
+    int64_data: List[int] = field(default_factory=list)
+    double_data: List[float] = field(default_factory=list)
+
+    def to_numpy(self) -> np.ndarray:
+        """Materialize this tensor as a numpy array."""
+        if self.data_type not in _DTYPE_TO_NUMPY:
+            raise ValueError(f"unsupported tensor data_type {self.data_type}")
+        dtype = _DTYPE_TO_NUMPY[self.data_type]
+        shape = tuple(self.dims)
+        if self.raw_data:
+            arr = np.frombuffer(self.raw_data, dtype=dtype)
+        elif self.float_data and self.data_type == DataType.FLOAT:
+            arr = np.asarray(self.float_data, dtype=np.float32)
+        elif self.int64_data and self.data_type == DataType.INT64:
+            arr = np.asarray(self.int64_data, dtype=np.int64)
+        elif self.int32_data and self.data_type in (
+            DataType.INT32,
+            DataType.INT16,
+            DataType.INT8,
+            DataType.UINT16,
+            DataType.UINT8,
+            DataType.BOOL,
+        ):
+            arr = np.asarray(self.int32_data, dtype=np.int32).astype(dtype)
+        elif self.double_data and self.data_type == DataType.DOUBLE:
+            arr = np.asarray(self.double_data, dtype=np.float64)
+        else:
+            arr = np.zeros(int(np.prod(shape)) if shape else 0, dtype=dtype)
+        return arr.reshape(shape)
+
+    @staticmethod
+    def from_numpy(arr: np.ndarray, name: str = "") -> "TensorProto":
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype not in _NUMPY_TO_DTYPE:
+            raise ValueError(f"unsupported numpy dtype {arr.dtype}")
+        return TensorProto(
+            name=name,
+            data_type=_NUMPY_TO_DTYPE[arr.dtype],
+            dims=list(arr.shape),
+            raw_data=arr.tobytes(),
+        )
+
+
+class AttrType:
+    UNDEFINED = 0
+    FLOAT = 1
+    INT = 2
+    STRING = 3
+    TENSOR = 4
+    GRAPH = 5
+    FLOATS = 6
+    INTS = 7
+    STRINGS = 8
+    TENSORS = 9
+    GRAPHS = 10
+
+
+@dataclass
+class AttributeProto:
+    name: str = ""
+    type: int = AttrType.UNDEFINED
+    f: float = 0.0
+    i: int = 0
+    s: bytes = b""
+    t: Optional["TensorProto"] = None
+    g: Optional["GraphProto"] = None
+    floats: List[float] = field(default_factory=list)
+    ints: List[int] = field(default_factory=list)
+    strings: List[bytes] = field(default_factory=list)
+    tensors: List["TensorProto"] = field(default_factory=list)
+
+    @property
+    def value(self):
+        """The attribute payload, as a natural Python value."""
+        t = self.type
+        if t == AttrType.FLOAT:
+            return self.f
+        if t == AttrType.INT:
+            return self.i
+        if t == AttrType.STRING:
+            return self.s.decode("utf-8", errors="replace")
+        if t == AttrType.TENSOR:
+            return self.t
+        if t == AttrType.GRAPH:
+            return self.g
+        if t == AttrType.FLOATS:
+            return list(self.floats)
+        if t == AttrType.INTS:
+            return list(self.ints)
+        if t == AttrType.STRINGS:
+            return [s.decode("utf-8", errors="replace") for s in self.strings]
+        if t == AttrType.TENSORS:
+            return list(self.tensors)
+        return None
+
+
+@dataclass
+class NodeProto:
+    op_type: str = ""
+    name: str = ""
+    domain: str = ""
+    input: List[str] = field(default_factory=list)
+    output: List[str] = field(default_factory=list)
+    attribute: List[AttributeProto] = field(default_factory=list)
+
+    @property
+    def attrs(self) -> Dict[str, object]:
+        return {a.name: a.value for a in self.attribute}
+
+
+@dataclass
+class Dimension:
+    dim_value: Optional[int] = None
+    dim_param: str = ""
+
+
+@dataclass
+class TensorShapeProto:
+    dim: List[Dimension] = field(default_factory=list)
+
+
+@dataclass
+class TensorTypeProto:
+    elem_type: int = DataType.UNDEFINED
+    shape: Optional[TensorShapeProto] = None
+
+
+@dataclass
+class TypeProto:
+    tensor_type: Optional[TensorTypeProto] = None
+
+
+@dataclass
+class ValueInfoProto:
+    name: str = ""
+    type: Optional[TypeProto] = None
+
+    def shape(self, dynamic: int = 1) -> List[int]:
+        """Static shape with symbolic dims replaced by ``dynamic``."""
+        if self.type is None or self.type.tensor_type is None:
+            return []
+        sh = self.type.tensor_type.shape
+        if sh is None:
+            return []
+        out = []
+        for d in sh.dim:
+            out.append(int(d.dim_value) if d.dim_value is not None else dynamic)
+        return out
+
+
+@dataclass
+class GraphProto:
+    name: str = ""
+    node: List[NodeProto] = field(default_factory=list)
+    initializer: List[TensorProto] = field(default_factory=list)
+    input: List[ValueInfoProto] = field(default_factory=list)
+    output: List[ValueInfoProto] = field(default_factory=list)
+    value_info: List[ValueInfoProto] = field(default_factory=list)
+
+
+@dataclass
+class OperatorSetId:
+    domain: str = ""
+    version: int = 0
+
+
+@dataclass
+class ModelProto:
+    ir_version: int = 8
+    producer_name: str = ""
+    producer_version: str = ""
+    domain: str = ""
+    model_version: int = 0
+    graph: Optional[GraphProto] = None
+    opset_import: List[OperatorSetId] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Decoding
+# ---------------------------------------------------------------------------
+
+
+def _iter_fields(buf: memoryview, pos: int, end: int):
+    """Yield (field_num, wire_type, value_start, value_end_or_value)."""
+    while pos < end:
+        tag, pos = _read_varint(buf, pos)
+        yield tag >> 3, tag & 7, pos
+        pos = _advance(buf, pos, tag & 7)
+
+
+def _advance(buf: memoryview, pos: int, wire_type: int) -> int:
+    return _skip_field(buf, pos, wire_type)
+
+
+def _decode_repeated_int64(buf: memoryview, pos: int, wire_type: int, dest: List[int]):
+    if wire_type == _WIRE_LEN:  # packed
+        n, p = _read_varint(buf, pos)
+        end = p + n
+        while p < end:
+            v, p = _read_signed_varint(buf, p)
+            dest.append(v)
+    else:
+        v, _ = _read_signed_varint(buf, pos)
+        dest.append(v)
+
+
+def _decode_repeated_float(buf: memoryview, pos: int, wire_type: int, dest: List[float]):
+    if wire_type == _WIRE_LEN:  # packed
+        n, p = _read_varint(buf, pos)
+        dest.extend(np.frombuffer(bytes(buf[p:p + n]), dtype="<f4").tolist())
+    else:
+        dest.append(struct.unpack_from("<f", buf, pos)[0])
+
+
+def _get_bytes(buf: memoryview, pos: int) -> bytes:
+    n, p = _read_varint(buf, pos)
+    return bytes(buf[p:p + n])
+
+
+def _get_str(buf: memoryview, pos: int) -> str:
+    return _get_bytes(buf, pos).decode("utf-8")
+
+
+def _submsg(buf: memoryview, pos: int) -> Tuple[memoryview, int, int]:
+    n, p = _read_varint(buf, pos)
+    return buf, p, p + n
+
+
+def decode_tensor(buf: memoryview, pos: int, end: int) -> TensorProto:
+    t = TensorProto()
+    for fnum, wt, vpos in _iter_fields(buf, pos, end):
+        if fnum == 1:
+            _decode_repeated_int64(buf, vpos, wt, t.dims)
+        elif fnum == 2:
+            t.data_type, _ = _read_varint(buf, vpos)
+        elif fnum == 4:
+            _decode_repeated_float(buf, vpos, wt, t.float_data)
+        elif fnum == 5:
+            _decode_repeated_int64(buf, vpos, wt, t.int32_data)
+        elif fnum == 7:
+            _decode_repeated_int64(buf, vpos, wt, t.int64_data)
+        elif fnum == 8:
+            t.name = _get_str(buf, vpos)
+        elif fnum == 9:
+            t.raw_data = _get_bytes(buf, vpos)
+        elif fnum == 10 and wt == _WIRE_LEN:
+            n, p = _read_varint(buf, vpos)
+            t.double_data.extend(
+                np.frombuffer(bytes(buf[p:p + n]), dtype="<f8").tolist()
+            )
+    return t
+
+
+def decode_attribute(buf: memoryview, pos: int, end: int) -> AttributeProto:
+    a = AttributeProto()
+    for fnum, wt, vpos in _iter_fields(buf, pos, end):
+        if fnum == 1:
+            a.name = _get_str(buf, vpos)
+        elif fnum == 2:
+            a.f = struct.unpack_from("<f", buf, vpos)[0]
+        elif fnum == 3:
+            a.i, _ = _read_signed_varint(buf, vpos)
+        elif fnum == 4:
+            a.s = _get_bytes(buf, vpos)
+        elif fnum == 5:
+            b, p, e = _submsg(buf, vpos)
+            a.t = decode_tensor(b, p, e)
+        elif fnum == 6:
+            b, p, e = _submsg(buf, vpos)
+            a.g = decode_graph(b, p, e)
+        elif fnum == 7:
+            _decode_repeated_float(buf, vpos, wt, a.floats)
+        elif fnum == 8:
+            _decode_repeated_int64(buf, vpos, wt, a.ints)
+        elif fnum == 9:
+            a.strings.append(_get_bytes(buf, vpos))
+        elif fnum == 10:
+            b, p, e = _submsg(buf, vpos)
+            a.tensors.append(decode_tensor(b, p, e))
+        elif fnum == 20:
+            a.type, _ = _read_varint(buf, vpos)
+    if a.type == AttrType.UNDEFINED:
+        a.type = _infer_attr_type(a)
+    return a
+
+
+def _infer_attr_type(a: AttributeProto) -> int:
+    """Some producers omit AttributeProto.type; infer from populated field."""
+    if a.floats:
+        return AttrType.FLOATS
+    if a.ints:
+        return AttrType.INTS
+    if a.strings:
+        return AttrType.STRINGS
+    if a.tensors:
+        return AttrType.TENSORS
+    if a.t is not None:
+        return AttrType.TENSOR
+    if a.g is not None:
+        return AttrType.GRAPH
+    if a.s:
+        return AttrType.STRING
+    if a.f != 0.0:
+        return AttrType.FLOAT
+    return AttrType.INT
+
+
+def decode_node(buf: memoryview, pos: int, end: int) -> NodeProto:
+    n = NodeProto()
+    for fnum, wt, vpos in _iter_fields(buf, pos, end):
+        if fnum == 1:
+            n.input.append(_get_str(buf, vpos))
+        elif fnum == 2:
+            n.output.append(_get_str(buf, vpos))
+        elif fnum == 3:
+            n.name = _get_str(buf, vpos)
+        elif fnum == 4:
+            n.op_type = _get_str(buf, vpos)
+        elif fnum == 5:
+            b, p, e = _submsg(buf, vpos)
+            n.attribute.append(decode_attribute(b, p, e))
+        elif fnum == 7:
+            n.domain = _get_str(buf, vpos)
+    return n
+
+
+def decode_dimension(buf: memoryview, pos: int, end: int) -> Dimension:
+    d = Dimension()
+    for fnum, wt, vpos in _iter_fields(buf, pos, end):
+        if fnum == 1:
+            d.dim_value, _ = _read_signed_varint(buf, vpos)
+        elif fnum == 2:
+            d.dim_param = _get_str(buf, vpos)
+    return d
+
+
+def decode_shape(buf: memoryview, pos: int, end: int) -> TensorShapeProto:
+    s = TensorShapeProto()
+    for fnum, wt, vpos in _iter_fields(buf, pos, end):
+        if fnum == 1:
+            b, p, e = _submsg(buf, vpos)
+            s.dim.append(decode_dimension(b, p, e))
+    return s
+
+
+def decode_type(buf: memoryview, pos: int, end: int) -> TypeProto:
+    t = TypeProto()
+    for fnum, wt, vpos in _iter_fields(buf, pos, end):
+        if fnum == 1:
+            tt = TensorTypeProto()
+            b, p, e = _submsg(buf, vpos)
+            for f2, w2, v2 in _iter_fields(b, p, e):
+                if f2 == 1:
+                    tt.elem_type, _ = _read_varint(b, v2)
+                elif f2 == 2:
+                    b2, p2, e2 = _submsg(b, v2)
+                    tt.shape = decode_shape(b2, p2, e2)
+            t.tensor_type = tt
+    return t
+
+
+def decode_value_info(buf: memoryview, pos: int, end: int) -> ValueInfoProto:
+    v = ValueInfoProto()
+    for fnum, wt, vpos in _iter_fields(buf, pos, end):
+        if fnum == 1:
+            v.name = _get_str(buf, vpos)
+        elif fnum == 2:
+            b, p, e = _submsg(buf, vpos)
+            v.type = decode_type(b, p, e)
+    return v
+
+
+def decode_graph(buf: memoryview, pos: int, end: int) -> GraphProto:
+    g = GraphProto()
+    for fnum, wt, vpos in _iter_fields(buf, pos, end):
+        if fnum == 1:
+            b, p, e = _submsg(buf, vpos)
+            g.node.append(decode_node(b, p, e))
+        elif fnum == 2:
+            g.name = _get_str(buf, vpos)
+        elif fnum == 5:
+            b, p, e = _submsg(buf, vpos)
+            g.initializer.append(decode_tensor(b, p, e))
+        elif fnum == 11:
+            b, p, e = _submsg(buf, vpos)
+            g.input.append(decode_value_info(b, p, e))
+        elif fnum == 12:
+            b, p, e = _submsg(buf, vpos)
+            g.output.append(decode_value_info(b, p, e))
+        elif fnum == 13:
+            b, p, e = _submsg(buf, vpos)
+            g.value_info.append(decode_value_info(b, p, e))
+    return g
+
+
+def decode_model(data: Union[bytes, bytearray, memoryview]) -> ModelProto:
+    """Decode a serialized ONNX ModelProto."""
+    buf = memoryview(bytes(data))
+    m = ModelProto()
+    for fnum, wt, vpos in _iter_fields(buf, 0, len(buf)):
+        if fnum == 1:
+            m.ir_version, _ = _read_varint(buf, vpos)
+        elif fnum == 2:
+            m.producer_name = _get_str(buf, vpos)
+        elif fnum == 3:
+            m.producer_version = _get_str(buf, vpos)
+        elif fnum == 4:
+            m.domain = _get_str(buf, vpos)
+        elif fnum == 5:
+            m.model_version, _ = _read_varint(buf, vpos)
+        elif fnum == 7:
+            b, p, e = _submsg(buf, vpos)
+            m.graph = decode_graph(b, p, e)
+        elif fnum == 8:
+            opset = OperatorSetId()
+            b, p, e = _submsg(buf, vpos)
+            for f2, w2, v2 in _iter_fields(b, p, e):
+                if f2 == 1:
+                    opset.domain = _get_str(b, v2)
+                elif f2 == 2:
+                    opset.version, _ = _read_varint(b, v2)
+            m.opset_import.append(opset)
+    return m
+
+
+def load_model(path) -> ModelProto:
+    """Load and decode an ONNX model file."""
+    with open(path, "rb") as f:
+        return decode_model(f.read())
+
+
+# ---------------------------------------------------------------------------
+# Encoding
+# ---------------------------------------------------------------------------
+
+
+def encode_tensor(t: TensorProto) -> bytes:
+    out = bytearray()
+    if t.dims:
+        _write_packed_int64(out, 1, t.dims)
+    if t.data_type:
+        _write_int_field(out, 2, t.data_type)
+    if t.float_data:
+        _write_packed_float(out, 4, t.float_data)
+    if t.int32_data:
+        _write_packed_int64(out, 5, t.int32_data)
+    if t.int64_data:
+        _write_packed_int64(out, 7, t.int64_data)
+    if t.name:
+        _write_string(out, 8, t.name)
+    if t.raw_data:
+        _write_len_field(out, 9, t.raw_data)
+    return bytes(out)
+
+
+def encode_attribute(a: AttributeProto) -> bytes:
+    out = bytearray()
+    _write_string(out, 1, a.name)
+    if a.type == AttrType.FLOAT:
+        _write_float_field(out, 2, a.f)
+    elif a.type == AttrType.INT:
+        _write_int_field(out, 3, a.i)
+    elif a.type == AttrType.STRING:
+        _write_len_field(out, 4, a.s)
+    elif a.type == AttrType.TENSOR and a.t is not None:
+        _write_len_field(out, 5, encode_tensor(a.t))
+    elif a.type == AttrType.GRAPH and a.g is not None:
+        _write_len_field(out, 6, encode_graph(a.g))
+    elif a.type == AttrType.FLOATS:
+        _write_packed_float(out, 7, a.floats)
+    elif a.type == AttrType.INTS:
+        _write_packed_int64(out, 8, a.ints)
+    elif a.type == AttrType.STRINGS:
+        for s in a.strings:
+            _write_len_field(out, 9, s)
+    elif a.type == AttrType.TENSORS:
+        for t in a.tensors:
+            _write_len_field(out, 10, encode_tensor(t))
+    _write_int_field(out, 20, a.type)
+    return bytes(out)
+
+
+def encode_node(n: NodeProto) -> bytes:
+    out = bytearray()
+    for s in n.input:
+        _write_string(out, 1, s)
+    for s in n.output:
+        _write_string(out, 2, s)
+    if n.name:
+        _write_string(out, 3, n.name)
+    _write_string(out, 4, n.op_type)
+    for a in n.attribute:
+        _write_len_field(out, 5, encode_attribute(a))
+    if n.domain:
+        _write_string(out, 7, n.domain)
+    return bytes(out)
+
+
+def encode_value_info(v: ValueInfoProto) -> bytes:
+    out = bytearray()
+    _write_string(out, 1, v.name)
+    if v.type is not None and v.type.tensor_type is not None:
+        tt = v.type.tensor_type
+        tt_out = bytearray()
+        _write_int_field(tt_out, 1, tt.elem_type)
+        if tt.shape is not None:
+            sh_out = bytearray()
+            for d in tt.shape.dim:
+                d_out = bytearray()
+                if d.dim_value is not None:
+                    _write_int_field(d_out, 1, d.dim_value)
+                elif d.dim_param:
+                    _write_string(d_out, 2, d.dim_param)
+                _write_len_field(sh_out, 1, bytes(d_out))
+            _write_len_field(tt_out, 2, bytes(sh_out))
+        type_out = bytearray()
+        _write_len_field(type_out, 1, bytes(tt_out))
+        _write_len_field(out, 2, bytes(type_out))
+    return bytes(out)
+
+
+def encode_graph(g: GraphProto) -> bytes:
+    out = bytearray()
+    for n in g.node:
+        _write_len_field(out, 1, encode_node(n))
+    if g.name:
+        _write_string(out, 2, g.name)
+    for t in g.initializer:
+        _write_len_field(out, 5, encode_tensor(t))
+    for v in g.input:
+        _write_len_field(out, 11, encode_value_info(v))
+    for v in g.output:
+        _write_len_field(out, 12, encode_value_info(v))
+    for v in g.value_info:
+        _write_len_field(out, 13, encode_value_info(v))
+    return bytes(out)
+
+
+def encode_model(m: ModelProto) -> bytes:
+    out = bytearray()
+    _write_int_field(out, 1, m.ir_version)
+    if m.producer_name:
+        _write_string(out, 2, m.producer_name)
+    if m.producer_version:
+        _write_string(out, 3, m.producer_version)
+    if m.domain:
+        _write_string(out, 4, m.domain)
+    if m.model_version:
+        _write_int_field(out, 5, m.model_version)
+    if m.graph is not None:
+        _write_len_field(out, 7, encode_graph(m.graph))
+    for opset in m.opset_import:
+        o = bytearray()
+        if opset.domain:
+            _write_string(o, 1, opset.domain)
+        _write_int_field(o, 2, opset.version)
+        _write_len_field(out, 8, bytes(o))
+    return bytes(out)
+
+
+def save_model(m: ModelProto, path) -> None:
+    with open(path, "wb") as f:
+        f.write(encode_model(m))
+
+
+# ---------------------------------------------------------------------------
+# Convenience builders (used by model generators and tests)
+# ---------------------------------------------------------------------------
+
+
+def make_attr(name: str, value) -> AttributeProto:
+    """Build an AttributeProto from a natural Python value."""
+    a = AttributeProto(name=name)
+    if isinstance(value, TensorProto):
+        a.type, a.t = AttrType.TENSOR, value
+    elif isinstance(value, GraphProto):
+        a.type, a.g = AttrType.GRAPH, value
+    elif isinstance(value, float):
+        a.type, a.f = AttrType.FLOAT, value
+    elif isinstance(value, bool):
+        a.type, a.i = AttrType.INT, int(value)
+    elif isinstance(value, int):
+        a.type, a.i = AttrType.INT, value
+    elif isinstance(value, str):
+        a.type, a.s = AttrType.STRING, value.encode("utf-8")
+    elif isinstance(value, bytes):
+        a.type, a.s = AttrType.STRING, value
+    elif isinstance(value, (list, tuple)):
+        if all(isinstance(v, int) for v in value):
+            a.type, a.ints = AttrType.INTS, list(value)
+        elif all(isinstance(v, (int, float)) for v in value):
+            a.type, a.floats = AttrType.FLOATS, [float(v) for v in value]
+        elif all(isinstance(v, str) for v in value):
+            a.type, a.strings = AttrType.STRINGS, [v.encode("utf-8") for v in value]
+        elif all(isinstance(v, TensorProto) for v in value):
+            a.type, a.tensors = AttrType.TENSORS, list(value)
+        else:
+            raise ValueError(f"unsupported attribute list for {name!r}")
+    elif isinstance(value, np.ndarray):
+        a.type, a.t = AttrType.TENSOR, TensorProto.from_numpy(value)
+    else:
+        raise ValueError(f"unsupported attribute value for {name!r}: {type(value)}")
+    return a
+
+
+def make_node(op_type: str, inputs, outputs, name: str = "", **attrs) -> NodeProto:
+    return NodeProto(
+        op_type=op_type,
+        name=name or f"{op_type}_{outputs[0]}",
+        input=list(inputs),
+        output=list(outputs),
+        attribute=[make_attr(k, v) for k, v in attrs.items()],
+    )
+
+
+def make_value_info(name: str, elem_type: int, shape) -> ValueInfoProto:
+    dims = []
+    for d in shape:
+        if isinstance(d, str):
+            dims.append(Dimension(dim_param=d))
+        else:
+            dims.append(Dimension(dim_value=int(d)))
+    return ValueInfoProto(
+        name=name,
+        type=TypeProto(
+            tensor_type=TensorTypeProto(
+                elem_type=elem_type, shape=TensorShapeProto(dim=dims)
+            )
+        ),
+    )
+
+
+def make_model(graph: GraphProto, opset_version: int = 17, ir_version: int = 8) -> ModelProto:
+    return ModelProto(
+        ir_version=ir_version,
+        producer_name="birdnet_tpu",
+        producer_version="0.1",
+        graph=graph,
+        opset_import=[OperatorSetId(domain="", version=opset_version)],
+    )
