@@ -34,7 +34,15 @@ from .errors import (  # noqa: F401
     RangeFilterInferenceError,
     RuntimeInitError,
 )
+from .batch_context import BatchInferenceContext  # noqa: F401
+from .classifier import Classifier, ClassifierBuilder  # noqa: F401
+from .device_config import CPUConfig, TPUConfig  # noqa: F401
+from .execution_providers import (  # noqa: F401
+    available_execution_providers,
+    is_device_available,
+)
 from .inference_options import CancellationToken, InferenceOptions  # noqa: F401
+from .runtime import available_devices, default_device, init_runtime  # noqa: F401
 from .labels import load_labels_from_file, parse_labels  # noqa: F401
 from .postprocess import sigmoid, top_k_predictions  # noqa: F401
 from .types import (  # noqa: F401

@@ -1,0 +1,106 @@
+"""Buffer-reusing batch inference context.
+
+The reference's ``BatchInferenceContext`` wraps an ONNX Runtime IoBinding
+with a pre-allocated host input buffer so repeated batches run with zero
+allocation (reference: src/batch_context.rs:69-122). The TPU-native
+equivalent:
+
+- a pinned host staging buffer of ``max_batch × sample_count`` float32
+  (the ``input_buffer`` analog, batch_context.rs:122);
+- a fixed-shape XLA executable at ``[max_batch, S]`` with the input buffer
+  *donated* to XLA, so its HBM is reused across calls (the
+  bind-outputs-to-device analog, batch_context.rs:231-270);
+- short batches are padded to ``max_batch`` and results sliced, keeping one
+  executable and constant memory — no recompile storm for ragged tails.
+
+Reference quirks preserved: Perch v2 rejected (batch_context.rs:107-114),
+batch-exceeds-max error (batch_context.rs:191-196), per-segment size errors
+with index (batch_context.rs:198-206), and the buffer-introspection API
+(batch_context.rs:147-159).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from .errors import BatchInputSizeError, InferenceError
+from .types import ModelConfig, ModelType
+
+
+class BatchInferenceContext:
+    """Pre-allocated buffers for repeated batched inference."""
+
+    def __init__(self, engine, config: ModelConfig, max_batch_size: int):
+        if config.model_type is ModelType.PERCH_V2:
+            raise InferenceError(
+                "BatchInferenceContext does not yet support PerchV2 models. "
+                "Use predict_batch() instead."
+            )
+        if max_batch_size < 1:
+            raise InferenceError("max_batch_size must be >= 1")
+        self._engine = engine
+        self._config = config
+        self._max_batch_size = int(max_batch_size)
+        self._buffer = np.zeros(
+            (self._max_batch_size, config.sample_count), dtype=np.float32
+        )
+        self.donate = True
+        # Pre-compile the fixed-shape donated executable now, so the first
+        # timed batch doesn't pay compilation (TRT engine-build analog).
+        engine.compiled(
+            self._max_batch_size,
+            with_embeddings=config.model_type is not ModelType.BIRDNET_V24,
+            donate=True,
+        )
+
+    # -- introspection (batch_context.rs:147-159 analog) -------------------
+
+    @property
+    def max_batch_size(self) -> int:
+        return self._max_batch_size
+
+    def input_buffer_bytes(self) -> int:
+        return int(self._buffer.nbytes)
+
+    def output_buffer_bytes(self) -> int:
+        logits = self._max_batch_size * self._config.num_species * 4
+        emb = (
+            self._max_batch_size * (self._config.embedding_dim or 0) * 4
+        )
+        topk = self._max_batch_size * self._engine.top_k * 8
+        return logits + emb + topk
+
+    def total_buffer_bytes(self) -> int:
+        return self.input_buffer_bytes() + self.output_buffer_bytes()
+
+    # -- input staging -------------------------------------------------------
+
+    def prepare_input(self, segments) -> Tuple[np.ndarray, int]:
+        """Validate + copy segments into the staging buffer
+        (reference: batch_context.rs:188-226). Returns (full padded buffer
+        copy handed to XLA, actual batch size)."""
+        segs: List[np.ndarray] = [
+            np.asarray(s, dtype=np.float32).reshape(-1) for s in segments
+        ]
+        b = len(segs)
+        if b > self._max_batch_size:
+            raise InferenceError(
+                f"batch size {b} exceeds context max {self._max_batch_size}"
+            )
+        sample_count = self._config.sample_count
+        for i, s in enumerate(segs):
+            if s.shape[0] != sample_count:
+                raise BatchInputSizeError(
+                    index=i, expected=sample_count, got=s.shape[0]
+                )
+            self._buffer[i, :] = s
+        if b < self._max_batch_size:
+            self._buffer[b:, :] = 0.0
+        # Copy: the staging buffer itself must survive donation for reuse.
+        return self._buffer.copy(), b
+
+    def clear_inputs(self) -> None:
+        """Zero the staging buffer (reference: batch_context.rs:284-286)."""
+        self._buffer[:] = 0.0

@@ -1,0 +1,340 @@
+"""Thread-safe Classifier with builder API.
+
+Mirrors the reference's public surface (reference: src/classifier.rs):
+``Classifier.builder()`` → required model_path + labels, defaults top_k=10 /
+min_confidence=None (classifier.rs:65-75), device-selection methods with
+"first non-CPU device wins" precedence (classifier.rs:25-31), ``build()``
+performing load → shape extraction → detection → label validation
+(classifier.rs:334-382), then ``predict`` / ``predict_batch`` /
+``predict_batch_with_context`` with identical validation errors.
+
+TPU-native differences (by design, not omission):
+- The ONNX Runtime session becomes an XLA executable; postprocess (top-K +
+  sigmoid) is fused on-device (see compiler/engine.py).
+- No session mutex: JAX dispatch is thread-safe, so concurrent predicts
+  overlap instead of serializing (reference: classifier.rs:434-449 notes its
+  Mutex serializes inference).
+- Timeout/cancellation bound the host wait on the async device result
+  (reference terminates the ORT run; XLA programs cannot be killed —
+  observable behavior is the same: Timeout/Cancelled errors at the same
+  points).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from .batch_context import BatchInferenceContext
+from .compiler.engine import InferenceEngine, _bucket
+from .compiler.importer import import_onnx
+from .detection import detect_model_type
+from .device_config import CPUConfig, TPUConfig
+from .errors import (
+    BatchInputSizeError,
+    InputSizeError,
+    LabelCountError,
+    LabelsRequiredError,
+    ModelPathRequiredError,
+)
+from .inference_options import InferenceOptions
+from .labels import load_labels_from_file, parse_labels
+from .postprocess import top_k_from_device
+from .types import LabelFormat, ModelConfig, ModelType, Prediction, PredictionResult
+
+
+class ClassifierBuilder:
+    """Builder for :class:`Classifier` (reference: classifier.rs:46-383)."""
+
+    def __init__(self) -> None:
+        self._model_path: Optional[str] = None
+        self._labels_path: Optional[str] = None
+        self._labels: Optional[List[str]] = None
+        self._top_k: int = 10
+        self._min_confidence: Optional[float] = None
+        self._model_type: Optional[ModelType] = None
+        self._requested_device: Optional[str] = None  # first non-CPU wins
+        self._device_config: Optional[TPUConfig] = None
+        self._precision: Optional[str] = None
+        self._warmup_batches: Sequence[int] = ()
+
+    # -- required inputs --------------------------------------------------
+
+    def model_path(self, path) -> "ClassifierBuilder":
+        self._model_path = str(path)
+        return self
+
+    def labels_path(self, path) -> "ClassifierBuilder":
+        self._labels_path = str(path)
+        return self
+
+    def labels(self, labels: Sequence[str]) -> "ClassifierBuilder":
+        """Provide labels directly (in-memory), like the reference's
+        ``labels(Vec<String>)``."""
+        self._labels = list(labels)
+        return self
+
+    # -- options -----------------------------------------------------------
+
+    def top_k(self, k: int) -> "ClassifierBuilder":
+        self._top_k = int(k)
+        return self
+
+    def min_confidence(self, c: float) -> "ClassifierBuilder":
+        self._min_confidence = float(c)
+        return self
+
+    def model_type(self, mt: ModelType) -> "ClassifierBuilder":
+        """Override auto-detection (validated against actual shapes)."""
+        self._model_type = mt
+        return self
+
+    def precision(self, p: str) -> "ClassifierBuilder":
+        """MXU precision policy: fp32 | mixed | bf16."""
+        self._precision = p
+        return self
+
+    def warmup(self, batch_sizes: Sequence[int]) -> "ClassifierBuilder":
+        """Pre-compile executables for these batch sizes at build time (the
+        TensorRT engine-build analog; cached persistently)."""
+        self._warmup_batches = tuple(batch_sizes)
+        return self
+
+    # -- device selection (EP-method analogs, classifier.rs:159-322) ------
+
+    def with_tpu(self, config: Optional[TPUConfig] = None) -> "ClassifierBuilder":
+        if self._requested_device is None:  # first non-CPU wins
+            self._requested_device = "tpu"
+        self._device_config = config or TPUConfig()
+        return self
+
+    def with_tpu_config(self, config: TPUConfig) -> "ClassifierBuilder":
+        return self.with_tpu(config)
+
+    def with_cpu(self, config: Optional[CPUConfig] = None) -> "ClassifierBuilder":
+        # CPU never overrides a previously requested accelerator (parity with
+        # "first non-CPU provider wins", classifier.rs:25-31).
+        if self._requested_device is None:
+            self._requested_device = "cpu"
+        return self
+
+    def with_device(self, platform: str) -> "ClassifierBuilder":
+        """Request a device by JAX platform name (tpu/axon/cpu/gpu)."""
+        if self._requested_device is None or self._requested_device == "cpu":
+            self._requested_device = platform
+        return self
+
+    # -- build -------------------------------------------------------------
+
+    def build(self) -> "Classifier":
+        if self._model_path is None:
+            raise ModelPathRequiredError()
+        if self._labels_path is None and self._labels is None:
+            raise LabelsRequiredError()
+
+        if self._device_config is not None:
+            self._device_config.apply()
+
+        from .runtime import default_device, init_runtime
+
+        init_runtime(
+            self._device_config.compilation_cache_dir
+            if self._device_config is not None
+            else None
+        )
+
+        imported = import_onnx(self._model_path)
+        input_shape, output_shapes = imported.detection_shapes()
+        config = detect_model_type(input_shape, output_shapes, self._model_type)
+
+        if self._labels is not None:
+            labels = list(self._labels)
+        else:
+            labels = load_labels_from_file(self._labels_path, config.model_type)
+        if len(labels) != config.num_species:
+            raise LabelCountError(expected=config.num_species, got=len(labels))
+
+        requested = self._requested_device
+        device = None
+        if requested and requested != "cpu":
+            # "tpu" resolves to the axon platform when tunneled.
+            try:
+                device = default_device(requested)
+            except Exception:
+                if requested == "tpu":
+                    device = default_device("axon")
+                else:
+                    raise
+        elif requested == "cpu":
+            device = default_device("cpu")
+
+        precision = self._precision
+        if precision is None and self._device_config is not None:
+            precision = self._device_config.precision
+        engine = InferenceEngine(
+            imported,
+            config,
+            device=device,
+            precision=precision,
+            top_k=self._top_k,
+        )
+        if self._warmup_batches:
+            engine.warmup(self._warmup_batches)
+
+        return Classifier(
+            engine=engine,
+            config=config,
+            labels=labels,
+            top_k=self._top_k,
+            min_confidence=self._min_confidence,
+            requested_device=requested,
+        )
+
+
+class Classifier:
+    """Thread-safe classifier (reference: classifier.rs:422-1058). Cheap to
+    share across threads; all state is immutable after build."""
+
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        config: ModelConfig,
+        labels: List[str],
+        top_k: int,
+        min_confidence: Optional[float],
+        requested_device: Optional[str],
+    ):
+        self._engine = engine
+        self._config = config
+        self._labels = labels
+        self._top_k = top_k
+        self._min_confidence = min_confidence
+        self._requested_device = requested_device
+
+    @staticmethod
+    def builder() -> ClassifierBuilder:
+        return ClassifierBuilder()
+
+    # -- introspection ------------------------------------------------------
+
+    @property
+    def config(self) -> ModelConfig:
+        return self._config
+
+    @property
+    def model_type(self) -> ModelType:
+        return self._config.model_type
+
+    @property
+    def labels(self) -> List[str]:
+        return self._labels
+
+    @property
+    def num_species(self) -> int:
+        return self._config.num_species
+
+    @property
+    def top_k_value(self) -> int:
+        return self._top_k
+
+    @property
+    def min_confidence_value(self) -> Optional[float]:
+        return self._min_confidence
+
+    @property
+    def device(self):
+        return self._engine.device
+
+    # -- prediction ---------------------------------------------------------
+
+    def predict(
+        self,
+        segment,
+        options: Optional[InferenceOptions] = None,
+    ) -> PredictionResult:
+        """Classify a single audio segment (reference: classifier.rs:610-643).
+
+        ``segment`` must have exactly ``config.sample_count`` float samples.
+        """
+        seg = np.asarray(segment, dtype=np.float32).reshape(-1)
+        if seg.shape[0] != self._config.sample_count:
+            raise InputSizeError(
+                expected=self._config.sample_count, got=seg.shape[0]
+            )
+        conf, idx, logits, emb = self._engine.run_batch(
+            seg[None, :], options=options
+        )
+        return self._result(conf[0], idx[0], logits[0], emb[0] if emb is not None else None)
+
+    def predict_batch(
+        self,
+        segments,
+        options: Optional[InferenceOptions] = None,
+    ) -> List[PredictionResult]:
+        """Classify a batch of segments (reference: classifier.rs:676-727)."""
+        segs = [np.asarray(s, dtype=np.float32).reshape(-1) for s in segments]
+        if not segs:
+            return []
+        for i, s in enumerate(segs):
+            if s.shape[0] != self._config.sample_count:
+                raise BatchInputSizeError(
+                    index=i, expected=self._config.sample_count, got=s.shape[0]
+                )
+        batch = np.stack(segs, axis=0)
+        conf, idx, logits, emb = self._engine.run_batch(batch, options=options)
+        return [
+            self._result(
+                conf[i], idx[i], logits[i], emb[i] if emb is not None else None
+            )
+            for i in range(len(segs))
+        ]
+
+    # -- batch context path -------------------------------------------------
+
+    def create_batch_context(self, max_batch_size: int) -> BatchInferenceContext:
+        """Create a buffer-reusing batch context (reference:
+        classifier.rs:757-784 → batch_context.rs:69-122)."""
+        return BatchInferenceContext(
+            engine=self._engine, config=self._config, max_batch_size=max_batch_size
+        )
+
+    def predict_batch_with_context(
+        self,
+        context: BatchInferenceContext,
+        segments,
+        options: Optional[InferenceOptions] = None,
+    ) -> List[PredictionResult]:
+        """Batched inference reusing pre-allocated buffers (reference:
+        classifier.rs:826-866)."""
+        batch, b = context.prepare_input(segments)
+        conf, idx, logits, emb = self._engine.run_batch(
+            batch,
+            options=options,
+            with_embeddings=self._config.model_type is not ModelType.BIRDNET_V24,
+            bucket=context.max_batch_size,
+            donate=context.donate,
+        )
+        return [
+            self._result(
+                conf[i], idx[i], logits[i], emb[i] if emb is not None else None
+            )
+            for i in range(b)
+        ]
+
+    # -- helpers -------------------------------------------------------------
+
+    def _result(self, conf, idx, logits, emb) -> PredictionResult:
+        predictions = top_k_from_device(
+            conf, idx, self._labels, self._min_confidence
+        )
+        embeddings = None
+        if emb is not None and self._config.model_type.has_embeddings:
+            embeddings = np.asarray(emb)
+        return PredictionResult(
+            model_type=self._config.model_type,
+            predictions=predictions,
+            embeddings=embeddings,
+            raw_scores=np.asarray(logits),
+        )

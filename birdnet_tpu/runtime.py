@@ -1,0 +1,126 @@
+"""Runtime initialization and device discovery.
+
+The reference's L1 runtime discovers and loads the ONNX Runtime dylib
+(reference: src/runtime.rs:12-151). The TPU-native analog initializes JAX,
+selects the default accelerator, and configures the persistent XLA
+compilation cache — the equivalent of the reference's TensorRT engine/timing
+caches (reference: src/tensorrt_config.rs:221-267, 384 s → 9 s session
+creation with cache).
+
+``init_runtime`` is idempotent (reference: runtime.rs:138-151).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import List, Optional
+
+from .errors import RuntimeInitError
+from .types import DeviceBackend, DeviceInfo
+
+_init_lock = threading.Lock()
+_initialized = False
+
+# Default persistent compilation cache location; override with
+# BIRDNET_COMPILATION_CACHE ("" disables).
+_DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/birdnet_tpu/xla")
+
+_ACCEL_PLATFORMS = ("tpu", "axon", "gpu", "cuda", "rocm")
+
+
+def init_runtime(compilation_cache_dir: Optional[str] = None) -> None:
+    """Initialize JAX + the persistent compilation cache. Idempotent."""
+    global _initialized
+    with _init_lock:
+        if _initialized:
+            return
+        try:
+            import jax
+
+            cache_dir = compilation_cache_dir
+            if cache_dir is None:
+                cache_dir = os.environ.get(
+                    "BIRDNET_COMPILATION_CACHE", _DEFAULT_CACHE_DIR
+                )
+            if cache_dir:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                # Cache every compile, even fast ones — model shapes recur.
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+            jax.devices()  # force backend init; raises if no platform usable
+        except Exception as e:  # noqa: BLE001 - surface as typed error
+            raise RuntimeInitError(str(e)) from e
+        _initialized = True
+
+
+def set_platform(platform: str) -> None:
+    """Force the JAX platform (e.g. ``cpu``) before backend initialization.
+
+    Needed because accelerator plugins may override the ``JAX_PLATFORMS``
+    environment variable at import time; this must run before the first
+    device use.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+
+
+def _backend_for_platform(platform: str) -> DeviceBackend:
+    p = platform.lower()
+    if p == "axon":
+        return DeviceBackend.AXON
+    if p == "tpu":
+        return DeviceBackend.TPU
+    if p in ("gpu", "cuda", "rocm"):
+        return DeviceBackend.GPU
+    return DeviceBackend.CPU
+
+
+def available_devices() -> List[DeviceInfo]:
+    """All devices visible to the runtime, accelerators first, CPU always
+    present (the analog of ``available_execution_providers``, reference:
+    src/execution_providers.rs:35-58)."""
+    import jax
+
+    init_runtime()
+    infos: List[DeviceInfo] = []
+    try:
+        devs = jax.devices()
+    except RuntimeError:
+        devs = []
+    for d in devs:
+        infos.append(
+            DeviceInfo(
+                backend=_backend_for_platform(d.platform),
+                device_id=d.id,
+                description=getattr(d, "device_kind", "") or str(d),
+            )
+        )
+    if not any(i.backend is DeviceBackend.CPU for i in infos):
+        # CPU host is always available as a fallback executor.
+        infos.append(DeviceInfo(backend=DeviceBackend.CPU, device_id=0, description="host"))
+    # Accelerators first (reference lists CPU first; we report it last so
+    # "first non-CPU" selection logic mirrors requested-provider precedence).
+    infos.sort(key=lambda i: i.backend is DeviceBackend.CPU)
+    return infos
+
+
+def default_device(prefer: Optional[str] = None):
+    """Pick the default jax.Device: requested platform, else accelerator,
+    else CPU."""
+    import jax
+
+    init_runtime()
+    if prefer:
+        for d in jax.devices():
+            if d.platform.lower() == prefer.lower():
+                return d
+        try:
+            return jax.devices(prefer)[0]
+        except RuntimeError as e:
+            raise RuntimeInitError(f"no {prefer!r} devices available: {e}") from e
+    for d in jax.devices():
+        if d.platform.lower() in _ACCEL_PLATFORMS:
+            return d
+    return jax.devices()[0]

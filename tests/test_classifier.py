@@ -1,0 +1,329 @@
+"""Classifier integration tests on generated tiny models.
+
+Mirrors the reference's Tier-3 integration coverage
+(tests/integration_test.rs) but runs without downloaded weights: the model
+generators produce correctly-shaped random-weight ONNX files — the fake
+backend the reference explicitly deferred
+(docs/test-coverage-implementation-summary.md:205-220).
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import birdnet_tpu.errors as E
+from birdnet_tpu import (
+    CancellationToken,
+    Classifier,
+    InferenceOptions,
+    ModelType,
+)
+
+
+@pytest.fixture(scope="session")
+def v24_model(tmp_path_factory):
+    from birdnet_tpu.models import birdnet_v24
+
+    p = tmp_path_factory.mktemp("models") / "v24_tiny.onnx"
+    birdnet_v24.save_tiny(p, num_species=10)
+    return str(p)
+
+
+@pytest.fixture(scope="session")
+def v30_model(tmp_path_factory):
+    from birdnet_tpu.models import birdnet_v30
+
+    p = tmp_path_factory.mktemp("models") / "v30_tiny.onnx"
+    birdnet_v30.save_tiny(p, num_species=10, embedding_dim=32)
+    return str(p)
+
+
+@pytest.fixture(scope="session")
+def perch_model(tmp_path_factory):
+    from birdnet_tpu.models import perch_v2
+
+    p = tmp_path_factory.mktemp("models") / "perch_tiny.onnx"
+    perch_v2.save_tiny(p, num_species=12, embedding_dim=48)
+    return str(p)
+
+
+LABELS10 = [f"species_{i}" for i in range(10)]
+
+
+@pytest.fixture(scope="session")
+def v24_classifier(v24_model):
+    return (
+        Classifier.builder()
+        .model_path(v24_model)
+        .labels(LABELS10)
+        .top_k(3)
+        .build()
+    )
+
+
+def sine_segment(n=144_000, freq=1000.0, rate=48_000.0):
+    t = np.arange(n, dtype=np.float32) / rate
+    return np.sin(2 * np.pi * freq * t).astype(np.float32)
+
+
+# --- build / detection -----------------------------------------------------
+
+
+def test_build_detects_v24(v24_classifier):
+    assert v24_classifier.model_type is ModelType.BIRDNET_V24
+    assert v24_classifier.config.sample_count == 144_000
+    assert v24_classifier.num_species == 10
+
+
+def test_builder_requires_model_path():
+    with pytest.raises(E.ModelPathRequiredError):
+        Classifier.builder().labels(LABELS10).build()
+
+
+def test_builder_requires_labels(v24_model):
+    with pytest.raises(E.LabelsRequiredError):
+        Classifier.builder().model_path(v24_model).build()
+
+
+def test_builder_label_count_mismatch(v24_model):
+    with pytest.raises(E.LabelCountError) as ei:
+        Classifier.builder().model_path(v24_model).labels(["a", "b"]).build()
+    assert ei.value.expected == 10
+    assert ei.value.got == 2
+
+
+def test_builder_bad_model_file(tmp_path):
+    p = tmp_path / "junk.onnx"
+    p.write_bytes(b"not a model")
+    with pytest.raises(E.BirdnetError):
+        Classifier.builder().model_path(p).labels(LABELS10).build()
+
+
+def test_builder_missing_model_file():
+    with pytest.raises(E.ModelLoadError):
+        Classifier.builder().model_path("/nonexistent.onnx").labels(LABELS10).build()
+
+
+def test_builder_labels_path(v24_model, tmp_path):
+    lp = tmp_path / "labels.txt"
+    lp.write_text("\n".join(LABELS10), encoding="utf-8")
+    clf = Classifier.builder().model_path(v24_model).labels_path(lp).build()
+    assert clf.labels == LABELS10
+
+
+def test_builder_override_validation(v24_model):
+    with pytest.raises(E.ModelDetectionError):
+        (
+            Classifier.builder()
+            .model_path(v24_model)
+            .labels(LABELS10)
+            .model_type(ModelType.BIRDNET_V30)
+            .build()
+        )
+
+
+# --- predict invariants (integration_test.rs:97-122 analog) ----------------
+
+
+def test_predict_invariants(v24_classifier):
+    r = v24_classifier.predict(sine_segment())
+    assert r.model_type is ModelType.BIRDNET_V24
+    assert len(r.predictions) <= 3
+    confs = [p.confidence for p in r.predictions]
+    assert confs == sorted(confs, reverse=True)
+    assert all(0.0 <= c <= 1.0 for c in confs)
+    assert all(p.species in LABELS10 for p in r.predictions)
+    assert r.embeddings is None
+    assert len(r.raw_scores) == 10
+    # top-1 confidence equals sigmoid of max raw logit
+    expected = 1.0 / (1.0 + np.exp(-np.max(r.raw_scores)))
+    assert r.predictions[0].confidence == pytest.approx(float(expected), rel=1e-5)
+
+
+def test_predict_deterministic(v24_classifier):
+    seg = sine_segment()
+    r1 = v24_classifier.predict(seg)
+    r2 = v24_classifier.predict(seg)
+    np.testing.assert_array_equal(r1.raw_scores, r2.raw_scores)
+
+
+def test_predict_wrong_size(v24_classifier):
+    with pytest.raises(E.InputSizeError) as ei:
+        v24_classifier.predict(np.zeros(1000, dtype=np.float32))
+    assert ei.value.expected == 144_000
+    assert ei.value.got == 1000
+
+
+def test_predict_min_confidence(v24_model):
+    clf = (
+        Classifier.builder()
+        .model_path(v24_model)
+        .labels(LABELS10)
+        .top_k(10)
+        .min_confidence(0.99)
+        .build()
+    )
+    r = clf.predict(sine_segment())
+    # random weights → logits near 0 → confidences near 0.5 < 0.99
+    assert r.predictions == []
+
+
+# --- batch ------------------------------------------------------------------
+
+
+def test_predict_batch(v24_classifier):
+    segs = [sine_segment(freq=f) for f in (500.0, 1000.0, 2000.0)]
+    results = v24_classifier.predict_batch(segs)
+    assert len(results) == 3
+    for r in results:
+        assert len(r.predictions) <= 3
+        assert len(r.raw_scores) == 10
+
+
+def test_predict_batch_empty(v24_classifier):
+    assert v24_classifier.predict_batch([]) == []
+
+
+def test_predict_batch_wrong_size(v24_classifier):
+    segs = [sine_segment(), np.zeros(5, dtype=np.float32)]
+    with pytest.raises(E.BatchInputSizeError) as ei:
+        v24_classifier.predict_batch(segs)
+    assert ei.value.index == 1
+
+
+def test_predict_batch_matches_single(v24_classifier):
+    seg = sine_segment()
+    single = v24_classifier.predict(seg)
+    batch = v24_classifier.predict_batch([seg, seg])
+    for r in batch:
+        np.testing.assert_allclose(
+            r.raw_scores, single.raw_scores, rtol=1e-4, atol=1e-5
+        )
+
+
+# --- batch context ----------------------------------------------------------
+
+
+def test_batch_context_roundtrip(v24_classifier):
+    ctx = v24_classifier.create_batch_context(4)
+    assert ctx.max_batch_size == 4
+    assert ctx.input_buffer_bytes() == 4 * 144_000 * 4
+    segs = [sine_segment(freq=f) for f in (500.0, 1500.0)]
+    results = v24_classifier.predict_batch_with_context(ctx, segs)
+    assert len(results) == 2
+    # re-use: results consistent with plain batch path
+    plain = v24_classifier.predict_batch(segs)
+    for a, b in zip(results, plain):
+        np.testing.assert_allclose(a.raw_scores, b.raw_scores, rtol=1e-3, atol=1e-4)
+    # repeated use with different sizes, no error
+    assert len(v24_classifier.predict_batch_with_context(ctx, segs[:1])) == 1
+    assert len(v24_classifier.predict_batch_with_context(ctx, segs * 2)) == 4
+
+
+def test_batch_context_exceeds_max(v24_classifier):
+    ctx = v24_classifier.create_batch_context(2)
+    segs = [sine_segment()] * 3
+    with pytest.raises(E.InferenceError) as ei:
+        v24_classifier.predict_batch_with_context(ctx, segs)
+    assert "batch size 3 exceeds context max 2" in str(ei.value)
+
+
+def test_batch_context_segment_size_error(v24_classifier):
+    ctx = v24_classifier.create_batch_context(2)
+    with pytest.raises(E.BatchInputSizeError) as ei:
+        v24_classifier.predict_batch_with_context(
+            ctx, [sine_segment(), np.zeros(3, np.float32)]
+        )
+    assert ei.value.index == 1
+
+
+def test_batch_context_rejects_perch(perch_model):
+    clf = (
+        Classifier.builder()
+        .model_path(perch_model)
+        .labels([f"s{i}" for i in range(12)])
+        .build()
+    )
+    with pytest.raises(E.InferenceError) as ei:
+        clf.create_batch_context(4)
+    assert "PerchV2" in str(ei.value)
+
+
+# --- v3.0 / Perch demux ------------------------------------------------------
+
+
+def test_v30_embeddings(v30_model):
+    clf = (
+        Classifier.builder().model_path(v30_model).labels(LABELS10).top_k(5).build()
+    )
+    assert clf.model_type is ModelType.BIRDNET_V30
+    assert clf.config.embedding_dim == 32
+    r = clf.predict(np.zeros(160_000, dtype=np.float32))
+    assert r.embeddings is not None
+    assert r.embeddings.shape == (32,)
+    assert len(r.raw_scores) == 10
+    # batch path carries per-item embeddings
+    rs = clf.predict_batch([np.zeros(160_000, dtype=np.float32)] * 2)
+    assert all(x.embeddings.shape == (32,) for x in rs)
+
+
+def test_perch_demux(perch_model):
+    labels = [f"s{i}" for i in range(12)]
+    clf = Classifier.builder().model_path(perch_model).labels(labels).build()
+    assert clf.model_type is ModelType.PERCH_V2
+    assert clf.config.embedding_dim == 48
+    r = clf.predict(np.zeros(160_000, dtype=np.float32))
+    # logits from output index 3, embeddings from output 0
+    assert len(r.raw_scores) == 12
+    assert r.embeddings.shape == (48,)
+
+
+# --- concurrency (integration_test.rs:488-529 analog) ------------------------
+
+
+def test_concurrent_predict(v24_classifier):
+    seg = sine_segment()
+    expected = v24_classifier.predict(seg).raw_scores
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(5):
+                r = v24_classifier.predict(seg)
+                np.testing.assert_array_equal(r.raw_scores, expected)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+
+# --- timeout / cancellation ---------------------------------------------------
+
+
+def test_pre_cancelled_token(v24_classifier):
+    tok = CancellationToken()
+    tok.cancel()
+    with pytest.raises(E.InferenceCancelledError):
+        v24_classifier.predict(
+            sine_segment(), InferenceOptions(cancellation_token=tok)
+        )
+
+
+def test_generous_timeout_passes(v24_classifier):
+    r = v24_classifier.predict(sine_segment(), InferenceOptions(timeout=60.0))
+    assert len(r.predictions) <= 3
+
+
+def test_token_not_cancelled_passes(v24_classifier):
+    tok = CancellationToken()
+    r = v24_classifier.predict(
+        sine_segment(), InferenceOptions(cancellation_token=tok)
+    )
+    assert len(r.predictions) <= 3
+    assert not tok.is_cancelled()

@@ -1,0 +1,445 @@
+"""Op-lowering numerical tests.
+
+Each test builds a small ONNX graph with the codec, imports it through the
+compiler, and compares against an independent implementation (torch CPU or
+numpy). This is the per-op parity harness the reference delegates to ONNX
+Runtime's own test suite.
+"""
+
+import numpy as np
+import pytest
+
+from birdnet_tpu.compiler import import_onnx, make_forward
+from birdnet_tpu.onnx import proto as P
+
+torch = pytest.importorskip("torch")
+
+
+def run_graph(nodes, inputs, initializers=None, outputs=None, opset=17, optimize=False):
+    """Build a model from nodes and run it; inputs/outputs are name->array."""
+    init = [P.TensorProto.from_numpy(v, name=k) for k, v in (initializers or {}).items()]
+    in_vis = [
+        P.make_value_info(k, P._NUMPY_TO_DTYPE[np.asarray(v).dtype], list(np.asarray(v).shape))
+        for k, v in inputs.items()
+    ]
+    out_names = outputs or ["y"]
+    out_vis = [P.make_value_info(n, P.DataType.FLOAT, []) for n in out_names]
+    graph = P.GraphProto(name="t", node=nodes, initializer=init, input=in_vis, output=out_vis)
+    model = import_onnx(P.make_model(graph, opset_version=opset), optimize=optimize)
+    fwd = make_forward(model)
+    outs = fwd(model.params, *[np.asarray(v) for v in inputs.values()])
+    return [np.asarray(o) for o in outs]
+
+
+def test_conv2d_vs_torch(rng):
+    x = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    w = rng.normal(size=(8, 3, 3, 3)).astype(np.float32)
+    b = rng.normal(size=(8,)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Conv", ["x", "w", "b"], ["y"], strides=[2, 2], pads=[1, 1, 1, 1])],
+        {"x": x},
+        {"w": w, "b": b},
+    )
+    expected = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b), stride=2, padding=1
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_conv2d_depthwise_vs_torch(rng):
+    x = rng.normal(size=(1, 8, 12, 12)).astype(np.float32)
+    w = rng.normal(size=(8, 1, 3, 3)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Conv", ["x", "w"], ["y"], group=8, pads=[1, 1, 1, 1])],
+        {"x": x},
+        {"w": w},
+    )
+    expected = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(w), padding=1, groups=8
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_conv1d_same_upper_vs_torch(rng):
+    x = rng.normal(size=(1, 1, 64)).astype(np.float32)
+    w = rng.normal(size=(4, 1, 5)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Conv", ["x", "w"], ["y"], auto_pad="SAME_UPPER", strides=[1])],
+        {"x": x},
+        {"w": w},
+    )
+    expected = torch.nn.functional.conv1d(
+        torch.from_numpy(x), torch.from_numpy(w), padding=2
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_dilated_vs_torch(rng):
+    x = rng.normal(size=(1, 2, 20, 20)).astype(np.float32)
+    w = rng.normal(size=(4, 2, 3, 3)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Conv", ["x", "w"], ["y"], dilations=[2, 2], pads=[2, 2, 2, 2])],
+        {"x": x},
+        {"w": w},
+    )
+    expected = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(w), padding=2, dilation=2
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_convtranspose_vs_torch(rng):
+    x = rng.normal(size=(1, 4, 8, 8)).astype(np.float32)
+    w = rng.normal(size=(4, 6, 3, 3)).astype(np.float32)  # (C_in, C_out, k, k)
+    (y,) = run_graph(
+        [P.make_node("ConvTranspose", ["x", "w"], ["y"], strides=[2, 2], pads=[1, 1, 1, 1])],
+        {"x": x},
+        {"w": w},
+    )
+    expected = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x), torch.from_numpy(w), stride=2, padding=1
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_batchnorm_vs_torch(rng):
+    x = rng.normal(size=(2, 5, 7, 7)).astype(np.float32)
+    scale = rng.normal(size=(5,)).astype(np.float32)
+    bias = rng.normal(size=(5,)).astype(np.float32)
+    mean = rng.normal(size=(5,)).astype(np.float32)
+    var = rng.uniform(0.5, 2.0, size=(5,)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("BatchNormalization", ["x", "s", "b", "m", "v"], ["y"], epsilon=1e-3)],
+        {"x": x},
+        {"s": scale, "b": bias, "m": mean, "v": var},
+    )
+    expected = torch.nn.functional.batch_norm(
+        torch.from_numpy(x),
+        torch.from_numpy(mean),
+        torch.from_numpy(var),
+        torch.from_numpy(scale),
+        torch.from_numpy(bias),
+        training=False,
+        eps=1e-3,
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_maxpool_ceil_mode_vs_torch(rng):
+    x = rng.normal(size=(1, 3, 11, 11)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("MaxPool", ["x"], ["y"], kernel_shape=[3, 3], strides=[2, 2], ceil_mode=1)],
+        {"x": x},
+    )
+    expected = torch.nn.functional.max_pool2d(
+        torch.from_numpy(x), 3, stride=2, ceil_mode=True
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-5)
+
+
+def test_avgpool_vs_torch(rng):
+    x = rng.normal(size=(1, 3, 10, 10)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("AveragePool", ["x"], ["y"], kernel_shape=[2, 2], strides=[2, 2])],
+        {"x": x},
+    )
+    expected = torch.nn.functional.avg_pool2d(torch.from_numpy(x), 2, 2).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-5)
+
+
+def test_avgpool_padded_count_exclude_vs_torch(rng):
+    x = rng.normal(size=(1, 2, 9, 9)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("AveragePool", ["x"], ["y"], kernel_shape=[3, 3], strides=[2, 2], pads=[1, 1, 1, 1])],
+        {"x": x},
+    )
+    expected = torch.nn.functional.avg_pool2d(
+        torch.from_numpy(x), 3, 2, padding=1, count_include_pad=False
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-5)
+
+
+def test_gemm_transb_vs_torch(rng):
+    a = rng.normal(size=(4, 8)).astype(np.float32)
+    b = rng.normal(size=(6, 8)).astype(np.float32)
+    c = rng.normal(size=(6,)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Gemm", ["a", "b", "c"], ["y"], transB=1, alpha=1.0, beta=1.0)],
+        {"a": a},
+        {"b": b, "c": c},
+    )
+    expected = (torch.from_numpy(a) @ torch.from_numpy(b).T + torch.from_numpy(c)).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_softmax_logsoftmax_vs_torch(rng):
+    x = rng.normal(size=(3, 12)).astype(np.float32)
+    (y,) = run_graph([P.make_node("Softmax", ["x"], ["y"], axis=-1)], {"x": x})
+    np.testing.assert_allclose(
+        y, torch.softmax(torch.from_numpy(x), -1).numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize(
+    "op,tfn",
+    [
+        ("Relu", torch.relu),
+        ("Sigmoid", torch.sigmoid),
+        ("Tanh", torch.tanh),
+        ("Erf", torch.erf),
+        ("Softplus", torch.nn.functional.softplus),
+        ("HardSwish", torch.nn.functional.hardswish),
+        ("Exp", torch.exp),
+        ("Abs", torch.abs),
+    ],
+)
+def test_unary_vs_torch(rng, op, tfn):
+    x = rng.normal(size=(4, 17)).astype(np.float32)
+    (y,) = run_graph([P.make_node(op, ["x"], ["y"])], {"x": x})
+    np.testing.assert_allclose(y, tfn(torch.from_numpy(x)).numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_leaky_prelu_elu_vs_torch(rng):
+    x = rng.normal(size=(4, 9)).astype(np.float32)
+    (y,) = run_graph([P.make_node("LeakyRelu", ["x"], ["y"], alpha=0.2)], {"x": x})
+    np.testing.assert_allclose(
+        y, torch.nn.functional.leaky_relu(torch.from_numpy(x), 0.2).numpy(), rtol=1e-5
+    )
+    (y,) = run_graph([P.make_node("Elu", ["x"], ["y"], alpha=1.5)], {"x": x})
+    np.testing.assert_allclose(
+        y, torch.nn.functional.elu(torch.from_numpy(x), 1.5).numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_reshape_transpose_flatten(rng):
+    x = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Reshape", ["x", "shape"], ["y"])],
+        {"x": x},
+        {"shape": np.array([2, 12], dtype=np.int64)},
+    )
+    assert y.shape == (2, 12)
+    (y,) = run_graph(
+        [P.make_node("Reshape", ["x", "shape"], ["y"])],
+        {"x": x},
+        {"shape": np.array([0, -1], dtype=np.int64)},
+    )
+    assert y.shape == (2, 12)  # 0 copies input dim
+    (y,) = run_graph([P.make_node("Transpose", ["x"], ["y"], perm=[2, 0, 1])], {"x": x})
+    np.testing.assert_array_equal(y, x.transpose(2, 0, 1))
+    (y,) = run_graph([P.make_node("Flatten", ["x"], ["y"], axis=2)], {"x": x})
+    assert y.shape == (6, 4)
+
+
+def test_squeeze_unsqueeze_opset13(rng):
+    x = rng.normal(size=(1, 3, 1, 4)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Squeeze", ["x", "axes"], ["y"])],
+        {"x": x},
+        {"axes": np.array([0, 2], dtype=np.int64)},
+    )
+    assert y.shape == (3, 4)
+    (y,) = run_graph(
+        [P.make_node("Unsqueeze", ["x", "axes"], ["y"])],
+        {"x": x},
+        {"axes": np.array([0, -1], dtype=np.int64)},
+    )
+    assert y.shape == (1, 1, 3, 1, 4, 1)
+
+
+def test_concat_split_slice(rng):
+    a = rng.normal(size=(2, 3)).astype(np.float32)
+    b = rng.normal(size=(2, 5)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Concat", ["a", "b"], ["y"], axis=1)], {"a": a, "b": b}
+    )
+    np.testing.assert_array_equal(y, np.concatenate([a, b], axis=1))
+
+    x = rng.normal(size=(2, 8)).astype(np.float32)
+    y0, y1 = run_graph(
+        [P.make_node("Split", ["x", "split"], ["y", "y2"], axis=1)],
+        {"x": x},
+        {"split": np.array([3, 5], dtype=np.int64)},
+        outputs=["y", "y2"],
+    )
+    np.testing.assert_array_equal(y0, x[:, :3])
+    np.testing.assert_array_equal(y1, x[:, 3:])
+
+    (y,) = run_graph(
+        [P.make_node("Slice", ["x", "starts", "ends", "axes", "steps"], ["y"])],
+        {"x": x},
+        {
+            "starts": np.array([1], dtype=np.int64),
+            "ends": np.array([7], dtype=np.int64),
+            "axes": np.array([1], dtype=np.int64),
+            "steps": np.array([2], dtype=np.int64),
+        },
+    )
+    np.testing.assert_array_equal(y, x[:, 1:7:2])
+
+
+def test_slice_negative_and_clamped(rng):
+    x = rng.normal(size=(5, 6)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Slice", ["x", "st", "en"], ["y"])],
+        {"x": x},
+        {
+            "st": np.array([-3, 0], dtype=np.int64),
+            "en": np.array([2**63 - 1, 100], dtype=np.int64),
+        },
+    )
+    np.testing.assert_array_equal(y, x[-3:, :])
+
+
+def test_pad_modes(rng):
+    x = rng.normal(size=(2, 3)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Pad", ["x", "pads", "cv"], ["y"], mode="constant")],
+        {"x": x},
+        {
+            "pads": np.array([0, 1, 0, 2], dtype=np.int64),
+            "cv": np.array(7.0, dtype=np.float32),
+        },
+    )
+    np.testing.assert_array_equal(y, np.pad(x, [(0, 0), (1, 2)], constant_values=7.0))
+    (y,) = run_graph(
+        [P.make_node("Pad", ["x", "pads"], ["y"], mode="reflect")],
+        {"x": x},
+        {"pads": np.array([0, 1, 0, 1], dtype=np.int64)},
+    )
+    np.testing.assert_array_equal(y, np.pad(x, [(0, 0), (1, 1)], mode="reflect"))
+
+
+def test_reduce_ops_opset18(rng):
+    x = rng.normal(size=(3, 4, 5)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("ReduceMean", ["x", "axes"], ["y"], keepdims=0)],
+        {"x": x},
+        {"axes": np.array([1, 2], dtype=np.int64)},
+        opset=18,
+    )
+    np.testing.assert_allclose(y, x.mean(axis=(1, 2)), rtol=1e-5)
+    (y,) = run_graph(
+        [P.make_node("ReduceMax", ["x"], ["y"], axes=[0], keepdims=1)],
+        {"x": x},
+        opset=13,
+    )
+    np.testing.assert_allclose(y, x.max(axis=0, keepdims=True))
+
+
+def test_global_pools(rng):
+    x = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    (y,) = run_graph([P.make_node("GlobalAveragePool", ["x"], ["y"])], {"x": x})
+    np.testing.assert_allclose(y, x.mean(axis=(2, 3), keepdims=True), rtol=1e-5)
+    (y,) = run_graph([P.make_node("GlobalMaxPool", ["x"], ["y"])], {"x": x})
+    np.testing.assert_allclose(y, x.max(axis=(2, 3), keepdims=True))
+
+
+def test_shape_gather_reshape_chain_folds(rng):
+    """Shape→Gather→Concat→Reshape chains must fold at import/trace time."""
+    x = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    nodes = [
+        P.make_node("Shape", ["x"], ["sh"]),
+        P.make_node("Gather", ["sh", "idx0"], ["d0"], axis=0),
+        P.make_node("Concat", ["d0", "neg1"], ["newshape"], axis=0),
+        P.make_node("Reshape", ["x", "newshape"], ["y"]),
+    ]
+    (y,) = run_graph(
+        nodes,
+        {"x": x},
+        {
+            "idx0": np.array([0], dtype=np.int64),
+            "neg1": np.array([-1], dtype=np.int64),
+        },
+    )
+    assert y.shape == (2, 12)
+
+
+def test_matmul_where_clip(rng):
+    a = rng.normal(size=(3, 4)).astype(np.float32)
+    b = rng.normal(size=(4, 5)).astype(np.float32)
+    (y,) = run_graph([P.make_node("MatMul", ["a", "b"], ["y"])], {"a": a, "b": b})
+    np.testing.assert_allclose(y, a @ b, rtol=1e-4, atol=1e-5)
+
+    x = rng.normal(size=(6,)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Clip", ["x", "lo", "hi"], ["y"])],
+        {"x": x},
+        {"lo": np.array(-0.5, dtype=np.float32), "hi": np.array(0.5, dtype=np.float32)},
+    )
+    np.testing.assert_allclose(y, np.clip(x, -0.5, 0.5))
+
+
+def test_topk_op(rng):
+    x = rng.normal(size=(2, 10)).astype(np.float32)
+    vals, idxs = run_graph(
+        [P.make_node("TopK", ["x", "k"], ["y", "yi"], axis=-1, largest=1)],
+        {"x": x},
+        {"k": np.array([3], dtype=np.int64)},
+        outputs=["y", "yi"],
+    )
+    tv, ti = torch.topk(torch.from_numpy(x), 3, dim=-1)
+    np.testing.assert_allclose(vals, tv.numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(idxs, ti.numpy())
+
+
+def test_argmax_cast_expand(rng):
+    x = rng.normal(size=(3, 7)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("ArgMax", ["x"], ["y"], axis=1, keepdims=0)], {"x": x}
+    )
+    np.testing.assert_array_equal(y, x.argmax(axis=1))
+    (y,) = run_graph(
+        [P.make_node("Cast", ["x"], ["y"], to=P.DataType.INT32)], {"x": x}
+    )
+    assert y.dtype == np.int32
+    (y,) = run_graph(
+        [P.make_node("Expand", ["x", "sh"], ["y"])],
+        {"x": x.reshape(3, 1, 7)},
+        {"sh": np.array([3, 4, 7], dtype=np.int64)},
+    )
+    assert y.shape == (3, 4, 7)
+
+
+def test_layernorm_vs_torch(rng):
+    x = rng.normal(size=(2, 5, 16)).astype(np.float32)
+    w = rng.normal(size=(16,)).astype(np.float32)
+    b = rng.normal(size=(16,)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("LayerNormalization", ["x", "w", "b"], ["y"], axis=-1, epsilon=1e-5)],
+        {"x": x},
+        {"w": w, "b": b},
+    )
+    expected = torch.nn.functional.layer_norm(
+        torch.from_numpy(x), (16,), torch.from_numpy(w), torch.from_numpy(b), 1e-5
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_instancenorm_vs_torch(rng):
+    x = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    s = rng.normal(size=(3,)).astype(np.float32)
+    b = rng.normal(size=(3,)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("InstanceNormalization", ["x", "s", "b"], ["y"], epsilon=1e-5)],
+        {"x": x},
+        {"s": s, "b": b},
+    )
+    expected = torch.nn.functional.instance_norm(
+        torch.from_numpy(x), weight=torch.from_numpy(s), bias=torch.from_numpy(b), eps=1e-5
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_unsupported_op_reports_name():
+    from birdnet_tpu.errors import ModelLoadError
+
+    graph = P.GraphProto(
+        name="t",
+        node=[P.make_node("FancyCustomOp", ["x"], ["y"])],
+        input=[P.make_value_info("x", P.DataType.FLOAT, [1])],
+        output=[P.make_value_info("y", P.DataType.FLOAT, [1])],
+    )
+    with pytest.raises(ModelLoadError) as ei:
+        import_onnx(P.make_model(graph))
+    assert "FancyCustomOp" in str(ei.value)
