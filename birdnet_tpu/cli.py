@@ -1,0 +1,332 @@
+"""birdnet-analyze CLI: analyze WAV files for bird species.
+
+Mirrors the reference CLI (reference: src/bin/birdnet-analyze.rs): same
+flags, defaults (overlap 0.0, top_k 3, min_confidence 0.1, timeout 1 s,
+batch 8 CPU / 32 accelerator), WAV validation, overlap validation, batch
+loop with Ctrl-C cancellation, detection lines ``MM:SS.s  Species (pp.p%),
+…`` and the final ``N segments of D audio analyzed in T s (X segments/s,
+Y x realtime)`` summary.
+
+Deviation: ``--provider`` defaults to ``auto`` (best accelerator, else CPU)
+instead of the reference's ``cpu`` — on a TPU-native framework the
+accelerator is the default path. Pass ``--provider cpu`` for host execution.
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import time
+from datetime import datetime, timezone
+from typing import Optional
+
+from .errors import AudioFormatError, BirdnetError, ModelDetectionError
+from .types import ModelType
+
+DEFAULT_CPU_BATCH_SIZE = 8
+DEFAULT_ACCEL_BATCH_SIZE = 32
+
+_PROVIDERS = ("auto", "tpu", "axon", "cpu", "gpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="birdnet-analyze",
+        description="Analyze WAV files for bird species",
+    )
+    p.add_argument("audio_file", nargs="?", help="Input WAV file (16-bit mono, matching model sample rate)")
+    p.add_argument("-m", "--model", help="Path to ONNX model file")
+    p.add_argument("-l", "--labels", help="Path to labels file")
+    p.add_argument("-o", "--overlap", type=float, default=0.0, help="Overlap between segments in seconds")
+    p.add_argument("-k", "--top-k", type=int, default=3, help="Number of top predictions per segment")
+    p.add_argument("--min-confidence", type=float, default=0.1, help="Minimum confidence threshold")
+    p.add_argument("--model-type", help="Override model type detection (v24, v30, perch)")
+    p.add_argument("--list-providers", action="store_true", help="List available devices and exit")
+    p.add_argument(
+        "--provider",
+        default="auto",
+        help="Device to use (auto, tpu, axon, cpu, gpu)",
+    )
+    p.add_argument("-b", "--batch-size", type=int, default=None, help="Batch size (defaults: 8 CPU, 32 TPU)")
+    p.add_argument("-t", "--timeout", type=float, default=1.0, help="Timeout per batch in seconds (0 = no timeout)")
+    p.add_argument("--lat", type=float, default=None, help="Latitude for range filtering (requires --meta-model)")
+    p.add_argument("--lon", type=float, default=None, help="Longitude for range filtering")
+    p.add_argument("--date", default=None, help="Date MM-DD for range filtering (default: today)")
+    p.add_argument("--meta-model", default=None, help="Path to BirdNET meta model for range filtering")
+    p.add_argument("--rerank", action="store_true", help="Rerank filtered predictions by location score")
+    p.add_argument("-v", "--verbose", action="store_true", help="Enable verbose logging")
+    return p
+
+
+def _timestamp() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
+def _debug(verbose: bool, msg: str) -> None:
+    if verbose:
+        print(f"{_timestamp()} [DEBUG] {msg}", file=sys.stderr)
+
+
+def format_time(secs: float) -> str:
+    """``MM:SS.s`` (reference: birdnet-analyze.rs:751-763)."""
+    total = int(secs)
+    mins = total // 60
+    secs_part = secs - mins * 60
+    return f"{mins:02d}:{secs_part:04.1f}"
+
+
+def format_duration(secs: float) -> str:
+    """``45s`` / ``3m 23s`` / ``1h 15m 30s`` (reference: :765-773)."""
+    total = int(secs)
+    hours, mins, s = total // 3600, (total % 3600) // 60, total % 60
+    if hours > 0:
+        return f"{hours}h {mins}m {s}s"
+    if mins > 0:
+        return f"{mins}m {s}s"
+    return f"{s}s"
+
+
+def parse_model_type(arg: Optional[str]) -> Optional[ModelType]:
+    """(reference: birdnet-analyze.rs:99-109)"""
+    if arg is None:
+        return None
+    mapping = {
+        "v24": ModelType.BIRDNET_V24,
+        "v30": ModelType.BIRDNET_V30,
+        "perch": ModelType.PERCH_V2,
+    }
+    mt = mapping.get(arg)
+    if mt is None:
+        raise ModelDetectionError(
+            f"unknown model type '{arg}', expected: v24, v30, perch"
+        )
+    return mt
+
+
+def list_providers_and_exit() -> int:
+    from .runtime import available_devices
+
+    print("XLA runtime: jax")
+    print()
+    devices = available_devices()
+    print("Available devices:")
+    for info in devices:
+        print(f"  ✓ {info} - {info.description or info.backend.category}")
+    return 0
+
+
+def run_with_args(args: argparse.Namespace) -> int:
+    if args.list_providers:
+        return list_providers_and_exit()
+
+    for name in ("audio_file", "model", "labels"):
+        if getattr(args, name) is None:
+            print(f"error: {name.replace('_', ' ')} is required", file=sys.stderr)
+            return 2
+
+    from . import (
+        CancellationToken,
+        Classifier,
+        InferenceOptions,
+        init_runtime,
+    )
+    from .runtime import default_device, set_platform
+    from .utils.audio_io import chunk_audio, read_wav
+
+    provider = args.provider.lower()
+    if provider not in _PROVIDERS:
+        raise ModelDetectionError(
+            f"unknown provider '{args.provider}'. Valid providers: "
+            + ", ".join(_PROVIDERS)
+        )
+
+    _debug(args.verbose, "Initializing XLA runtime...")
+    t0 = time.monotonic()
+    if provider == "cpu":
+        set_platform("cpu")
+    init_runtime()
+    _debug(args.verbose, f"Runtime initialized in {time.monotonic() - t0:.3f}s")
+
+    device = default_device(None if provider in ("auto", "cpu") else provider)
+    is_cpu = device.platform == "cpu"
+    batch_size = args.batch_size or (
+        DEFAULT_CPU_BATCH_SIZE if is_cpu else DEFAULT_ACCEL_BATCH_SIZE
+    )
+
+    model_type_override = parse_model_type(args.model_type)
+
+    _debug(args.verbose, f"Building classifier on {device.platform}...")
+    t0 = time.monotonic()
+    builder = (
+        Classifier.builder()
+        .model_path(args.model)
+        .labels_path(args.labels)
+        .top_k(args.top_k)
+        .min_confidence(args.min_confidence)
+    )
+    if model_type_override is not None:
+        builder = builder.model_type(model_type_override)
+    if not is_cpu:
+        builder = builder.with_device(device.platform)
+    classifier = builder.build()
+    config = classifier.config
+    _debug(args.verbose, f"Classifier built in {time.monotonic() - t0:.3f}s")
+
+    _debug(args.verbose, f"Reading WAV file: {args.audio_file}")
+    t0 = time.monotonic()
+    samples, sample_rate, duration_secs = read_wav(args.audio_file)
+    _debug(args.verbose, f"WAV file read in {time.monotonic() - t0:.3f}s")
+
+    if sample_rate != config.sample_rate:
+        raise AudioFormatError(
+            f"model expects {config.sample_rate} Hz audio, WAV is {sample_rate} Hz"
+        )
+    if args.overlap >= config.segment_duration:
+        raise ModelDetectionError(
+            f"overlap ({args.overlap:.1f}s) must be less than segment duration "
+            f"({config.segment_duration:.1f}s)"
+        )
+
+    # Batch context for accelerators, fallback like the reference
+    # (birdnet-analyze.rs:469-499).
+    batch_context = None
+    if not is_cpu:
+        try:
+            batch_context = classifier.create_batch_context(batch_size)
+            _debug(
+                args.verbose,
+                f"Created donated-buffer batch context (max_batch_size={batch_size}, "
+                f"input_buffer={batch_context.input_buffer_bytes() / (1024 * 1024):.1f}MB pre-allocated)",
+            )
+        except BirdnetError as e:
+            _debug(args.verbose, f"Batch context not available: {e}, using standard batch inference")
+
+    model_name = config.model_type.display_name
+    print(f"Using device: {device.platform}:{device.id}")
+    if batch_context is not None:
+        print(f"Batch size: {batch_size} (buffer donation enabled)")
+    else:
+        print(f"Batch size: {batch_size}")
+    print(
+        f"Analyzing: {args.audio_file} ({format_duration(duration_secs)}, {sample_rate} Hz)"
+    )
+    print(
+        f"Model: {model_name} ({config.segment_duration:.1f}s segments, "
+        f"{args.overlap:.1f}s overlap)"
+    )
+    print()
+
+    _debug(args.verbose, "Chunking audio into segments...")
+    t0 = time.monotonic()
+    segments, start_times = chunk_audio(
+        samples, config.sample_count, args.overlap, sample_rate
+    )
+    segment_count = segments.shape[0]
+    _debug(
+        args.verbose,
+        f"Created {segment_count} segments in {time.monotonic() - t0:.3f}s",
+    )
+
+    # Optional range filter (library feature surfaced in the CLI).
+    location_scores = None
+    range_filter = None
+    if args.meta_model is not None and args.lat is not None and args.lon is not None:
+        from .rangefilter import RangeFilter
+
+        if args.date:
+            month, day = (int(x) for x in args.date.split("-"))
+        else:
+            now = datetime.now()
+            month, day = now.month, now.day
+        range_filter = (
+            RangeFilter.builder()
+            .model_path(args.meta_model)
+            .from_classifier_labels(classifier.labels)
+            .build()
+        )
+        location_scores = range_filter.predict(args.lat, args.lon, month, day)
+        _debug(
+            args.verbose,
+            f"Range filter: {len(location_scores)} species above threshold",
+        )
+
+    # Ctrl-C → cancel; second Ctrl-C → force exit (birdnet-analyze.rs:547-556).
+    cancel_token = CancellationToken()
+    state = {"cancelled": False}
+
+    def _on_sigint(signum, frame):
+        if state["cancelled"]:
+            print("\nForce exiting...", file=sys.stderr)
+            sys.exit(1)
+        state["cancelled"] = True
+        print("\nCancelling... (press Ctrl+C again to force exit)", file=sys.stderr)
+        cancel_token.cancel()
+
+    try:
+        signal.signal(signal.SIGINT, _on_sigint)
+    except ValueError:
+        pass  # non-main thread
+
+    start_time = time.monotonic()
+    total_batches = -(-segment_count // batch_size) if segment_count else 0
+    for batch_num in range(total_batches):
+        if state["cancelled"]:
+            print("Processing cancelled by user", file=sys.stderr)
+            break
+        lo = batch_num * batch_size
+        hi = min(lo + batch_size, segment_count)
+        batch = segments[lo:hi]
+        _debug(
+            args.verbose,
+            f"Processing batch {batch_num + 1}/{total_batches} ({hi - lo} segments)...",
+        )
+        t_batch = time.monotonic()
+        options = InferenceOptions(
+            timeout=args.timeout if args.timeout > 0 else None,
+            cancellation_token=cancel_token,
+        )
+        if batch_context is not None:
+            results = classifier.predict_batch_with_context(batch_context, batch, options)
+        else:
+            results = classifier.predict_batch(batch, options)
+        _debug(
+            args.verbose,
+            f"Batch {batch_num + 1} completed in {time.monotonic() - t_batch:.3f}s",
+        )
+        for offset, result in zip(start_times[lo:hi], results):
+            predictions = result.predictions
+            if range_filter is not None and location_scores is not None:
+                predictions = range_filter.filter_predictions(
+                    predictions, location_scores, rerank=args.rerank
+                )
+            if not predictions:
+                continue
+            preds = ", ".join(
+                f"{p.species} ({p.confidence * 100.0:.1f}%)" for p in predictions
+            )
+            print(f"{format_time(float(offset))}  {preds}")
+
+    elapsed = time.monotonic() - start_time
+    segments_per_sec = segment_count / elapsed if elapsed > 0 else 0.0
+    x_realtime = duration_secs / elapsed if elapsed > 0 else 0.0
+    print()
+    print(
+        f"{segment_count} segments of {format_duration(duration_secs)} audio "
+        f"analyzed in {elapsed:.1f}s ({segments_per_sec:.1f} segments/s, "
+        f"{x_realtime:.1f}x realtime)"
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return run_with_args(args)
+    except BirdnetError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,138 @@
+"""WAV I/O + chunker tests (reference: birdnet-analyze.rs:653-743 semantics)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+import birdnet_tpu.errors as E
+from birdnet_tpu.utils.audio_io import (
+    chunk_audio,
+    native_available,
+    read_wav,
+    write_wav,
+)
+
+
+@pytest.fixture
+def sine_wav(tmp_path):
+    sig = (0.5 * np.sin(2 * np.pi * 440 * np.arange(48_000) / 48_000)).astype(np.float32)
+    p = tmp_path / "sine.wav"
+    write_wav(p, sig, 48_000)
+    return p, sig
+
+
+def test_roundtrip(sine_wav):
+    p, sig = sine_wav
+    samples, rate, dur = read_wav(p)
+    assert rate == 48_000
+    assert dur == pytest.approx(1.0)
+    assert samples.dtype == np.float32
+    np.testing.assert_allclose(samples, sig, atol=1.0 / 32768)
+
+
+def test_native_and_python_agree(sine_wav, monkeypatch):
+    p, _ = sine_wav
+    if not native_available():
+        pytest.skip("native wavio not built")
+    native_samples, rate, _ = read_wav(p)
+    import birdnet_tpu.utils.audio_io as aio
+
+    monkeypatch.setattr(aio, "_native", None)
+    py_samples, py_rate, _ = read_wav(p)
+    assert rate == py_rate
+    np.testing.assert_array_equal(native_samples, py_samples)
+
+
+def test_missing_file():
+    with pytest.raises(E.AudioReadError):
+        read_wav("/nonexistent/audio.wav")
+
+
+def test_not_a_wav(tmp_path):
+    p = tmp_path / "junk.wav"
+    p.write_bytes(b"this is not audio")
+    with pytest.raises(E.AudioReadError):
+        read_wav(p)
+
+
+def _write_raw_wav(path, fmt, channels, bits, rate=48_000, frames=100):
+    bytes_per = channels * bits // 8
+    data = b"\x00" * (frames * bytes_per)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, fmt, channels, rate,
+                                      rate * bytes_per, bytes_per, bits))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_stereo_rejected(tmp_path):
+    p = tmp_path / "stereo.wav"
+    _write_raw_wav(p, fmt=1, channels=2, bits=16)
+    with pytest.raises(E.AudioFormatError) as ei:
+        read_wav(p)
+    assert "mono" in str(ei.value)
+
+
+def test_float_format_rejected(tmp_path):
+    p = tmp_path / "float.wav"
+    _write_raw_wav(p, fmt=3, channels=1, bits=32)
+    with pytest.raises(E.AudioFormatError) as ei:
+        read_wav(p)
+    assert "PCM" in str(ei.value)
+
+
+def test_8bit_rejected(tmp_path):
+    p = tmp_path / "8bit.wav"
+    _write_raw_wav(p, fmt=1, channels=1, bits=8)
+    with pytest.raises(E.AudioFormatError):
+        read_wav(p)
+
+
+# --- chunker (matches reference loop semantics exactly) ----------------------
+
+
+def _reference_chunk(samples, seg, overlap, rate):
+    ov = int(overlap * rate)
+    step = seg - ov
+    out = []
+    pos = 0
+    while pos < len(samples):
+        end = min(pos + seg, len(samples))
+        s = np.zeros(seg, np.float32)
+        s[: end - pos] = samples[pos:end]
+        out.append((pos / rate, s))
+        pos += step
+    return out
+
+
+@pytest.mark.parametrize(
+    "n,overlap",
+    [
+        (192_000, 0.0),
+        (192_000, 1.5),
+        (144_000, 0.0),
+        (144_001, 0.0),
+        (100, 0.0),
+        (300_000, 2.0),
+        (300_000, 2.9),
+    ],
+)
+def test_chunker_matches_reference(rng, n, overlap):
+    x = rng.normal(size=n).astype(np.float32)
+    segs, times = chunk_audio(x, 144_000, overlap, 48_000)
+    ref = _reference_chunk(x, 144_000, overlap, 48_000)
+    assert segs.shape[0] == len(ref)
+    for i, (t, s) in enumerate(ref):
+        assert times[i] == pytest.approx(t)
+        np.testing.assert_array_equal(segs[i], s)
+
+
+def test_chunker_empty():
+    segs, times = chunk_audio(np.zeros(0, np.float32), 144_000, 0.0, 48_000)
+    assert segs.shape == (0, 144_000)
+
+
+def test_chunker_overlap_too_large():
+    with pytest.raises(E.AudioFormatError):
+        chunk_audio(np.zeros(100, np.float32), 144_000, 3.0, 48_000)

@@ -1,0 +1,164 @@
+"""CLI tests (reference CLI behavior: src/bin/birdnet-analyze.rs)."""
+
+import re
+
+import numpy as np
+import pytest
+
+from birdnet_tpu.cli import (
+    build_parser,
+    format_duration,
+    format_time,
+    main,
+    parse_model_type,
+)
+from birdnet_tpu.errors import ModelDetectionError
+from birdnet_tpu.types import ModelType
+from birdnet_tpu.utils.audio_io import write_wav
+
+
+def test_format_time():
+    assert format_time(0.0) == "00:00.0"
+    assert format_time(3.0) == "00:03.0"
+    assert format_time(63.5) == "01:03.5"
+    assert format_time(600.0) == "10:00.0"
+
+
+def test_format_duration():
+    assert format_duration(45.0) == "45s"
+    assert format_duration(203.0) == "3m 23s"
+    assert format_duration(4530.0) == "1h 15m 30s"
+
+
+def test_parse_model_type():
+    assert parse_model_type(None) is None
+    assert parse_model_type("v24") is ModelType.BIRDNET_V24
+    assert parse_model_type("v30") is ModelType.BIRDNET_V30
+    assert parse_model_type("perch") is ModelType.PERCH_V2
+    with pytest.raises(ModelDetectionError):
+        parse_model_type("bogus")
+
+
+def test_parser_defaults():
+    args = build_parser().parse_args(["in.wav", "-m", "m.onnx", "-l", "l.txt"])
+    assert args.overlap == 0.0
+    assert args.top_k == 3
+    assert args.min_confidence == 0.1
+    assert args.timeout == 1.0
+    assert args.provider == "auto"
+    assert args.batch_size is None
+
+
+@pytest.fixture(scope="module")
+def cli_fixtures(tmp_path_factory):
+    from birdnet_tpu.models import birdnet_v24
+
+    d = tmp_path_factory.mktemp("cli")
+    model = d / "v24_tiny.onnx"
+    birdnet_v24.save_tiny(model, num_species=10)
+    labels = d / "labels.txt"
+    labels.write_text("\n".join(f"species_{i}" for i in range(10)), encoding="utf-8")
+    wav = d / "audio.wav"
+    rng = np.random.default_rng(0)
+    sig = 0.3 * np.sin(2 * np.pi * 1000 * np.arange(48_000 * 7) / 48_000)
+    sig = (sig + 0.05 * rng.normal(size=sig.shape)).astype(np.float32)
+    write_wav(wav, sig, 48_000)
+    return str(wav), str(model), str(labels)
+
+
+def test_cli_end_to_end(cli_fixtures, capsys):
+    wav, model, labels = cli_fixtures
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.0", "-t", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Batch size: 8" in out  # CPU default
+    assert "Model: BirdNET v2.4 (3.0s segments, 0.0s overlap)" in out
+    # 7s → 3 segments (last zero-padded)
+    assert re.search(r"3 segments of 7s audio analyzed in [\d.]+s "
+                     r"\([\d.]+ segments/s, [\d.]+x realtime\)", out)
+    # per-segment detection lines in MM:SS.s format
+    assert re.search(r"^00:00\.0  species_\d+ \(\d+\.\d%\)", out, re.M)
+    assert "00:06.0" in out
+
+
+def test_cli_overlap(cli_fixtures, capsys):
+    wav, model, labels = cli_fixtures
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.0", "-t", "0", "-o", "1.5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "1.5s overlap" in out
+    assert "5 segments" in out  # ceil(7*48000 / (1.5*48000))
+
+
+def test_cli_overlap_too_large(cli_fixtures, capsys):
+    wav, model, labels = cli_fixtures
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu", "-o", "3.0"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "overlap (3.0s) must be less than segment duration (3.0s)" in err
+
+
+def test_cli_wrong_sample_rate(cli_fixtures, tmp_path, capsys):
+    _, model, labels = cli_fixtures
+    wav = tmp_path / "32k.wav"
+    write_wav(wav, np.zeros(32_000, np.float32), 32_000)
+    rc = main([str(wav), "-m", model, "-l", labels, "--provider", "cpu"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "model expects 48000 Hz audio, WAV is 32000 Hz" in err
+
+
+def test_cli_min_confidence_filters_all(cli_fixtures, capsys):
+    wav, model, labels = cli_fixtures
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.999", "-t", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "00:00.0" not in out  # all detections filtered
+    assert "3 segments" in out
+
+
+def test_cli_list_providers(capsys):
+    rc = main(["--list-providers"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Available devices:" in out
+    assert "CPU" in out
+
+
+def test_cli_missing_args(capsys):
+    rc = main([])
+    assert rc == 2
+    assert "required" in capsys.readouterr().err
+
+
+def test_cli_unknown_provider(cli_fixtures, capsys):
+    wav, model, labels = cli_fixtures
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "quantum"])
+    assert rc == 1
+    assert "unknown provider" in capsys.readouterr().err
+
+
+def test_cli_model_type_override_mismatch(cli_fixtures, capsys):
+    wav, model, labels = cli_fixtures
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--model-type", "v30"])
+    assert rc == 1
+    assert "expects 160000 samples" in capsys.readouterr().err
+
+
+def test_cli_range_filter(cli_fixtures, tmp_path, capsys):
+    from birdnet_tpu.models import meta
+
+    wav, model, labels = cli_fixtures
+    meta_path = tmp_path / "meta.onnx"
+    meta.save_tiny(meta_path, num_species=10)
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.0", "-t", "0",
+               "--meta-model", str(meta_path), "--lat", "42.5", "--lon", "-76.4",
+               "--date", "06-15", "--rerank"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "3 segments" in out
