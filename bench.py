@@ -1,0 +1,131 @@
+"""Benchmark: BirdNET v2.4 3s-segment throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "segments/s", "vs_baseline": N}
+
+Baseline: the reference's best published number — 667 segments/s (BirdNET
+v2.4, RTX 5080 16 GB, CUDA, batch 160-192; reference:
+docs/gpu-batch-optimization.md:67-74).
+
+Measures the production streaming pipeline end to end on a 19.2-minute
+recording: raw int16 PCM → device upload → on-device segmentation →
+batch-32 tiles through the fused forward+top-K scan → host readback of
+top-K only. Also reports the sustained device-resident throughput (what a
+local-host v5e sees once audio is on-chip) to stderr; under the axon
+tunnel the end-to-end number is transfer-bound (~50 MB/s link with
+transient stalls), so the median of several runs is reported.
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+TILE = 32
+N_SEGMENTS = 384  # 19.2 min of 3 s segments
+RUNS = 5
+BASELINE_SEG_S = 667.0  # reference RTX 5080 best (gpu-batch-optimization.md:70)
+
+
+def _bench_model_path() -> str:
+    cache = os.path.expanduser("~/.cache/birdnet_tpu/bench")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "birdnet_v24_bench.onnx")
+    if not os.path.exists(path):
+        from birdnet_tpu.models import birdnet_v24
+
+        birdnet_v24.save(path)
+    return path
+
+
+def main() -> int:
+    import jax
+
+    from birdnet_tpu.compiler.importer import import_onnx
+    from birdnet_tpu.compiler.stream import StreamingEngine
+    from birdnet_tpu.detection import detect_model_type
+    from birdnet_tpu.runtime import default_device, init_runtime
+
+    init_runtime()
+    device = default_device()
+    print(
+        f"# device: {device.platform}:{device.id} "
+        f"({getattr(device, 'device_kind', '?')})",
+        file=sys.stderr,
+    )
+
+    imported = import_onnx(_bench_model_path())
+    config = detect_model_type(*imported.detection_shapes())
+    engine = StreamingEngine(imported, config, device=device, top_k=10, tile=TILE)
+
+    n_samples = N_SEGMENTS * config.sample_count
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=n_samples) * 3000).astype(np.int16)
+    audio_secs = n_samples / config.sample_rate
+
+    t0 = time.monotonic()
+    engine.warmup(dtype=np.int16)
+    print(f"# compile: {time.monotonic() - t0:.1f}s", file=sys.stderr)
+
+    # Warmup run (populates executables for every bucket this length uses).
+    engine.analyze(audio)
+
+    # End-to-end runs: host slice → i16 upload → scan → top-K readback.
+    e2e = []
+    for _ in range(RUNS):
+        t0 = time.monotonic()
+        conf, idx, times = engine.analyze(audio)
+        e2e.append(time.monotonic() - t0)
+    assert conf.shape == (N_SEGMENTS, 10)
+    e2e_dt = statistics.median(e2e)
+    e2e_seg_s = N_SEGMENTS / e2e_dt
+
+    # Sustained device-resident throughput (audio already on-chip).
+    step = config.sample_count
+    n_tiles = 12  # 384 segs exactly
+    fn = engine._compile(n_tiles, step, np.int16)
+    audio_len = (n_tiles * TILE - 1) * step + config.sample_count
+    padded = np.zeros(audio_len, np.int16)
+    padded[:n_samples] = audio
+    audio_d = jax.device_put(padded, device)
+    out = fn(engine.params, audio_d)
+    np.asarray(out[0])
+    dts = []
+    for _ in range(RUNS):
+        t0 = time.monotonic()
+        out = fn(engine.params, audio_d)
+        np.asarray(out[0])
+        np.asarray(out[1])
+        dts.append(time.monotonic() - t0)
+    dev_dt = statistics.median(dts)
+    dev_seg_s = N_SEGMENTS / dev_dt
+
+    print(
+        f"# e2e (incl. i16 upload over tunnel): {e2e_dt:.2f}s → "
+        f"{e2e_seg_s:.0f} seg/s, xRT={audio_secs / e2e_dt:.0f}",
+        file=sys.stderr,
+    )
+    print(
+        f"# device-resident sustained: {dev_dt * 1000:.0f}ms → "
+        f"{dev_seg_s:.0f} seg/s, xRT={audio_secs / dev_dt:.0f}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "BirdNET v2.4 3s-segments/sec/chip (batch=32, streaming e2e)",
+                "value": round(e2e_seg_s, 1),
+                "unit": "segments/s",
+                "vs_baseline": round(e2e_seg_s / BASELINE_SEG_S, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,6 +44,14 @@ from .execution_providers import (  # noqa: F401
 from .inference_options import CancellationToken, InferenceOptions  # noqa: F401
 from .runtime import available_devices, default_device, init_runtime  # noqa: F401
 from .labels import load_labels_from_file, parse_labels  # noqa: F401
+from .rangefilter import (  # noqa: F401
+    RangeFilter,
+    RangeFilterBuilder,
+    calculate_week,
+    filter_predictions,
+    validate_coordinates,
+    validate_date,
+)
 from .postprocess import sigmoid, top_k_predictions  # noqa: F401
 from .types import (  # noqa: F401
     DeviceBackend,

@@ -190,6 +190,7 @@ class ClassifierBuilder:
             top_k=self._top_k,
             min_confidence=self._min_confidence,
             requested_device=requested,
+            imported=imported,
         )
 
 
@@ -205,6 +206,7 @@ class Classifier:
         top_k: int,
         min_confidence: Optional[float],
         requested_device: Optional[str],
+        imported=None,
     ):
         self._engine = engine
         self._config = config
@@ -212,6 +214,9 @@ class Classifier:
         self._top_k = top_k
         self._min_confidence = min_confidence
         self._requested_device = requested_device
+        self._imported = imported
+        self._stream = None
+        self._stream_lock = threading.Lock()
 
     @staticmethod
     def builder() -> ClassifierBuilder:
@@ -322,6 +327,52 @@ class Classifier:
             )
             for i in range(b)
         ]
+
+    # -- streaming whole-recording path --------------------------------------
+
+    def _streaming_engine(self):
+        if self._stream is None:
+            with self._stream_lock:
+                if self._stream is None:
+                    from .compiler.stream import StreamingEngine
+
+                    self._stream = StreamingEngine(
+                        self._imported,
+                        self._config,
+                        device=self._engine.device,
+                        precision=self._engine.precision,
+                        top_k=self._top_k,
+                        params=self._engine.params,
+                    )
+        return self._stream
+
+    def analyze_samples(
+        self,
+        samples,
+        overlap_seconds: float = 0.0,
+        options: Optional[InferenceOptions] = None,
+    ):
+        """Classify every (overlapping) segment of a full recording in one
+        streaming pass — the TPU-native replacement for the reference CLI's
+        host-side chunk → predict_batch loop (birdnet-analyze.rs:707-743,
+        :562-635): audio uploads once per superchunk, segmentation +
+        inference + top-K run fused on device, and only top-K results come
+        back.
+
+        ``samples``: 1-D float32 in [-1, 1) or raw int16 PCM (scaled
+        on-device). Returns ``list[(start_time_seconds, list[Prediction])]``.
+        Embeddings/raw scores are not materialized on this path — use
+        ``predict_batch`` when those are needed.
+        """
+        eng = self._streaming_engine()
+        conf, idx, times = eng.analyze(samples, overlap_seconds, options)
+        out = []
+        for i in range(conf.shape[0]):
+            preds = top_k_from_device(
+                conf[i], idx[i], self._labels, self._min_confidence
+            )
+            out.append((float(times[i]), preds))
+        return out
 
     # -- helpers -------------------------------------------------------------
 

@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--date", default=None, help="Date MM-DD for range filtering (default: today)")
     p.add_argument("--meta-model", default=None, help="Path to BirdNET meta model for range filtering")
     p.add_argument("--rerank", action="store_true", help="Rerank filtered predictions by location score")
+    p.add_argument(
+        "--no-stream",
+        action="store_true",
+        help="Disable the streaming on-device pipeline (use per-batch host chunking)",
+    )
     p.add_argument("-v", "--verbose", action="store_true", help="Enable verbose logging")
     return p
 
@@ -173,9 +178,15 @@ def run_with_args(args: argparse.Namespace) -> int:
     config = classifier.config
     _debug(args.verbose, f"Classifier built in {time.monotonic() - t0:.3f}s")
 
+    use_stream = not args.no_stream
+
     _debug(args.verbose, f"Reading WAV file: {args.audio_file}")
     t0 = time.monotonic()
-    samples, sample_rate, duration_secs = read_wav(args.audio_file)
+    # Streaming ships raw int16 PCM to the device (half the transfer bytes;
+    # the /32768 scale runs on-device); the per-batch path wants float32.
+    samples, sample_rate, duration_secs = read_wav(
+        args.audio_file, dtype="int16" if use_stream else "float32"
+    )
     _debug(args.verbose, f"WAV file read in {time.monotonic() - t0:.3f}s")
 
     if sample_rate != config.sample_rate:
@@ -189,9 +200,9 @@ def run_with_args(args: argparse.Namespace) -> int:
         )
 
     # Batch context for accelerators, fallback like the reference
-    # (birdnet-analyze.rs:469-499).
+    # (birdnet-analyze.rs:469-499). Not needed on the streaming path.
     batch_context = None
-    if not is_cpu:
+    if not is_cpu and not use_stream:
         try:
             batch_context = classifier.create_batch_context(batch_size)
             _debug(
@@ -204,7 +215,9 @@ def run_with_args(args: argparse.Namespace) -> int:
 
     model_name = config.model_type.display_name
     print(f"Using device: {device.platform}:{device.id}")
-    if batch_context is not None:
+    if use_stream:
+        print(f"Batch size: {batch_size} (streaming on-device pipeline)")
+    elif batch_context is not None:
         print(f"Batch size: {batch_size} (buffer donation enabled)")
     else:
         print(f"Batch size: {batch_size}")
@@ -217,16 +230,21 @@ def run_with_args(args: argparse.Namespace) -> int:
     )
     print()
 
-    _debug(args.verbose, "Chunking audio into segments...")
-    t0 = time.monotonic()
-    segments, start_times = chunk_audio(
-        samples, config.sample_count, args.overlap, sample_rate
-    )
-    segment_count = segments.shape[0]
-    _debug(
-        args.verbose,
-        f"Created {segment_count} segments in {time.monotonic() - t0:.3f}s",
-    )
+    if use_stream:
+        segments, start_times = None, None
+        step = config.sample_count - int(args.overlap * sample_rate)
+        segment_count = -(-len(samples) // step) if len(samples) else 0
+    else:
+        _debug(args.verbose, "Chunking audio into segments...")
+        t0 = time.monotonic()
+        segments, start_times = chunk_audio(
+            samples, config.sample_count, args.overlap, sample_rate
+        )
+        segment_count = segments.shape[0]
+        _debug(
+            args.verbose,
+            f"Created {segment_count} segments in {time.monotonic() - t0:.3f}s",
+        )
 
     # Optional range filter (library feature surfaced in the CLI).
     location_scores = None
@@ -268,7 +286,41 @@ def run_with_args(args: argparse.Namespace) -> int:
     except ValueError:
         pass  # non-main thread
 
+    def _emit(offset: float, predictions) -> None:
+        if range_filter is not None and location_scores is not None:
+            predictions = range_filter.filter_predictions(
+                predictions, location_scores, rerank=args.rerank
+            )
+        if not predictions:
+            return
+        preds = ", ".join(
+            f"{p.species} ({p.confidence * 100.0:.1f}%)" for p in predictions
+        )
+        print(f"{format_time(float(offset))}  {preds}")
+
     start_time = time.monotonic()
+
+    if use_stream:
+        options = InferenceOptions(
+            timeout=args.timeout if args.timeout > 0 else None,
+            cancellation_token=cancel_token,
+        )
+        _debug(args.verbose, f"Streaming {segment_count} segments through device pipeline...")
+        for offset, predictions in classifier.analyze_samples(
+            samples, args.overlap, options
+        ):
+            _emit(offset, predictions)
+        elapsed = time.monotonic() - start_time
+        segments_per_sec = segment_count / elapsed if elapsed > 0 else 0.0
+        x_realtime = duration_secs / elapsed if elapsed > 0 else 0.0
+        print()
+        print(
+            f"{segment_count} segments of {format_duration(duration_secs)} audio "
+            f"analyzed in {elapsed:.1f}s ({segments_per_sec:.1f} segments/s, "
+            f"{x_realtime:.1f}x realtime)"
+        )
+        return 0
+
     total_batches = -(-segment_count // batch_size) if segment_count else 0
     for batch_num in range(total_batches):
         if state["cancelled"]:
@@ -295,17 +347,7 @@ def run_with_args(args: argparse.Namespace) -> int:
             f"Batch {batch_num + 1} completed in {time.monotonic() - t_batch:.3f}s",
         )
         for offset, result in zip(start_times[lo:hi], results):
-            predictions = result.predictions
-            if range_filter is not None and location_scores is not None:
-                predictions = range_filter.filter_predictions(
-                    predictions, location_scores, rerank=args.rerank
-                )
-            if not predictions:
-                continue
-            preds = ", ".join(
-                f"{p.species} ({p.confidence * 100.0:.1f}%)" for p in predictions
-            )
-            print(f"{format_time(float(offset))}  {preds}")
+            _emit(float(offset), result.predictions)
 
     elapsed = time.monotonic() - start_time
     segments_per_sec = segment_count / elapsed if elapsed > 0 else 0.0

@@ -42,13 +42,7 @@ from ..inference_options import InferenceOptions
 from ..types import ModelConfig, ModelType
 from .importer import ImportedModel, make_forward
 
-# Output-index demux per model type (reference: src/classifier.rs:914-950):
-# (logits index, embeddings index or None)
-_DEMUX = {
-    ModelType.BIRDNET_V24: (0, None),
-    ModelType.BIRDNET_V30: (1, 0),
-    ModelType.PERCH_V2: (3, 0),
-}
+from .._demux import demux_indices
 
 _MONITOR_POLL_S = 0.01  # 10 ms poll, matching the reference monitor thread
                         # (reference: src/classifier.rs:527-554)
@@ -83,7 +77,7 @@ class InferenceEngine:
         self.params = jax.device_put(imported.params, self.device)
         self._compiled: Dict[Tuple[int, bool], object] = {}
         self._lock = threading.Lock()
-        self.logits_index, self.embed_index = _DEMUX[config.model_type]
+        self.logits_index, self.embed_index = demux_indices(config.model_type)
         if self.logits_index >= imported.num_outputs:
             raise InferenceError(
                 f"model has {imported.num_outputs} outputs; expected logits at "

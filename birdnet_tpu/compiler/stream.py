@@ -1,0 +1,204 @@
+"""Streaming whole-file inference: segment, classify, and select top-K for an
+entire recording inside XLA programs, with minimal host↔device traffic.
+
+The reference CLI chunks audio on the host and round-trips every batch
+through the session (reference: birdnet-analyze.rs:707-743, :562-635) —
+fine over PCIe, ruinous over thin links, and wasteful everywhere: with
+overlap the host re-uploads shared samples once per overlapping segment.
+
+TPU-native design:
+
+- audio uploads ONCE per superchunk (optionally as int16 — WAV's native
+  width — halving bytes; the ``/32768`` scale runs on device);
+- segmentation is a device-side gather (``vmap(dynamic_slice)``) inside the
+  jitted program — overlapping segments share the uploaded samples;
+- a ``lax.scan`` over batch tiles runs the model + fused top-K for the whole
+  superchunk in ONE dispatch;
+- the host reads back only ``[n_segments, K]`` confidences + indices
+  (~80 bytes/segment vs 576 KB/segment uploaded by the per-batch path).
+
+Superchunks bound both compile variants (tile counts are bucketed) and the
+cancellation/timeout granularity: options are honored between superchunk
+dispatches, like the reference honors them between batches.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .._demux import demux_indices
+from ..errors import InferenceError
+from ..inference_options import InferenceOptions
+from ..types import ModelConfig
+from .engine import _wait
+from .importer import ImportedModel, make_forward
+
+# Tile-count buckets per dispatch: bounded compile variants, ≤33% padding
+# waste, max 16 tiles (= 512 segments ≈ 25 min of 3 s audio) per dispatch.
+_TILE_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16)
+MAX_TILES = _TILE_BUCKETS[-1]
+
+
+def _bucket_tiles(n: int) -> int:
+    for b in _TILE_BUCKETS:
+        if n <= b:
+            return b
+    return MAX_TILES
+
+
+class StreamingEngine:
+    """Whole-recording analysis with one dispatch per superchunk."""
+
+    def __init__(
+        self,
+        imported: ImportedModel,
+        config: ModelConfig,
+        device=None,
+        precision: Optional[str] = None,
+        top_k: int = 10,
+        tile: int = 32,
+        params=None,
+    ):
+        from ..runtime import default_device, init_runtime
+
+        init_runtime()
+        self.device = device if device is not None else default_device()
+        if precision is None:
+            precision = "mixed" if self.device.platform in ("tpu", "axon") else "fp32"
+        self.precision = precision
+        self.config = config
+        self.top_k = max(1, min(top_k, config.num_species))
+        self.tile = tile
+        self._forward = make_forward(imported, precision=precision)
+        # Reuse already-resident device params when provided (avoids a second
+        # HBM copy when sharing with an InferenceEngine).
+        self.params = (
+            params if params is not None else jax.device_put(imported.params, self.device)
+        )
+        self.logits_index, _ = demux_indices(config.model_type)
+        self._compiled: Dict[Tuple, object] = {}
+        self._lock = threading.Lock()
+
+    # -- program ---------------------------------------------------------
+
+    def _compile(self, n_tiles: int, step: int, dtype) -> object:
+        key = (n_tiles, step, np.dtype(dtype).name)
+        fn = self._compiled.get(key)
+        if fn is not None:
+            return fn
+        with self._lock:
+            fn = self._compiled.get(key)
+            if fn is not None:
+                return fn
+            S = self.config.sample_count
+            tile = self.tile
+            k = self.top_k
+            forward = self._forward
+            logits_index = self.logits_index
+            audio_len = (n_tiles * tile - 1) * step + S
+
+            def program(params, audio):
+                if audio.dtype != jnp.float32:
+                    audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+
+                def body(_, tile_idx):
+                    starts = (tile_idx * tile + jnp.arange(tile)) * step
+                    frames = jax.vmap(
+                        lambda s: lax.dynamic_slice(audio, (s,), (S,))
+                    )(starts)
+                    logits = forward(params, frames)[logits_index]
+                    vals, idx = lax.top_k(logits, k)
+                    return None, (jax.nn.sigmoid(vals), idx.astype(jnp.int32))
+
+                _, (conf, idx) = lax.scan(body, None, jnp.arange(n_tiles))
+                return conf.reshape(-1, k), idx.reshape(-1, k)
+
+            jitted = jax.jit(program)
+            sharding = jax.sharding.SingleDeviceSharding(self.device)
+            params_spec = jax.tree.map(
+                lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype, sharding=sharding),
+                self.params,
+            )
+            audio_spec = jax.ShapeDtypeStruct((audio_len,), dtype, sharding=sharding)
+            try:
+                fn = jitted.lower(params_spec, audio_spec).compile()
+            except Exception as e:  # noqa: BLE001
+                raise InferenceError(f"XLA compilation failed: {e}") from e
+            self._compiled[key] = fn
+            return fn
+
+    # -- execution -------------------------------------------------------
+
+    def analyze(
+        self,
+        samples: np.ndarray,
+        overlap_seconds: float = 0.0,
+        options: Optional[InferenceOptions] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Classify every (overlapping) segment of ``samples``.
+
+        ``samples``: 1-D float32 (or int16, uploaded raw and scaled
+        on-device). Returns ``(confidences [N, K], indices [N, K],
+        start_times [N])`` with segments in file order — the streaming
+        equivalent of the reference CLI's chunk → predict_batch loop.
+        """
+        samples = np.asarray(samples)
+        if samples.dtype not in (np.float32, np.int16):
+            samples = samples.astype(np.float32)
+        S = self.config.sample_count
+        rate = self.config.sample_rate
+        overlap = int(overlap_seconds * rate)
+        step = S - overlap
+        if step <= 0:
+            raise InferenceError("overlap must be smaller than the segment duration")
+        n_total = samples.shape[0]
+        if n_total == 0:
+            k = self.top_k
+            return (
+                np.zeros((0, k), np.float32),
+                np.zeros((0, k), np.int32),
+                np.zeros(0),
+            )
+        n_segments = -(-n_total // step)
+        segs_per_chunk = MAX_TILES * self.tile
+
+        # Dispatch superchunks with pipelined uploads: device_put + dispatch
+        # are async, so chunk c+1 uploads while chunk c computes.
+        pending = []
+        for seg0 in range(0, n_segments, segs_per_chunk):
+            seg1 = min(seg0 + segs_per_chunk, n_segments)
+            n_seg = seg1 - seg0
+            n_tiles = _bucket_tiles(-(-n_seg // self.tile))
+            fn = self._compile(n_tiles, step, samples.dtype)
+            audio_len = (n_tiles * self.tile - 1) * step + S
+            lo = seg0 * step
+            chunk = samples[lo:lo + audio_len]
+            if chunk.shape[0] < audio_len:
+                pad = np.zeros(audio_len - chunk.shape[0], dtype=samples.dtype)
+                chunk = np.concatenate([chunk, pad])
+            audio_d = jax.device_put(chunk, self.device)
+            conf, idx = fn(self.params, audio_d)
+            pending.append((conf, idx, n_seg))
+            # Honor cancellation/timeout between dispatches (the reference
+            # honors options between batches, birdnet-analyze.rs:562-610).
+            if options is not None and options.needs_monitor() and len(pending) > 1:
+                _wait([pending[0][0], pending[0][1]], options)
+
+        confs, idxs = [], []
+        for conf, idx, n_seg in pending:
+            _wait([conf, idx], options)
+            confs.append(np.asarray(conf)[:n_seg])
+            idxs.append(np.asarray(idx)[:n_seg])
+        start_times = np.arange(n_segments, dtype=np.float64) * (step / rate)
+        return np.concatenate(confs), np.concatenate(idxs), start_times
+
+    def warmup(self, n_tiles: int = MAX_TILES, overlap_seconds: float = 0.0,
+               dtype=np.float32) -> None:
+        step = self.config.sample_count - int(overlap_seconds * self.config.sample_rate)
+        self._compile(n_tiles, step, dtype)

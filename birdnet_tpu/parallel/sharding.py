@@ -1,0 +1,136 @@
+"""Multi-chip sharding: data-parallel batches + tensor-parallel classifier head.
+
+The reference is single-device (multi-GPU only via ``device_id`` selection,
+reference: src/cuda_config.rs:179-182) with **no distributed runtime**
+(SURVEY §2). This module is the TPU-native scaling path beyond parity:
+
+- **DP**: the segment batch shards over the ``data`` mesh axis — the natural
+  extension of ``predict_batch``. Pure data-parallel inference needs no
+  explicit communication; results gather over ICI on host readback.
+- **TP**: the classification head is the dominant matmul for BirdNET v2.4
+  (feat × 6,522 classes ≈ 8.3 M params) and Perch v2 (× 14,795). Any weight
+  whose leading dim equals ``num_species`` shards over the ``model`` axis;
+  the per-shard top-K then rides an XLA-inserted all-gather of candidates
+  (B×K per shard — tiny) instead of gathering full logits.
+
+Everything goes through ``jax.jit`` with ``NamedSharding`` annotations; XLA
+inserts the collectives (scaling-book recipe: pick a mesh, annotate, let the
+compiler place psum/all-gather on ICI).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..types import ModelConfig
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    shape: Optional[Tuple[int, int]] = None,
+    axis_names: Tuple[str, str] = ("data", "model"),
+) -> Mesh:
+    """Build a (data, model) mesh over the given devices.
+
+    Default shape: all devices on ``data`` when the device count is odd or
+    small, else a 2-way ``model`` axis (head TP) with the rest on ``data``.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        tp = 2 if n % 2 == 0 and n >= 4 else 1
+        shape = (n // tp, tp)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def param_specs(
+    params: Dict[str, np.ndarray],
+    config: ModelConfig,
+    model_axis: str = "model",
+) -> Dict[str, P]:
+    """Partition specs per parameter: head weights shard over ``model_axis``
+    (dimension matching ``num_species``), everything else replicated."""
+    n = config.num_species
+    specs: Dict[str, P] = {}
+    for name, p in params.items():
+        if p.ndim == 2 and p.shape[0] == n:
+            specs[name] = P(model_axis, None)
+        elif p.ndim == 2 and p.shape[1] == n:
+            specs[name] = P(None, model_axis)
+        elif p.ndim == 1 and p.shape[0] == n:
+            specs[name] = P(model_axis)
+        else:
+            specs[name] = P()
+    return specs
+
+
+def shard_params(params, config: ModelConfig, mesh: Mesh, model_axis: str = "model"):
+    """Place params on the mesh with head-TP sharding."""
+    specs = param_specs(params, config, model_axis)
+    return {
+        name: jax.device_put(p, NamedSharding(mesh, specs[name]))
+        for name, p in params.items()
+    }
+
+
+def make_sharded_program(
+    imported,
+    config: ModelConfig,
+    mesh: Mesh,
+    top_k: int = 10,
+    precision: str = "fp32",
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """Build the jitted multi-chip inference step.
+
+    Returns ``(fn, shard_inputs)`` where ``fn(params, x)`` maps a
+    batch-sharded ``[B, S]`` to (confidences ``[B, K]``, indices ``[B, K]``,
+    logits ``[B, N]``) and ``shard_inputs(params, x)`` places values onto the
+    mesh. B must be divisible by the ``data`` axis size.
+    """
+    from ..compiler.importer import make_forward
+    from .._demux import demux_indices
+
+    forward = make_forward(imported, precision=precision)
+    logits_index, _ = demux_indices(config.model_type)
+    k = max(0, min(top_k, config.num_species))
+
+    p_specs = param_specs(imported.params, config, model_axis)
+    x_sharding = NamedSharding(mesh, P(data_axis, None))
+    params_shardings = {
+        name: NamedSharding(mesh, spec) for name, spec in p_specs.items()
+    }
+    out_shardings = (
+        NamedSharding(mesh, P(data_axis, None)),  # conf
+        NamedSharding(mesh, P(data_axis, None)),  # idx
+        NamedSharding(mesh, P(data_axis, model_axis)),  # logits stay sharded
+    )
+
+    def program(params, x):
+        outs = forward(params, x)
+        logits = outs[logits_index]
+        vals, idx = jax.lax.top_k(logits, k)
+        return jax.nn.sigmoid(vals), idx, logits
+
+    fn = jax.jit(
+        program,
+        in_shardings=(params_shardings, x_sharding),
+        out_shardings=out_shardings,
+    )
+
+    def shard_inputs(params, x):
+        sharded_params = {
+            name: jax.device_put(p, params_shardings[name])
+            for name, p in params.items()
+        }
+        return sharded_params, jax.device_put(jnp.asarray(x), x_sharding)
+
+    return fn, shard_inputs

@@ -68,6 +68,12 @@ def _load_native():
             ctypes.c_int64,
         ]
         lib.wav_read_f32.restype = ctypes.c_int
+        lib.wav_read_i16.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64,
+        ]
+        lib.wav_read_i16.restype = ctypes.c_int
         return lib
     except OSError:
         return None
@@ -136,14 +142,17 @@ def _read_wav_python(path: str) -> Tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 
-def read_wav(path) -> Tuple[np.ndarray, int, float]:
+def read_wav(path, dtype="float32") -> Tuple[np.ndarray, int, float]:
     """Read a mono 16-bit PCM WAV file.
 
-    Returns ``(samples float32 in [-1, 1), sample_rate, duration_seconds)``.
+    Returns ``(samples, sample_rate, duration_seconds)``. ``dtype``:
+    ``float32`` (samples scaled to [-1, 1)) or ``int16`` (raw PCM — half the
+    bytes; the streaming engine scales on-device).
     Raises :class:`AudioFormatError` for stereo / non-16-bit / float formats,
     :class:`AudioReadError` for missing or corrupt files.
     """
     path = str(path)
+    want_i16 = np.dtype(dtype) == np.int16
     if _native is not None:
         info = _WavInfo()
         rc = _native.wav_info(path.encode(), ctypes.byref(info))
@@ -155,15 +164,27 @@ def read_wav(path) -> Tuple[np.ndarray, int, float]:
             raise AudioFormatError("expected mono audio, got multiple channels")
         if info.bits_per_sample != 16:
             raise AudioFormatError("expected 16-bit samples")
-        out = np.empty(info.n_samples, dtype=np.float32)
-        rc = _native.wav_read_f32(
-            path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), info.n_samples
-        )
+        if want_i16:
+            out = np.empty(info.n_samples, dtype=np.int16)
+            rc = _native.wav_read_i16(
+                path.encode(),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                info.n_samples,
+            )
+        else:
+            out = np.empty(info.n_samples, dtype=np.float32)
+            rc = _native.wav_read_f32(
+                path.encode(),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                info.n_samples,
+            )
         if rc != 0:
             _raise_native(path, rc)
         samples, rate = out, int(info.sample_rate)
     else:
         samples, rate = _read_wav_python(path)
+        if want_i16:
+            samples = np.clip(samples * 32768.0, -32768, 32767).astype(np.int16)
     duration = len(samples) / rate if rate else 0.0
     return samples, rate, duration
 

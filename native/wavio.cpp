@@ -120,4 +120,24 @@ int wav_read_f32(const char* path, float* out, int64_t n) {
   return WAV_OK;
 }
 
+// Read mono 16-bit PCM samples raw (no float conversion) — callers can ship
+// int16 straight to the accelerator and scale on-device (half the transfer
+// bytes of float32).
+int wav_read_i16(const char* path, int16_t* out, int64_t n) {
+  WavInfo info;
+  int rc = wav_info(path, &info);
+  if (rc != WAV_OK) return rc;
+  if (info.format != 1) return WAV_ERR_NOT_PCM;
+  if (info.channels != 1) return WAV_ERR_NOT_MONO;
+  if (info.bits_per_sample != 16) return WAV_ERR_NOT_16BIT;
+  if (n > info.n_samples) n = info.n_samples;
+
+  FILE* f = fopen(path, "rb");
+  if (!f) return WAV_ERR_OPEN;
+  std::unique_ptr<FILE, int (*)(FILE*)> guard(f, fclose);
+  if (fseek(f, (long)info.data_offset, SEEK_SET) != 0) return WAV_ERR_TRUNCATED;
+  size_t got = fread(out, sizeof(int16_t), (size_t)n, f);
+  return got == (size_t)n ? WAV_OK : WAV_ERR_TRUNCATED;
+}
+
 }  // extern "C"

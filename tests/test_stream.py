@@ -1,0 +1,105 @@
+"""Streaming whole-recording path tests: must match the batch oracle."""
+
+import numpy as np
+import pytest
+
+import birdnet_tpu.errors as E
+from birdnet_tpu import Classifier
+
+
+LABELS = [f"species_{i}" for i in range(10)]
+
+
+@pytest.fixture(scope="module")
+def clf(tmp_path_factory):
+    from birdnet_tpu.models import birdnet_v24
+
+    p = tmp_path_factory.mktemp("models") / "v24_tiny.onnx"
+    birdnet_v24.save_tiny(p, num_species=10)
+    return (
+        Classifier.builder().model_path(p).labels(LABELS).top_k(3).build()
+    )
+
+
+def _audio(seconds, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(48_000 * seconds)
+    return (0.3 * np.sin(2 * np.pi * 800 * np.arange(n) / 48_000)
+            + 0.05 * rng.normal(size=n)).astype(np.float32)
+
+
+def _oracle(clf, samples, overlap):
+    from birdnet_tpu.utils.audio_io import chunk_audio
+
+    segs, times = chunk_audio(samples, clf.config.sample_count, overlap, 48_000)
+    results = clf.predict_batch(segs)
+    return times, results
+
+
+@pytest.mark.parametrize("seconds,overlap", [(9.0, 0.0), (7.5, 0.0), (10.0, 1.5)])
+def test_stream_matches_batch_oracle(clf, seconds, overlap):
+    samples = _audio(seconds)
+    stream = clf.analyze_samples(samples, overlap_seconds=overlap)
+    times, oracle = _oracle(clf, samples, overlap)
+    assert len(stream) == len(oracle)
+    for (t, preds), t_ref, ref in zip(stream, times, oracle):
+        assert t == pytest.approx(t_ref)
+        assert [p.index for p in preds] == [p.index for p in ref.predictions]
+        for a, b in zip(preds, ref.predictions):
+            assert a.confidence == pytest.approx(b.confidence, rel=1e-3, abs=1e-4)
+            assert a.species == b.species
+
+
+def test_stream_int16_input(clf):
+    samples = _audio(6.0)
+    i16 = (np.clip(samples, -1, 1 - 1 / 32768) * 32768).astype(np.int16)
+    stream_i16 = clf.analyze_samples(i16)
+    stream_f32 = clf.analyze_samples(i16.astype(np.float32) / 32768.0)
+    assert len(stream_i16) == len(stream_f32)
+    for (t1, p1), (t2, p2) in zip(stream_i16, stream_f32):
+        assert [p.index for p in p1] == [p.index for p in p2]
+        for a, b in zip(p1, p2):
+            assert a.confidence == pytest.approx(b.confidence, rel=1e-4)
+
+
+def test_stream_multiple_superchunks(clf, monkeypatch):
+    """Recording longer than one superchunk splits + reassembles correctly."""
+    import birdnet_tpu.compiler.stream as stream_mod
+
+    eng = clf._streaming_engine()
+    # Shrink the superchunk so a short file spans several dispatches.
+    monkeypatch.setattr(stream_mod, "MAX_TILES", 2)
+    monkeypatch.setattr(stream_mod, "_TILE_BUCKETS", (1, 2))
+    samples = _audio(40.0)  # 14 segments → 4 chunks of ≤4 (tile=32… tile)
+    eng.tile = 2  # 2 segments per tile → chunks of 4 segments
+    eng._compiled.clear()
+    stream = clf.analyze_samples(samples)
+    times, oracle = _oracle(clf, samples, 0.0)
+    assert len(stream) == len(oracle)
+    for (t, preds), ref in zip(stream, oracle):
+        assert [p.index for p in preds] == [p.index for p in ref.predictions]
+
+
+def test_stream_empty(clf):
+    assert clf.analyze_samples(np.zeros(0, np.float32)) == []
+
+
+def test_stream_overlap_too_large(clf):
+    with pytest.raises(E.InferenceError):
+        clf.analyze_samples(_audio(5.0), overlap_seconds=3.0)
+
+
+def test_stream_min_confidence(tmp_path):
+    from birdnet_tpu.models import birdnet_v24
+
+    p = tmp_path / "m.onnx"
+    birdnet_v24.save_tiny(p, num_species=10)
+    clf = (
+        Classifier.builder()
+        .model_path(p)
+        .labels(LABELS)
+        .min_confidence(0.999)
+        .build()
+    )
+    out = clf.analyze_samples(_audio(6.0))
+    assert all(preds == [] for _, preds in out)
