@@ -1,0 +1,79 @@
+"""Pallas fused-frontend kernel: semantics vs the numpy oracle.
+
+Runs in interpreter mode on CPU (the kernel's TPU compilation is blocked by
+Mosaic lane-tiling rules for arbitrary hop — see the module docstring)."""
+
+import numpy as np
+import pytest
+
+from birdnet_tpu.ops.pallas.frontend import (
+    frame_filterbank_logpower,
+    frontend_reference,
+)
+
+
+@pytest.mark.parametrize(
+    "S,hop,K,F,step,n_seg",
+    [
+        (4000, 280, 1024, 96, 3000, 4),   # overlapping segments
+        (4000, 280, 1024, 96, 4000, 3),   # zero overlap
+        (2048, 128, 512, 64, 1024, 5),    # aligned hop
+    ],
+)
+def test_kernel_matches_oracle(rng, S, hop, K, F, step, n_seg):
+    audio = rng.normal(size=(n_seg - 1) * step + S + 2 * hop).astype(np.float32)
+    w = (rng.normal(size=(F, K)) * 0.02).astype(np.float32)
+    ref = frontend_reference(
+        audio, w, n_segments=n_seg, step=step, sample_count=S, hop=hop, scale=1.0
+    )
+    out = np.asarray(
+        frame_filterbank_logpower(
+            audio, w, n_segments=n_seg, step=step, sample_count=S, hop=hop,
+            scale=1.0, interpret=True,
+        )
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_kernel_int16_dequant(rng):
+    S, hop, K, F, step, n_seg = 4000, 280, 1024, 96, 3000, 3
+    audio = rng.normal(size=(n_seg - 1) * step + S + 2 * hop)
+    i16 = (np.clip(audio, -1, 0.999) * 32768).astype(np.int16)
+    w = (rng.normal(size=(F, K)) * 0.02).astype(np.float32)
+    ref = frontend_reference(
+        i16, w, n_segments=n_seg, step=step, sample_count=S, hop=hop
+    )
+    out = np.asarray(
+        frame_filterbank_logpower(
+            i16, w, n_segments=n_seg, step=step, sample_count=S, hop=hop,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_kernel_conv_weight_layout(rng):
+    """[F, 1, K] Conv1d weight layout is accepted."""
+    S, hop, K, F, step, n_seg = 2048, 128, 512, 64, 2048, 2
+    audio = rng.normal(size=n_seg * S + 2 * hop).astype(np.float32)
+    w3 = (rng.normal(size=(F, 1, K)) * 0.02).astype(np.float32)
+    ref = frontend_reference(
+        audio, w3, n_segments=n_seg, step=step, sample_count=S, hop=hop, scale=1.0
+    )
+    out = np.asarray(
+        frame_filterbank_logpower(
+            audio, w3, n_segments=n_seg, step=step, sample_count=S, hop=hop,
+            scale=1.0, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_kernel_audio_too_short(rng):
+    with pytest.raises(ValueError):
+        frame_filterbank_logpower(
+            np.zeros(100, np.float32),
+            np.zeros((8, 64), np.float32),
+            n_segments=2, step=100, sample_count=128, hop=32, interpret=True,
+        )
