@@ -3,6 +3,7 @@
 from .sharding import (  # noqa: F401
     make_mesh,
     make_sharded_program,
+    make_sharded_stream_program,
     param_specs,
     shard_params,
 )

@@ -134,3 +134,88 @@ def make_sharded_program(
         return sharded_params, jax.device_put(jnp.asarray(x), x_sharding)
 
     return fn, shard_inputs
+
+
+def make_sharded_stream_program(
+    imported,
+    config: ModelConfig,
+    mesh: Mesh,
+    n_tiles: int,
+    step: int,
+    tile: int = 128,
+    top_k: int = 10,
+    precision: str = "fp32",
+    data_axis: str = "data",
+    model_axis: str = "model",
+    audio_dtype=None,
+):
+    """Multi-chip version of the streaming whole-recording program
+    (compiler/stream.py): one ``lax.scan`` over batch tiles where each
+    tile's segment batch shards over the ``data`` axis and the classifier
+    head shards over ``model``.
+
+    Audio is replicated (cheap: int16 ≤ ~350 MB/hour) so overlapping
+    segments never cross shard boundaries; the per-tile frames matrix gets a
+    sharding constraint and XLA partitions everything downstream, placing
+    the top-K candidate all-gather on ICI.
+
+    Returns ``(fn, shard_inputs)``; ``fn(params, audio) → (conf [N, K],
+    idx [N, K])``. ``tile`` must be divisible by the data-axis size.
+    """
+    import numpy as np
+
+    from ..compiler.importer import make_forward
+    from .._demux import demux_indices
+
+    forward = make_forward(imported, precision=precision)
+    logits_index, _ = demux_indices(config.model_type)
+    k = max(1, min(top_k, config.num_species))
+    S = config.sample_count
+    span = (tile - 1) * step + S
+
+    p_specs = param_specs(imported.params, config, model_axis)
+    params_shardings = {
+        name: NamedSharding(mesh, spec) for name, spec in p_specs.items()
+    }
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(data_axis, None))
+
+    def program(params, audio):
+        if audio.dtype != jnp.float32:
+            audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+
+        def body(_, tile_idx):
+            sp = jax.lax.dynamic_slice(audio, (tile_idx * tile * step,), (span,))
+            if step == S:
+                frames = sp.reshape(tile, S)
+            else:
+                frames = jnp.stack(
+                    [jax.lax.slice_in_dim(sp, i * step, i * step + S) for i in range(tile)]
+                )
+            frames = jax.lax.with_sharding_constraint(frames, batch_sharded)
+            logits = forward(params, frames)[logits_index]
+            vals, idx = jax.lax.top_k(logits, k)
+            return None, (jax.nn.sigmoid(vals), idx.astype(jnp.int32))
+
+        _, (conf, idx) = jax.lax.scan(body, None, jnp.arange(n_tiles))
+        return conf.reshape(-1, k), idx.reshape(-1, k)
+
+    fn = jax.jit(
+        program,
+        in_shardings=(params_shardings, replicated),
+        out_shardings=(batch_sharded, batch_sharded),
+    )
+
+    def shard_inputs(params, audio):
+        sharded_params = {
+            name: jax.device_put(p, params_shardings[name])
+            for name, p in params.items()
+        }
+        audio = np.asarray(audio)
+        need = (n_tiles * tile - 1) * step + S
+        if audio.shape[0] < need:
+            pad = np.zeros(need - audio.shape[0], dtype=audio.dtype)
+            audio = np.concatenate([audio, pad])
+        return sharded_params, jax.device_put(audio[:need], replicated)
+
+    return fn, shard_inputs

@@ -65,6 +65,53 @@ def test_sharded_program_matches_single_device(tiny_v24, shape):
     np.testing.assert_array_equal(np.asarray(idx), ref_top)
 
 
+@pytest.mark.parametrize("step_frac,shape", [(1.0, (4, 2)), (0.5, (8, 1))])
+def test_sharded_stream_matches_oracle(tiny_v24, step_frac, shape):
+    from birdnet_tpu.parallel import make_sharded_stream_program
+
+    imp, cfg = tiny_v24
+    mesh = make_mesh(shape=shape)
+    tile = shape[0] * 2
+    n_tiles = 3
+    step = int(cfg.sample_count * step_frac)
+    fn, shard_inputs = make_sharded_stream_program(
+        imp, cfg, mesh, n_tiles=n_tiles, step=step, tile=tile, top_k=4
+    )
+    n_seg = n_tiles * tile
+    rng_l = np.random.default_rng(7)
+    audio = rng_l.normal(size=(n_seg - 1) * step + cfg.sample_count).astype(np.float32)
+    params, audio_d = shard_inputs(imp.params, audio)
+    conf, idx = fn(params, audio_d)
+    assert conf.shape == (n_seg, 4)
+
+    # oracle: single-device per-segment batches
+    from birdnet_tpu.compiler.importer import make_forward
+
+    fwd = make_forward(imp)
+    frames = np.stack(
+        [audio[i * step: i * step + cfg.sample_count] for i in range(n_seg)]
+    )
+    ref_logits = np.asarray(jax.jit(fwd)(imp.params, frames)[0])
+    ref_idx = np.argsort(ref_logits, axis=1)[:, ::-1][:, :4]
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    ref_conf = 1.0 / (1.0 + np.exp(-np.take_along_axis(ref_logits, ref_idx, 1)))
+    np.testing.assert_allclose(np.asarray(conf), ref_conf, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_stream_int16(tiny_v24):
+    from birdnet_tpu.parallel import make_sharded_stream_program
+
+    imp, cfg = tiny_v24
+    mesh = make_mesh(shape=(4, 2))
+    fn, shard_inputs = make_sharded_stream_program(
+        imp, cfg, mesh, n_tiles=2, step=cfg.sample_count, tile=8, top_k=3,
+    )
+    audio = (np.random.default_rng(0).normal(size=16 * cfg.sample_count) * 3000).astype(np.int16)
+    params, audio_d = shard_inputs(imp.params, audio)
+    conf, idx = fn(params, audio_d)
+    assert conf.shape == (16, 3)
+
+
 def test_sharded_program_collectives_on_device_mesh(tiny_v24):
     """Logits stay sharded over the model axis; top-k gathers only B×K."""
     imp, cfg = tiny_v24
