@@ -1,0 +1,100 @@
+"""Compiled-model checkpointing: fast native weight cache.
+
+The reference's nearest concept is the persisted TensorRT engine + timing
+cache (reference: src/tensorrt_config.rs:221-267, 384 s → 9 s session
+creation). Here the XLA side is already covered by the persistent
+compilation cache (runtime.py); this module covers the *weights*: ONNX
+protobuf decode + import-time optimization (Conv+BN folding) runs once, and
+the resulting params pytree + graph are saved as a ``.btck`` checkpoint
+(numpy ``.npz`` + the optimized graph bytes) that loads several times faster
+than re-importing the ONNX file — the ONNX → pytree "serialized once"
+conversion of SURVEY §5.4.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from typing import Union
+
+import numpy as np
+
+from .compiler.importer import ImportedModel
+from .errors import ModelLoadError
+from .onnx import proto as onnx_proto
+
+_FORMAT_VERSION = 1
+
+
+def save_checkpoint(model: ImportedModel, path) -> None:
+    """Serialize an imported (already optimized) model."""
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "opset": model.opset,
+        "input_names": model.input_names,
+        "input_shapes": model.input_shapes,
+        "output_names": model.output_names,
+        "output_shapes": model.output_shapes,
+        "param_names": sorted(model.params),
+        "const_names": sorted(model.consts),
+    }
+    graph_bytes = onnx_proto.encode_graph(model.graph)
+    with zipfile.ZipFile(str(path), "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("manifest.json", json.dumps(manifest))
+        zf.writestr("graph.pb", graph_bytes)
+        buf = io.BytesIO()
+        np.savez(buf, **{f"p/{k}": v for k, v in model.params.items()},
+                 **{f"c/{k}": v for k, v in model.consts.items()})
+        zf.writestr("tensors.npz", buf.getvalue())
+
+
+def load_checkpoint(path) -> ImportedModel:
+    """Load a ``.btck`` checkpoint back into an ImportedModel."""
+    try:
+        with zipfile.ZipFile(str(path), "r") as zf:
+            manifest = json.loads(zf.read("manifest.json"))
+            if manifest.get("format_version") != _FORMAT_VERSION:
+                raise ModelLoadError(
+                    f"unsupported checkpoint version {manifest.get('format_version')}"
+                )
+            graph_bytes = zf.read("graph.pb")
+            with np.load(io.BytesIO(zf.read("tensors.npz"))) as npz:
+                params = {
+                    k[2:]: npz[k] for k in npz.files if k.startswith("p/")
+                }
+                consts = {
+                    k[2:]: npz[k] for k in npz.files if k.startswith("c/")
+                }
+    except (OSError, KeyError, zipfile.BadZipFile, json.JSONDecodeError) as e:
+        raise ModelLoadError(f"invalid checkpoint: {e}") from e
+
+    graph = onnx_proto.decode_graph(memoryview(graph_bytes), 0, len(graph_bytes))
+    return ImportedModel(
+        graph=graph,
+        opset=manifest["opset"],
+        params=params,
+        consts=consts,
+        input_names=manifest["input_names"],
+        input_shapes=manifest["input_shapes"],
+        output_names=manifest["output_names"],
+        output_shapes=manifest["output_shapes"],
+    )
+
+
+def import_any(source: Union[str, bytes]) -> ImportedModel:
+    """Load a model from an ONNX file or a ``.btck`` checkpoint by sniffing
+    the format (zip magic = checkpoint)."""
+    from .compiler.importer import import_onnx
+
+    if isinstance(source, (bytes, bytearray)):
+        return import_onnx(source)
+    path = str(source)
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(4)
+    except OSError as e:
+        raise ModelLoadError(str(e)) from e
+    if magic[:2] == b"PK":
+        return load_checkpoint(path)
+    return import_onnx(path)

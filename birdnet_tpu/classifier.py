@@ -28,8 +28,7 @@ from typing import List, Optional, Sequence, Union
 import numpy as np
 
 from .batch_context import BatchInferenceContext
-from .compiler.engine import InferenceEngine, _bucket
-from .compiler.importer import import_onnx
+from .compiler.engine import InferenceEngine
 from .detection import detect_model_type
 from .device_config import CPUConfig, TPUConfig
 from .errors import (
@@ -145,7 +144,9 @@ class ClassifierBuilder:
             else None
         )
 
-        imported = import_onnx(self._model_path)
+        from .checkpoint import import_any
+
+        imported = import_any(self._model_path)
         input_shape, output_shapes = imported.detection_shapes()
         config = detect_model_type(input_shape, output_shapes, self._model_type)
 
@@ -327,6 +328,14 @@ class Classifier:
             )
             for i in range(b)
         ]
+
+    def save_checkpoint(self, path) -> None:
+        """Persist the imported (optimized) weights as a fast-loading
+        ``.btck`` checkpoint; pass its path to ``model_path`` later (the
+        ONNX → pytree serialize-once conversion, SURVEY §5.4)."""
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(self._imported, path)
 
     # -- streaming whole-recording path --------------------------------------
 

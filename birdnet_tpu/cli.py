@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Disable the streaming on-device pipeline (use per-batch host chunking)",
     )
     p.add_argument("-v", "--verbose", action="store_true", help="Enable verbose logging")
+    p.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="Capture a jax.profiler trace of the analysis into DIR",
+    )
     return p
 
 
@@ -298,6 +304,18 @@ def run_with_args(args: argparse.Namespace) -> int:
         )
         print(f"{format_time(float(offset))}  {preds}")
 
+    profile_ctx = None
+    if args.profile:
+        from .utils.profiling import trace
+
+        profile_ctx = trace(args.profile)
+        profile_ctx.__enter__()
+        _debug(args.verbose, f"Profiling to {args.profile}")
+
+    def _stop_profile() -> None:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+
     start_time = time.monotonic()
 
     if use_stream:
@@ -310,6 +328,7 @@ def run_with_args(args: argparse.Namespace) -> int:
             samples, args.overlap, options
         ):
             _emit(offset, predictions)
+        _stop_profile()
         elapsed = time.monotonic() - start_time
         segments_per_sec = segment_count / elapsed if elapsed > 0 else 0.0
         x_realtime = duration_secs / elapsed if elapsed > 0 else 0.0
@@ -349,6 +368,7 @@ def run_with_args(args: argparse.Namespace) -> int:
         for offset, result in zip(start_times[lo:hi], results):
             _emit(float(offset), result.predictions)
 
+    _stop_profile()
     elapsed = time.monotonic() - start_time
     segments_per_sec = segment_count / elapsed if elapsed > 0 else 0.0
     x_realtime = duration_secs / elapsed if elapsed > 0 else 0.0

@@ -179,10 +179,15 @@ class InferenceEngine:
         if b < bkt:
             pad = np.zeros((bkt - b, segments.shape[1]), dtype=np.float32)
             segments = np.concatenate([segments, pad], axis=0)
-        x = jax.device_put(segments, self.device)
-        conf, idx, logits, emb = fn(self.params, x)
-        results = [r for r in (conf, idx, logits, emb) if r is not None]
-        _wait(results, options)
+        try:
+            x = jax.device_put(segments, self.device)
+            conf, idx, logits, emb = fn(self.params, x)
+            results = [r for r in (conf, idx, logits, emb) if r is not None]
+            _wait(results, options)
+        except (InferenceCancelledError, InferenceTimeoutError):
+            raise
+        except Exception as e:  # noqa: BLE001 - XLA runtime failures (OOM, …)
+            raise InferenceError(str(e)) from e
         conf = np.asarray(conf)[:b]
         idx = np.asarray(idx)[:b]
         logits = np.asarray(logits)[:b]

@@ -1,0 +1,64 @@
+"""Checkpoint (fast weight cache) tests."""
+
+import numpy as np
+import pytest
+
+from birdnet_tpu import Classifier
+from birdnet_tpu.checkpoint import import_any, load_checkpoint, save_checkpoint
+from birdnet_tpu.compiler.importer import import_onnx
+from birdnet_tpu.errors import ModelLoadError
+from birdnet_tpu.testutil import mock_labels, sine_segment
+
+
+@pytest.fixture(scope="module")
+def tiny_model_path(tmp_path_factory):
+    from birdnet_tpu.models import birdnet_v24
+
+    p = tmp_path_factory.mktemp("ck") / "v24.onnx"
+    birdnet_v24.save_tiny(p, num_species=10)
+    return str(p)
+
+
+def test_roundtrip(tiny_model_path, tmp_path):
+    imp = import_onnx(tiny_model_path)
+    ck = tmp_path / "model.btck"
+    save_checkpoint(imp, ck)
+    back = load_checkpoint(ck)
+    assert back.opset == imp.opset
+    assert back.input_shapes == imp.input_shapes
+    assert back.output_names == imp.output_names
+    assert set(back.params) == set(imp.params)
+    for k in imp.params:
+        np.testing.assert_array_equal(back.params[k], imp.params[k])
+    for k in imp.consts:
+        np.testing.assert_array_equal(back.consts[k], imp.consts[k])
+    assert [n.op_type for n in back.graph.node] == [
+        n.op_type for n in imp.graph.node
+    ]
+
+
+def test_classifier_from_checkpoint_matches_onnx(tiny_model_path, tmp_path):
+    labels = mock_labels(10)
+    clf = Classifier.builder().model_path(tiny_model_path).labels(labels).build()
+    ck = tmp_path / "model.btck"
+    clf.save_checkpoint(ck)
+    clf2 = Classifier.builder().model_path(ck).labels(labels).build()
+    seg = sine_segment()
+    r1 = clf.predict(seg)
+    r2 = clf2.predict(seg)
+    np.testing.assert_array_equal(r1.raw_scores, r2.raw_scores)
+
+
+def test_import_any_sniffs(tiny_model_path, tmp_path):
+    imp = import_any(tiny_model_path)  # onnx
+    ck = tmp_path / "model.btck"
+    save_checkpoint(imp, ck)
+    imp2 = import_any(ck)  # checkpoint
+    assert imp2.output_names == imp.output_names
+
+
+def test_bad_checkpoint(tmp_path):
+    p = tmp_path / "junk.btck"
+    p.write_bytes(b"PK\x03\x04 but not a zip really")
+    with pytest.raises(ModelLoadError):
+        import_any(p)
