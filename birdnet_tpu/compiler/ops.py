@@ -1024,6 +1024,83 @@ def _resize(ctx, x, roi=None, scales=None, sizes=None):
     return [jax.image.resize(x, out_shape, method=method).astype(x.dtype)]
 
 
+@op("HannWindow", "HammingWindow", "BlackmanWindow")
+def _window(ctx, size):
+    n = _static_int(size, f"{ctx.op_type} size")
+    periodic = int(ctx.attr("periodic", 1))
+    dtype = _ONNX_TO_NP[int(ctx.attr("output_datatype", 1))]
+    denom = n if periodic else n - 1
+    k = np.arange(n, dtype=np.float64)
+    w = 2.0 * np.pi * k / denom
+    if ctx.op_type == "HannWindow":
+        out = 0.5 - 0.5 * np.cos(w)
+    elif ctx.op_type == "HammingWindow":
+        out = 25.0 / 46.0 - (21.0 / 46.0) * np.cos(w)
+    else:  # BlackmanWindow
+        out = 0.42 - 0.5 * np.cos(w) + 0.08 * np.cos(2.0 * w)
+    return [np.asarray(out).astype(np.dtype(dtype))]
+
+
+@op("MelWeightMatrix")
+def _mel_weight_matrix(ctx, num_mel_bins, dft_length, sample_rate,
+                       lower_edge_hertz, upper_edge_hertz):
+    """Triangular mel filterbank per the ONNX spec (HTK mel scale)."""
+    m = _static_int(num_mel_bins, "num_mel_bins")
+    dft = _static_int(dft_length, "dft_length")
+    sr = _static_int(sample_rate, "sample_rate")
+    lo = float(np.asarray(lower_edge_hertz).reshape(-1)[0])
+    hi = float(np.asarray(upper_edge_hertz).reshape(-1)[0])
+    dtype = _ONNX_TO_NP[int(ctx.attr("output_datatype", 1))]
+    n_bins = dft // 2 + 1
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    mel_edges = np.linspace(hz_to_mel(lo), hz_to_mel(hi), m + 2)
+    bin_freqs = np.arange(n_bins, dtype=np.float64) * sr / dft
+    bin_mels = hz_to_mel(bin_freqs)
+    lower = mel_edges[:-2][None, :]
+    center = mel_edges[1:-1][None, :]
+    upper = mel_edges[2:][None, :]
+    bm = bin_mels[:, None]
+    up_slope = (bm - lower) / np.maximum(center - lower, 1e-12)
+    down_slope = (upper - bm) / np.maximum(upper - center, 1e-12)
+    weights = np.maximum(0.0, np.minimum(up_slope, down_slope))
+    return [np.asarray(weights).astype(np.dtype(dtype))]
+
+
+@op("STFT")
+def _stft(ctx, signal, frame_step, window=None, frame_length=None):
+    """Short-time Fourier transform (ONNX opset 17).
+
+    ``signal``: [B, L] or [B, L, 1] real. Output: [B, frames, bins, 2]
+    (real/imag), ``bins = frame_length//2 + 1`` when onesided.
+    """
+    x = jnp.asarray(signal)
+    if x.ndim == 3:
+        if x.shape[2] != 1:
+            raise NotImplementedError("complex STFT input not supported")
+        x = x[:, :, 0]
+    step = _static_int(frame_step, "STFT frame_step")
+    if frame_length is not None:
+        flen = _static_int(frame_length, "STFT frame_length")
+    elif window is not None:
+        flen = int(jnp.shape(window)[0])  # shape is static even when traced
+    else:
+        raise ValueError("STFT needs frame_length or window")
+    onesided = int(ctx.attr("onesided", 1))
+    n_frames = (x.shape[1] - flen) // step + 1
+    idx = np.arange(n_frames)[:, None] * step + np.arange(flen)[None, :]
+    frames = x[:, idx]  # [B, frames, flen]
+    if window is not None:
+        frames = frames * jnp.asarray(window).astype(frames.dtype)
+    if onesided:
+        spec = jnp.fft.rfft(frames, axis=-1)
+    else:
+        spec = jnp.fft.fft(frames, axis=-1)
+    return [jnp.stack([spec.real, spec.imag], axis=-1).astype(x.dtype)]
+
+
 @op("DepthToSpace")
 def _depth_to_space(ctx, x):
     x = jnp.asarray(x)

@@ -180,6 +180,47 @@ class GraphBuilder:
         return P.make_model(graph, opset_version=opset)
 
 
+def stft_mel_frontend(
+    gb: GraphBuilder,
+    x: str,
+    n_samples: int,
+    sample_rate: int,
+    n_fft: int = 1024,
+    hop: int = 280,
+    n_mels: int = 96,
+    fmin: float = 150.0,
+    fmax: float = 15_000.0,
+) -> tuple:
+    """In-graph spectrogram frontend using the ONNX signal ops (STFT →
+    power → MelWeightMatrix projection → log), the way TF-exported BirdNET
+    graphs express it. Returns ([N, 1, n_mels, T], T)."""
+    t = (n_samples - n_fft) // hop + 1
+    window = (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)).astype(np.float32)
+    win = gb.add_init(gb.fresh("hann"), window)
+    step = gb.add_init(gb.fresh("step"), np.array(hop, dtype=np.int64))
+    spec = gb.node("STFT", [x, step, win], onesided=1)  # [N, T, bins, 2]
+    power = gb.node("ReduceSumSquare", [spec], axes=[-1], keepdims=0)  # [N, T, bins]
+    mel = gb.node(
+        "MelWeightMatrix",
+        [
+            gb.add_init(gb.fresh("nmel"), np.array(n_mels, dtype=np.int64)),
+            gb.add_init(gb.fresh("dft"), np.array(n_fft, dtype=np.int64)),
+            gb.add_init(gb.fresh("sr"), np.array(sample_rate, dtype=np.int64)),
+            gb.add_init(gb.fresh("fmin"), np.array(fmin, dtype=np.float32)),
+            gb.add_init(gb.fresh("fmax"), np.array(fmax, dtype=np.float32)),
+        ],
+    )  # [bins, n_mels]
+    melspec = gb.node("MatMul", [power, mel])  # [N, T, n_mels]
+    eps = gb.add_init(gb.fresh("eps"), np.array(1e-6, dtype=np.float32))
+    logmel = gb.node("Log", [gb.node("Add", [melspec, eps])])
+    # [N, T, M] -> [N, 1, M, T]
+    tr = gb.node("Transpose", [logmel], perm=[0, 2, 1])
+    img = gb.node(
+        "Unsqueeze", [tr, gb.add_init(gb.fresh("axes"), np.array([1], dtype=np.int64))]
+    )
+    return img, t
+
+
 def learned_frontend(
     gb: GraphBuilder,
     x: str,

@@ -14,7 +14,7 @@ weight footprint (reference: docs/gpu-batch-optimization.md:222).
 from __future__ import annotations
 
 from ..onnx import proto as P
-from ._builder import GraphBuilder, learned_frontend
+from ._builder import GraphBuilder, learned_frontend, stft_mel_frontend
 
 SAMPLE_COUNT = 144_000
 NUM_SPECIES = 6522
@@ -26,10 +26,13 @@ def build_model(
     depth: int = 2,
     seed: int = 0,
     batch_dim="batch",
+    frontend: str = "conv",
 ) -> P.ModelProto:
     """Build a BirdNET v2.4-shaped ModelProto with random weights.
 
-    ``width`` scales channel counts; ``depth`` is blocks per stage. The
+    ``width`` scales channel counts; ``depth`` is blocks per stage;
+    ``frontend`` is ``conv`` (learned filterbank as strided Conv1d) or
+    ``stft`` (ONNX STFT + MelWeightMatrix, the TF-export style). The
     default configuration is the benchmark model; ``save_tiny`` makes a
     seconds-fast variant for unit tests.
     """
@@ -38,7 +41,12 @@ def build_model(
     def ch(c):
         return max(8, int(c * width) // 8 * 8)
 
-    img, _t = learned_frontend(gb, "input", SAMPLE_COUNT, n_filters=96)
+    if frontend == "stft":
+        img, _t = stft_mel_frontend(
+            gb, "input", SAMPLE_COUNT, sample_rate=48_000, n_mels=96
+        )
+    else:
+        img, _t = learned_frontend(gb, "input", SAMPLE_COUNT, n_filters=96)
 
     # Stem: [N,1,96,511] -> [N,ch32,48,256]
     x = gb.conv_bn_act(img, 1, ch(32), [3, 3], strides=[2, 2])
