@@ -383,6 +383,22 @@ class Classifier:
             out.append((float(times[i]), preds))
         return out
 
+    def embed_samples(
+        self,
+        samples,
+        overlap_seconds: float = 0.0,
+        options: Optional[InferenceOptions] = None,
+    ):
+        """Bulk embedding extraction over a full recording (v3.0/Perch):
+        streams audio through the device pipeline and returns
+        ``(embeddings [N, E], start_times [N])`` — the scale-out version of
+        the per-segment ``PredictionResult.embeddings``."""
+        eng = self._streaming_engine()
+        _, _, times, emb = eng.analyze(
+            samples, overlap_seconds, options, with_embeddings=True
+        )
+        return emb, times
+
     # -- helpers -------------------------------------------------------------
 
     def _result(self, conf, idx, logits, emb) -> PredictionResult:

@@ -84,14 +84,15 @@ class StreamingEngine:
         self.params = (
             params if params is not None else jax.device_put(imported.params, self.device)
         )
-        self.logits_index, _ = demux_indices(config.model_type)
+        self.logits_index, self.embed_index = demux_indices(config.model_type)
         self._compiled: Dict[Tuple, object] = {}
         self._lock = threading.Lock()
 
     # -- program ---------------------------------------------------------
 
-    def _compile(self, n_tiles: int, step: int, dtype) -> object:
-        key = (n_tiles, step, np.dtype(dtype).name)
+    def _compile(self, n_tiles: int, step: int, dtype,
+                 with_embeddings: bool = False) -> object:
+        key = (n_tiles, step, np.dtype(dtype).name, with_embeddings)
         fn = self._compiled.get(key)
         if fn is not None:
             return fn
@@ -104,6 +105,7 @@ class StreamingEngine:
             k = self.top_k
             forward = self._forward
             logits_index = self.logits_index
+            embed_index = self.embed_index if with_embeddings else None
             span = (tile - 1) * step + S  # samples one tile's segments cover
             audio_len = (n_tiles * tile - 1) * step + S
 
@@ -121,12 +123,21 @@ class StreamingEngine:
                         frames = jnp.stack(
                             [lax.slice_in_dim(sp, i * step, i * step + S) for i in range(tile)]
                         )
-                    logits = forward(params, frames)[logits_index]
+                    outs = forward(params, frames)
+                    logits = outs[logits_index]
                     vals, idx = lax.top_k(logits, k)
-                    return None, (jax.nn.sigmoid(vals), idx.astype(jnp.int32))
+                    result = (jax.nn.sigmoid(vals), idx.astype(jnp.int32))
+                    if embed_index is not None:
+                        result = result + (outs[embed_index],)
+                    return None, result
 
-                _, (conf, idx) = lax.scan(body, None, jnp.arange(n_tiles))
-                return conf.reshape(-1, k), idx.reshape(-1, k)
+                _, results = lax.scan(body, None, jnp.arange(n_tiles))
+                conf, idx = results[0], results[1]
+                out = (conf.reshape(-1, k), idx.reshape(-1, k))
+                if embed_index is not None:
+                    emb = results[2]
+                    out = out + (emb.reshape((-1,) + emb.shape[2:]),)
+                return out
 
             jitted = jax.jit(program)
             sharding = jax.sharding.SingleDeviceSharding(self.device)
@@ -149,14 +160,21 @@ class StreamingEngine:
         samples: np.ndarray,
         overlap_seconds: float = 0.0,
         options: Optional[InferenceOptions] = None,
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        with_embeddings: bool = False,
+    ):
         """Classify every (overlapping) segment of ``samples``.
 
         ``samples``: 1-D float32 (or int16, uploaded raw and scaled
         on-device). Returns ``(confidences [N, K], indices [N, K],
-        start_times [N])`` with segments in file order — the streaming
-        equivalent of the reference CLI's chunk → predict_batch loop.
+        start_times [N])`` — plus ``embeddings [N, E]`` appended when
+        ``with_embeddings`` (v3.0/Perch only) — with segments in file
+        order: the streaming equivalent of the reference CLI's
+        chunk → predict_batch loop.
         """
+        if with_embeddings and self.embed_index is None:
+            raise InferenceError(
+                f"{self.config.model_type.display_name} does not produce embeddings"
+            )
         samples = np.asarray(samples)
         if samples.dtype not in (np.float32, np.int16):
             samples = samples.astype(np.float32)
@@ -169,11 +187,15 @@ class StreamingEngine:
         n_total = samples.shape[0]
         if n_total == 0:
             k = self.top_k
-            return (
+            empty = (
                 np.zeros((0, k), np.float32),
                 np.zeros((0, k), np.int32),
                 np.zeros(0),
             )
+            if with_embeddings:
+                e = self.config.embedding_dim or 0
+                empty = empty + (np.zeros((0, e), np.float32),)
+            return empty
         n_segments = -(-n_total // step)
         segs_per_chunk = MAX_TILES * self.tile
 
@@ -184,7 +206,7 @@ class StreamingEngine:
             seg1 = min(seg0 + segs_per_chunk, n_segments)
             n_seg = seg1 - seg0
             n_tiles = _bucket_tiles(-(-n_seg // self.tile))
-            fn = self._compile(n_tiles, step, samples.dtype)
+            fn = self._compile(n_tiles, step, samples.dtype, with_embeddings)
             audio_len = (n_tiles * self.tile - 1) * step + S
             lo = seg0 * step
             chunk = samples[lo:lo + audio_len]
@@ -192,20 +214,25 @@ class StreamingEngine:
                 pad = np.zeros(audio_len - chunk.shape[0], dtype=samples.dtype)
                 chunk = np.concatenate([chunk, pad])
             audio_d = jax.device_put(chunk, self.device)
-            conf, idx = fn(self.params, audio_d)
-            pending.append((conf, idx, n_seg))
+            outs = fn(self.params, audio_d)
+            pending.append((outs, n_seg))
             # Honor cancellation/timeout between dispatches (the reference
             # honors options between batches, birdnet-analyze.rs:562-610).
             if options is not None and options.needs_monitor() and len(pending) > 1:
-                _wait([pending[0][0], pending[0][1]], options)
+                _wait(list(pending[0][0]), options)
 
-        confs, idxs = [], []
-        for conf, idx, n_seg in pending:
-            _wait([conf, idx], options)
-            confs.append(np.asarray(conf)[:n_seg])
-            idxs.append(np.asarray(idx)[:n_seg])
+        collected = None
+        for outs, n_seg in pending:
+            _wait(list(outs), options)
+            arrays = [np.asarray(o)[:n_seg] for o in outs]
+            if collected is None:
+                collected = [[a] for a in arrays]
+            else:
+                for dest, a in zip(collected, arrays):
+                    dest.append(a)
         start_times = np.arange(n_segments, dtype=np.float64) * (step / rate)
-        return np.concatenate(confs), np.concatenate(idxs), start_times
+        result = tuple(np.concatenate(parts) for parts in collected)
+        return result[:2] + (start_times,) + result[2:]
 
     def warmup(self, n_tiles: int = MAX_TILES, overlap_seconds: float = 0.0,
                dtype=np.float32) -> None:

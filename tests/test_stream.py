@@ -103,3 +103,24 @@ def test_stream_min_confidence(tmp_path):
     )
     out = clf.analyze_samples(_audio(6.0))
     assert all(preds == [] for _, preds in out)
+
+
+def test_embed_samples_v30(tmp_path):
+    from birdnet_tpu.models import birdnet_v30
+
+    p = tmp_path / "v30.onnx"
+    birdnet_v30.save_tiny(p, num_species=10, embedding_dim=32)
+    clf = Classifier.builder().model_path(p).labels(LABELS).build()
+    audio = np.zeros(160_000 * 3, dtype=np.float32)
+    emb, times = clf.embed_samples(audio)
+    assert emb.shape == (3, 32)
+    assert list(times) == [0.0, 5.0, 10.0]
+    # matches the per-segment path
+    ref = clf.predict(audio[:160_000]).embeddings
+    np.testing.assert_allclose(emb[0], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_embed_samples_v24_rejected(clf):
+    with pytest.raises(E.InferenceError) as ei:
+        clf.embed_samples(np.zeros(144_000, np.float32))
+    assert "does not produce embeddings" in str(ei.value)
