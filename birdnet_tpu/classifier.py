@@ -23,7 +23,7 @@ TPU-native differences (by design, not omission):
 from __future__ import annotations
 
 import threading
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -39,9 +39,9 @@ from .errors import (
     ModelPathRequiredError,
 )
 from .inference_options import InferenceOptions
-from .labels import load_labels_from_file, parse_labels
+from .labels import load_labels_from_file
 from .postprocess import top_k_from_device
-from .types import LabelFormat, ModelConfig, ModelType, Prediction, PredictionResult
+from .types import ModelConfig, ModelType, PredictionResult
 
 
 class ClassifierBuilder:

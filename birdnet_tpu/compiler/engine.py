@@ -39,7 +39,7 @@ from ..errors import (
     InferenceTimeoutError,
 )
 from ..inference_options import InferenceOptions
-from ..types import ModelConfig, ModelType
+from ..types import ModelConfig
 from .importer import ImportedModel, make_forward
 
 from .._demux import demux_indices

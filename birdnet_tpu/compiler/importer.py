@@ -16,13 +16,13 @@ eager-JAX values during tracing, so ``Shape``/``Gather``/``Concat``/
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
 from ..errors import ModelLoadError
 from ..onnx import proto as onnx_proto
-from ..onnx.proto import GraphProto, ModelProto, NodeProto
+from ..onnx.proto import GraphProto, ModelProto
 from . import ops as op_registry
 
 # Float initializers become jit params; tiny ones (thresholds, exponents,

@@ -20,8 +20,7 @@ Conventions:
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from typing import Dict, List
 
 import numpy as np
 
-from ..onnx.proto import GraphProto, NodeProto, TensorProto
+from ..onnx.proto import GraphProto, NodeProto
 
 
 def _usage_counts(graph: GraphProto) -> Dict[str, int]:

@@ -8,7 +8,7 @@ validation path (detection.rs:83-145).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from .errors import ModelDetectionError
 from .types import ModelConfig, ModelType

@@ -15,7 +15,7 @@ src/tensorrt_config.rs:78-160).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 

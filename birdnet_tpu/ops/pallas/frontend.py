@@ -34,8 +34,6 @@ that are 128-aligned).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

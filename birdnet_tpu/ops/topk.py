@@ -11,7 +11,6 @@ when requested for ``PredictionResult.raw_scores`` parity).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 
 
