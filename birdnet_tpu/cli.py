@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Disable the streaming on-device pipeline (use per-batch host chunking)",
     )
+    p.add_argument(
+        "--precision",
+        choices=["fp32", "mixed", "fast", "bf16"],
+        default=None,
+        help="MXU precision policy (default: mixed on TPU, fp32 on CPU)",
+    )
     p.add_argument("-v", "--verbose", action="store_true", help="Enable verbose logging")
     p.add_argument(
         "--profile",
@@ -178,6 +184,8 @@ def run_with_args(args: argparse.Namespace) -> int:
     )
     if model_type_override is not None:
         builder = builder.model_type(model_type_override)
+    if args.precision:
+        builder = builder.precision(args.precision)
     if not is_cpu:
         builder = builder.with_device(device.platform)
     classifier = builder.build()

