@@ -122,14 +122,32 @@ def parse_model_type(arg: Optional[str]) -> Optional[ModelType]:
 
 
 def list_providers_and_exit() -> int:
+    """List device backends with availability, like the reference's provider
+    matrix (reference: birdnet-analyze.rs:157-245)."""
+    import jax
+
     from .runtime import available_devices
 
-    print("XLA runtime: jax")
+    print(f"XLA runtime: jax {jax.__version__}")
     print()
     devices = available_devices()
+    present = {i.backend.as_str for i in devices}
     print("Available devices:")
     for info in devices:
         print(f"  ✓ {info} - {info.description or info.backend.category}")
+    # Known backends that are not present in this process
+    descriptions = {
+        "TPU": "Google TPU acceleration",
+        "GPU": "GPU acceleration (CUDA/ROCm via jax plugin)",
+        "CPU": "Always available",
+    }
+    for name, desc in descriptions.items():
+        if name not in present and not any(name in p for p in present):
+            print(f"  ✗ {name} - {desc} (not available)")
+            print(
+                "    Reason: no such jax platform in this process "
+                "(plugin not installed or no hardware)"
+            )
     return 0
 
 
