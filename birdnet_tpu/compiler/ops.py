@@ -1030,6 +1030,113 @@ def _resize(ctx, x, roi=None, scales=None, sizes=None):
     return [jax.image.resize(x, out_shape, method=method).astype(x.dtype)]
 
 
+@op("Celu")
+def _celu(ctx, x):
+    alpha = float(ctx.attr("alpha", 1.0))
+    x = jnp.asarray(x)
+    return [jnp.maximum(x, 0) + jnp.minimum(0, alpha * jnp.expm1(x / alpha))]
+
+
+@op("ThresholdedRelu")
+def _thresholded_relu(ctx, x):
+    alpha = float(ctx.attr("alpha", 1.0))
+    x = jnp.asarray(x)
+    return [jnp.where(x > alpha, x, 0.0)]
+
+
+@op("Shrink")
+def _shrink(ctx, x):
+    lambd = float(ctx.attr("lambd", 0.5))
+    bias = float(ctx.attr("bias", 0.0))
+    x = jnp.asarray(x)
+    return [jnp.where(x < -lambd, x + bias, jnp.where(x > lambd, x - bias, 0.0))]
+
+
+@op("Trilu")
+def _trilu(ctx, x, k=None):
+    x = jnp.asarray(x)
+    kk = _static_int(k, "Trilu k") if k is not None else 0
+    upper = int(ctx.attr("upper", 1))
+    return [jnp.triu(x, kk) if upper else jnp.tril(x, kk)]
+
+
+@op("EyeLike")
+def _eyelike(ctx, x):
+    x = jnp.asarray(x)
+    dtype = ctx.attr("dtype")
+    dt = _ONNX_TO_NP[int(dtype)] if dtype is not None else x.dtype
+    kk = int(ctx.attr("k", 0))
+    return [jnp.eye(x.shape[0], x.shape[1], k=kk, dtype=dt)]
+
+
+@op("DequantizeLinear")
+def _dequantize_linear(ctx, x, scale, zero_point=None):
+    """QDQ dequantize: (x - zero_point) * scale, broadcast along ``axis``."""
+    x = jnp.asarray(x)
+    scale = jnp.asarray(scale)
+    axis = int(ctx.attr("axis", 1))
+    if scale.ndim == 1 and scale.shape[0] > 1:
+        shape = [1] * x.ndim
+        if axis < 0:
+            axis += x.ndim
+        shape[axis] = -1
+        scale = scale.reshape(shape)
+        if zero_point is not None:
+            zero_point = jnp.asarray(zero_point).reshape(shape)
+    xf = x.astype(jnp.float32)
+    if zero_point is not None:
+        xf = xf - jnp.asarray(zero_point).astype(jnp.float32)
+    return [xf * scale.astype(jnp.float32)]
+
+
+@op("QuantizeLinear")
+def _quantize_linear(ctx, x, scale, zero_point=None):
+    """QDQ quantize: saturating round(x / scale) + zero_point."""
+    x = jnp.asarray(x).astype(jnp.float32)
+    scale = jnp.asarray(scale).astype(jnp.float32)
+    axis = int(ctx.attr("axis", 1))
+    if scale.ndim == 1 and scale.shape[0] > 1:
+        shape = [1] * x.ndim
+        if axis < 0:
+            axis += x.ndim
+        shape[axis] = -1
+        scale = scale.reshape(shape)
+    q = jnp.round(x / scale)
+    if zero_point is not None:
+        zp = jnp.asarray(zero_point)
+        if zp.ndim == 1 and zp.shape[0] > 1:
+            zp = zp.reshape(scale.shape)
+        q = q + zp.astype(jnp.float32)
+        out_dtype = jnp.asarray(zero_point).dtype
+    else:
+        out_dtype = jnp.uint8
+    info = jnp.iinfo(out_dtype)
+    return [jnp.clip(q, info.min, info.max).astype(out_dtype)]
+
+
+@op("If")
+def _if(ctx, cond):
+    """Static-condition If: the branch is chosen at trace time (data-
+    dependent conditions would need lax.cond over both subgraphs)."""
+    if not _is_static(cond):
+        raise NotImplementedError("If with a data-dependent condition")
+    branch = ctx.attr("then_branch") if bool(np.asarray(cond).reshape(-1)[0]) else ctx.attr("else_branch")
+    from .importer import ImportedModel, make_forward
+
+    sub = ImportedModel(
+        graph=branch,
+        opset=ctx.opset,
+        params={},
+        consts={t.name: t.to_numpy() for t in branch.initializer},
+        input_names=[],
+        input_shapes=[],
+        output_names=[v.name for v in branch.output],
+        output_shapes=[],
+    )
+    fwd = make_forward(sub, precision=ctx.precision)
+    return list(fwd({}))
+
+
 @op("HannWindow", "HammingWindow", "BlackmanWindow")
 def _window(ctx, size):
     n = _static_int(size, f"{ctx.op_type} size")

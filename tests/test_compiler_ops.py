@@ -443,3 +443,89 @@ def test_unsupported_op_reports_name():
     with pytest.raises(ModelLoadError) as ei:
         import_onnx(P.make_model(graph))
     assert "FancyCustomOp" in str(ei.value)
+
+
+def test_celu_thresholded_shrink_vs_torch(rng):
+    x = rng.normal(size=(3, 9)).astype(np.float32)
+    (y,) = run_graph([P.make_node("Celu", ["x"], ["y"], alpha=1.2)], {"x": x})
+    np.testing.assert_allclose(
+        y, torch.celu(torch.from_numpy(x), 1.2).numpy(), rtol=1e-5, atol=1e-6
+    )
+    (y,) = run_graph([P.make_node("ThresholdedRelu", ["x"], ["y"], alpha=0.5)], {"x": x})
+    np.testing.assert_allclose(
+        y, torch.nn.functional.threshold(torch.from_numpy(x), 0.5, 0.0).numpy(), rtol=1e-6
+    )
+    (y,) = run_graph([P.make_node("Shrink", ["x"], ["y"], lambd=0.5, bias=0.1)], {"x": x})
+    expected = np.where(x < -0.5, x + 0.1, np.where(x > 0.5, x - 0.1, 0.0))
+    np.testing.assert_allclose(y, expected, rtol=1e-6)
+
+
+def test_trilu_eyelike(rng):
+    x = rng.normal(size=(4, 5)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Trilu", ["x", "k"], ["y"], upper=1)],
+        {"x": x},
+        {"k": np.array(1, dtype=np.int64)},
+    )
+    np.testing.assert_array_equal(y, np.triu(x, 1))
+    (y,) = run_graph([P.make_node("EyeLike", ["x"], ["y"])], {"x": x})
+    np.testing.assert_array_equal(y, np.eye(4, 5, dtype=np.float32))
+
+
+def test_qdq_roundtrip(rng):
+    x = rng.normal(size=(2, 6)).astype(np.float32)
+    scale = np.array(0.05, dtype=np.float32)
+    zp = np.array(3, dtype=np.int8)
+    (q,) = run_graph(
+        [P.make_node("QuantizeLinear", ["x", "s", "z"], ["y"])],
+        {"x": x},
+        {"s": scale, "z": zp},
+    )
+    assert q.dtype == np.int8
+    tq = torch.quantize_per_tensor(
+        torch.from_numpy(x), 0.05, 3, torch.qint8
+    ).int_repr().numpy()
+    np.testing.assert_allclose(q, tq, atol=1)  # rounding mode may differ at .5
+    (dq,) = run_graph(
+        [P.make_node("DequantizeLinear", ["x", "s", "z"], ["y"])],
+        {"x": q},
+        {"s": scale, "z": zp},
+    )
+    np.testing.assert_allclose(dq, (q.astype(np.float32) - 3) * 0.05, rtol=1e-6)
+
+
+def test_qdq_per_channel(rng):
+    x = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    scale = np.array([0.1, 0.2, 0.4], dtype=np.float32)
+    (q,) = run_graph(
+        [P.make_node("QuantizeLinear", ["x", "s"], ["y"], axis=1)],
+        {"x": x},
+        {"s": scale},
+    )
+    assert q.dtype == np.uint8
+    (dq,) = run_graph(
+        [P.make_node("DequantizeLinear", ["x", "s"], ["y"], axis=1)],
+        {"x": q},
+        {"s": scale},
+    )
+    assert dq.shape == x.shape
+
+
+def test_if_static_condition():
+    then_g = P.GraphProto(
+        name="then",
+        node=[P.make_node("Constant", [], ["out"], value=np.float32(1.0) * np.ones(2, np.float32))],
+        output=[P.make_value_info("out", P.DataType.FLOAT, [2])],
+    )
+    else_g = P.GraphProto(
+        name="else",
+        node=[P.make_node("Constant", [], ["out"], value=np.float32(-1.0) * np.ones(2, np.float32))],
+        output=[P.make_value_info("out", P.DataType.FLOAT, [2])],
+    )
+    for cond, expected in [(True, 1.0), (False, -1.0)]:
+        (y,) = run_graph(
+            [P.make_node("If", ["cond"], ["y"], then_branch=then_g, else_branch=else_g)],
+            {},
+            {"cond": np.array(cond)},
+        )
+        np.testing.assert_allclose(np.asarray(y), expected * np.ones(2, np.float32))
