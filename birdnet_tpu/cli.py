@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="MXU precision policy (default: mixed on TPU, fp32 on CPU)",
     )
+    p.add_argument(
+        "--resample",
+        action="store_true",
+        help="Resample the WAV to the model rate on-device (polyphase sinc) "
+        "instead of rejecting rate mismatches",
+    )
     p.add_argument("-v", "--verbose", action="store_true", help="Enable verbose logging")
     p.add_argument(
         "--profile",
@@ -222,9 +228,32 @@ def run_with_args(args: argparse.Namespace) -> int:
     _debug(args.verbose, f"WAV file read in {time.monotonic() - t0:.3f}s")
 
     if sample_rate != config.sample_rate:
-        raise AudioFormatError(
-            f"model expects {config.sample_rate} Hz audio, WAV is {sample_rate} Hz"
+        if not args.resample:
+            raise AudioFormatError(
+                f"model expects {config.sample_rate} Hz audio, WAV is "
+                f"{sample_rate} Hz (pass --resample to convert)"
+            )
+        from .ops.resample import resample_poly
+
+        _debug(
+            args.verbose,
+            f"Resampling {sample_rate} Hz → {config.sample_rate} Hz on device...",
         )
+        t0 = time.monotonic()
+        import numpy as np
+
+        f32 = (
+            samples.astype(np.float32) / 32768.0
+            if samples.dtype == np.int16
+            else samples
+        )
+        resampled = np.asarray(resample_poly(f32, sample_rate, config.sample_rate))
+        if use_stream:
+            samples = np.clip(resampled * 32768.0, -32768, 32767).astype(np.int16)
+        else:
+            samples = resampled
+        sample_rate = config.sample_rate
+        _debug(args.verbose, f"Resampled in {time.monotonic() - t0:.3f}s")
     if args.overlap >= config.segment_duration:
         raise ModelDetectionError(
             f"overlap ({args.overlap:.1f}s) must be less than segment duration "
