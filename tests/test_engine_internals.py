@@ -1,0 +1,119 @@
+"""Engine internals: monitor wait semantics, optimization equivalence,
+streaming concurrency."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import birdnet_tpu.errors as E
+from birdnet_tpu.compiler.engine import _wait
+from birdnet_tpu.inference_options import CancellationToken, InferenceOptions
+
+
+class _NeverReady:
+    """Fake device array that never completes."""
+
+    def is_ready(self):
+        return False
+
+
+class _Ready:
+    def is_ready(self):
+        return True
+
+
+def test_wait_no_options_fast_path():
+    # No monitor needed → block_until_ready on real arrays; trivially true
+    # for numpy-like objects via jax (covered by integration); here just
+    # check the monitored paths.
+    pass
+
+
+def test_wait_timeout_fires():
+    t0 = time.monotonic()
+    with pytest.raises(E.InferenceTimeoutError) as ei:
+        _wait([_NeverReady()], InferenceOptions(timeout=0.05))
+    assert 0.04 < time.monotonic() - t0 < 2.0
+    assert ei.value.duration == 0.05
+
+
+def test_wait_precancelled():
+    tok = CancellationToken()
+    tok.cancel()
+    with pytest.raises(E.InferenceCancelledError):
+        _wait([_NeverReady()], InferenceOptions(cancellation_token=tok))
+
+
+def test_wait_cancel_from_other_thread():
+    tok = CancellationToken()
+    timer = threading.Timer(0.05, tok.cancel)
+    timer.start()
+    t0 = time.monotonic()
+    with pytest.raises(E.InferenceCancelledError):
+        _wait([_NeverReady()], InferenceOptions(cancellation_token=tok))
+    assert time.monotonic() - t0 < 2.0
+    timer.join()
+
+
+def test_wait_ready_passes_with_monitor():
+    import jax.numpy as jnp
+
+    arr = jnp.ones(3)
+    _wait([arr], InferenceOptions(timeout=5.0))  # completes immediately
+
+
+# --- import-time optimization equivalence ------------------------------------
+
+
+def test_batchnorm_folding_preserves_outputs():
+    from birdnet_tpu.compiler.importer import import_onnx, make_forward
+    from birdnet_tpu.models import birdnet_v24
+    from birdnet_tpu.onnx import proto as P
+
+    model = birdnet_v24.build_model(width=0.1, depth=1, num_species=8)
+    data = P.encode_model(model)
+    raw = import_onnx(data, optimize=False)
+    opt = import_onnx(data, optimize=True)
+    # folding removed BN nodes and shrank the graph
+    n_bn_raw = sum(1 for n in raw.graph.node if n.op_type == "BatchNormalization")
+    n_bn_opt = sum(1 for n in opt.graph.node if n.op_type == "BatchNormalization")
+    assert n_bn_raw > 0
+    assert n_bn_opt < n_bn_raw
+
+    import jax
+
+    x = np.random.default_rng(3).normal(size=(2, 144_000)).astype(np.float32)
+    y_raw = np.asarray(jax.jit(make_forward(raw))(raw.params, x)[0])
+    y_opt = np.asarray(jax.jit(make_forward(opt))(opt.params, x)[0])
+    np.testing.assert_allclose(y_opt, y_raw, rtol=1e-3, atol=1e-4)
+
+
+def test_streaming_concurrent_calls(tmp_path):
+    from birdnet_tpu import Classifier
+    from birdnet_tpu.models import birdnet_v24
+    from birdnet_tpu.testutil import mock_labels
+
+    p = tmp_path / "m.onnx"
+    birdnet_v24.save_tiny(p, num_species=10)
+    clf = Classifier.builder().model_path(p).labels(mock_labels(10)).build()
+    audio = np.random.default_rng(0).normal(size=144_000 * 4).astype(np.float32)
+    expected = clf.analyze_samples(audio)
+    errors = []
+
+    def worker():
+        try:
+            got = clf.analyze_samples(audio)
+            assert len(got) == len(expected)
+            for (t1, p1), (t2, p2) in zip(got, expected):
+                assert [x.index for x in p1] == [x.index for x in p2]
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
