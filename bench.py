@@ -26,7 +26,10 @@ import time
 import numpy as np
 
 TILE = 128  # measured optimum on v5e (MXU utilization; 2.6× over tile 32)
-N_SEGMENTS = 1024  # 51.2 min of 3 s segments
+N_SEGMENTS = 1024  # 51.2 min of 3 s segments (sustained, single upload)
+N_E2E = 256  # smaller e2e sample: the dev tunnel stalls for minutes at
+             # random, so keep its transfer exposure low (headline is the
+             # sustained number; e2e is informational)
 RUNS = 3
 BASELINE_SEG_S = 667.0  # reference RTX 5080 best (gpu-batch-optimization.md:70)
 
@@ -71,18 +74,18 @@ def main() -> int:
     engine.warmup(dtype=np.int16)
     print(f"# compile: {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
-    # Warmup run (populates executables for every bucket this length uses).
-    engine.analyze(audio)
-
-    # End-to-end runs: host slice → i16 upload → scan → top-K readback.
+    # End-to-end runs on a smaller sample: host slice → i16 upload → scan →
+    # top-K readback (tunnel-exposed; informational).
+    e2e_audio = audio[: N_E2E * config.sample_count]
+    engine.analyze(e2e_audio)  # warm buckets
     e2e = []
     for _ in range(RUNS):
         t0 = time.monotonic()
-        conf, idx, times = engine.analyze(audio)
+        conf, idx, times = engine.analyze(e2e_audio)
         e2e.append(time.monotonic() - t0)
-    assert conf.shape == (N_SEGMENTS, 10)
+    assert conf.shape == (N_E2E, 10)
     e2e_dt = statistics.median(e2e)
-    e2e_seg_s = N_SEGMENTS / e2e_dt
+    e2e_seg_s = N_E2E / e2e_dt
 
     # Sustained device-resident throughput (audio already on-chip).
     step = config.sample_count
@@ -106,7 +109,8 @@ def main() -> int:
 
     print(
         f"# e2e (incl. i16 upload over tunnel): {e2e_dt:.2f}s → "
-        f"{e2e_seg_s:.0f} seg/s, xRT={audio_secs / e2e_dt:.0f}",
+        f"{e2e_seg_s:.0f} seg/s, "
+        f"xRT={N_E2E * config.segment_duration / e2e_dt:.0f}",
         file=sys.stderr,
     )
     print(

@@ -1137,6 +1137,60 @@ def _if(ctx, cond):
     return list(fwd({}))
 
 
+@op("Loop")
+def _loop(ctx, trip_count=None, cond=None, *v_initial):
+    """ONNX Loop with a static trip count (the common exporter pattern:
+    ``for i in range(M)``). Dynamic/data-dependent conditions would need
+    lax.while_loop with a fixed carry structure; unsupported for now.
+
+    Body graph inputs: (iter_num, cond_in, *carried); outputs:
+    (cond_out, *carried_out, *scan_outputs). Scan outputs are stacked
+    along a new leading axis.
+    """
+    body = ctx.attr("body")
+    if trip_count is None or not _is_static(trip_count):
+        raise NotImplementedError("Loop requires a static trip count")
+    if cond is not None and not _is_static(cond):
+        raise NotImplementedError("Loop with a data-dependent condition")
+    if cond is not None and not bool(np.asarray(cond).reshape(-1)[0]):
+        raise NotImplementedError("Loop with an initially-false condition")
+    m = _static_int(trip_count, "Loop trip count")
+    if m > 256:
+        raise NotImplementedError(f"Loop trip count {m} too large to unroll")
+
+    from .importer import ImportedModel, make_forward
+
+    n_carried = len(v_initial)
+    sub = ImportedModel(
+        graph=body,
+        opset=ctx.opset,
+        params={},
+        consts={t.name: t.to_numpy() for t in body.initializer},
+        input_names=[vi.name for vi in body.input],
+        input_shapes=[[] for _ in body.input],
+        output_names=[vi.name for vi in body.output],
+        output_shapes=[],
+    )
+    fwd = make_forward(sub, precision=ctx.precision)
+
+    carried = list(v_initial)
+    scan_outputs = None
+    for i in range(m):
+        outs = fwd({}, np.int64(i), np.bool_(True), *carried)
+        cond_out = outs[0]
+        if _is_static(cond_out) and not bool(np.asarray(cond_out).reshape(-1)[0]):
+            break
+        carried = list(outs[1:1 + n_carried])
+        scans = outs[1 + n_carried:]
+        if scan_outputs is None:
+            scan_outputs = [[s] for s in scans]
+        else:
+            for dest, s in zip(scan_outputs, scans):
+                dest.append(s)
+    stacked = [jnp.stack([jnp.asarray(x) for x in parts]) for parts in (scan_outputs or [])]
+    return carried + stacked
+
+
 @op("HannWindow", "HammingWindow", "BlackmanWindow")
 def _window(ctx, size):
     n = _static_int(size, f"{ctx.op_type} size")

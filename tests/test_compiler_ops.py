@@ -529,3 +529,35 @@ def test_if_static_condition():
             {"cond": np.array(cond)},
         )
         np.testing.assert_allclose(np.asarray(y), expected * np.ones(2, np.float32))
+
+
+def test_loop_static_trip_count(rng):
+    """Loop body: carried = carried * 2; scan output = carried."""
+    body = P.GraphProto(
+        name="body",
+        node=[
+            P.make_node("Identity", ["cond_in"], ["cond_out"]),
+            P.make_node("Mul", ["v", "two"], ["v_out"]),
+            P.make_node("Identity", ["v_out"], ["scan0"]),
+        ],
+        initializer=[P.TensorProto.from_numpy(np.float32(2.0) * np.ones(1, np.float32), name="two")],
+        input=[
+            P.make_value_info("iter", P.DataType.INT64, []),
+            P.make_value_info("cond_in", P.DataType.BOOL, []),
+            P.make_value_info("v", P.DataType.FLOAT, [1]),
+        ],
+        output=[
+            P.make_value_info("cond_out", P.DataType.BOOL, []),
+            P.make_value_info("v_out", P.DataType.FLOAT, [1]),
+            P.make_value_info("scan0", P.DataType.FLOAT, [1]),
+        ],
+    )
+    x = np.ones(1, dtype=np.float32)
+    final, scans = run_graph(
+        [P.make_node("Loop", ["M", "cond", "x"], ["final", "scans"], body=body)],
+        {"x": x},
+        {"M": np.array(4, dtype=np.int64), "cond": np.array(True)},
+        outputs=["final", "scans"],
+    )
+    np.testing.assert_allclose(final, [16.0])
+    np.testing.assert_allclose(scans.reshape(-1), [2.0, 4.0, 8.0, 16.0])
