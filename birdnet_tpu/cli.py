@@ -379,10 +379,17 @@ def run_with_args(args: argparse.Namespace) -> int:
             cancellation_token=cancel_token,
         )
         _debug(args.verbose, f"Streaming {segment_count} segments through device pipeline...")
-        for offset, predictions in classifier.analyze_samples(
-            samples, args.overlap, options
-        ):
-            _emit(offset, predictions)
+        from .errors import InferenceCancelledError
+
+        try:
+            for offset, predictions in classifier.analyze_samples(
+                samples, args.overlap, options
+            ):
+                _emit(offset, predictions)
+        except InferenceCancelledError:
+            # Graceful Ctrl-C: summary still prints (reference behavior,
+            # birdnet-analyze.rs:563-566).
+            print("Processing cancelled by user", file=sys.stderr)
         _stop_profile()
         elapsed = time.monotonic() - start_time
         segments_per_sec = segment_count / elapsed if elapsed > 0 else 0.0

@@ -217,9 +217,11 @@ class StreamingEngine:
             outs = fn(self.params, audio_d)
             pending.append((outs, n_seg))
             # Honor cancellation/timeout between dispatches (the reference
-            # honors options between batches, birdnet-analyze.rs:562-610).
+            # honors options between batches, birdnet-analyze.rs:562-610):
+            # wait on the oldest outstanding chunk so at most one superchunk
+            # of work is "committed" past a cancellation.
             if options is not None and options.needs_monitor() and len(pending) > 1:
-                _wait(list(pending[0][0]), options)
+                _wait(list(pending[-2][0]), options)
 
         collected = None
         for outs, n_seg in pending:
