@@ -70,12 +70,16 @@ def import_onnx(
     ``optimize`` runs the import-time graph rewrites (Conv+BN folding,
     identity elimination) from :mod:`birdnet_tpu.compiler.optimize`.
     """
+    model_dir = None
     try:
         if isinstance(source, ModelProto):
             model = source
         elif isinstance(source, (bytes, bytearray, memoryview)):
             model = onnx_proto.decode_model(source)
         else:
+            import os
+
+            model_dir = os.path.dirname(os.path.abspath(str(source)))
             model = onnx_proto.load_model(source)
     except (OSError, ValueError) as e:
         raise ModelLoadError(str(e)) from e
@@ -88,9 +92,22 @@ def import_onnx(
         if imp.domain in ("", "ai.onnx"):
             opset = imp.version
 
-    tensors: Dict[str, np.ndarray] = {
-        init.name: init.to_numpy() for init in graph.initializer
-    }
+    # Resolve externally-stored weights (ONNX external data) against the
+    # model's directory before materializing.
+    try:
+        for init in graph.initializer:
+            if init.data_location == onnx_proto._DATA_LOCATION_EXTERNAL:
+                if model_dir is None:
+                    raise ModelLoadError(
+                        "model uses external weight data; load it by file "
+                        "path so the side files can be found"
+                    )
+                init.load_external(model_dir)
+        tensors: Dict[str, np.ndarray] = {
+            init.name: init.to_numpy() for init in graph.initializer
+        }
+    except (OSError, ValueError) as e:
+        raise ModelLoadError(str(e)) from e
     if optimize:
         from .optimize import optimize_graph
 

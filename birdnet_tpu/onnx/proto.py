@@ -166,6 +166,9 @@ _NUMPY_TO_DTYPE = {
 }
 
 
+_DATA_LOCATION_EXTERNAL = 1
+
+
 @dataclass
 class TensorProto:
     name: str = ""
@@ -176,9 +179,35 @@ class TensorProto:
     int32_data: List[int] = field(default_factory=list)
     int64_data: List[int] = field(default_factory=list)
     double_data: List[float] = field(default_factory=list)
+    data_location: int = 0
+    external_data: Dict[str, str] = field(default_factory=dict)
+
+    def load_external(self, base_dir: str) -> None:
+        """Resolve externally-stored weights (data_location=EXTERNAL) from
+        the model's directory into ``raw_data``."""
+        import os
+
+        location = self.external_data.get("location")
+        if not location:
+            raise ValueError(f"tensor {self.name!r} has no external location")
+        path = os.path.normpath(os.path.join(base_dir, location))
+        if not path.startswith(os.path.normpath(base_dir)):
+            raise ValueError(f"external data path escapes model dir: {location!r}")
+        offset = int(self.external_data.get("offset", 0))
+        length = int(self.external_data.get("length", 0))
+        with open(path, "rb") as f:
+            f.seek(offset)
+            self.raw_data = f.read(length) if length else f.read()
+        self.data_location = 0
 
     def to_numpy(self) -> np.ndarray:
         """Materialize this tensor as a numpy array."""
+        if self.data_location == _DATA_LOCATION_EXTERNAL:
+            raise ValueError(
+                f"tensor {self.name!r} stores data externally "
+                f"({self.external_data.get('location')!r}); load the model "
+                f"by file path so external data can be resolved"
+            )
         if self.data_type not in _DTYPE_TO_NUMPY:
             raise ValueError(f"unsupported tensor data_type {self.data_type}")
         dtype = _DTYPE_TO_NUMPY[self.data_type]
@@ -424,6 +453,18 @@ def decode_tensor(buf: memoryview, pos: int, end: int) -> TensorProto:
             t.double_data.extend(
                 np.frombuffer(bytes(buf[p:p + n]), dtype="<f8").tolist()
             )
+        elif fnum == 13:  # external_data: StringStringEntryProto
+            b, p, e = _submsg(buf, vpos)
+            key = value = ""
+            for f2, w2, v2 in _iter_fields(b, p, e):
+                if f2 == 1:
+                    key = _get_str(b, v2)
+                elif f2 == 2:
+                    value = _get_str(b, v2)
+            if key:
+                t.external_data[key] = value
+        elif fnum == 14:
+            t.data_location, _ = _read_varint(buf, vpos)
     return t
 
 
@@ -626,6 +667,13 @@ def encode_tensor(t: TensorProto) -> bytes:
         _write_string(out, 8, t.name)
     if t.raw_data:
         _write_len_field(out, 9, t.raw_data)
+    for key, value in t.external_data.items():
+        entry = bytearray()
+        _write_string(entry, 1, key)
+        _write_string(entry, 2, value)
+        _write_len_field(out, 13, bytes(entry))
+    if t.data_location:
+        _write_int_field(out, 14, t.data_location)
     return bytes(out)
 
 

@@ -115,3 +115,57 @@ def test_save_and_load_file(tmp_path):
     m = P.load_model(path)
     assert m.graph.name == "g"
     np.testing.assert_array_equal(m.graph.initializer[0].to_numpy(), w)
+
+
+def test_external_data_loading(tmp_path):
+    """Initializers with data_location=EXTERNAL load from side files."""
+    import birdnet_tpu.onnx.proto as PP
+    from birdnet_tpu.compiler.importer import import_onnx
+
+    w = np.arange(24, dtype=np.float32).reshape(4, 6)
+    side = tmp_path / "weights.bin"
+    prefix = b"\x00" * 16
+    side.write_bytes(prefix + w.tobytes() + b"\xff" * 8)
+
+    t = PP.TensorProto(
+        name="w",
+        data_type=PP.DataType.FLOAT,
+        dims=[4, 6],
+        data_location=1,
+        external_data={"location": "weights.bin", "offset": "16",
+                       "length": str(w.nbytes)},
+    )
+    # to_numpy before resolution is a clear error
+    with np.testing.assert_raises(ValueError):
+        t.to_numpy()
+    t.load_external(str(tmp_path))
+    np.testing.assert_array_equal(t.to_numpy(), w)
+
+    # escape attempts rejected
+    t2 = PP.TensorProto(
+        name="w", data_type=PP.DataType.FLOAT, dims=[1],
+        data_location=1, external_data={"location": "../../etc/passwd"},
+    )
+    with np.testing.assert_raises(ValueError):
+        t2.load_external(str(tmp_path))
+
+    # full path: serialized model with an external initializer, loaded by
+    # file path — the importer resolves the side file from the model dir
+    graph = P.GraphProto(
+        name="g",
+        node=[P.make_node("MatMul", ["x", "w"], ["y"])],
+        initializer=[
+            PP.TensorProto(
+                name="w", data_type=PP.DataType.FLOAT, dims=[4, 6],
+                data_location=1,
+                external_data={"location": "weights.bin", "offset": "16",
+                               "length": str(w.nbytes)},
+            )
+        ],
+        input=[P.make_value_info("x", P.DataType.FLOAT, [2, 4])],
+        output=[P.make_value_info("y", P.DataType.FLOAT, [2, 6])],
+    )
+    model_path = tmp_path / "ext.onnx"
+    P.save_model(P.make_model(graph), model_path)
+    imp = import_onnx(str(model_path))
+    np.testing.assert_array_equal(imp.params["w"], w)
