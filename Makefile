@@ -21,4 +21,5 @@ lint:
 	python -m compileall -q birdnet_tpu tests bench.py __graft_entry__.py
 
 clean:
-	rm -rf birdnet_tpu/__pycache__ birdnet_tpu/**/__pycache__ tests/__pycache__ .pytest_cache
+	find . -name __pycache__ -type d -prune -exec rm -rf {} +
+	rm -rf .pytest_cache

@@ -383,6 +383,45 @@ class Classifier:
             out.append((float(times[i]), preds))
         return out
 
+    def analyze_samples_iter(
+        self,
+        samples,
+        overlap_seconds: float = 0.0,
+        options: Optional[InferenceOptions] = None,
+        chunk_segments: Optional[int] = None,
+    ):
+        """Generator variant of :meth:`analyze_samples`: yields
+        ``(start_time, predictions)`` chunk by chunk, so callers see partial
+        results before the whole recording finishes and cancellation between
+        chunks loses at most one chunk of output (the CLI uses this)."""
+        from .compiler.stream import MAX_TILES
+
+        eng = self._streaming_engine()
+        samples = np.asarray(samples)
+        S = self._config.sample_count
+        step = S - int(overlap_seconds * self._config.sample_rate)
+        if step <= 0:
+            from .errors import InferenceError
+
+            raise InferenceError("overlap must be smaller than the segment duration")
+        n_total = samples.shape[0]
+        n_segments = -(-n_total // step) if n_total else 0
+        if chunk_segments is None:
+            chunk_segments = MAX_TILES * eng.tile
+        for seg0 in range(0, n_segments, chunk_segments):
+            seg1 = min(seg0 + chunk_segments, n_segments)
+            lo = seg0 * step
+            hi = (seg1 - 1) * step + S
+            conf, idx, times = eng.analyze(
+                samples[lo:hi], overlap_seconds, options, n_segments=seg1 - seg0
+            )
+            t0 = lo / self._config.sample_rate
+            for i in range(conf.shape[0]):
+                preds = top_k_from_device(
+                    conf[i], idx[i], self._labels, self._min_confidence
+                )
+                yield (t0 + float(times[i]), preds)
+
     def embed_samples(
         self,
         samples,

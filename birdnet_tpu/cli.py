@@ -381,22 +381,25 @@ def run_with_args(args: argparse.Namespace) -> int:
         _debug(args.verbose, f"Streaming {segment_count} segments through device pipeline...")
         from .errors import InferenceCancelledError
 
+        processed = 0
         try:
-            for offset, predictions in classifier.analyze_samples(
+            for offset, predictions in classifier.analyze_samples_iter(
                 samples, args.overlap, options
             ):
                 _emit(offset, predictions)
+                processed += 1
         except InferenceCancelledError:
-            # Graceful Ctrl-C: summary still prints (reference behavior,
-            # birdnet-analyze.rs:563-566).
+            # Graceful Ctrl-C between superchunks: already-computed results
+            # were emitted above; the summary reports what actually ran.
             print("Processing cancelled by user", file=sys.stderr)
         _stop_profile()
         elapsed = time.monotonic() - start_time
-        segments_per_sec = segment_count / elapsed if elapsed > 0 else 0.0
-        x_realtime = duration_secs / elapsed if elapsed > 0 else 0.0
+        segments_per_sec = processed / elapsed if elapsed > 0 else 0.0
+        processed_secs = duration_secs * (processed / segment_count) if segment_count else 0.0
+        x_realtime = processed_secs / elapsed if elapsed > 0 else 0.0
         print()
         print(
-            f"{segment_count} segments of {format_duration(duration_secs)} audio "
+            f"{processed} segments of {format_duration(duration_secs)} audio "
             f"analyzed in {elapsed:.1f}s ({segments_per_sec:.1f} segments/s, "
             f"{x_realtime:.1f}x realtime)"
         )

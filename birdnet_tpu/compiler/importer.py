@@ -165,26 +165,20 @@ def _validate_ops(model: ImportedModel) -> None:
         )
 
 
-def make_forward(model: ImportedModel, precision: str = "fp32"):
-    """Build the pure forward function ``fn(params, *inputs) -> tuple(outputs)``.
+def interpret_graph(
+    graph: GraphProto,
+    opset: int,
+    precision: str,
+    env: Dict[str, object],
+    output_names,
+):
+    """Interpret a node list against a pre-seeded environment.
 
-    The returned function abstractly interprets the node list; under
-    ``jax.jit`` this happens once at trace time, after which XLA owns the
-    whole fused program (the analog of the reference's compiled ORT session).
-
-    ``precision``: ``fp32`` | ``mixed`` (bf16 MXU operands, fp32 accumulate)
-    | ``bf16``.
+    Shared by the top-level forward and by control-flow ops (If/Loop), whose
+    subgraphs may read outer-scope values already present in ``env`` (the
+    ONNX closure-capture rule).
     """
-    graph = model.graph
-    opset = model.opset
-    consts = model.consts
-    nodes = graph.node
-    input_names = model.input_names
-    output_names = model.output_names
-
-    # Pre-resolve lowering callables and contexts once.
-    lowered = []
-    for node in nodes:
+    for node in graph.node:
         fn = op_registry.get_lowering(node.op_type)
         ctx = op_registry.OpContext(
             op_type=node.op_type,
@@ -193,8 +187,41 @@ def make_forward(model: ImportedModel, precision: str = "fp32"):
             precision=precision,
             node_name=node.name,
             num_outputs=len([o for o in node.output if o]),
+            env=env,
         )
-        lowered.append((node, fn, ctx))
+        try:
+            args = [env[i] if i else None for i in node.input]
+        except KeyError as e:
+            raise ModelLoadError(
+                f"node {node.name!r} ({node.op_type}) references unknown "
+                f"value {e}"
+            ) from e
+        # Trim trailing absent optional inputs.
+        while args and args[-1] is None:
+            args.pop()
+        outs = fn(ctx, *args)
+        for out_name, out_val in zip(node.output, outs):
+            if out_name:
+                env[out_name] = out_val
+    return tuple(env[o] for o in output_names)
+
+
+def make_forward(model: ImportedModel, precision: str = "fp32"):
+    """Build the pure forward function ``fn(params, *inputs) -> tuple(outputs)``.
+
+    The returned function abstractly interprets the node list; under
+    ``jax.jit`` this happens once at trace time, after which XLA owns the
+    whole fused program (the analog of the reference's compiled ORT session).
+
+    ``precision``: ``fp32`` | ``mixed`` (bf16 MXU operands, f32 accumulate)
+    | ``fast`` (bf16 activations too) | ``bf16``.
+    """
+    graph = model.graph
+    opset = model.opset
+    consts = model.consts
+    input_names = model.input_names
+    output_names = model.output_names
+    _validate_ops(model)
 
     def forward(params: Dict[str, np.ndarray], *inputs):
         if len(inputs) != len(input_names):
@@ -205,21 +232,6 @@ def make_forward(model: ImportedModel, precision: str = "fp32"):
         env.update(params)
         for name, x in zip(input_names, inputs):
             env[name] = x
-        for node, fn, ctx in lowered:
-            try:
-                args = [env[i] if i else None for i in node.input]
-            except KeyError as e:
-                raise ModelLoadError(
-                    f"node {node.name!r} ({node.op_type}) references unknown "
-                    f"value {e}"
-                ) from e
-            # Trim trailing absent optional inputs.
-            while args and args[-1] is None:
-                args.pop()
-            outs = fn(ctx, *args)
-            for out_name, out_val in zip(node.output, outs):
-                if out_name:
-                    env[out_name] = out_val
-        return tuple(env[o] for o in output_names)
+        return interpret_graph(graph, opset, precision, env, output_names)
 
     return forward

@@ -55,17 +55,21 @@ def supported_ops() -> List[str]:
 
 
 class OpContext:
-    """Per-node lowering context."""
+    """Per-node lowering context. ``env`` is the enclosing value environment
+    (control-flow subgraphs read outer-scope captures from it)."""
 
-    __slots__ = ("op_type", "attrs", "opset", "precision", "node_name", "num_outputs")
+    __slots__ = ("op_type", "attrs", "opset", "precision", "node_name",
+                 "num_outputs", "env")
 
-    def __init__(self, op_type, attrs, opset=17, precision="fp32", node_name="", num_outputs=1):
+    def __init__(self, op_type, attrs, opset=17, precision="fp32",
+                 node_name="", num_outputs=1, env=None):
         self.op_type = op_type
         self.attrs = attrs
         self.opset = opset
         self.precision = precision
         self.node_name = node_name
         self.num_outputs = num_outputs
+        self.env = env if env is not None else {}
 
     def attr(self, name, default=None):
         return self.attrs.get(name, default)
@@ -415,7 +419,8 @@ def _gemm(ctx, a, b, c=None):
     if alpha != 1.0:
         y = alpha * y
     if c is not None:
-        y = y + (beta * jnp.asarray(c) if beta != 1.0 else jnp.asarray(c))
+        bias = jnp.asarray(c).astype(y.dtype)  # keep the policy's activation dtype
+        y = y + (beta * bias if beta != 1.0 else bias)
     return [y]
 
 
@@ -1114,27 +1119,34 @@ def _quantize_linear(ctx, x, scale, zero_point=None):
     return [jnp.clip(q, info.min, info.max).astype(out_dtype)]
 
 
+def _run_subgraph(ctx: OpContext, graph, extra_env=None):
+    """Interpret a control-flow subgraph with outer-scope capture: the
+    enclosing environment is visible (ONNX closure rule), shadowed by the
+    subgraph's own initializers and explicit inputs."""
+    from .importer import interpret_graph
+
+    env = dict(ctx.env)
+    for t in graph.initializer:
+        env[t.name] = t.to_numpy()
+    if extra_env:
+        env.update(extra_env)
+    return interpret_graph(
+        graph, ctx.opset, ctx.precision, env, [v.name for v in graph.output]
+    )
+
+
 @op("If")
 def _if(ctx, cond):
     """Static-condition If: the branch is chosen at trace time (data-
     dependent conditions would need lax.cond over both subgraphs)."""
     if not _is_static(cond):
         raise NotImplementedError("If with a data-dependent condition")
-    branch = ctx.attr("then_branch") if bool(np.asarray(cond).reshape(-1)[0]) else ctx.attr("else_branch")
-    from .importer import ImportedModel, make_forward
-
-    sub = ImportedModel(
-        graph=branch,
-        opset=ctx.opset,
-        params={},
-        consts={t.name: t.to_numpy() for t in branch.initializer},
-        input_names=[],
-        input_shapes=[],
-        output_names=[v.name for v in branch.output],
-        output_shapes=[],
+    branch = (
+        ctx.attr("then_branch")
+        if bool(np.asarray(cond).reshape(-1)[0])
+        else ctx.attr("else_branch")
     )
-    fwd = make_forward(sub, precision=ctx.precision)
-    return list(fwd({}))
+    return list(_run_subgraph(ctx, branch))
 
 
 @op("Loop")
@@ -1158,28 +1170,24 @@ def _loop(ctx, trip_count=None, cond=None, *v_initial):
     if m > 256:
         raise NotImplementedError(f"Loop trip count {m} too large to unroll")
 
-    from .importer import ImportedModel, make_forward
-
     n_carried = len(v_initial)
-    sub = ImportedModel(
-        graph=body,
-        opset=ctx.opset,
-        params={},
-        consts={t.name: t.to_numpy() for t in body.initializer},
-        input_names=[vi.name for vi in body.input],
-        input_shapes=[[] for _ in body.input],
-        output_names=[vi.name for vi in body.output],
-        output_shapes=[],
-    )
-    fwd = make_forward(sub, precision=ctx.precision)
+    n_scan = ctx.num_outputs - n_carried
+    body_inputs = [vi.name for vi in body.input]
+    if m == 0:
+        if n_scan > 0:
+            raise NotImplementedError(
+                "Loop with zero iterations and scan outputs (their shapes "
+                "are unknowable without running the body)"
+            )
+        return list(v_initial)
 
     carried = list(v_initial)
     scan_outputs = None
     for i in range(m):
-        outs = fwd({}, np.int64(i), np.bool_(True), *carried)
-        cond_out = outs[0]
-        if _is_static(cond_out) and not bool(np.asarray(cond_out).reshape(-1)[0]):
-            break
+        extra = dict(zip(body_inputs, [np.int64(i), np.bool_(True)] + carried))
+        outs = _run_subgraph(ctx, body, extra)
+        # Per the ONNX spec, iteration i's outputs are consumed even when
+        # its cond_out is false (the break applies to iteration i+1).
         carried = list(outs[1:1 + n_carried])
         scans = outs[1 + n_carried:]
         if scan_outputs is None:
@@ -1187,7 +1195,17 @@ def _loop(ctx, trip_count=None, cond=None, *v_initial):
         else:
             for dest, s in zip(scan_outputs, scans):
                 dest.append(s)
-    stacked = [jnp.stack([jnp.asarray(x) for x in parts]) for parts in (scan_outputs or [])]
+        cond_out = outs[0]
+        if not _is_static(cond_out):
+            raise NotImplementedError(
+                "Loop with a data-dependent termination condition "
+                "(cond_out is a traced value)"
+            )
+        if not bool(np.asarray(cond_out).reshape(-1)[0]):
+            break
+    stacked = [
+        jnp.stack([jnp.asarray(x) for x in parts]) for parts in (scan_outputs or [])
+    ]
     return carried + stacked
 
 
@@ -1260,7 +1278,11 @@ def _stft(ctx, signal, frame_step, window=None, frame_length=None):
     idx = np.arange(n_frames)[:, None] * step + np.arange(flen)[None, :]
     frames = x[:, idx]  # [B, frames, flen]
     if window is not None:
-        frames = frames * jnp.asarray(window).astype(frames.dtype)
+        win = jnp.asarray(window).astype(frames.dtype)
+        if win.shape[0] < flen:
+            # Spec: windows shorter than frame_length are zero-padded.
+            win = jnp.pad(win, (0, flen - win.shape[0]))
+        frames = frames * win
     if onesided:
         spec = jnp.fft.rfft(frames, axis=-1)
     else:

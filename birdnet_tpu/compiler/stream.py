@@ -161,6 +161,7 @@ class StreamingEngine:
         overlap_seconds: float = 0.0,
         options: Optional[InferenceOptions] = None,
         with_embeddings: bool = False,
+        n_segments: Optional[int] = None,
     ):
         """Classify every (overlapping) segment of ``samples``.
 
@@ -185,6 +186,10 @@ class StreamingEngine:
         if step <= 0:
             raise InferenceError("overlap must be smaller than the segment duration")
         n_total = samples.shape[0]
+        if n_segments is None and n_total > 0:
+            n_segments = -(-n_total // step)
+        if n_total == 0 or n_segments == 0:
+            n_total = 0  # fall through to the empty return below
         if n_total == 0:
             k = self.top_k
             empty = (
@@ -196,7 +201,6 @@ class StreamingEngine:
                 e = self.config.embedding_dim or 0
                 empty = empty + (np.zeros((0, e), np.float32),)
             return empty
-        n_segments = -(-n_total // step)
         segs_per_chunk = MAX_TILES * self.tile
 
         # Dispatch superchunks with pipelined uploads: device_put + dispatch

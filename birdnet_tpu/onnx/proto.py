@@ -190,8 +190,11 @@ class TensorProto:
         location = self.external_data.get("location")
         if not location:
             raise ValueError(f"tensor {self.name!r} has no external location")
-        path = os.path.normpath(os.path.join(base_dir, location))
-        if not path.startswith(os.path.normpath(base_dir)):
+        base = os.path.normpath(base_dir)
+        path = os.path.normpath(os.path.join(base, location))
+        # commonpath (not a raw prefix test — '/x/m' must not admit
+        # '/x/m_secrets') keeps reads inside the model directory.
+        if os.path.commonpath([base, path]) != base:
             raise ValueError(f"external data path escapes model dir: {location!r}")
         offset = int(self.external_data.get("offset", 0))
         length = int(self.external_data.get("length", 0))

@@ -561,3 +561,89 @@ def test_loop_static_trip_count(rng):
     )
     np.testing.assert_allclose(final, [16.0])
     np.testing.assert_allclose(scans.reshape(-1), [2.0, 4.0, 8.0, 16.0])
+
+
+def test_loop_early_exit_consumes_final_iteration(rng):
+    """Per ONNX spec, the iteration that sets cond_out=false still counts."""
+    body = P.GraphProto(
+        name="body",
+        node=[
+            P.make_node("Less", ["iter", "one"], ["cond_out"]),
+            P.make_node("Mul", ["v", "two"], ["v_out"]),
+        ],
+        initializer=[
+            P.TensorProto.from_numpy(np.array(1, dtype=np.int64), name="one"),
+            P.TensorProto.from_numpy(np.float32(2.0) * np.ones(1, np.float32), name="two"),
+        ],
+        input=[
+            P.make_value_info("iter", P.DataType.INT64, []),
+            P.make_value_info("cond_in", P.DataType.BOOL, []),
+            P.make_value_info("v", P.DataType.FLOAT, [1]),
+        ],
+        output=[
+            P.make_value_info("cond_out", P.DataType.BOOL, []),
+            P.make_value_info("v_out", P.DataType.FLOAT, [1]),
+        ],
+    )
+    (final,) = run_graph(
+        [P.make_node("Loop", ["M", "cond", "x"], ["final"], body=body)],
+        {"x": np.ones(1, dtype=np.float32)},
+        {"M": np.array(4, dtype=np.int64), "cond": np.array(True)},
+        outputs=["final"],
+    )
+    # iter=0: cond_out = (0 < 1) = True, v = 2; iter=1: cond_out = False,
+    # v = 4 — that iteration's output still counts, then the loop breaks.
+    np.testing.assert_allclose(final, [4.0])
+
+
+def test_subgraph_outer_scope_capture():
+    """If branches may read values from the enclosing graph (ONNX closure)."""
+    then_g = P.GraphProto(
+        name="then",
+        node=[P.make_node("Add", ["outer_val", "outer_val"], ["out"])],
+        output=[P.make_value_info("out", P.DataType.FLOAT, [2])],
+    )
+    else_g = P.GraphProto(
+        name="else",
+        node=[P.make_node("Identity", ["outer_val"], ["out"])],
+        output=[P.make_value_info("out", P.DataType.FLOAT, [2])],
+    )
+    nodes = [
+        P.make_node("Add", ["x", "x"], ["outer_val"]),
+        P.make_node("If", ["cond"], ["y"], then_branch=then_g, else_branch=else_g),
+    ]
+    x = np.array([1.0, 2.0], dtype=np.float32)
+    (y,) = run_graph(
+        nodes, {"x": x}, {"cond": np.array(True)},
+    )
+    np.testing.assert_allclose(y, 4 * x)
+
+
+def test_stft_short_window_zero_padded(rng):
+    x = rng.normal(size=(1, 1024)).astype(np.float32)
+    short_win = np.ones(200, dtype=np.float32)
+    (y,) = run_graph(
+        [P.make_node("STFT", ["x", "step", "win", "flen"], ["y"], onesided=1)],
+        {"x": x},
+        {
+            "step": np.array(256, dtype=np.int64),
+            "win": short_win,
+            "flen": np.array(256, dtype=np.int64),
+        },
+        opset=17,
+    )
+    # equivalent to windowing with [ones(200), zeros(56)]
+    ref = np.fft.rfft(x[0, :256] * np.pad(short_win, (0, 56)))
+    np.testing.assert_allclose(y[0, 0, :, 0], ref.real, rtol=1e-3, atol=1e-3)
+
+
+def test_gemm_bias_keeps_fast_policy_dtype(rng):
+    from birdnet_tpu.compiler.ops import OpContext, get_lowering
+    import jax.numpy as jnp
+
+    a = rng.normal(size=(4, 8)).astype(np.float32)
+    b = rng.normal(size=(6, 8)).astype(np.float32)
+    c = rng.normal(size=(6,)).astype(np.float32)
+    ctx = OpContext("Gemm", {"transB": 1}, precision="fast")
+    (y,) = get_lowering("Gemm")(ctx, a, b, c)
+    assert y.dtype == jnp.bfloat16

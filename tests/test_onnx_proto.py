@@ -169,3 +169,20 @@ def test_external_data_loading(tmp_path):
     P.save_model(P.make_model(graph), model_path)
     imp = import_onnx(str(model_path))
     np.testing.assert_array_equal(imp.params["w"], w)
+
+
+def test_external_data_prefix_sibling_rejected(tmp_path):
+    """'/x/m' must not admit '/x/m_secrets' (commonpath, not str prefix)."""
+    import birdnet_tpu.onnx.proto as PP
+
+    base = tmp_path / "m"
+    base.mkdir()
+    sibling = tmp_path / "m_secrets"
+    sibling.mkdir()
+    (sibling / "f.bin").write_bytes(b"\x00" * 16)
+    t = PP.TensorProto(
+        name="w", data_type=PP.DataType.FLOAT, dims=[4],
+        data_location=1, external_data={"location": "../m_secrets/f.bin"},
+    )
+    with np.testing.assert_raises(ValueError):
+        t.load_external(str(base))

@@ -124,3 +124,26 @@ def test_embed_samples_v24_rejected(clf):
     with pytest.raises(E.InferenceError) as ei:
         clf.embed_samples(np.zeros(144_000, np.float32))
     assert "does not produce embeddings" in str(ei.value)
+
+
+def test_analyze_samples_iter_matches_batch(clf):
+    samples = _audio(15.0)
+    full = clf.analyze_samples(samples)
+    # tiny chunk size to force multiple chunks (3 segments per chunk)
+    chunked = list(clf.analyze_samples_iter(samples, chunk_segments=3))
+    assert len(chunked) == len(full)
+    for (t1, p1), (t2, p2) in zip(chunked, full):
+        assert t1 == pytest.approx(t2)
+        assert [p.index for p in p1] == [p.index for p in p2]
+
+
+def test_analyze_samples_iter_with_overlap(clf):
+    samples = _audio(12.0)
+    full = clf.analyze_samples(samples, overlap_seconds=1.5)
+    chunked = list(
+        clf.analyze_samples_iter(samples, overlap_seconds=1.5, chunk_segments=2)
+    )
+    assert len(chunked) == len(full)
+    for (t1, p1), (t2, p2) in zip(chunked, full):
+        assert t1 == pytest.approx(t2)
+        assert [p.index for p in p1] == [p.index for p in p2]
