@@ -1209,6 +1209,62 @@ def _loop(ctx, trip_count=None, cond=None, *v_initial):
     return carried + stacked
 
 
+@op("Scan")
+def _scan(ctx, *inputs):
+    """ONNX Scan lowered to ``jax.lax.scan`` — compiled once, looped on
+    device (no unrolling, unlike Loop which must resolve a condition).
+
+    Node inputs: N initial state values then M scan inputs; body graph
+    inputs mirror that; body outputs: N state values then K scan outputs.
+    """
+    body = ctx.attr("body")
+    m_scan = int(ctx.attr("num_scan_inputs"))
+    n_state = len(inputs) - m_scan
+    if n_state < 0:
+        raise ValueError("Scan: num_scan_inputs exceeds provided inputs")
+    in_axes = [int(a) for a in ctx.attr("scan_input_axes", [0] * m_scan)]
+    out_axes_attr = ctx.attr("scan_output_axes")
+    in_dirs = [int(d) for d in ctx.attr("scan_input_directions", [0] * m_scan)]
+    out_dirs_attr = ctx.attr("scan_output_directions")
+
+    state0 = [jnp.asarray(v) for v in inputs[:n_state]]
+    xs = []
+    for x, ax, d in zip(inputs[n_state:], in_axes, in_dirs):
+        x = jnp.moveaxis(jnp.asarray(x), ax, 0)
+        if d:  # reverse direction
+            x = jnp.flip(x, 0)
+        xs.append(x)
+
+    body_input_names = [vi.name for vi in body.input]
+    body_output_names = [vi.name for vi in body.output]
+    k_scan_out = len(body_output_names) - n_state
+    outer_env = dict(ctx.env)
+    for t in body.initializer:
+        outer_env[t.name] = t.to_numpy()
+    opset, precision = ctx.opset, ctx.precision
+
+    from .importer import interpret_graph
+
+    def step(carry, x_slice):
+        env = dict(outer_env)
+        env.update(zip(body_input_names[:n_state], carry))
+        env.update(zip(body_input_names[n_state:], x_slice))
+        outs = interpret_graph(body, opset, precision, env, body_output_names)
+        new_carry = tuple(jnp.asarray(o) for o in outs[:n_state])
+        scan_out = tuple(jnp.asarray(o) for o in outs[n_state:])
+        return new_carry, scan_out
+
+    final_state, stacked = jax.lax.scan(step, tuple(state0), tuple(xs))
+    results = list(final_state)
+    out_axes = [int(a) for a in (out_axes_attr or [0] * k_scan_out)]
+    out_dirs = [int(d) for d in (out_dirs_attr or [0] * k_scan_out)]
+    for y, ax, d in zip(stacked, out_axes, out_dirs):
+        if d:
+            y = jnp.flip(y, 0)
+        results.append(jnp.moveaxis(y, 0, ax))
+    return results
+
+
 @op("HannWindow", "HammingWindow", "BlackmanWindow")
 def _window(ctx, size):
     n = _static_int(size, f"{ctx.op_type} size")

@@ -647,3 +647,63 @@ def test_gemm_bias_keeps_fast_policy_dtype(rng):
     ctx = OpContext("Gemm", {"transB": 1}, precision="fast")
     (y,) = get_lowering("Gemm")(ctx, a, b, c)
     assert y.dtype == jnp.bfloat16
+
+
+def test_scan_cumulative_sum(rng):
+    """Scan body: state' = state + x; scan output = state' (running sum)."""
+    body = P.GraphProto(
+        name="body",
+        node=[
+            P.make_node("Add", ["state", "x_t"], ["state_out"]),
+            P.make_node("Identity", ["state_out"], ["y_t"]),
+        ],
+        input=[
+            P.make_value_info("state", P.DataType.FLOAT, [3]),
+            P.make_value_info("x_t", P.DataType.FLOAT, [3]),
+        ],
+        output=[
+            P.make_value_info("state_out", P.DataType.FLOAT, [3]),
+            P.make_value_info("y_t", P.DataType.FLOAT, [3]),
+        ],
+    )
+    x = rng.normal(size=(5, 3)).astype(np.float32)
+    init = np.zeros(3, dtype=np.float32)
+    final, ys = run_graph(
+        [P.make_node("Scan", ["init", "xs"], ["final", "ys"], body=body,
+                     num_scan_inputs=1)],
+        {"init": init, "xs": x},
+        outputs=["final", "ys"],
+    )
+    np.testing.assert_allclose(final, x.sum(axis=0), rtol=1e-5)
+    np.testing.assert_allclose(ys, np.cumsum(x, axis=0), rtol=1e-5)
+
+
+def test_scan_reverse_direction(rng):
+    body = P.GraphProto(
+        name="body",
+        node=[
+            P.make_node("Add", ["state", "x_t"], ["state_out"]),
+            P.make_node("Identity", ["state_out"], ["y_t"]),
+        ],
+        input=[
+            P.make_value_info("state", P.DataType.FLOAT, [2]),
+            P.make_value_info("x_t", P.DataType.FLOAT, [2]),
+        ],
+        output=[
+            P.make_value_info("state_out", P.DataType.FLOAT, [2]),
+            P.make_value_info("y_t", P.DataType.FLOAT, [2]),
+        ],
+    )
+    x = rng.normal(size=(4, 2)).astype(np.float32)
+    final, ys = run_graph(
+        [P.make_node("Scan", ["init", "xs"], ["final", "ys"], body=body,
+                     num_scan_inputs=1,
+                     scan_input_directions=[1],
+                     scan_output_directions=[1])],
+        {"init": np.zeros(2, np.float32), "xs": x},
+        outputs=["final", "ys"],
+    )
+    # reverse cumsum, outputs flipped back
+    rev = np.cumsum(x[::-1], axis=0)[::-1]
+    np.testing.assert_allclose(ys, rev, rtol=1e-5)
+    np.testing.assert_allclose(final, x.sum(axis=0), rtol=1e-5)
