@@ -58,6 +58,8 @@ class ClassifierBuilder:
         self._device_config: Optional[TPUConfig] = None
         self._precision: Optional[str] = None
         self._warmup_batches: Sequence[int] = ()
+        self._mesh = None
+        self._use_mesh = False
 
     # -- required inputs --------------------------------------------------
 
@@ -125,6 +127,15 @@ class ClassifierBuilder:
             self._requested_device = platform
         return self
 
+    def with_mesh(self, mesh=None) -> "ClassifierBuilder":
+        """Run multi-chip: shard batches over the mesh's ``data`` axis and
+        the classifier head over ``model`` (no reference counterpart — the
+        reference is single-device). ``mesh=None`` builds a default mesh
+        over all visible devices."""
+        self._use_mesh = True
+        self._mesh = mesh
+        return self
+
     # -- build -------------------------------------------------------------
 
     def build(self) -> "Classifier":
@@ -174,13 +185,26 @@ class ClassifierBuilder:
         precision = self._precision
         if precision is None and self._device_config is not None:
             precision = self._device_config.precision
-        engine = InferenceEngine(
-            imported,
-            config,
-            device=device,
-            precision=precision,
-            top_k=self._top_k,
-        )
+        if self._use_mesh:
+            from .parallel.engine import ShardedEngine
+            from .parallel.sharding import make_mesh
+
+            mesh = self._mesh if self._mesh is not None else make_mesh()
+            engine = ShardedEngine(
+                imported,
+                config,
+                mesh=mesh,
+                precision=precision,
+                top_k=self._top_k,
+            )
+        else:
+            engine = InferenceEngine(
+                imported,
+                config,
+                device=device,
+                precision=precision,
+                top_k=self._top_k,
+            )
         if self._warmup_batches:
             engine.warmup(self._warmup_batches)
 
@@ -340,6 +364,8 @@ class Classifier:
     # -- streaming whole-recording path --------------------------------------
 
     def _streaming_engine(self):
+        if hasattr(self._engine, "analyze"):
+            return self._engine  # ShardedEngine streams natively
         if self._stream is None:
             with self._stream_lock:
                 if self._stream is None:

@@ -1,0 +1,303 @@
+"""ShardedEngine: multi-chip drop-in for the single-device engines.
+
+Exposes the same surface the Classifier drives (``run_batch`` like
+compiler/engine.InferenceEngine, ``analyze`` like compiler/stream.
+StreamingEngine) but executes over a ``jax.sharding.Mesh``: segment batches
+shard over the ``data`` axis, the classifier head shards over ``model``
+(see parallel/sharding.py for the layout rules), audio replicates, and XLA
+places the collectives on ICI.
+
+Selected via ``Classifier.builder().with_mesh(...)`` — the scale-out story
+the reference lacks entirely (single device, SURVEY §2 parallelism table).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .._demux import demux_indices
+from ..errors import InferenceError
+from ..inference_options import InferenceOptions
+from ..types import ModelConfig
+from ..compiler.engine import _wait
+from ..compiler.importer import ImportedModel, make_forward
+from .sharding import param_specs
+
+# Streaming superchunk bound (tiles per dispatch), as in compiler/stream.py.
+_MAX_TILES = 16
+_TILE_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16)
+
+
+def _bucket_tiles(n: int) -> int:
+    for b in _TILE_BUCKETS:
+        if n <= b:
+            return b
+    return _MAX_TILES
+
+
+class ShardedEngine:
+    """Mesh-parallel inference engine (DP batches + TP classifier head)."""
+
+    def __init__(
+        self,
+        imported: ImportedModel,
+        config: ModelConfig,
+        mesh: Mesh,
+        precision: Optional[str] = None,
+        top_k: int = 10,
+        tile: Optional[int] = None,
+        data_axis: str = "data",
+        model_axis: str = "model",
+    ):
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.model_axis = model_axis
+        self.dp = mesh.shape[data_axis]
+        self.device = mesh.devices.flat[0]
+        on_tpu = self.device.platform in ("tpu", "axon")
+        if precision is None:
+            precision = "mixed" if on_tpu else "fp32"
+        self.precision = precision
+        self.config = config
+        self.top_k = max(0, min(top_k, config.num_species))
+        default_tile = 128 if on_tpu else 32
+        # Tile must split evenly over the data axis.
+        self.tile = tile if tile is not None else max(
+            self.dp, (default_tile // self.dp) * self.dp
+        )
+        if self.tile % self.dp:
+            raise InferenceError(
+                f"tile {self.tile} not divisible by data-axis size {self.dp}"
+            )
+        self._forward = make_forward(imported, precision=precision)
+        self.logits_index, self.embed_index = demux_indices(config.model_type)
+
+        specs = param_specs(imported.params, config, model_axis, mesh.shape[model_axis])
+        self._param_shardings = {
+            name: NamedSharding(mesh, spec) for name, spec in specs.items()
+        }
+        self.params = {
+            name: jax.device_put(p, self._param_shardings[name])
+            for name, p in imported.params.items()
+        }
+        self._replicated = NamedSharding(mesh, P())
+        self._batch_sharded = NamedSharding(mesh, P(data_axis, None))
+        self._compiled: Dict[Tuple, object] = {}
+        self._lock = threading.Lock()
+
+    # -- batched path (InferenceEngine-compatible) -------------------------
+
+    def _batch_bucket(self, b: int) -> int:
+        p2 = 1 << (b - 1).bit_length() if b > 1 else 1
+        return max(self.dp, -(-p2 // self.dp) * self.dp)
+
+    def compiled(self, bucket: int, with_embeddings: bool = True, donate: bool = False):
+        key = ("batch", bucket, with_embeddings)
+        fn = self._compiled.get(key)
+        if fn is not None:
+            return fn
+        with self._lock:
+            fn = self._compiled.get(key)
+            if fn is not None:
+                return fn
+            k = self.top_k
+            forward = self._forward
+            logits_index = self.logits_index
+            embed_index = self.embed_index if with_embeddings else None
+
+            def program(params, x):
+                outs = forward(params, x)
+                logits = outs[logits_index]
+                if k > 0:
+                    vals, idx = lax.top_k(logits, k)
+                    conf = jax.nn.sigmoid(vals)
+                else:
+                    conf = jnp.zeros((logits.shape[0], 0), logits.dtype)
+                    idx = jnp.zeros((logits.shape[0], 0), jnp.int32)
+                emb = outs[embed_index] if embed_index is not None else None
+                return conf, idx, logits, emb
+
+            out_shardings = (
+                self._batch_sharded,
+                self._batch_sharded,
+                self._batch_sharded,
+                self._batch_sharded if embed_index is not None else None,
+            )
+            fn = jax.jit(
+                program,
+                in_shardings=(self._param_shardings, self._batch_sharded),
+                out_shardings=out_shardings,
+            )
+            self._compiled[key] = fn
+            return fn
+
+    def run_batch(
+        self,
+        segments: np.ndarray,
+        options: Optional[InferenceOptions] = None,
+        with_embeddings: bool = True,
+        bucket: Optional[int] = None,
+        donate: bool = False,
+    ):
+        b = segments.shape[0]
+        bkt = bucket if bucket is not None else self._batch_bucket(b)
+        if bkt % self.dp:
+            bkt = -(-bkt // self.dp) * self.dp
+        fn = self.compiled(bkt, with_embeddings)
+        if b < bkt:
+            pad = np.zeros((bkt - b, segments.shape[1]), dtype=np.float32)
+            segments = np.concatenate([segments, pad], axis=0)
+        try:
+            x = jax.device_put(segments, self._batch_sharded)
+            conf, idx, logits, emb = fn(self.params, x)
+            _wait([r for r in (conf, idx, logits, emb) if r is not None], options)
+        except InferenceError:
+            raise
+        except Exception as e:  # noqa: BLE001
+            from ..errors import InferenceCancelledError, InferenceTimeoutError
+
+            if isinstance(e, (InferenceCancelledError, InferenceTimeoutError)):
+                raise
+            raise InferenceError(str(e)) from e
+        conf = np.asarray(conf)[:b]
+        idx = np.asarray(idx)[:b]
+        logits = np.asarray(logits)[:b]
+        emb_np = np.asarray(emb)[:b] if emb is not None else None
+        return conf, idx, logits, emb_np
+
+    # -- streaming path (StreamingEngine-compatible) -----------------------
+
+    def _compile_stream(self, n_tiles: int, step: int, dtype, with_embeddings: bool):
+        key = ("stream", n_tiles, step, np.dtype(dtype).name, with_embeddings)
+        fn = self._compiled.get(key)
+        if fn is not None:
+            return fn
+        with self._lock:
+            fn = self._compiled.get(key)
+            if fn is not None:
+                return fn
+            S = self.config.sample_count
+            tile = self.tile
+            k = max(1, self.top_k)
+            forward = self._forward
+            logits_index = self.logits_index
+            embed_index = self.embed_index if with_embeddings else None
+            span = (tile - 1) * step + S
+            batch_sharded = self._batch_sharded
+
+            def program(params, audio):
+                if audio.dtype != jnp.float32:
+                    audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+
+                def body(_, tile_idx):
+                    sp = lax.dynamic_slice(audio, (tile_idx * tile * step,), (span,))
+                    if step == S:
+                        frames = sp.reshape(tile, S)
+                    else:
+                        frames = jnp.stack(
+                            [lax.slice_in_dim(sp, i * step, i * step + S)
+                             for i in range(tile)]
+                        )
+                    frames = lax.with_sharding_constraint(frames, batch_sharded)
+                    outs = forward(params, frames)
+                    logits = outs[logits_index]
+                    vals, idx = lax.top_k(logits, k)
+                    result = (jax.nn.sigmoid(vals), idx.astype(jnp.int32))
+                    if embed_index is not None:
+                        result = result + (outs[embed_index],)
+                    return None, result
+
+                _, results = lax.scan(body, None, jnp.arange(n_tiles))
+                conf, idx = results[0], results[1]
+                out = (conf.reshape(-1, k), idx.reshape(-1, k))
+                if embed_index is not None:
+                    emb = results[2]
+                    out = out + (emb.reshape((-1,) + emb.shape[2:]),)
+                return out
+
+            fn = jax.jit(
+                program,
+                in_shardings=(self._param_shardings, self._replicated),
+            )
+            self._compiled[key] = fn
+            return fn
+
+    def analyze(
+        self,
+        samples: np.ndarray,
+        overlap_seconds: float = 0.0,
+        options: Optional[InferenceOptions] = None,
+        with_embeddings: bool = False,
+        n_segments: Optional[int] = None,
+    ):
+        if with_embeddings and self.embed_index is None:
+            raise InferenceError(
+                f"{self.config.model_type.display_name} does not produce embeddings"
+            )
+        samples = np.asarray(samples)
+        if samples.dtype not in (np.float32, np.int16):
+            samples = samples.astype(np.float32)
+        S = self.config.sample_count
+        rate = self.config.sample_rate
+        step = S - int(overlap_seconds * rate)
+        if step <= 0:
+            raise InferenceError("overlap must be smaller than the segment duration")
+        n_total = samples.shape[0]
+        if n_segments is None and n_total > 0:
+            n_segments = -(-n_total // step)
+        if not n_total or not n_segments:
+            k = max(1, self.top_k)
+            empty = (
+                np.zeros((0, k), np.float32),
+                np.zeros((0, k), np.int32),
+                np.zeros(0),
+            )
+            if with_embeddings:
+                empty = empty + (
+                    np.zeros((0, self.config.embedding_dim or 0), np.float32),
+                )
+            return empty
+
+        segs_per_chunk = _MAX_TILES * self.tile
+        pending = []
+        for seg0 in range(0, n_segments, segs_per_chunk):
+            seg1 = min(seg0 + segs_per_chunk, n_segments)
+            n_seg = seg1 - seg0
+            n_tiles = _bucket_tiles(-(-n_seg // self.tile))
+            fn = self._compile_stream(n_tiles, step, samples.dtype, with_embeddings)
+            audio_len = (n_tiles * self.tile - 1) * step + S
+            lo = seg0 * step
+            chunk = samples[lo:lo + audio_len]
+            if chunk.shape[0] < audio_len:
+                chunk = np.concatenate(
+                    [chunk, np.zeros(audio_len - chunk.shape[0], dtype=samples.dtype)]
+                )
+            audio_d = jax.device_put(chunk, self._replicated)
+            outs = fn(self.params, audio_d)
+            pending.append((outs, n_seg))
+            if options is not None and options.needs_monitor() and len(pending) > 1:
+                _wait(list(pending[-2][0]), options)
+
+        collected = None
+        for outs, n_seg in pending:
+            _wait(list(outs), options)
+            arrays = [np.asarray(o)[:n_seg] for o in outs]
+            if collected is None:
+                collected = [[a] for a in arrays]
+            else:
+                for dest, a in zip(collected, arrays):
+                    dest.append(a)
+        start_times = np.arange(n_segments, dtype=np.float64) * (step / rate)
+        result = tuple(np.concatenate(parts) for parts in collected)
+        return result[:2] + (start_times,) + result[2:]
+
+    def warmup(self, batch_sizes=(1,)) -> None:
+        for b in batch_sizes:
+            self.compiled(self._batch_bucket(b))

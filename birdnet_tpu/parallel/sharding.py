@@ -54,17 +54,25 @@ def param_specs(
     params: Dict[str, np.ndarray],
     config: ModelConfig,
     model_axis: str = "model",
+    model_size: Optional[int] = None,
 ) -> Dict[str, P]:
     """Partition specs per parameter: head weights shard over ``model_axis``
-    (dimension matching ``num_species``), everything else replicated."""
+    (dimension matching ``num_species``), everything else replicated.
+
+    ``model_size``: the mesh's model-axis extent — dims that don't divide it
+    evenly stay replicated (e.g. 6,522 species over a 4-way axis)."""
     n = config.num_species
+
+    def fits(dim: int) -> bool:
+        return model_size is None or dim % model_size == 0
+
     specs: Dict[str, P] = {}
     for name, p in params.items():
-        if p.ndim == 2 and p.shape[0] == n:
+        if p.ndim == 2 and p.shape[0] == n and fits(n):
             specs[name] = P(model_axis, None)
-        elif p.ndim == 2 and p.shape[1] == n:
+        elif p.ndim == 2 and p.shape[1] == n and fits(n):
             specs[name] = P(None, model_axis)
-        elif p.ndim == 1 and p.shape[0] == n:
+        elif p.ndim == 1 and p.shape[0] == n and fits(n):
             specs[name] = P(model_axis)
         else:
             specs[name] = P()
@@ -73,7 +81,7 @@ def param_specs(
 
 def shard_params(params, config: ModelConfig, mesh: Mesh, model_axis: str = "model"):
     """Place params on the mesh with head-TP sharding."""
-    specs = param_specs(params, config, model_axis)
+    specs = param_specs(params, config, model_axis, mesh.shape[model_axis])
     return {
         name: jax.device_put(p, NamedSharding(mesh, specs[name]))
         for name, p in params.items()
@@ -103,7 +111,7 @@ def make_sharded_program(
     logits_index, _ = demux_indices(config.model_type)
     k = max(0, min(top_k, config.num_species))
 
-    p_specs = param_specs(imported.params, config, model_axis)
+    p_specs = param_specs(imported.params, config, model_axis, mesh.shape[model_axis])
     x_sharding = NamedSharding(mesh, P(data_axis, None))
     params_shardings = {
         name: NamedSharding(mesh, spec) for name, spec in p_specs.items()
@@ -173,7 +181,7 @@ def make_sharded_stream_program(
     S = config.sample_count
     span = (tile - 1) * step + S
 
-    p_specs = param_specs(imported.params, config, model_axis)
+    p_specs = param_specs(imported.params, config, model_axis, mesh.shape[model_axis])
     params_shardings = {
         name: NamedSharding(mesh, spec) for name, spec in p_specs.items()
     }

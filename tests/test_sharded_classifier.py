@@ -1,0 +1,98 @@
+"""Multi-chip Classifier (with_mesh) on the virtual 8-device CPU mesh:
+must match the single-device classifier exactly."""
+
+import numpy as np
+import pytest
+
+from birdnet_tpu import Classifier
+from birdnet_tpu.parallel import make_mesh
+from birdnet_tpu.testutil import mock_labels, sine_segment
+
+
+LABELS = mock_labels(10)
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    from birdnet_tpu.models import birdnet_v24
+
+    p = tmp_path_factory.mktemp("shard") / "v24.onnx"
+    birdnet_v24.save_tiny(p, num_species=10)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def single(model_path):
+    return Classifier.builder().model_path(model_path).labels(LABELS).top_k(3).build()
+
+
+@pytest.fixture(scope="module")
+def sharded(model_path):
+    mesh = make_mesh(shape=(4, 2))
+    return (
+        Classifier.builder()
+        .model_path(model_path)
+        .labels(LABELS)
+        .top_k(3)
+        .with_mesh(mesh)
+        .build()
+    )
+
+
+def test_predict_matches(single, sharded):
+    seg = sine_segment()
+    a = single.predict(seg)
+    b = sharded.predict(seg)
+    assert [p.index for p in a.predictions] == [p.index for p in b.predictions]
+    np.testing.assert_allclose(a.raw_scores, b.raw_scores, rtol=1e-4, atol=1e-5)
+
+
+def test_predict_batch_matches(single, sharded):
+    segs = [sine_segment(freq=f) for f in (400.0, 900.0, 1400.0, 2100.0, 2600.0)]
+    a = single.predict_batch(segs)
+    b = sharded.predict_batch(segs)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(ra.raw_scores, rb.raw_scores, rtol=1e-4, atol=1e-5)
+
+
+def test_batch_context_on_mesh(sharded):
+    ctx = sharded.create_batch_context(8)
+    segs = [sine_segment(freq=f) for f in (500.0, 1500.0, 2500.0)]
+    results = sharded.predict_batch_with_context(ctx, segs)
+    assert len(results) == 3
+    plain = sharded.predict_batch(segs)
+    for a, b in zip(results, plain):
+        np.testing.assert_allclose(a.raw_scores, b.raw_scores, rtol=1e-3, atol=1e-4)
+
+
+def test_streaming_on_mesh_matches(single, sharded):
+    rng = np.random.default_rng(4)
+    audio = (0.2 * rng.normal(size=144_000 * 5)).astype(np.float32)
+    a = single.analyze_samples(audio)
+    b = sharded.analyze_samples(audio)
+    assert len(a) == len(b)
+    for (t1, p1), (t2, p2) in zip(a, b):
+        assert t1 == pytest.approx(t2)
+        assert [p.index for p in p1] == [p.index for p in p2]
+
+
+def test_streaming_iter_on_mesh(sharded):
+    audio = np.zeros(144_000 * 3, dtype=np.float32)
+    out = list(sharded.analyze_samples_iter(audio, chunk_segments=2))
+    assert len(out) == 3
+
+
+def test_embeddings_on_mesh(tmp_path):
+    from birdnet_tpu.models import birdnet_v30
+
+    p = tmp_path / "v30.onnx"
+    birdnet_v30.save_tiny(p, num_species=10, embedding_dim=32)
+    mesh = make_mesh(shape=(2, 4))
+    clf = (
+        Classifier.builder().model_path(p).labels(LABELS).with_mesh(mesh).build()
+    )
+    r = clf.predict(np.zeros(160_000, np.float32))
+    assert r.embeddings.shape == (32,)
+    emb, times = clf.embed_samples(np.zeros(160_000 * 2, np.float32))
+    assert emb.shape == (2, 32)
