@@ -106,7 +106,9 @@ class ClassifierBuilder:
     # -- device selection (EP-method analogs, classifier.rs:159-322) ------
 
     def with_tpu(self, config: Optional[TPUConfig] = None) -> "ClassifierBuilder":
-        if self._requested_device is None:  # first non-CPU wins
+        # "First non-CPU device wins" (classifier.rs:25-31): an accelerator
+        # request overrides an earlier CPU request, never another accelerator.
+        if self._requested_device is None or self._requested_device == "cpu":
             self._requested_device = "tpu"
         self._device_config = config or TPUConfig()
         return self

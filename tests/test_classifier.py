@@ -327,3 +327,44 @@ def test_token_not_cancelled_passes(v24_classifier):
     )
     assert len(r.predictions) <= 3
     assert not tok.is_cancelled()
+
+
+# --- builder state / device precedence (classifier.rs:1079-1474 analog) -----
+
+
+def test_builder_first_non_cpu_wins():
+    from birdnet_tpu.classifier import ClassifierBuilder
+
+    b = ClassifierBuilder().with_cpu().with_tpu()
+    assert b._requested_device == "tpu"  # accelerator overrides earlier cpu
+    b2 = ClassifierBuilder().with_tpu().with_cpu()
+    assert b2._requested_device == "tpu"  # cpu never downgrades
+    b3 = ClassifierBuilder().with_device("gpu").with_device("tpu")
+    assert b3._requested_device == "gpu"  # first non-cpu wins
+
+
+def test_builder_chaining_state():
+    from birdnet_tpu.classifier import ClassifierBuilder
+    from birdnet_tpu.types import ModelType
+
+    b = (
+        ClassifierBuilder()
+        .model_path("m.onnx")
+        .labels(["a"])
+        .top_k(7)
+        .min_confidence(0.25)
+        .model_type(ModelType.PERCH_V2)
+        .precision("fast")
+    )
+    assert b._model_path == "m.onnx"
+    assert b._top_k == 7
+    assert b._min_confidence == 0.25
+    assert b._model_type is ModelType.PERCH_V2
+    assert b._precision == "fast"
+
+
+def test_classifier_properties(v24_classifier):
+    assert v24_classifier.top_k_value == 3
+    assert v24_classifier.min_confidence_value is None
+    assert v24_classifier.labels == LABELS10
+    assert v24_classifier.num_species == 10
