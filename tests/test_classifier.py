@@ -62,6 +62,14 @@ def v24_classifier(v24_model):
     )
 
 
+def _tol(clf):
+    """fp tolerances: tight on fp32 (CPU tests), loose under bf16-operand
+    policies on real TPU hardware (BIRDNET_TEST_TPU=1)."""
+    if clf._engine.precision == "fp32":
+        return dict(rtol=1e-3, atol=1e-4)
+    return dict(rtol=5e-2, atol=5e-3)
+
+
 def sine_segment(n=144_000, freq=1000.0, rate=48_000.0):
     t = np.arange(n, dtype=np.float32) / rate
     return np.sin(2 * np.pi * freq * t).astype(np.float32)
@@ -198,7 +206,7 @@ def test_predict_batch_matches_single(v24_classifier):
     batch = v24_classifier.predict_batch([seg, seg])
     for r in batch:
         np.testing.assert_allclose(
-            r.raw_scores, single.raw_scores, rtol=1e-4, atol=1e-5
+            r.raw_scores, single.raw_scores, **_tol(v24_classifier)
         )
 
 
@@ -215,7 +223,7 @@ def test_batch_context_roundtrip(v24_classifier):
     # re-use: results consistent with plain batch path
     plain = v24_classifier.predict_batch(segs)
     for a, b in zip(results, plain):
-        np.testing.assert_allclose(a.raw_scores, b.raw_scores, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(a.raw_scores, b.raw_scores, **_tol(v24_classifier))
     # repeated use with different sizes, no error
     assert len(v24_classifier.predict_batch_with_context(ctx, segs[:1])) == 1
     assert len(v24_classifier.predict_batch_with_context(ctx, segs * 2)) == 4

@@ -115,9 +115,12 @@ def test_embed_samples_v30(tmp_path):
     emb, times = clf.embed_samples(audio)
     assert emb.shape == (3, 32)
     assert list(times) == [0.0, 5.0, 10.0]
-    # matches the per-segment path
+    # matches the per-segment path (tolerance loosened for bf16 policies)
     ref = clf.predict(audio[:160_000]).embeddings
-    np.testing.assert_allclose(emb[0], ref, rtol=1e-4, atol=1e-5)
+    if clf._engine.precision == "fp32":
+        np.testing.assert_allclose(emb[0], ref, rtol=1e-4, atol=1e-5)
+    else:
+        np.testing.assert_allclose(emb[0], ref, rtol=5e-2, atol=5e-3)
 
 
 def test_embed_samples_v24_rejected(clf):
