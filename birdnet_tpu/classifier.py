@@ -366,8 +366,8 @@ class Classifier:
     # -- streaming whole-recording path --------------------------------------
 
     def _streaming_engine(self):
-        if hasattr(self._engine, "analyze"):
-            return self._engine  # ShardedEngine streams natively
+        if getattr(self._engine, "streams_natively", False):
+            return self._engine  # ShardedEngine streams through itself
         if self._stream is None:
             with self._stream_lock:
                 if self._stream is None:

@@ -1236,20 +1236,11 @@ def _scan(ctx, *inputs):
         xs.append(x)
 
     body_input_names = [vi.name for vi in body.input]
-    body_output_names = [vi.name for vi in body.output]
-    k_scan_out = len(body_output_names) - n_state
-    outer_env = dict(ctx.env)
-    for t in body.initializer:
-        outer_env[t.name] = t.to_numpy()
-    opset, precision = ctx.opset, ctx.precision
-
-    from .importer import interpret_graph
+    k_scan_out = len(body.output) - n_state
 
     def step(carry, x_slice):
-        env = dict(outer_env)
-        env.update(zip(body_input_names[:n_state], carry))
-        env.update(zip(body_input_names[n_state:], x_slice))
-        outs = interpret_graph(body, opset, precision, env, body_output_names)
+        extra = dict(zip(body_input_names, list(carry) + list(x_slice)))
+        outs = _run_subgraph(ctx, body, extra)
         new_carry = tuple(jnp.asarray(o) for o in outs[:n_state])
         scan_out = tuple(jnp.asarray(o) for o in outs[n_state:])
         return new_carry, scan_out

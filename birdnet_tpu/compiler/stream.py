@@ -172,53 +172,81 @@ class StreamingEngine:
         order: the streaming equivalent of the reference CLI's
         chunk → predict_batch loop.
         """
-        if with_embeddings and self.embed_index is None:
-            raise InferenceError(
-                f"{self.config.model_type.display_name} does not produce embeddings"
-            )
-        samples = np.asarray(samples)
-        if samples.dtype not in (np.float32, np.int16):
-            samples = samples.astype(np.float32)
-        S = self.config.sample_count
-        rate = self.config.sample_rate
-        overlap = int(overlap_seconds * rate)
-        step = S - overlap
-        if step <= 0:
-            raise InferenceError("overlap must be smaller than the segment duration")
-        n_total = samples.shape[0]
-        if n_segments is None and n_total > 0:
-            n_segments = -(-n_total // step)
-        if n_total == 0 or n_segments == 0:
-            n_total = 0  # fall through to the empty return below
-        if n_total == 0:
-            k = self.top_k
-            empty = (
-                np.zeros((0, k), np.float32),
-                np.zeros((0, k), np.int32),
-                np.zeros(0),
-            )
-            if with_embeddings:
-                e = self.config.embedding_dim or 0
-                empty = empty + (np.zeros((0, e), np.float32),)
-            return empty
-        segs_per_chunk = MAX_TILES * self.tile
+        return streaming_analyze(
+            self,
+            samples,
+            overlap_seconds,
+            options,
+            with_embeddings,
+            n_segments,
+            place=lambda chunk: jax.device_put(chunk, self.device),
+        )
 
-        # Dispatch superchunks with pipelined uploads: device_put + dispatch
-        # are async, so chunk c+1 uploads while chunk c computes.
-        pending = []
+    def warmup(self, n_tiles: int = MAX_TILES, overlap_seconds: float = 0.0,
+               dtype=np.float32) -> None:
+        step = self.config.sample_count - int(overlap_seconds * self.config.sample_rate)
+        self._compile(n_tiles, step, dtype)
+
+
+def streaming_analyze(
+    eng,
+    samples: np.ndarray,
+    overlap_seconds: float,
+    options: Optional[InferenceOptions],
+    with_embeddings: bool,
+    n_segments: Optional[int],
+    place,
+):
+    """The superchunk dispatch loop, shared by the single-device and
+    mesh-sharded streaming engines. ``eng`` provides ``config``, ``tile``,
+    ``top_k``, ``embed_index`` and ``_compile(n_tiles, step, dtype,
+    with_embeddings)``; ``place`` puts a host chunk onto the device/mesh.
+    """
+    if with_embeddings and eng.embed_index is None:
+        raise InferenceError(
+            f"{eng.config.model_type.display_name} does not produce embeddings"
+        )
+    samples = np.asarray(samples)
+    if samples.dtype not in (np.float32, np.int16):
+        samples = samples.astype(np.float32)
+    S = eng.config.sample_count
+    rate = eng.config.sample_rate
+    step = S - int(overlap_seconds * rate)
+    if step <= 0:
+        raise InferenceError("overlap must be smaller than the segment duration")
+    n_total = samples.shape[0]
+    if n_segments is None and n_total > 0:
+        n_segments = -(-n_total // step)
+    if not n_total or not n_segments:
+        k = max(1, eng.top_k)
+        empty = (
+            np.zeros((0, k), np.float32),
+            np.zeros((0, k), np.int32),
+            np.zeros(0),
+        )
+        if with_embeddings:
+            empty = empty + (
+                np.zeros((0, eng.config.embedding_dim or 0), np.float32),
+            )
+        return empty
+    segs_per_chunk = MAX_TILES * eng.tile
+
+    # Dispatch superchunks with pipelined uploads: device_put + dispatch are
+    # async, so chunk c+1 uploads while chunk c computes.
+    pending = []
+    try:
         for seg0 in range(0, n_segments, segs_per_chunk):
             seg1 = min(seg0 + segs_per_chunk, n_segments)
             n_seg = seg1 - seg0
-            n_tiles = _bucket_tiles(-(-n_seg // self.tile))
-            fn = self._compile(n_tiles, step, samples.dtype, with_embeddings)
-            audio_len = (n_tiles * self.tile - 1) * step + S
+            n_tiles = _bucket_tiles(-(-n_seg // eng.tile))
+            fn = eng._compile(n_tiles, step, samples.dtype, with_embeddings)
+            audio_len = (n_tiles * eng.tile - 1) * step + S
             lo = seg0 * step
             chunk = samples[lo:lo + audio_len]
             if chunk.shape[0] < audio_len:
                 pad = np.zeros(audio_len - chunk.shape[0], dtype=samples.dtype)
                 chunk = np.concatenate([chunk, pad])
-            audio_d = jax.device_put(chunk, self.device)
-            outs = fn(self.params, audio_d)
+            outs = fn(eng.params, place(chunk))
             pending.append((outs, n_seg))
             # Honor cancellation/timeout between dispatches (the reference
             # honors options between batches, birdnet-analyze.rs:562-610):
@@ -236,11 +264,14 @@ class StreamingEngine:
             else:
                 for dest, a in zip(collected, arrays):
                     dest.append(a)
-        start_times = np.arange(n_segments, dtype=np.float64) * (step / rate)
-        result = tuple(np.concatenate(parts) for parts in collected)
-        return result[:2] + (start_times,) + result[2:]
+    except InferenceError:
+        raise
+    except Exception as e:  # noqa: BLE001 - XLA runtime failures (OOM, …)
+        from ..errors import InferenceCancelledError, InferenceTimeoutError
 
-    def warmup(self, n_tiles: int = MAX_TILES, overlap_seconds: float = 0.0,
-               dtype=np.float32) -> None:
-        step = self.config.sample_count - int(overlap_seconds * self.config.sample_rate)
-        self._compile(n_tiles, step, dtype)
+        if isinstance(e, (InferenceCancelledError, InferenceTimeoutError)):
+            raise
+        raise InferenceError(str(e)) from e
+    start_times = np.arange(n_segments, dtype=np.float64) * (step / rate)
+    result = tuple(np.concatenate(parts) for parts in collected)
+    return result[:2] + (start_times,) + result[2:]

@@ -30,20 +30,10 @@ from ..compiler.engine import _wait
 from ..compiler.importer import ImportedModel, make_forward
 from .sharding import param_specs
 
-# Streaming superchunk bound (tiles per dispatch), as in compiler/stream.py.
-_MAX_TILES = 16
-_TILE_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16)
-
-
-def _bucket_tiles(n: int) -> int:
-    for b in _TILE_BUCKETS:
-        if n <= b:
-            return b
-    return _MAX_TILES
-
-
 class ShardedEngine:
     """Mesh-parallel inference engine (DP batches + TP classifier head)."""
+
+    streams_natively = True  # Classifier streams through this engine directly
 
     def __init__(
         self,
@@ -56,6 +46,12 @@ class ShardedEngine:
         data_axis: str = "data",
         model_axis: str = "model",
     ):
+        if data_axis not in mesh.shape or model_axis not in mesh.shape:
+            raise InferenceError(
+                f"mesh must have {data_axis!r} and {model_axis!r} axes "
+                f"(got {tuple(mesh.axis_names)}); build one with "
+                f"birdnet_tpu.parallel.make_mesh()"
+            )
         self.mesh = mesh
         self.data_axis = data_axis
         self.model_axis = model_axis
@@ -99,7 +95,11 @@ class ShardedEngine:
         return max(self.dp, -(-p2 // self.dp) * self.dp)
 
     def compiled(self, bucket: int, with_embeddings: bool = True, donate: bool = False):
-        key = ("batch", bucket, with_embeddings)
+        """AOT-compiled mesh executable for a batch bucket (cached; bucket
+        is normalized up to a data-axis multiple so warmup/context keys
+        match run_batch's)."""
+        bucket = -(-bucket // self.dp) * self.dp
+        key = ("batch", bucket, with_embeddings, donate)
         fn = self._compiled.get(key)
         if fn is not None:
             return fn
@@ -130,11 +130,32 @@ class ShardedEngine:
                 self._batch_sharded,
                 self._batch_sharded if embed_index is not None else None,
             )
-            fn = jax.jit(
+            jitted = jax.jit(
                 program,
                 in_shardings=(self._param_shardings, self._batch_sharded),
                 out_shardings=out_shardings,
+                donate_argnums=(1,) if donate else (),
             )
+            x_spec = jax.ShapeDtypeStruct(
+                (bucket, self.config.sample_count), jnp.float32,
+                sharding=self._batch_sharded,
+            )
+            params_spec = {
+                name: jax.ShapeDtypeStruct(
+                    p.shape, p.dtype, sharding=self._param_shardings[name]
+                )
+                for name, p in self.params.items()
+            }
+            try:
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.filterwarnings(
+                        "ignore", message="Some donated buffers were not usable"
+                    )
+                    fn = jitted.lower(params_spec, x_spec).compile()
+            except Exception as e:  # noqa: BLE001
+                raise InferenceError(f"XLA compilation failed: {e}") from e
             self._compiled[key] = fn
             return fn
 
@@ -150,7 +171,7 @@ class ShardedEngine:
         bkt = bucket if bucket is not None else self._batch_bucket(b)
         if bkt % self.dp:
             bkt = -(-bkt // self.dp) * self.dp
-        fn = self.compiled(bkt, with_embeddings)
+        fn = self.compiled(bkt, with_embeddings, donate)
         if b < bkt:
             pad = np.zeros((bkt - b, segments.shape[1]), dtype=np.float32)
             segments = np.concatenate([segments, pad], axis=0)
@@ -174,7 +195,7 @@ class ShardedEngine:
 
     # -- streaming path (StreamingEngine-compatible) -----------------------
 
-    def _compile_stream(self, n_tiles: int, step: int, dtype, with_embeddings: bool):
+    def _compile(self, n_tiles: int, step: int, dtype, with_embeddings: bool = False):
         key = ("stream", n_tiles, step, np.dtype(dtype).name, with_embeddings)
         fn = self._compiled.get(key)
         if fn is not None:
@@ -237,66 +258,17 @@ class ShardedEngine:
         with_embeddings: bool = False,
         n_segments: Optional[int] = None,
     ):
-        if with_embeddings and self.embed_index is None:
-            raise InferenceError(
-                f"{self.config.model_type.display_name} does not produce embeddings"
-            )
-        samples = np.asarray(samples)
-        if samples.dtype not in (np.float32, np.int16):
-            samples = samples.astype(np.float32)
-        S = self.config.sample_count
-        rate = self.config.sample_rate
-        step = S - int(overlap_seconds * rate)
-        if step <= 0:
-            raise InferenceError("overlap must be smaller than the segment duration")
-        n_total = samples.shape[0]
-        if n_segments is None and n_total > 0:
-            n_segments = -(-n_total // step)
-        if not n_total or not n_segments:
-            k = max(1, self.top_k)
-            empty = (
-                np.zeros((0, k), np.float32),
-                np.zeros((0, k), np.int32),
-                np.zeros(0),
-            )
-            if with_embeddings:
-                empty = empty + (
-                    np.zeros((0, self.config.embedding_dim or 0), np.float32),
-                )
-            return empty
+        from ..compiler.stream import streaming_analyze
 
-        segs_per_chunk = _MAX_TILES * self.tile
-        pending = []
-        for seg0 in range(0, n_segments, segs_per_chunk):
-            seg1 = min(seg0 + segs_per_chunk, n_segments)
-            n_seg = seg1 - seg0
-            n_tiles = _bucket_tiles(-(-n_seg // self.tile))
-            fn = self._compile_stream(n_tiles, step, samples.dtype, with_embeddings)
-            audio_len = (n_tiles * self.tile - 1) * step + S
-            lo = seg0 * step
-            chunk = samples[lo:lo + audio_len]
-            if chunk.shape[0] < audio_len:
-                chunk = np.concatenate(
-                    [chunk, np.zeros(audio_len - chunk.shape[0], dtype=samples.dtype)]
-                )
-            audio_d = jax.device_put(chunk, self._replicated)
-            outs = fn(self.params, audio_d)
-            pending.append((outs, n_seg))
-            if options is not None and options.needs_monitor() and len(pending) > 1:
-                _wait(list(pending[-2][0]), options)
-
-        collected = None
-        for outs, n_seg in pending:
-            _wait(list(outs), options)
-            arrays = [np.asarray(o)[:n_seg] for o in outs]
-            if collected is None:
-                collected = [[a] for a in arrays]
-            else:
-                for dest, a in zip(collected, arrays):
-                    dest.append(a)
-        start_times = np.arange(n_segments, dtype=np.float64) * (step / rate)
-        result = tuple(np.concatenate(parts) for parts in collected)
-        return result[:2] + (start_times,) + result[2:]
+        return streaming_analyze(
+            self,
+            samples,
+            overlap_seconds,
+            options,
+            with_embeddings,
+            n_segments,
+            place=lambda chunk: jax.device_put(chunk, self._replicated),
+        )
 
     def warmup(self, batch_sizes=(1,)) -> None:
         for b in batch_sizes:

@@ -55,12 +55,17 @@ def param_specs(
     config: ModelConfig,
     model_axis: str = "model",
     model_size: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
 ) -> Dict[str, P]:
     """Partition specs per parameter: head weights shard over ``model_axis``
     (dimension matching ``num_species``), everything else replicated.
 
-    ``model_size``: the mesh's model-axis extent — dims that don't divide it
-    evenly stay replicated (e.g. 6,522 species over a 4-way axis)."""
+    ``model_size`` (or ``mesh``, from which it is derived): the mesh's
+    model-axis extent — dims that don't divide it evenly stay replicated
+    (e.g. 6,522 species over a 4-way axis). Without either, specs are
+    emitted unguarded; prefer passing the mesh."""
+    if model_size is None and mesh is not None:
+        model_size = mesh.shape.get(model_axis)
     n = config.num_species
 
     def fits(dim: int) -> bool:
