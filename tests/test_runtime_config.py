@@ -1,0 +1,55 @@
+"""Runtime init + device-config tests (reference: cuda_config.rs:250-339,
+tensorrt_config.rs:363-459 config-default matrices; runtime.rs:239-256)."""
+
+import os
+
+from birdnet_tpu import (
+    CPUConfig,
+    TPUConfig,
+    available_devices,
+    available_execution_providers,
+    init_runtime,
+    is_device_available,
+)
+from birdnet_tpu.types import DeviceBackend
+
+
+def test_tpu_config_defaults():
+    cfg = TPUConfig()
+    assert cfg.device_id == 0
+    assert cfg.precision == "mixed"  # the TRT-fp16-on-by-default analog
+    assert cfg.compilation_cache_dir is None  # default cache location
+    assert cfg.donate_buffers is True
+    assert cfg.memory_fraction is None
+
+
+def test_cpu_config_defaults():
+    cfg = CPUConfig()
+    assert cfg.precision == "fp32"
+    assert cfg.device_id == 0
+
+
+def test_tpu_config_memory_fraction_applies(monkeypatch):
+    monkeypatch.delenv("XLA_PYTHON_CLIENT_MEM_FRACTION", raising=False)
+    TPUConfig(memory_fraction=0.4).apply()
+    assert os.environ["XLA_PYTHON_CLIENT_MEM_FRACTION"] == "0.4"
+    monkeypatch.delenv("XLA_PYTHON_CLIENT_MEM_FRACTION", raising=False)
+
+
+def test_init_runtime_idempotent():
+    init_runtime()
+    init_runtime()  # second call is a no-op (reference: runtime.rs:138-151)
+
+
+def test_available_devices_cpu_present():
+    devices = available_devices()
+    assert devices, "at least one device"
+    assert any(d.backend is DeviceBackend.CPU for d in devices)
+    # CPU sorts last (accelerators first)
+    assert devices[-1].backend is DeviceBackend.CPU
+    assert available_execution_providers() == devices
+
+
+def test_is_device_available():
+    assert is_device_available("cpu")
+    assert not is_device_available("quantum")
