@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Resample the WAV to the model rate on-device (polyphase sinc) "
         "instead of rejecting rate mismatches",
     )
+    p.add_argument(
+        "--mesh",
+        action="store_true",
+        help="Run multi-chip: shard batches over all visible devices "
+        "(data axis) and the classifier head (model axis)",
+    )
     p.add_argument("-v", "--verbose", action="store_true", help="Enable verbose logging")
     p.add_argument(
         "--profile",
@@ -210,7 +216,9 @@ def run_with_args(args: argparse.Namespace) -> int:
         builder = builder.model_type(model_type_override)
     if args.precision:
         builder = builder.precision(args.precision)
-    if not is_cpu:
+    if args.mesh:
+        builder = builder.with_mesh()
+    elif not is_cpu:
         builder = builder.with_device(device.platform)
     classifier = builder.build()
     config = classifier.config

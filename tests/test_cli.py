@@ -162,3 +162,13 @@ def test_cli_range_filter(cli_fixtures, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "3 segments" in out
+
+
+def test_cli_mesh_flag(cli_fixtures, capsys):
+    """--mesh runs the whole pipeline over the virtual device mesh."""
+    wav, model, labels = cli_fixtures
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--mesh", "--min-confidence", "0.0", "-t", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "3 segments of 7s audio" in out
