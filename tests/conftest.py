@@ -25,12 +25,44 @@ if REPO_ROOT not in sys.path:
 
 import pytest  # noqa: E402
 
-if not os.environ.get("BIRDNET_TEST_TPU"):
+ON_TPU = bool(os.environ.get("BIRDNET_TEST_TPU"))
+if not ON_TPU:
     # jax may already be imported (pytest plugin autoload latches config at
     # import time); update the live config too.
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+# Modules whose numeric oracles assume fp32 (CPU) execution; on real TPU the
+# default conv/matmul passes are bf16-based and those tolerances don't apply.
+_CPU_ORACLE_MODULES = {
+    "test_compiler_ops",
+    "test_signal_ops",
+    "test_resample",
+    "test_pallas_frontend",
+}
+# Modules that need the 8-device virtual mesh.
+_MESH_MODULES = {"test_sharding", "test_sharded_classifier"}
+
+
+def pytest_collection_modifyitems(config, items):
+    if not ON_TPU:
+        return
+    import jax
+
+    n_devices = len(jax.devices())
+    skip_oracle = pytest.mark.skip(
+        reason="fp32 CPU oracle comparison; not meaningful under TPU bf16 passes"
+    )
+    skip_mesh = pytest.mark.skip(
+        reason=f"needs an 8-device mesh; only {n_devices} real device(s)"
+    )
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _CPU_ORACLE_MODULES:
+            item.add_marker(skip_oracle)
+        elif mod in _MESH_MODULES and n_devices < 8:
+            item.add_marker(skip_mesh)
 
 
 @pytest.fixture(scope="session")

