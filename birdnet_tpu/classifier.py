@@ -450,6 +450,40 @@ class Classifier:
                 )
                 yield (t0 + float(times[i]), preds)
 
+    def analyze_wav(
+        self,
+        path,
+        overlap_seconds: float = 0.0,
+        options: Optional[InferenceOptions] = None,
+        resample: bool = False,
+    ):
+        """One-call WAV analysis: read (raw int16), validate the sample rate
+        (optionally resampling on device), and stream the whole recording.
+        Returns ``list[(start_time_seconds, list[Prediction])]`` — the
+        library form of the reference CLI's end-to-end flow
+        (birdnet-analyze.rs:275-650)."""
+        from .errors import AudioFormatError
+        from .utils.audio_io import read_wav
+
+        samples, rate, _ = read_wav(path, dtype="int16")
+        if rate != self._config.sample_rate:
+            if not resample:
+                raise AudioFormatError(
+                    f"model expects {self._config.sample_rate} Hz audio, WAV is "
+                    f"{rate} Hz (pass resample=True to convert)"
+                )
+            from .ops.resample import resample_poly
+
+            f32 = np.asarray(
+                resample_poly(
+                    samples.astype(np.float32) / 32768.0,
+                    rate,
+                    self._config.sample_rate,
+                )
+            )
+            samples = np.clip(f32 * 32768.0, -32768, 32767).astype(np.int16)
+        return self.analyze_samples(samples, overlap_seconds, options)
+
     def embed_samples(
         self,
         samples,

@@ -150,3 +150,19 @@ def test_analyze_samples_iter_with_overlap(clf):
     for (t1, p1), (t2, p2) in zip(chunked, full):
         assert t1 == pytest.approx(t2)
         assert [p.index for p in p1] == [p.index for p in p2]
+
+
+def test_analyze_wav(clf, tmp_path):
+    from birdnet_tpu.utils.audio_io import write_wav
+
+    wav = tmp_path / "a.wav"
+    write_wav(wav, _audio(7.0), 48_000)
+    out = clf.analyze_wav(wav)
+    assert len(out) == 3  # ceil(7/3)
+    # rate mismatch rejected without resample=True
+    wav32 = tmp_path / "b.wav"
+    write_wav(wav32, np.zeros(32_000, np.float32), 32_000)
+    with pytest.raises(E.AudioFormatError):
+        clf.analyze_wav(wav32)
+    out = clf.analyze_wav(wav32, resample=True)
+    assert len(out) == 1
