@@ -1,0 +1,225 @@
+"""Oracle tests for the remaining op lowerings."""
+
+import numpy as np
+import pytest
+
+from birdnet_tpu.onnx import proto as P
+from tests.test_compiler_ops import run_graph
+
+torch = pytest.importorskip("torch")
+
+
+def test_lrn_vs_torch(rng):
+    x = rng.normal(size=(2, 8, 6, 6)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("LRN", ["x"], ["y"], size=5, alpha=1e-3, beta=0.75, bias=1.5)],
+        {"x": x},
+    )
+    expected = torch.nn.functional.local_response_norm(
+        torch.from_numpy(x), 5, alpha=1e-3, beta=0.75, k=1.5
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_nearest_scales(rng):
+    x = rng.normal(size=(1, 2, 4, 4)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Resize", ["x", "", "scales"], ["y"], mode="nearest")],
+        {"x": x},
+        {"scales": np.array([1.0, 1.0, 2.0, 2.0], dtype=np.float32)},
+    )
+    assert y.shape == (1, 2, 8, 8)
+    # each input pixel appears in a 2x2 block
+    np.testing.assert_allclose(y[0, 0, ::2, ::2], x[0, 0], rtol=1e-6)
+
+
+def test_resize_linear_sizes(rng):
+    x = rng.normal(size=(1, 1, 4, 4)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Resize", ["x", "", "", "sizes"], ["y"], mode="linear")],
+        {"x": x},
+        {"sizes": np.array([1, 1, 8, 8], dtype=np.int64)},
+    )
+    assert y.shape == (1, 1, 8, 8)
+    assert np.isfinite(y).all()
+
+
+def test_depth_to_space_modes(rng):
+    x = rng.normal(size=(1, 8, 4, 6)).astype(np.float32)
+    # CRD mode is exactly torch.pixel_shuffle
+    (crd,) = run_graph(
+        [P.make_node("DepthToSpace", ["x"], ["y"], blocksize=2, mode="CRD")], {"x": x}
+    )
+    expected = torch.pixel_shuffle(torch.from_numpy(x), 2).numpy()
+    np.testing.assert_allclose(crd, expected, rtol=1e-6)
+    # DCR mode per the ONNX formula: out[n,c,h*b+i,w*b+j] = in[n,(i*b+j)*C'+c,h,w]
+    (dcr,) = run_graph(
+        [P.make_node("DepthToSpace", ["x"], ["y"], blocksize=2, mode="DCR")], {"x": x}
+    )
+    b, c_out = 2, 2
+    for i in range(b):
+        for j in range(b):
+            np.testing.assert_allclose(
+                dcr[0, :, i::b, j::b], x[0, (i * b + j) * c_out:(i * b + j + 1) * c_out]
+            )
+
+
+def test_space_to_depth_roundtrip(rng):
+    x = rng.normal(size=(1, 2, 8, 12)).astype(np.float32)
+    (s,) = run_graph([P.make_node("SpaceToDepth", ["x"], ["y"], blocksize=2)], {"x": x})
+    assert s.shape == (1, 8, 4, 6)
+    (back,) = run_graph(
+        [P.make_node("DepthToSpace", ["x"], ["y"], blocksize=2, mode="DCR")], {"x": s}
+    )
+    np.testing.assert_allclose(back, x)
+
+
+def test_groupnorm_vs_torch(rng):
+    x = rng.normal(size=(2, 8, 5, 5)).astype(np.float32)
+    s = rng.normal(size=(8,)).astype(np.float32)
+    b = rng.normal(size=(8,)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("GroupNormalization", ["x", "s", "b"], ["y"], num_groups=4, epsilon=1e-5)],
+        {"x": x},
+        {"s": s, "b": b},
+        opset=21,
+    )
+    expected = torch.nn.functional.group_norm(
+        torch.from_numpy(x), 4, torch.from_numpy(s), torch.from_numpy(b), 1e-5
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_einsum(rng):
+    a = rng.normal(size=(3, 4, 5)).astype(np.float32)
+    b = rng.normal(size=(5, 6)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Einsum", ["a", "b"], ["y"], equation="bij,jk->bik")],
+        {"a": a, "b": b},
+    )
+    np.testing.assert_allclose(y, np.einsum("bij,jk->bik", a, b), rtol=1e-4, atol=1e-5)
+
+
+def test_cumsum_variants(rng):
+    x = rng.normal(size=(3, 5)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("CumSum", ["x", "ax"], ["y"])],
+        {"x": x}, {"ax": np.array(1, dtype=np.int64)},
+    )
+    np.testing.assert_allclose(y, np.cumsum(x, axis=1), rtol=1e-5)
+    (y,) = run_graph(
+        [P.make_node("CumSum", ["x", "ax"], ["y"], exclusive=1, reverse=1)],
+        {"x": x}, {"ax": np.array(1, dtype=np.int64)},
+    )
+    ref = np.flip(np.cumsum(np.flip(x, 1), axis=1) - np.flip(x, 1), 1)
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_onehot():
+    idx = np.array([0, 2, 1], dtype=np.int64)
+    (y,) = run_graph(
+        [P.make_node("OneHot", ["i", "d", "v"], ["y"], axis=-1)],
+        {"i": idx},
+        {"d": np.array(4, dtype=np.int64),
+         "v": np.array([0.0, 1.0], dtype=np.float32)},
+    )
+    np.testing.assert_allclose(y, np.eye(4, dtype=np.float32)[idx])
+
+
+def test_selu_mish_softsign_hardsigmoid_vs_torch(rng):
+    x = rng.normal(size=(4, 7)).astype(np.float32)
+    (y,) = run_graph([P.make_node("Selu", ["x"], ["y"])], {"x": x})
+    np.testing.assert_allclose(y, torch.selu(torch.from_numpy(x)).numpy(), rtol=1e-5, atol=1e-6)
+    (y,) = run_graph([P.make_node("Mish", ["x"], ["y"])], {"x": x})
+    np.testing.assert_allclose(
+        y, torch.nn.functional.mish(torch.from_numpy(x)).numpy(), rtol=1e-4, atol=1e-5
+    )
+    (y,) = run_graph([P.make_node("Softsign", ["x"], ["y"])], {"x": x})
+    np.testing.assert_allclose(
+        y, torch.nn.functional.softsign(torch.from_numpy(x)).numpy(), rtol=1e-5
+    )
+    (y,) = run_graph([P.make_node("HardSigmoid", ["x"], ["y"],
+                                  alpha=1 / 6, beta=0.5)], {"x": x})
+    np.testing.assert_allclose(
+        y, torch.nn.functional.hardsigmoid(torch.from_numpy(x)).numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_gelu_vs_torch(rng):
+    x = rng.normal(size=(3, 9)).astype(np.float32)
+    (y,) = run_graph([P.make_node("Gelu", ["x"], ["y"])], {"x": x}, opset=20)
+    np.testing.assert_allclose(
+        y, torch.nn.functional.gelu(torch.from_numpy(x)).numpy(), rtol=1e-4, atol=1e-5
+    )
+    (y,) = run_graph([P.make_node("Gelu", ["x"], ["y"], approximate="tanh")], {"x": x}, opset=20)
+    np.testing.assert_allclose(
+        y, torch.nn.functional.gelu(torch.from_numpy(x), approximate="tanh").numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_tile_where_range(rng):
+    x = rng.normal(size=(2, 3)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Tile", ["x", "r"], ["y"])],
+        {"x": x}, {"r": np.array([2, 3], dtype=np.int64)},
+    )
+    np.testing.assert_array_equal(y, np.tile(x, (2, 3)))
+    (y,) = run_graph(
+        [P.make_node("Where", ["c", "a", "b"], ["y"])],
+        {"c": x > 0, "a": x, "b": -x},
+    )
+    np.testing.assert_allclose(y, np.abs(x))
+    (y,) = run_graph(
+        [P.make_node("Range", ["s", "l", "d"], ["y"])],
+        {},
+        {"s": np.array(2, dtype=np.int64), "l": np.array(11, dtype=np.int64),
+         "d": np.array(3, dtype=np.int64)},
+    )
+    np.testing.assert_array_equal(y, np.arange(2, 11, 3))
+
+
+def test_mod_and_logic(rng):
+    a = np.array([5, -5, 7], dtype=np.int32)
+    b = np.array([3, 3, -4], dtype=np.int32)
+    (y,) = run_graph([P.make_node("Mod", ["a", "b"], ["y"])], {"a": a, "b": b})
+    np.testing.assert_array_equal(y, np.mod(a, b))
+    p = np.array([True, False, True])
+    q = np.array([True, True, False])
+    (y,) = run_graph([P.make_node("Xor", ["p", "q"], ["y"])], {"p": p, "q": q})
+    np.testing.assert_array_equal(y, p ^ q)
+
+
+def test_gather_elements_vs_torch(rng):
+    x = rng.normal(size=(3, 4)).astype(np.float32)
+    idx = rng.integers(0, 4, size=(3, 2)).astype(np.int64)
+    (y,) = run_graph(
+        [P.make_node("GatherElements", ["x", "i"], ["y"], axis=1)],
+        {"x": x, "i": idx},
+    )
+    expected = torch.gather(torch.from_numpy(x), 1, torch.from_numpy(idx)).numpy()
+    np.testing.assert_allclose(y, expected)
+
+
+def test_reduce_l2_logsumexp(rng):
+    x = rng.normal(size=(3, 6)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("ReduceL2", ["x"], ["y"], axes=[1], keepdims=0)], {"x": x}, opset=13
+    )
+    np.testing.assert_allclose(y, np.linalg.norm(x, axis=1), rtol=1e-5)
+    (y,) = run_graph(
+        [P.make_node("ReduceLogSumExp", ["x"], ["y"], axes=[1], keepdims=0)], {"x": x}, opset=13
+    )
+    from scipy.special import logsumexp
+
+    np.testing.assert_allclose(y, logsumexp(x, axis=1), rtol=1e-5)
+
+
+def test_softmax_opset11_flatten_semantics(rng):
+    x = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    (y,) = run_graph([P.make_node("Softmax", ["x"], ["y"], axis=1)], {"x": x}, opset=11)
+    flat = x.reshape(2, 12)
+    e = np.exp(flat - flat.max(axis=1, keepdims=True))
+    ref = (e / e.sum(axis=1, keepdims=True)).reshape(2, 3, 4)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
