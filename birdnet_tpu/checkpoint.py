@@ -6,14 +6,13 @@ creation). Here the XLA side is already covered by the persistent
 compilation cache (runtime.py); this module covers the *weights*: ONNX
 protobuf decode + import-time optimization (Conv+BN folding) runs once, and
 the resulting params pytree + graph are saved as a ``.btck`` checkpoint
-(numpy ``.npz`` + the optimized graph bytes) that loads several times faster
-than re-importing the ONNX file — the ONNX → pytree "serialized once"
-conversion of SURVEY §5.4.
+(flat zero-copy tensor entries + the optimized graph bytes) — the
+ONNX → pytree "serialized once" conversion of SURVEY §5.4. Loading skips
+protobuf tensor materialization and the optimization passes.
 """
 
 from __future__ import annotations
 
-import io
 import json
 import zipfile
 from typing import Union
@@ -27,6 +26,13 @@ from .onnx import proto as onnx_proto
 _FORMAT_VERSION = 1
 
 
+def _tensor_meta(arrays) -> dict:
+    return {
+        name: {"dtype": str(a.dtype), "shape": list(a.shape)}
+        for name, a in arrays.items()
+    }
+
+
 def save_checkpoint(model: ImportedModel, path) -> None:
     """Serialize an imported (already optimized) model."""
     manifest = {
@@ -36,17 +42,19 @@ def save_checkpoint(model: ImportedModel, path) -> None:
         "input_shapes": model.input_shapes,
         "output_names": model.output_names,
         "output_shapes": model.output_shapes,
-        "param_names": sorted(model.params),
-        "const_names": sorted(model.consts),
+        "params": _tensor_meta(model.params),
+        "consts": _tensor_meta(model.consts),
     }
     graph_bytes = onnx_proto.encode_graph(model.graph)
     with zipfile.ZipFile(str(path), "w", zipfile.ZIP_STORED) as zf:
         zf.writestr("manifest.json", json.dumps(manifest))
         zf.writestr("graph.pb", graph_bytes)
-        buf = io.BytesIO()
-        np.savez(buf, **{f"p/{k}": v for k, v in model.params.items()},
-                 **{f"c/{k}": v for k, v in model.consts.items()})
-        zf.writestr("tensors.npz", buf.getvalue())
+        # Flat raw-bytes entries: loading is a single read + frombuffer per
+        # tensor (no npz header parsing / copies).
+        for name, a in model.params.items():
+            zf.writestr(f"p/{name}", np.ascontiguousarray(a).tobytes())
+        for name, a in model.consts.items():
+            zf.writestr(f"c/{name}", np.ascontiguousarray(a).tobytes())
 
 
 def load_checkpoint(path) -> ImportedModel:
@@ -59,13 +67,18 @@ def load_checkpoint(path) -> ImportedModel:
                     f"unsupported checkpoint version {manifest.get('format_version')}"
                 )
             graph_bytes = zf.read("graph.pb")
-            with np.load(io.BytesIO(zf.read("tensors.npz"))) as npz:
-                params = {
-                    k[2:]: npz[k] for k in npz.files if k.startswith("p/")
-                }
-                consts = {
-                    k[2:]: npz[k] for k in npz.files if k.startswith("c/")
-                }
+
+            def _load(prefix, meta):
+                out = {}
+                for name, info in meta.items():
+                    raw = zf.read(f"{prefix}/{name}")
+                    out[name] = np.frombuffer(raw, dtype=np.dtype(info["dtype"])).reshape(
+                        info["shape"]
+                    )
+                return out
+
+            params = _load("p", manifest["params"])
+            consts = _load("c", manifest["consts"])
     except (OSError, KeyError, zipfile.BadZipFile, json.JSONDecodeError) as e:
         raise ModelLoadError(f"invalid checkpoint: {e}") from e
 
