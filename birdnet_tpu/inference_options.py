@@ -66,8 +66,14 @@ class InferenceOptions:
 
     @staticmethod
     def with_timeout(seconds: float) -> "InferenceOptions":
+        """Options with a timeout (reference: ``InferenceOptions::timeout``)."""
         return InferenceOptions(timeout=seconds)
 
     @staticmethod
     def with_cancellation(token: CancellationToken) -> "InferenceOptions":
         return InferenceOptions(cancellation_token=token)
+
+    def with_cancellation_token(self, token: CancellationToken) -> "InferenceOptions":
+        """Chainable token attach (reference:
+        ``InferenceOptions::timeout(d).with_cancellation_token(tok)``)."""
+        return InferenceOptions(timeout=self.timeout, cancellation_token=token)

@@ -376,3 +376,15 @@ def test_classifier_properties(v24_classifier):
     assert v24_classifier.min_confidence_value is None
     assert v24_classifier.labels == LABELS10
     assert v24_classifier.num_species == 10
+
+
+def test_inference_options_chaining(v24_classifier):
+    from birdnet_tpu import InferenceOptions, CancellationToken
+
+    tok = CancellationToken()
+    opts = InferenceOptions.with_timeout(30.0).with_cancellation_token(tok)
+    assert opts.timeout == 30.0
+    assert opts.cancellation_token is tok
+    assert opts.needs_monitor()
+    r = v24_classifier.predict(sine_segment(), opts)
+    assert len(r.predictions) <= 3
