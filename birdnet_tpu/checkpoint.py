@@ -23,7 +23,7 @@ from .compiler.importer import ImportedModel
 from .errors import ModelLoadError
 from .onnx import proto as onnx_proto
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: flat raw tensor entries (v1 was npz)
 
 
 def _tensor_meta(arrays) -> dict:
@@ -79,7 +79,8 @@ def load_checkpoint(path) -> ImportedModel:
 
             params = _load("p", manifest["params"])
             consts = _load("c", manifest["consts"])
-    except (OSError, KeyError, zipfile.BadZipFile, json.JSONDecodeError) as e:
+    except (OSError, KeyError, ValueError, zipfile.BadZipFile,
+            json.JSONDecodeError) as e:
         raise ModelLoadError(f"invalid checkpoint: {e}") from e
 
     graph = onnx_proto.decode_graph(memoryview(graph_bytes), 0, len(graph_bytes))

@@ -472,16 +472,11 @@ class Classifier:
                     f"model expects {self._config.sample_rate} Hz audio, WAV is "
                     f"{rate} Hz (pass resample=True to convert)"
                 )
-            from .ops.resample import resample_poly
+            from .ops.resample import resample_audio
 
-            f32 = np.asarray(
-                resample_poly(
-                    samples.astype(np.float32) / 32768.0,
-                    rate,
-                    self._config.sample_rate,
-                )
+            samples = resample_audio(
+                samples, rate, self._config.sample_rate, out_dtype=np.int16
             )
-            samples = np.clip(f32 * 32768.0, -32768, 32767).astype(np.int16)
         return self.analyze_samples(samples, overlap_seconds, options)
 
     def embed_samples(

@@ -241,25 +241,21 @@ def run_with_args(args: argparse.Namespace) -> int:
                 f"model expects {config.sample_rate} Hz audio, WAV is "
                 f"{sample_rate} Hz (pass --resample to convert)"
             )
-        from .ops.resample import resample_poly
+        import numpy as np
+
+        from .ops.resample import resample_audio
 
         _debug(
             args.verbose,
             f"Resampling {sample_rate} Hz → {config.sample_rate} Hz on device...",
         )
         t0 = time.monotonic()
-        import numpy as np
-
-        f32 = (
-            samples.astype(np.float32) / 32768.0
-            if samples.dtype == np.int16
-            else samples
+        samples = resample_audio(
+            samples,
+            sample_rate,
+            config.sample_rate,
+            out_dtype=np.int16 if use_stream else np.float32,
         )
-        resampled = np.asarray(resample_poly(f32, sample_rate, config.sample_rate))
-        if use_stream:
-            samples = np.clip(resampled * 32768.0, -32768, 32767).astype(np.int16)
-        else:
-            samples = resampled
         sample_rate = config.sample_rate
         _debug(args.verbose, f"Resampled in {time.monotonic() - t0:.3f}s")
     if args.overlap >= config.segment_duration:

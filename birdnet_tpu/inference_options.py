@@ -76,4 +76,6 @@ class InferenceOptions:
     def with_cancellation_token(self, token: CancellationToken) -> "InferenceOptions":
         """Chainable token attach (reference:
         ``InferenceOptions::timeout(d).with_cancellation_token(tok)``)."""
-        return InferenceOptions(timeout=self.timeout, cancellation_token=token)
+        import dataclasses
+
+        return dataclasses.replace(self, cancellation_token=token)

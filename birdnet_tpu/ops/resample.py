@@ -76,6 +76,27 @@ def resample_poly(
     return y[0, 0, :n_out].astype(dtype)
 
 
+def resample_audio(
+    samples: np.ndarray,
+    orig_rate: int,
+    target_rate: int,
+    out_dtype=np.float32,
+) -> np.ndarray:
+    """Resample PCM audio (int16 or float32 in) to ``target_rate`` on
+    device, returning host ``out_dtype`` (int16 requantizes for the
+    streaming engine's raw-PCM upload path). Shared by the CLI and
+    ``Classifier.analyze_wav``."""
+    samples = np.asarray(samples)
+    if samples.dtype == np.int16:
+        f32 = samples.astype(np.float32) / 32768.0
+    else:
+        f32 = samples.astype(np.float32)
+    y = np.asarray(resample_poly(f32, orig_rate, target_rate))
+    if np.dtype(out_dtype) == np.int16:
+        return np.clip(y * 32768.0, -32768, 32767).astype(np.int16)
+    return y.astype(out_dtype)
+
+
 def resample_host(samples: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
     """Host fallback using scipy (same algorithm)."""
     from scipy.signal import resample_poly as scipy_resample

@@ -37,6 +37,7 @@ if not ON_TPU:
 # default conv/matmul passes are bf16-based and those tolerances don't apply.
 _CPU_ORACLE_MODULES = {
     "test_compiler_ops",
+    "test_compiler_ops_extra",
     "test_signal_ops",
     "test_resample",
     "test_pallas_frontend",

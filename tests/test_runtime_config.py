@@ -29,11 +29,15 @@ def test_cpu_config_defaults():
     assert cfg.device_id == 0
 
 
-def test_tpu_config_memory_fraction_applies(monkeypatch):
-    monkeypatch.delenv("XLA_PYTHON_CLIENT_MEM_FRACTION", raising=False)
-    TPUConfig(memory_fraction=0.4).apply()
-    assert os.environ["XLA_PYTHON_CLIENT_MEM_FRACTION"] == "0.4"
-    monkeypatch.delenv("XLA_PYTHON_CLIENT_MEM_FRACTION", raising=False)
+def test_tpu_config_memory_fraction_applies():
+    before = os.environ.pop("XLA_PYTHON_CLIENT_MEM_FRACTION", None)
+    try:
+        TPUConfig(memory_fraction=0.4).apply()
+        assert os.environ["XLA_PYTHON_CLIENT_MEM_FRACTION"] == "0.4"
+    finally:
+        os.environ.pop("XLA_PYTHON_CLIENT_MEM_FRACTION", None)
+        if before is not None:
+            os.environ["XLA_PYTHON_CLIENT_MEM_FRACTION"] = before
 
 
 def test_init_runtime_idempotent():
