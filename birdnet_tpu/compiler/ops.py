@@ -857,6 +857,62 @@ def _gather_elements(ctx, x, indices):
     return [jnp.take_along_axis(jnp.asarray(x), jnp.asarray(indices), axis=axis)]
 
 
+@op("GatherND")
+def _gather_nd(ctx, x, indices):
+    x = jnp.asarray(x)
+    indices = jnp.asarray(indices)
+    batch_dims = int(ctx.attr("batch_dims", 0))
+    if batch_dims:
+        raise NotImplementedError("GatherND with batch_dims > 0")
+    k = indices.shape[-1]
+    flat_idx = indices.reshape(-1, k)
+    gathered = x[tuple(flat_idx[:, i] for i in range(k))]
+    out_shape = indices.shape[:-1] + x.shape[k:]
+    return [gathered.reshape(out_shape)]
+
+
+@op("ScatterElements")
+def _scatter_elements(ctx, x, indices, updates):
+    axis = int(ctx.attr("axis", 0))
+    reduction = ctx.attr("reduction", "none")
+    x = jnp.asarray(x)
+    indices = jnp.asarray(indices)
+    updates = jnp.asarray(updates)
+    if axis < 0:
+        axis += x.ndim
+    # Build full coordinate grids; the scatter axis uses `indices`.
+    coords = list(jnp.meshgrid(*[jnp.arange(d) for d in indices.shape], indexing="ij"))
+    coords[axis] = indices
+    idx = tuple(coords)
+    if reduction == "add":
+        return [x.at[idx].add(updates)]
+    if reduction == "mul":
+        return [x.at[idx].multiply(updates)]
+    if reduction in ("none", None):
+        return [x.at[idx].set(updates)]
+    raise NotImplementedError(f"ScatterElements reduction {reduction!r}")
+
+
+@op("ScatterND")
+def _scatter_nd(ctx, x, indices, updates):
+    x = jnp.asarray(x)
+    indices = jnp.asarray(indices)
+    updates = jnp.asarray(updates)
+    reduction = ctx.attr("reduction", "none")
+    k = indices.shape[-1]
+    flat_idx = indices.reshape(-1, k)
+    upd_shape = (-1,) + x.shape[k:]
+    flat_upd = updates.reshape(upd_shape)
+    idx = tuple(flat_idx[:, i] for i in range(k))
+    if reduction == "add":
+        return [x.at[idx].add(flat_upd)]
+    if reduction == "mul":
+        return [x.at[idx].multiply(flat_upd)]
+    if reduction in ("none", None):
+        return [x.at[idx].set(flat_upd)]
+    raise NotImplementedError(f"ScatterND reduction {reduction!r}")
+
+
 @op("Expand")
 def _expand(ctx, x, shape):
     x = jnp.asarray(x)

@@ -223,3 +223,56 @@ def test_softmax_opset11_flatten_semantics(rng):
     e = np.exp(flat - flat.max(axis=1, keepdims=True))
     ref = (e / e.sum(axis=1, keepdims=True)).reshape(2, 3, 4)
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_gather_nd(rng):
+    x = rng.normal(size=(3, 4, 5)).astype(np.float32)
+    idx = np.array([[0, 1], [2, 3]], dtype=np.int64)  # -> [2, 5]
+    (y,) = run_graph([P.make_node("GatherND", ["x", "i"], ["y"])], {"x": x, "i": idx})
+    np.testing.assert_allclose(y, np.stack([x[0, 1], x[2, 3]]))
+    # full-depth indices -> scalars
+    idx3 = np.array([[0, 1, 2], [2, 3, 4]], dtype=np.int64)
+    (y,) = run_graph([P.make_node("GatherND", ["x", "i"], ["y"])], {"x": x, "i": idx3})
+    np.testing.assert_allclose(y, [x[0, 1, 2], x[2, 3, 4]])
+
+
+def test_scatter_elements_vs_torch(rng):
+    x = rng.normal(size=(3, 5)).astype(np.float32)
+    idx = rng.integers(0, 5, size=(3, 2)).astype(np.int64)
+    upd = rng.normal(size=(3, 2)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("ScatterElements", ["x", "i", "u"], ["y"], axis=1)],
+        {"x": x, "i": idx, "u": upd},
+    )
+    expected = torch.from_numpy(x.copy()).scatter_(
+        1, torch.from_numpy(idx), torch.from_numpy(upd)
+    ).numpy()
+    np.testing.assert_allclose(y, expected)
+
+
+def test_scatter_elements_add(rng):
+    x = np.zeros((2, 4), dtype=np.float32)
+    idx = np.array([[1, 1], [0, 3]], dtype=np.int64)
+    upd = np.ones((2, 2), dtype=np.float32)
+    (y,) = run_graph(
+        [P.make_node("ScatterElements", ["x", "i", "u"], ["y"], axis=1,
+                     reduction="add")],
+        {"x": x, "i": idx, "u": upd},
+        opset=18,
+    )
+    expected = np.array([[0, 2, 0, 0], [1, 0, 0, 1]], dtype=np.float32)
+    np.testing.assert_allclose(y, expected)
+
+
+def test_scatter_nd(rng):
+    x = np.zeros((4, 3), dtype=np.float32)
+    idx = np.array([[1], [3]], dtype=np.int64)
+    upd = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.float32)
+    (y,) = run_graph(
+        [P.make_node("ScatterND", ["x", "i", "u"], ["y"])],
+        {"x": x, "i": idx, "u": upd},
+    )
+    expected = x.copy()
+    expected[1] = [1, 2, 3]
+    expected[3] = [4, 5, 6]
+    np.testing.assert_allclose(y, expected)
