@@ -186,3 +186,32 @@ def test_external_data_prefix_sibling_rejected(tmp_path):
     )
     with np.testing.assert_raises(ValueError):
         t.load_external(str(base))
+
+
+def test_decoder_robust_to_corruption():
+    """Bit-flipped models must raise cleanly (ValueError/ModelLoadError),
+    never hang or crash the process."""
+    import numpy as np
+
+    from birdnet_tpu.errors import ModelLoadError
+    from birdnet_tpu.compiler.importer import import_onnx
+
+    graph, _, _ = _simple_graph()
+    data = bytearray(P.encode_model(P.make_model(graph)))
+    rng = np.random.default_rng(0)
+    outcomes = {"ok": 0, "raised": 0}
+    for _ in range(150):
+        mutated = bytearray(data)
+        for _ in range(rng.integers(1, 4)):
+            pos = int(rng.integers(0, len(mutated)))
+            mutated[pos] = int(rng.integers(0, 256))
+        try:
+            import_onnx(bytes(mutated))
+            outcomes["ok"] += 1
+        except (ModelLoadError, ValueError, NotImplementedError, IndexError,
+                UnicodeDecodeError, KeyError, OverflowError, MemoryError,
+                TypeError) as e:
+            del e
+            outcomes["raised"] += 1
+    # No hangs, no segfaults, every mutation either parsed or raised.
+    assert outcomes["ok"] + outcomes["raised"] == 150
