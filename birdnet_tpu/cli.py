@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Run multi-chip: shard batches over all visible devices "
         "(data axis) and the classifier head (model axis)",
     )
+    p.add_argument(
+        "--csv",
+        metavar="FILE",
+        default=None,
+        help="Also write detections as CSV (start_s,end_s,species,confidence)",
+    )
     p.add_argument("-v", "--verbose", action="store_true", help="Enable verbose logging")
     p.add_argument(
         "--profile",
@@ -351,6 +357,15 @@ def run_with_args(args: argparse.Namespace) -> int:
     except ValueError:
         pass  # non-main thread
 
+    csv_writer = None
+    csv_file = None
+    if args.csv:
+        import csv as _csv
+
+        csv_file = open(args.csv, "w", newline="", encoding="utf-8")
+        csv_writer = _csv.writer(csv_file)
+        csv_writer.writerow(["start_s", "end_s", "species", "confidence"])
+
     def _emit(offset: float, predictions) -> None:
         if range_filter is not None and location_scores is not None:
             predictions = range_filter.filter_predictions(
@@ -358,6 +373,12 @@ def run_with_args(args: argparse.Namespace) -> int:
             )
         if not predictions:
             return
+        if csv_writer is not None:
+            end = offset + config.segment_duration
+            for p in predictions:
+                csv_writer.writerow(
+                    [f"{offset:.1f}", f"{end:.1f}", p.species, f"{p.confidence:.4f}"]
+                )
         preds = ", ".join(
             f"{p.species} ({p.confidence * 100.0:.1f}%)" for p in predictions
         )
@@ -374,6 +395,8 @@ def run_with_args(args: argparse.Namespace) -> int:
     def _stop_profile() -> None:
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
+        if csv_file is not None:
+            csv_file.close()
 
     start_time = time.monotonic()
 

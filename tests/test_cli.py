@@ -174,3 +174,18 @@ def test_cli_mesh_flag(cli_fixtures, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "3 segments of 7s audio" in out
+
+
+def test_cli_csv_output(cli_fixtures, tmp_path, capsys):
+    wav, model, labels = cli_fixtures
+    csv_path = tmp_path / "detections.csv"
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.0", "-t", "0", "--csv", str(csv_path)])
+    assert rc == 0
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0] == "start_s,end_s,species,confidence"
+    assert len(lines) == 1 + 3 * 3  # 3 segments × top 3
+    first = lines[1].split(",")
+    assert first[0] == "0.0" and first[1] == "3.0"
+    assert first[2].startswith("species_")
+    assert 0.0 <= float(first[3]) <= 1.0
