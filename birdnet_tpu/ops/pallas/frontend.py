@@ -8,32 +8,37 @@ multiplies (each audio sample is re-read once per overlapping window).
 
 This kernel fuses the whole frontend per segment:
 
-    HBM audio (1-D, int16 or f32) ──DMA──▶ VMEM segment buffer
-       │ (int16 path dequantizes in-register: x/32768)
+    HBM audio ──DMA──▶ VMEM segment buffer (int16 dequantizes in-register)
        ▼
-    frame extraction (static hop) → [T, K] patch matrix in VMEM
+    polyphase frame extraction (static slices) → [T, K] patches in VMEM
        ▼
     MXU matmul [T, K] @ [K, F]  →  log(x² + eps)  →  [T, F] out block
 
 Audio is read from HBM exactly once per segment; patches, products, and the
-nonlinearity never touch HBM. Grid = one program per segment; segment start
-offsets are ``program_id * step`` (static step), so overlapping segments
-share the same HBM buffer without host-side duplication.
+nonlinearity never touch HBM. Grid = one program per segment.
 
-STATUS: semantics validated against the numpy oracle (interpret mode, see
-tests/test_pallas_frontend.py). On-TPU compilation is blocked by current
-Mosaic tiling rules: a (1, N) HBM memref is lane-tiled (1, 128), and DMA
-slices of raw 1-D audio need offsets/sizes that are 128-multiples — false
-for arbitrary hop/step (e.g. hop 280, step 72000). The production streaming
-path therefore keeps XLA's conv lowering for the frontend, which profiling
-shows is ~1% of model time (docs/performance.md); this kernel documents the
-fused design for when Mosaic lifts the restriction (or for hop/step choices
-that are 128-aligned).
+STATUS / Mosaic constraints (measured on v5e, jax 0.9):
+- Semantics are oracle-verified in interpreter mode for aligned and
+  unaligned configs (tests/test_pallas_frontend.py).
+- **Arbitrary hop (e.g. BirdNET's 280) cannot be lowered soundly today**:
+  dynamic lane offsets must be 128-multiples, and ``ref.reshape`` is NOT a
+  flat-memory view (rows pad to lane tiles, silently reinterpreting
+  memory — we measured wrong results before removing it).
+- The row-aligned variant (``hop % 128 == 0``, ``step % hop == 0``, 2-D
+  ``[*, hop]`` audio layout, whole-row DMAs, static lane slices) compiles
+  on v5e but currently FAULTS the TPU worker at run time (under
+  investigation — likely the non-sublane-multiple scratch/DMA extents).
+  The TPU path is therefore opt-in via ``BIRDNET_PALLAS_FRONTEND=1``.
+- The production streaming path keeps XLA's conv lowering for the frontend
+  (profiled at ~1% of model time, docs/performance.md); this kernel is the
+  fused design for alignment-friendly frontends and documents the exact
+  Mosaic pitfalls for future work (ROADMAP.md).
 """
 
 from __future__ import annotations
 
 import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,46 +46,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _frontend_kernel(
-    audio_ref,  # HBM: [total_samples] int16 or float32
-    w_ref,      # VMEM: [K, F] filterbank (transposed conv weight)
-    out_ref,    # VMEM block: [1, T, F]
-    seg_scratch,  # VMEM: [1, S] audio dtype
+def _kernel_row_aligned(
+    audio_ref,      # HBM: [total_rows, hop]
+    w_ref,          # VMEM: [K, F]
+    out_ref,        # VMEM block: [1, T, F]
+    seg_scratch,    # VMEM: [rows, hop] audio dtype
     patch_scratch,  # VMEM: [T, K] float32
-    sem,        # DMA semaphore
+    sem,
     *,
-    step: int,
-    sample_count: int,
+    rows_per_step: int,
+    rows: int,
     hop: int,
     kernel_size: int,
     n_frames: int,
     eps: float,
     scale: float,
 ):
-    n_parts_ = -(-kernel_size // hop)
-    rows_ = n_frames + n_parts_ - 1
     i = pl.program_id(0)
-    start = i * step
-
-    # One DMA per segment: HBM audio span → VMEM (audio is [1, total]).
     dma = pltpu.make_async_copy(
-        audio_ref.at[:, pl.ds(start, rows_ * hop)],
+        audio_ref.at[pl.ds(i * rows_per_step, rows), :],
         seg_scratch,
         sem,
     )
     dma.start()
     dma.wait()
+    _filterbank_body(seg_scratch, w_ref, out_ref, patch_scratch,
+                     hop=hop, kernel_size=kernel_size, n_frames=n_frames,
+                     eps=eps, scale=scale)
 
-    # Polyphase frame extraction — all static shapes/offsets (Mosaic requires
-    # 128-aligned *dynamic* lane offsets; hop is arbitrary, so dynamic
-    # per-frame slicing is out). View the segment as [rows, hop]; frame j is
-    # rows j..j+n_parts-1 concatenated, truncated to kernel_size:
-    #   patches = [A[0:T] | A[1:T+1] | ... | A[p:T+p][:, :tail]]
+
+def _filterbank_body(grid2d, w_ref, out_ref, patch_scratch, *,
+                     hop, kernel_size, n_frames, eps, scale):
+    """Shared tail: polyphase patch assembly + MXU filterbank + log-power.
+
+    ``grid2d``: [rows, hop] ref of segment samples. Frame j is rows
+    j..j+n_parts-1 concatenated, truncated to kernel_size — all static
+    slices, so no Mosaic dynamic-lane constraints apply.
+    """
     n_parts = -(-kernel_size // hop)
-    rows = n_frames + n_parts - 1
-    # Ref-level 2D view (Mosaic supports 2D→2D ref reshape; 1D refs don't
-    # reshape, hence the [1, rows*hop] scratch).
-    grid2d = seg_scratch.reshape(rows, hop)
     parts = []
     for p in range(n_parts):
         width = min(hop, kernel_size - p * hop)
@@ -89,14 +92,39 @@ def _frontend_kernel(
             part = part.astype(jnp.float32) * scale
         parts.append(part)
     patch_scratch[:] = jnp.concatenate(parts, axis=1)
-
-    # Filterbank on the MXU + fused log-power.
-    fb = jnp.dot(
-        patch_scratch[:],
-        w_ref[:],
-        preferred_element_type=jnp.float32,
-    )
+    fb = jnp.dot(patch_scratch[:], w_ref[:], preferred_element_type=jnp.float32)
     out_ref[0] = jnp.log(fb * fb + eps)
+
+
+def _kernel_flat(
+    audio_ref,      # HBM: [1, total]
+    w_ref,
+    out_ref,
+    seg_scratch,    # VMEM: [1, rows*hop]
+    patch_scratch,
+    sem,
+    *,
+    step: int,
+    rows: int,
+    hop: int,
+    kernel_size: int,
+    n_frames: int,
+    eps: float,
+    scale: float,
+):
+    """Unaligned-config variant (interpreter mode only — see module
+    docstring: the ref.reshape below is unsound under Mosaic tiling)."""
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        audio_ref.at[:, pl.ds(i * step, rows * hop)],
+        seg_scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+    _filterbank_body(seg_scratch.reshape(rows, hop), w_ref, out_ref,
+                     patch_scratch, hop=hop, kernel_size=kernel_size,
+                     n_frames=n_frames, eps=eps, scale=scale)
 
 
 def frame_filterbank_logpower(
@@ -117,6 +145,9 @@ def frame_filterbank_logpower(
     ``scale``). ``weights``: [F, K] filterbank (Conv1d weight layout
     ``[F, 1, K]`` squeezed). Returns ``[n_segments, T, F]`` log-power,
     where ``T = (sample_count - kernel_size) // hop + 1``.
+
+    On TPU (``interpret=False``) the config must be row-aligned:
+    ``hop % 128 == 0`` and ``step % hop == 0``.
     """
     weights = jnp.asarray(weights)
     if weights.ndim == 3:
@@ -134,16 +165,47 @@ def frame_filterbank_logpower(
         )
     wt = weights.T  # [K, F] for the MXU
 
-    kernel = functools.partial(
-        _frontend_kernel,
-        step=step,
-        sample_count=sample_count,
+    row_aligned = hop % 128 == 0 and step % hop == 0
+    if not interpret:
+        import os
+
+        if not os.environ.get("BIRDNET_PALLAS_FRONTEND"):
+            raise NotImplementedError(
+                "the compiled Pallas frontend is experimental (it can fault "
+                "the TPU worker — see module docstring); set "
+                "BIRDNET_PALLAS_FRONTEND=1 to opt in, or use interpret=True / "
+                "the XLA conv frontend"
+            )
+        if not row_aligned:
+            raise NotImplementedError(
+                f"TPU path needs hop % 128 == 0 and step % hop == 0 "
+                f"(got hop={hop}, step={step}); use interpret=True or the XLA "
+                f"conv frontend (see module docstring)"
+            )
+
+    common = dict(
+        rows=rows,
         hop=hop,
         kernel_size=kernel_size,
         n_frames=n_frames,
         eps=eps,
         scale=scale,
     )
+    if row_aligned:
+        total_rows = -(-int(audio.shape[0]) // hop)
+        pad = total_rows * hop - int(audio.shape[0])
+        if pad:
+            audio = jnp.concatenate([audio, jnp.zeros(pad, audio.dtype)])
+        audio_in = audio.reshape(total_rows, hop)
+        kernel = functools.partial(
+            _kernel_row_aligned, rows_per_step=step // hop, **common
+        )
+        seg_scratch = pltpu.VMEM((rows, hop), audio.dtype)
+    else:
+        audio_in = audio.reshape(1, -1)
+        kernel = functools.partial(_kernel_flat, step=step, **common)
+        seg_scratch = pltpu.VMEM((1, rows * hop), audio.dtype)
+
     return pl.pallas_call(
         kernel,
         grid=(n_segments,),
@@ -160,12 +222,12 @@ def frame_filterbank_logpower(
             (n_segments, n_frames, n_filters), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, rows * hop), audio.dtype),
+            seg_scratch,
             pltpu.VMEM((n_frames, kernel_size), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(audio.reshape(1, -1), wt)
+    )(audio_in, wt)
 
 
 def frontend_reference(
