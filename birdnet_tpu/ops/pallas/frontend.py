@@ -17,22 +17,24 @@ This kernel fuses the whole frontend per segment:
 Audio is read from HBM exactly once per segment; patches, products, and the
 nonlinearity never touch HBM. Grid = one program per segment.
 
-STATUS / Mosaic constraints (measured on v5e, jax 0.9):
-- Semantics are oracle-verified in interpreter mode for aligned and
-  unaligned configs (tests/test_pallas_frontend.py).
+STATUS (measured on v5e, jax 0.9):
+- **Row-aligned configs (``hop % 128 == 0``, ``step % hop == 0``) run
+  correctly on TPU hardware** — oracle-verified to ~1e-3 in log space
+  (tests/test_pallas_frontend.py::test_tpu_row_aligned). Design points that
+  made it work: 2-D ``[*, hop]`` audio layout with whole-row DMAs; scratch
+  and DMA extents padded to sublane (8-row) multiples (non-multiples FAULT
+  the worker); static ``pltpu.roll`` to realign polyphase parts (Mosaic
+  rejects concats of differently-offset slices); tile-padded output block;
+  ``precision=HIGHEST`` on the MXU dot (the default is bf16-based and shows
+  ~0.3 log-space error on near-cancelling sums — easily mistaken for a
+  lowering bug).
 - **Arbitrary hop (e.g. BirdNET's 280) cannot be lowered soundly today**:
   dynamic lane offsets must be 128-multiples, and ``ref.reshape`` is NOT a
   flat-memory view (rows pad to lane tiles, silently reinterpreting
-  memory — we measured wrong results before removing it).
-- The row-aligned variant (``hop % 128 == 0``, ``step % hop == 0``, 2-D
-  ``[*, hop]`` audio layout, whole-row DMAs, static lane slices) compiles
-  on v5e but currently FAULTS the TPU worker at run time (under
-  investigation — likely the non-sublane-multiple scratch/DMA extents).
-  The TPU path is therefore opt-in via ``BIRDNET_PALLAS_FRONTEND=1``.
+  memory — measured). The interpreter path covers those configs.
 - The production streaming path keeps XLA's conv lowering for the frontend
   (profiled at ~1% of model time, docs/performance.md); this kernel is the
-  fused design for alignment-friendly frontends and documents the exact
-  Mosaic pitfalls for future work (ROADMAP.md).
+  fused design for alignment-friendly frontends.
 """
 
 from __future__ import annotations
@@ -46,12 +48,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
 def _kernel_row_aligned(
     audio_ref,      # HBM: [total_rows, hop]
     w_ref,          # VMEM: [K, F]
     out_ref,        # VMEM block: [1, T, F]
-    seg_scratch,    # VMEM: [rows, hop] audio dtype
-    patch_scratch,  # VMEM: [T, K] float32
+    seg_scratch,    # VMEM: [round8(rows), hop] audio dtype
+    patch_scratch,  # VMEM: [round8(T), K] float32
     sem,
     *,
     rows_per_step: int,
@@ -63,8 +69,10 @@ def _kernel_row_aligned(
     scale: float,
 ):
     i = pl.program_id(0)
+    # DMA a sublane-multiple row count (scratch is padded accordingly; the
+    # wrapper guarantees the audio has the extra tail rows).
     dma = pltpu.make_async_copy(
-        audio_ref.at[pl.ds(i * rows_per_step, rows), :],
+        audio_ref.at[pl.ds(i * rows_per_step, seg_scratch.shape[0]), :],
         seg_scratch,
         sem,
     )
@@ -81,19 +89,38 @@ def _filterbank_body(grid2d, w_ref, out_ref, patch_scratch, *,
 
     ``grid2d``: [rows, hop] ref of segment samples. Frame j is rows
     j..j+n_parts-1 concatenated, truncated to kernel_size — all static
-    slices, so no Mosaic dynamic-lane constraints apply.
+    slices, so no Mosaic dynamic-lane constraints apply. ``patch_scratch``
+    may be sublane-padded; garbage pad rows are computed and sliced away.
     """
     n_parts = -(-kernel_size // hop)
+    t_pad = patch_scratch.shape[0]
+    # Read the whole buffer once (aligned), then slice the VALUE: Mosaic
+    # mis-handles ref loads at non-sublane-multiple row offsets, but value
+    # slicing is a register relayout and is exact.
+    seg = grid2d[:]
+    if seg.dtype != jnp.float32:
+        seg = seg.astype(jnp.float32) * scale
     parts = []
     for p in range(n_parts):
         width = min(hop, kernel_size - p * hop)
-        part = grid2d[p: p + n_frames, :width]
-        if part.dtype != jnp.float32:
-            part = part.astype(jnp.float32) * scale
-        parts.append(part)
+        # Static roll realigns part p's rows to offset 0 so every slice and
+        # the concat share sublane offset 0 (Mosaic rejects concats of
+        # differently-offset slices).
+        # roll requires a non-negative shift; rolling down by (N - p) moves
+        # row r+p to row r (an upward shift by p).
+        shifted = pltpu.roll(seg, seg.shape[0] - p, 0) if p else seg
+        parts.append(jax.lax.slice(shifted, (0, 0), (t_pad, width)))
     patch_scratch[:] = jnp.concatenate(parts, axis=1)
-    fb = jnp.dot(patch_scratch[:], w_ref[:], preferred_element_type=jnp.float32)
-    out_ref[0] = jnp.log(fb * fb + eps)
+    # HIGHEST keeps true-f32 MXU passes (default TPU precision is bf16-based,
+    # which shows up as ~0.3 log-space error on near-cancelling sums).
+    fb = jnp.dot(patch_scratch[:], w_ref[:],
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    res = jnp.log(fb * fb + eps)
+    if out_ref.shape[1] == res.shape[0]:
+        out_ref[0] = res
+    else:
+        out_ref[0] = res[: out_ref.shape[1]]
 
 
 def _kernel_flat(
@@ -166,22 +193,12 @@ def frame_filterbank_logpower(
     wt = weights.T  # [K, F] for the MXU
 
     row_aligned = hop % 128 == 0 and step % hop == 0
-    if not interpret:
-        import os
-
-        if not os.environ.get("BIRDNET_PALLAS_FRONTEND"):
-            raise NotImplementedError(
-                "the compiled Pallas frontend is experimental (it can fault "
-                "the TPU worker — see module docstring); set "
-                "BIRDNET_PALLAS_FRONTEND=1 to opt in, or use interpret=True / "
-                "the XLA conv frontend"
-            )
-        if not row_aligned:
-            raise NotImplementedError(
-                f"TPU path needs hop % 128 == 0 and step % hop == 0 "
-                f"(got hop={hop}, step={step}); use interpret=True or the XLA "
-                f"conv frontend (see module docstring)"
-            )
+    if not interpret and not row_aligned:
+        raise NotImplementedError(
+            f"compiled TPU path needs hop % 128 == 0 and step % hop == 0 "
+            f"(got hop={hop}, step={step}); use interpret=True or the XLA "
+            f"conv frontend (see module docstring)"
+        )
 
     common = dict(
         rows=rows,
@@ -192,20 +209,37 @@ def frame_filterbank_logpower(
         scale=scale,
     )
     if row_aligned:
-        total_rows = -(-int(audio.shape[0]) // hop)
+        # Sublane-multiple allocation: enough rows that every static part
+        # slice [p : p + round8(T)] stays in bounds.
+        t_pad = _round8(n_frames)
+        rows_alloc = _round8(n_parts - 1 + t_pad)
+        rows_per_step = step // hop
+        need_rows = (n_segments - 1) * rows_per_step + rows_alloc
+        total_rows = max(-(-int(audio.shape[0]) // hop), need_rows)
         pad = total_rows * hop - int(audio.shape[0])
         if pad:
             audio = jnp.concatenate([audio, jnp.zeros(pad, audio.dtype)])
         audio_in = audio.reshape(total_rows, hop)
         kernel = functools.partial(
-            _kernel_row_aligned, rows_per_step=step // hop, **common
+            _kernel_row_aligned, rows_per_step=rows_per_step, **common
         )
-        seg_scratch = pltpu.VMEM((rows, hop), audio.dtype)
+        seg_scratch = pltpu.VMEM((rows_alloc, hop), audio.dtype)
+        patch_rows = t_pad
+        out_rows = t_pad
+        out_cols = -(-n_filters // 128) * 128
     else:
         audio_in = audio.reshape(1, -1)
         kernel = functools.partial(_kernel_flat, step=step, **common)
         seg_scratch = pltpu.VMEM((1, rows * hop), audio.dtype)
+        patch_rows = n_frames
+        out_rows = n_frames
+        out_cols = n_filters
 
+    wt_padded = (
+        jnp.pad(wt, ((0, 0), (0, out_cols - n_filters)))
+        if out_cols != n_filters
+        else wt
+    )
     return pl.pallas_call(
         kernel,
         grid=(n_segments,),
@@ -214,20 +248,20 @@ def frame_filterbank_logpower(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # filterbank resident
         ],
         out_specs=pl.BlockSpec(
-            (1, n_frames, n_filters),
+            (1, out_rows, out_cols),
             lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (n_segments, n_frames, n_filters), jnp.float32
+            (n_segments, out_rows, out_cols), jnp.float32
         ),
         scratch_shapes=[
             seg_scratch,
-            pltpu.VMEM((n_frames, kernel_size), jnp.float32),
+            pltpu.VMEM((patch_rows, kernel_size), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(audio_in, wt)
+    )(audio_in, wt_padded)[:, :n_frames, :n_filters]
 
 
 def frontend_reference(
