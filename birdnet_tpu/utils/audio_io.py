@@ -119,6 +119,10 @@ def _read_wav_python(path: str) -> Tuple[np.ndarray, int]:
                 raise AudioReadError(path=path, reason="missing fmt chunk")
             audio_format, channels, rate = struct.unpack_from("<HHI", data, body)
             bits = struct.unpack_from("<H", data, body + 14)[0]
+            if audio_format == 0xFFFE and size >= 40:
+                # WAVE_FORMAT_EXTENSIBLE: real format is the first 2 bytes
+                # of the SubFormat GUID (fmt body offset 24).
+                audio_format = struct.unpack_from("<H", data, body + 24)[0]
             fmt = (audio_format, channels, rate, bits)
         elif cid == b"data":
             if fmt is None:

@@ -65,13 +65,23 @@ int wav_info(const char* path, WavInfo* info) {
     if (fread(chdr, 1, 8, f) != 8) break;
     uint32_t size = rd_u32(chdr + 4);
     if (memcmp(chdr, "fmt ", 4) == 0) {
-      uint8_t fmt[16];
+      uint8_t fmt[40];
       if (size < 16 || fread(fmt, 1, 16, f) != 16) return WAV_ERR_NO_FMT;
       info->format = rd_u16(fmt + 0);
       info->channels = rd_u16(fmt + 2);
       info->sample_rate = (int32_t)rd_u32(fmt + 4);
       info->bits_per_sample = rd_u16(fmt + 14);
-      if (size > 16 && fseek(f, size - 16 + (size & 1), SEEK_CUR) != 0)
+      uint32_t extra = size - 16;
+      // WAVE_FORMAT_EXTENSIBLE: the real format is the first 2 bytes of the
+      // SubFormat GUID (offset 24 within the fmt body).
+      if (info->format == 0xFFFE && extra >= 24) {
+        if (fread(fmt + 16, 1, 24, f) != 24) return WAV_ERR_NO_FMT;
+        info->format = rd_u16(fmt + 24 + 0 /* GUID data1 low */);
+        extra -= 24;
+      }
+      if (extra > 0 && fseek(f, extra + (size & 1), SEEK_CUR) != 0)
+        return WAV_ERR_NO_FMT;
+      if (extra == 0 && (size & 1) && fseek(f, 1, SEEK_CUR) != 0)
         return WAV_ERR_NO_FMT;
       have_fmt = true;
     } else if (memcmp(chdr, "data", 4) == 0) {

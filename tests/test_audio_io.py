@@ -136,3 +136,35 @@ def test_chunker_empty():
 def test_chunker_overlap_too_large():
     with pytest.raises(E.AudioFormatError):
         chunk_audio(np.zeros(100, np.float32), 144_000, 3.0, 48_000)
+
+
+def _write_extensible_wav(path, samples_i16, rate):
+    """WAVE_FORMAT_EXTENSIBLE container with a PCM SubFormat GUID."""
+    data = samples_i16.astype("<i2").tobytes()
+    # fmt body: standard 16 + cbSize(2)+validBits(2)+channelMask(4)+GUID(16)
+    guid = struct.pack("<H", 1) + b"\x00\x00" + bytes.fromhex(
+        "000010008000"  # remainder of KSDATAFORMAT_SUBTYPE_PCM
+    ) + bytes.fromhex("00aa00389b71")
+    fmt_body = struct.pack("<HHIIHH", 0xFFFE, 1, rate, rate * 2, 2, 16)
+    fmt_body += struct.pack("<HHI", 22, 16, 0x4) + guid
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body)
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_wave_format_extensible_pcm(tmp_path, monkeypatch):
+    sig = (np.sin(2 * np.pi * 440 * np.arange(4800) / 48_000) * 10000).astype(np.int16)
+    p = tmp_path / "ext.wav"
+    _write_extensible_wav(p, sig, 48_000)
+    # native path
+    samples, rate, _ = read_wav(p, dtype="int16")
+    assert rate == 48_000
+    np.testing.assert_array_equal(samples, sig)
+    # python fallback path
+    import birdnet_tpu.utils.audio_io as aio
+
+    monkeypatch.setattr(aio, "_native", None)
+    samples2, rate2, _ = read_wav(p)
+    assert rate2 == 48_000
+    np.testing.assert_allclose(samples2, sig.astype(np.float32) / 32768.0)
