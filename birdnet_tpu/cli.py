@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
         "(data axis) and the classifier head (model axis)",
     )
     p.add_argument(
+        "--downmix",
+        action="store_true",
+        help="Average multichannel WAVs to mono instead of rejecting them",
+    )
+    p.add_argument(
         "--csv",
         metavar="FILE",
         default=None,
@@ -237,7 +242,9 @@ def run_with_args(args: argparse.Namespace) -> int:
     # Streaming ships raw int16 PCM to the device (half the transfer bytes;
     # the /32768 scale runs on-device); the per-batch path wants float32.
     samples, sample_rate, duration_secs = read_wav(
-        args.audio_file, dtype="int16" if use_stream else "float32"
+        args.audio_file,
+        dtype="int16" if use_stream else "float32",
+        downmix=args.downmix,
     )
     _debug(args.verbose, f"WAV file read in {time.monotonic() - t0:.3f}s")
 

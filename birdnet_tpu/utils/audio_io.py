@@ -74,6 +74,12 @@ def _load_native():
             ctypes.c_int64,
         ]
         lib.wav_read_i16.restype = ctypes.c_int
+        lib.wav_read_f32_downmix.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        lib.wav_read_f32_downmix.restype = ctypes.c_int
         return lib
     except OSError:
         return None
@@ -98,7 +104,7 @@ def _raise_native(path: str, code: int) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _read_wav_python(path: str) -> Tuple[np.ndarray, int]:
+def _read_wav_python(path: str, downmix: bool = False) -> Tuple[np.ndarray, int]:
     try:
         with open(path, "rb") as f:
             data = f.read()
@@ -130,12 +136,17 @@ def _read_wav_python(path: str) -> Tuple[np.ndarray, int]:
             audio_format, channels, rate, bits = fmt
             if audio_format != 1:
                 raise AudioFormatError("expected 16-bit integer PCM samples")
-            if channels != 1:
+            if channels != 1 and not downmix:
                 raise AudioFormatError("expected mono audio, got multiple channels")
             if bits != 16:
                 raise AudioFormatError("expected 16-bit samples")
             raw = data[body:body + size]
             samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+            if channels != 1:
+                n_frames = samples.shape[0] // channels
+                samples = samples[: n_frames * channels].reshape(
+                    n_frames, channels
+                ).mean(axis=1)
             return samples, rate
         pos = body + size + (size & 1)
     raise AudioReadError(path=path, reason="missing data chunk")
@@ -146,17 +157,41 @@ def _read_wav_python(path: str) -> Tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 
-def read_wav(path, dtype="float32") -> Tuple[np.ndarray, int, float]:
-    """Read a mono 16-bit PCM WAV file.
+def read_wav(path, dtype="float32", downmix: bool = False) -> Tuple[np.ndarray, int, float]:
+    """Read a 16-bit PCM WAV file (mono; or multichannel with ``downmix``).
 
     Returns ``(samples, sample_rate, duration_seconds)``. ``dtype``:
     ``float32`` (samples scaled to [-1, 1)) or ``int16`` (raw PCM — half the
-    bytes; the streaming engine scales on-device).
-    Raises :class:`AudioFormatError` for stereo / non-16-bit / float formats,
+    bytes; the streaming engine scales on-device). ``downmix`` averages
+    multichannel audio to mono (always float32 output; the reference rejects
+    stereo, birdnet-analyze.rs:662-681 — this is an extension).
+    Raises :class:`AudioFormatError` for unsupported formats,
     :class:`AudioReadError` for missing or corrupt files.
     """
     path = str(path)
-    want_i16 = np.dtype(dtype) == np.int16
+    want_i16 = np.dtype(dtype) == np.int16 and not downmix
+    if downmix and _native is not None:
+        info = _WavInfo()
+        rc = _native.wav_info(path.encode(), ctypes.byref(info))
+        if rc != 0:
+            _raise_native(path, rc)
+        if info.format != 1:
+            raise AudioFormatError("expected 16-bit integer PCM samples")
+        if info.bits_per_sample != 16:
+            raise AudioFormatError("expected 16-bit samples")
+        out = np.empty(info.n_samples, dtype=np.float32)
+        rc = _native.wav_read_f32_downmix(
+            path.encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            info.n_samples,
+        )
+        if rc != 0:
+            _raise_native(path, rc)
+        rate = int(info.sample_rate)
+        return out, rate, len(out) / rate if rate else 0.0
+    if downmix:
+        samples, rate = _read_wav_python(path, downmix=True)
+        return samples, rate, len(samples) / rate if rate else 0.0
     if _native is not None:
         info = _WavInfo()
         rc = _native.wav_info(path.encode(), ctypes.byref(info))

@@ -150,4 +150,39 @@ int wav_read_i16(const char* path, int16_t* out, int64_t n) {
   return got == (size_t)n ? WAV_OK : WAV_ERR_TRUNCATED;
 }
 
+// Read 16-bit PCM frames of any channel count, downmixed to mono float32
+// (mean of channels). `out` must hold info.n_samples floats.
+int wav_read_f32_downmix(const char* path, float* out, int64_t n) {
+  WavInfo info;
+  int rc = wav_info(path, &info);
+  if (rc != WAV_OK) return rc;
+  if (info.format != 1) return WAV_ERR_NOT_PCM;
+  if (info.bits_per_sample != 16) return WAV_ERR_NOT_16BIT;
+  if (n > info.n_samples) n = info.n_samples;
+  int ch = info.channels;
+  if (ch <= 0) return WAV_ERR_NO_FMT;
+
+  FILE* f = fopen(path, "rb");
+  if (!f) return WAV_ERR_OPEN;
+  std::unique_ptr<FILE, int (*)(FILE*)> guard(f, fclose);
+  if (fseek(f, (long)info.data_offset, SEEK_SET) != 0) return WAV_ERR_TRUNCATED;
+
+  constexpr int64_t FRAMES = 1 << 14;
+  std::unique_ptr<int16_t[]> buf(new int16_t[FRAMES * ch]);
+  const float scale = 1.0f / (32768.0f * ch);
+  int64_t done = 0;
+  while (done < n) {
+    int64_t want = n - done < FRAMES ? n - done : FRAMES;
+    size_t got = fread(buf.get(), sizeof(int16_t) * ch, (size_t)want, f);
+    if (got == 0) return WAV_ERR_TRUNCATED;
+    for (size_t i = 0; i < got; ++i) {
+      int32_t acc = 0;
+      for (int c = 0; c < ch; ++c) acc += buf[i * ch + c];
+      out[done + (int64_t)i] = acc * scale;
+    }
+    done += (int64_t)got;
+  }
+  return WAV_OK;
+}
+
 }  // extern "C"

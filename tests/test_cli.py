@@ -189,3 +189,31 @@ def test_cli_csv_output(cli_fixtures, tmp_path, capsys):
     assert first[0] == "0.0" and first[1] == "3.0"
     assert first[2].startswith("species_")
     assert 0.0 <= float(first[3]) <= 1.0
+
+
+def test_cli_downmix(cli_fixtures, tmp_path, capsys):
+    import struct
+
+    _, model, labels = cli_fixtures
+    # stereo WAV: left = sine, right = silence
+    n = 48_000 * 4
+    left = (np.sin(2 * np.pi * 800 * np.arange(n) / 48_000) * 12000).astype(np.int16)
+    inter = np.zeros(n * 2, dtype=np.int16)
+    inter[0::2] = left
+    data = inter.astype("<i2").tobytes()
+    wav = tmp_path / "stereo.wav"
+    with open(wav, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 48_000, 192_000, 4, 16))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+
+    # rejected without the flag
+    rc = main([str(wav), "-m", model, "-l", labels, "--provider", "cpu"])
+    assert rc == 1
+    assert "mono" in capsys.readouterr().err
+
+    rc = main([str(wav), "-m", model, "-l", labels, "--provider", "cpu",
+               "--downmix", "--min-confidence", "0.0", "-t", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "2 segments of 4s audio" in out
