@@ -35,7 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="birdnet-analyze",
         description="Analyze WAV files for bird species",
     )
-    p.add_argument("audio_file", nargs="?", help="Input WAV file (16-bit mono, matching model sample rate)")
+    p.add_argument(
+        "audio_file",
+        nargs="*",
+        help="Input WAV file(s) (16-bit mono, matching model sample rate); "
+        "multiple files share one compiled model",
+    )
     p.add_argument("-m", "--model", help="Path to ONNX model file")
     p.add_argument("-l", "--labels", help="Path to labels file")
     p.add_argument("-o", "--overlap", type=float, default=0.0, help="Overlap between segments in seconds")
@@ -179,9 +184,10 @@ def run_with_args(args: argparse.Namespace) -> int:
         return list_providers_and_exit()
 
     for name in ("audio_file", "model", "labels"):
-        if getattr(args, name) is None:
+        if not getattr(args, name):
             print(f"error: {name.replace('_', ' ')} is required", file=sys.stderr)
             return 2
+    audio_files = list(args.audio_file)
 
     from . import (
         CancellationToken,
@@ -236,41 +242,6 @@ def run_with_args(args: argparse.Namespace) -> int:
     _debug(args.verbose, f"Classifier built in {time.monotonic() - t0:.3f}s")
 
     use_stream = not args.no_stream
-
-    _debug(args.verbose, f"Reading WAV file: {args.audio_file}")
-    t0 = time.monotonic()
-    # Streaming ships raw int16 PCM to the device (half the transfer bytes;
-    # the /32768 scale runs on-device); the per-batch path wants float32.
-    samples, sample_rate, duration_secs = read_wav(
-        args.audio_file,
-        dtype="int16" if use_stream else "float32",
-        downmix=args.downmix,
-    )
-    _debug(args.verbose, f"WAV file read in {time.monotonic() - t0:.3f}s")
-
-    if sample_rate != config.sample_rate:
-        if not args.resample:
-            raise AudioFormatError(
-                f"model expects {config.sample_rate} Hz audio, WAV is "
-                f"{sample_rate} Hz (pass --resample to convert)"
-            )
-        import numpy as np
-
-        from .ops.resample import resample_audio
-
-        _debug(
-            args.verbose,
-            f"Resampling {sample_rate} Hz → {config.sample_rate} Hz on device...",
-        )
-        t0 = time.monotonic()
-        samples = resample_audio(
-            samples,
-            sample_rate,
-            config.sample_rate,
-            out_dtype=np.int16 if use_stream else np.float32,
-        )
-        sample_rate = config.sample_rate
-        _debug(args.verbose, f"Resampled in {time.monotonic() - t0:.3f}s")
     if args.overlap >= config.segment_duration:
         raise ModelDetectionError(
             f"overlap ({args.overlap:.1f}s) must be less than segment duration "
@@ -300,29 +271,9 @@ def run_with_args(args: argparse.Namespace) -> int:
     else:
         print(f"Batch size: {batch_size}")
     print(
-        f"Analyzing: {args.audio_file} ({format_duration(duration_secs)}, {sample_rate} Hz)"
-    )
-    print(
         f"Model: {model_name} ({config.segment_duration:.1f}s segments, "
         f"{args.overlap:.1f}s overlap)"
     )
-    print()
-
-    if use_stream:
-        segments, start_times = None, None
-        step = config.sample_count - int(args.overlap * sample_rate)
-        segment_count = -(-len(samples) // step) if len(samples) else 0
-    else:
-        _debug(args.verbose, "Chunking audio into segments...")
-        t0 = time.monotonic()
-        segments, start_times = chunk_audio(
-            samples, config.sample_count, args.overlap, sample_rate
-        )
-        segment_count = segments.shape[0]
-        _debug(
-            args.verbose,
-            f"Created {segment_count} segments in {time.monotonic() - t0:.3f}s",
-        )
 
     # Optional range filter (library feature surfaced in the CLI).
     location_scores = None
@@ -366,14 +317,18 @@ def run_with_args(args: argparse.Namespace) -> int:
 
     csv_writer = None
     csv_file = None
+    multi_file = len(audio_files) > 1
     if args.csv:
         import csv as _csv
 
         csv_file = open(args.csv, "w", newline="", encoding="utf-8")
         csv_writer = _csv.writer(csv_file)
-        csv_writer.writerow(["start_s", "end_s", "species", "confidence"])
+        header = ["start_s", "end_s", "species", "confidence"]
+        if multi_file:
+            header = ["file"] + header
+        csv_writer.writerow(header)
 
-    def _emit(offset: float, predictions) -> None:
+    def _emit(audio_path: str, offset: float, predictions) -> None:
         if range_filter is not None and location_scores is not None:
             predictions = range_filter.filter_predictions(
                 predictions, location_scores, rerank=args.rerank
@@ -383,9 +338,10 @@ def run_with_args(args: argparse.Namespace) -> int:
         if csv_writer is not None:
             end = offset + config.segment_duration
             for p in predictions:
-                csv_writer.writerow(
-                    [f"{offset:.1f}", f"{end:.1f}", p.species, f"{p.confidence:.4f}"]
-                )
+                row = [f"{offset:.1f}", f"{end:.1f}", p.species, f"{p.confidence:.4f}"]
+                if multi_file:
+                    row = [audio_path] + row
+                csv_writer.writerow(row)
         preds = ", ".join(
             f"{p.species} ({p.confidence * 100.0:.1f}%)" for p in predictions
         )
@@ -399,85 +355,149 @@ def run_with_args(args: argparse.Namespace) -> int:
         profile_ctx.__enter__()
         _debug(args.verbose, f"Profiling to {args.profile}")
 
-    def _stop_profile() -> None:
+    def _process_file(audio_path: str) -> None:
+        _debug(args.verbose, f"Reading WAV file: {audio_path}")
+        t0 = time.monotonic()
+        # Streaming ships raw int16 PCM to the device (half the transfer
+        # bytes; the /32768 scale runs on-device); per-batch wants float32.
+        samples, sample_rate, duration_secs = read_wav(
+            audio_path,
+            dtype="int16" if use_stream else "float32",
+            downmix=args.downmix,
+        )
+        _debug(args.verbose, f"WAV file read in {time.monotonic() - t0:.3f}s")
+
+        if sample_rate != config.sample_rate:
+            if not args.resample:
+                raise AudioFormatError(
+                    f"model expects {config.sample_rate} Hz audio, WAV is "
+                    f"{sample_rate} Hz (pass --resample to convert)"
+                )
+            import numpy as np
+
+            from .ops.resample import resample_audio
+
+            _debug(
+                args.verbose,
+                f"Resampling {sample_rate} Hz → {config.sample_rate} Hz on device...",
+            )
+            t0 = time.monotonic()
+            samples = resample_audio(
+                samples,
+                sample_rate,
+                config.sample_rate,
+                out_dtype=np.int16 if use_stream else np.float32,
+            )
+            sample_rate = config.sample_rate
+            _debug(args.verbose, f"Resampled in {time.monotonic() - t0:.3f}s")
+
+        print(
+            f"Analyzing: {audio_path} ({format_duration(duration_secs)}, "
+            f"{sample_rate} Hz)"
+        )
+        print()
+
+        options = InferenceOptions(
+            timeout=args.timeout if args.timeout > 0 else None,
+            cancellation_token=cancel_token,
+        )
+        start_time = time.monotonic()
+
+        if use_stream:
+            step = config.sample_count - int(args.overlap * sample_rate)
+            segment_count = -(-len(samples) // step) if len(samples) else 0
+            _debug(
+                args.verbose,
+                f"Streaming {segment_count} segments through device pipeline...",
+            )
+            from .errors import InferenceCancelledError
+
+            processed = 0
+            try:
+                for offset, predictions in classifier.analyze_samples_iter(
+                    samples, args.overlap, options
+                ):
+                    _emit(audio_path, offset, predictions)
+                    processed += 1
+            except InferenceCancelledError:
+                # Graceful Ctrl-C between superchunks: already-computed
+                # results were emitted; the summary reports what ran.
+                print("Processing cancelled by user", file=sys.stderr)
+            elapsed = time.monotonic() - start_time
+            segments_per_sec = processed / elapsed if elapsed > 0 else 0.0
+            processed_secs = (
+                duration_secs * (processed / segment_count) if segment_count else 0.0
+            )
+            x_realtime = processed_secs / elapsed if elapsed > 0 else 0.0
+            print()
+            print(
+                f"{processed} segments of {format_duration(duration_secs)} audio "
+                f"analyzed in {elapsed:.1f}s ({segments_per_sec:.1f} segments/s, "
+                f"{x_realtime:.1f}x realtime)"
+            )
+            return
+
+        _debug(args.verbose, "Chunking audio into segments...")
+        segments, start_times = chunk_audio(
+            samples, config.sample_count, args.overlap, sample_rate
+        )
+        segment_count = segments.shape[0]
+        total_batches = -(-segment_count // batch_size) if segment_count else 0
+        for batch_num in range(total_batches):
+            if state["cancelled"]:
+                print("Processing cancelled by user", file=sys.stderr)
+                break
+            lo = batch_num * batch_size
+            hi = min(lo + batch_size, segment_count)
+            batch = segments[lo:hi]
+            _debug(
+                args.verbose,
+                f"Processing batch {batch_num + 1}/{total_batches} "
+                f"({hi - lo} segments)...",
+            )
+            t_batch = time.monotonic()
+            if batch_context is not None:
+                results = classifier.predict_batch_with_context(
+                    batch_context, batch, options
+                )
+            else:
+                results = classifier.predict_batch(batch, options)
+            _debug(
+                args.verbose,
+                f"Batch {batch_num + 1} completed in "
+                f"{time.monotonic() - t_batch:.3f}s",
+            )
+            for offset, result in zip(start_times[lo:hi], results):
+                _emit(audio_path, float(offset), result.predictions)
+
+        elapsed = time.monotonic() - start_time
+        segments_per_sec = segment_count / elapsed if elapsed > 0 else 0.0
+        x_realtime = duration_secs / elapsed if elapsed > 0 else 0.0
+        print()
+        print(
+            f"{segment_count} segments of {format_duration(duration_secs)} audio "
+            f"analyzed in {elapsed:.1f}s ({segments_per_sec:.1f} segments/s, "
+            f"{x_realtime:.1f}x realtime)"
+        )
+
+    failures = 0
+    try:
+        for audio_path in audio_files:
+            if state["cancelled"]:
+                break
+            try:
+                _process_file(audio_path)
+            except BirdnetError as e:
+                if not multi_file:
+                    raise
+                failures += 1
+                print(f"Error analyzing {audio_path}: {e}", file=sys.stderr)
+    finally:
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
         if csv_file is not None:
             csv_file.close()
-
-    start_time = time.monotonic()
-
-    if use_stream:
-        options = InferenceOptions(
-            timeout=args.timeout if args.timeout > 0 else None,
-            cancellation_token=cancel_token,
-        )
-        _debug(args.verbose, f"Streaming {segment_count} segments through device pipeline...")
-        from .errors import InferenceCancelledError
-
-        processed = 0
-        try:
-            for offset, predictions in classifier.analyze_samples_iter(
-                samples, args.overlap, options
-            ):
-                _emit(offset, predictions)
-                processed += 1
-        except InferenceCancelledError:
-            # Graceful Ctrl-C between superchunks: already-computed results
-            # were emitted above; the summary reports what actually ran.
-            print("Processing cancelled by user", file=sys.stderr)
-        _stop_profile()
-        elapsed = time.monotonic() - start_time
-        segments_per_sec = processed / elapsed if elapsed > 0 else 0.0
-        processed_secs = duration_secs * (processed / segment_count) if segment_count else 0.0
-        x_realtime = processed_secs / elapsed if elapsed > 0 else 0.0
-        print()
-        print(
-            f"{processed} segments of {format_duration(duration_secs)} audio "
-            f"analyzed in {elapsed:.1f}s ({segments_per_sec:.1f} segments/s, "
-            f"{x_realtime:.1f}x realtime)"
-        )
-        return 0
-
-    total_batches = -(-segment_count // batch_size) if segment_count else 0
-    for batch_num in range(total_batches):
-        if state["cancelled"]:
-            print("Processing cancelled by user", file=sys.stderr)
-            break
-        lo = batch_num * batch_size
-        hi = min(lo + batch_size, segment_count)
-        batch = segments[lo:hi]
-        _debug(
-            args.verbose,
-            f"Processing batch {batch_num + 1}/{total_batches} ({hi - lo} segments)...",
-        )
-        t_batch = time.monotonic()
-        options = InferenceOptions(
-            timeout=args.timeout if args.timeout > 0 else None,
-            cancellation_token=cancel_token,
-        )
-        if batch_context is not None:
-            results = classifier.predict_batch_with_context(batch_context, batch, options)
-        else:
-            results = classifier.predict_batch(batch, options)
-        _debug(
-            args.verbose,
-            f"Batch {batch_num + 1} completed in {time.monotonic() - t_batch:.3f}s",
-        )
-        for offset, result in zip(start_times[lo:hi], results):
-            _emit(float(offset), result.predictions)
-
-    _stop_profile()
-    elapsed = time.monotonic() - start_time
-    segments_per_sec = segment_count / elapsed if elapsed > 0 else 0.0
-    x_realtime = duration_secs / elapsed if elapsed > 0 else 0.0
-    print()
-    print(
-        f"{segment_count} segments of {format_duration(duration_secs)} audio "
-        f"analyzed in {elapsed:.1f}s ({segments_per_sec:.1f} segments/s, "
-        f"{x_realtime:.1f}x realtime)"
-    )
-    return 0
+    return 1 if failures else 0
 
 
 def main(argv=None) -> int:

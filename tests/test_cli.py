@@ -217,3 +217,33 @@ def test_cli_downmix(cli_fixtures, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "2 segments of 4s audio" in out
+
+
+def test_cli_multiple_files(cli_fixtures, tmp_path, capsys):
+    """Several WAVs share one compiled model; CSV gains a file column."""
+    wav, model, labels = cli_fixtures
+    wav2 = tmp_path / "b.wav"
+    write_wav(wav2, np.zeros(48_000 * 3, np.float32), 48_000)
+    csv_path = tmp_path / "multi.csv"
+    rc = main([wav, str(wav2), "-m", model, "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.0", "-t", "0", "--csv", str(csv_path)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("Analyzing:") == 2
+    assert "3 segments of 7s audio" in out
+    assert "1 segments of 3s audio" in out
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0] == "file,start_s,end_s,species,confidence"
+    assert any(str(wav2) in ln for ln in lines[1:])
+
+
+def test_cli_multi_file_error_continues(cli_fixtures, tmp_path, capsys):
+    wav, model, labels = cli_fixtures
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not audio")
+    rc = main([str(bad), wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.0", "-t", "0"])
+    captured = capsys.readouterr()
+    assert rc == 1  # a failure occurred…
+    assert "Error analyzing" in captured.err
+    assert "3 segments of 7s audio" in captured.out  # …but the good file ran
