@@ -92,7 +92,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--csv",
         metavar="FILE",
         default=None,
-        help="Also write detections as CSV (start_s,end_s,species,confidence)",
+        help="Also write detections as CSV (start_s,end_s,species,confidence; "
+        "a leading 'file' column is added when analyzing multiple files)",
     )
     p.add_argument("-v", "--verbose", action="store_true", help="Enable verbose logging")
     p.add_argument(
@@ -328,7 +329,8 @@ def run_with_args(args: argparse.Namespace) -> int:
             header = ["file"] + header
         csv_writer.writerow(header)
 
-    def _emit(audio_path: str, offset: float, predictions) -> None:
+    def _emit(audio_path: str, offset: float, predictions,
+              duration_secs: float) -> None:
         if range_filter is not None and location_scores is not None:
             predictions = range_filter.filter_predictions(
                 predictions, location_scores, rerank=args.rerank
@@ -336,7 +338,7 @@ def run_with_args(args: argparse.Namespace) -> int:
         if not predictions:
             return
         if csv_writer is not None:
-            end = offset + config.segment_duration
+            end = min(offset + config.segment_duration, duration_secs)
             for p in predictions:
                 row = [f"{offset:.1f}", f"{end:.1f}", p.species, f"{p.confidence:.4f}"]
                 if multi_file:
@@ -417,7 +419,7 @@ def run_with_args(args: argparse.Namespace) -> int:
                 for offset, predictions in classifier.analyze_samples_iter(
                     samples, args.overlap, options
                 ):
-                    _emit(audio_path, offset, predictions)
+                    _emit(audio_path, offset, predictions, duration_secs)
                     processed += 1
             except InferenceCancelledError:
                 # Graceful Ctrl-C between superchunks: already-computed
@@ -468,7 +470,7 @@ def run_with_args(args: argparse.Namespace) -> int:
                 f"{time.monotonic() - t_batch:.3f}s",
             )
             for offset, result in zip(start_times[lo:hi], results):
-                _emit(audio_path, float(offset), result.predictions)
+                _emit(audio_path, float(offset), result.predictions, duration_secs)
 
         elapsed = time.monotonic() - start_time
         segments_per_sec = segment_count / elapsed if elapsed > 0 else 0.0

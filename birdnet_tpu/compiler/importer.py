@@ -81,7 +81,10 @@ def import_onnx(
 
             model_dir = os.path.dirname(os.path.abspath(str(source)))
             model = onnx_proto.load_model(source)
-    except (OSError, ValueError) as e:
+    except ModelLoadError:
+        raise
+    except Exception as e:  # noqa: BLE001 - any decode failure of untrusted
+        # bytes (IndexError/KeyError/Unicode/Overflow/...) is a load error
         raise ModelLoadError(str(e)) from e
 
     if model.graph is None:
@@ -106,7 +109,10 @@ def import_onnx(
         tensors: Dict[str, np.ndarray] = {
             init.name: init.to_numpy() for init in graph.initializer
         }
-    except (OSError, ValueError) as e:
+    except ModelLoadError:
+        raise
+    except Exception as e:  # noqa: BLE001 - any decode failure of untrusted
+        # bytes (IndexError/KeyError/Unicode/Overflow/...) is a load error
         raise ModelLoadError(str(e)) from e
     if optimize:
         from .optimize import optimize_graph

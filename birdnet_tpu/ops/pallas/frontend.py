@@ -20,7 +20,7 @@ nonlinearity never touch HBM. Grid = one program per segment.
 STATUS (measured on v5e, jax 0.9):
 - **Row-aligned configs (``hop % 128 == 0``, ``step % hop == 0``) run
   correctly on TPU hardware** — oracle-verified to ~1e-3 in log space
-  (tests/test_pallas_frontend.py::test_tpu_row_aligned). Design points that
+  (tests/test_pallas_tpu.py::test_tpu_row_aligned). Design points that
   made it work: 2-D ``[*, hop]`` audio layout with whole-row DMAs; scratch
   and DMA extents padded to sublane (8-row) multiples (non-multiples FAULT
   the worker); static ``pltpu.roll`` to realign polyphase parts (Mosaic

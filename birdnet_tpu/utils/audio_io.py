@@ -128,6 +128,10 @@ def _read_wav_python(path: str, downmix: bool = False) -> Tuple[np.ndarray, int]
             if audio_format == 0xFFFE and size >= 40:
                 # WAVE_FORMAT_EXTENSIBLE: real format is the first 2 bytes
                 # of the SubFormat GUID (fmt body offset 24).
+                if len(data) < body + 26:
+                    raise AudioReadError(
+                        path=path, reason="truncated extensible fmt chunk"
+                    )
                 audio_format = struct.unpack_from("<H", data, body + 24)[0]
             fmt = (audio_format, channels, rate, bits)
         elif cid == b"data":
@@ -169,29 +173,31 @@ def read_wav(path, dtype="float32", downmix: bool = False) -> Tuple[np.ndarray, 
     :class:`AudioReadError` for missing or corrupt files.
     """
     path = str(path)
-    want_i16 = np.dtype(dtype) == np.int16 and not downmix
     if downmix and _native is not None:
         info = _WavInfo()
         rc = _native.wav_info(path.encode(), ctypes.byref(info))
         if rc != 0:
             _raise_native(path, rc)
-        if info.format != 1:
-            raise AudioFormatError("expected 16-bit integer PCM samples")
-        if info.bits_per_sample != 16:
-            raise AudioFormatError("expected 16-bit samples")
-        out = np.empty(info.n_samples, dtype=np.float32)
-        rc = _native.wav_read_f32_downmix(
-            path.encode(),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            info.n_samples,
-        )
-        if rc != 0:
-            _raise_native(path, rc)
-        rate = int(info.sample_rate)
-        return out, rate, len(out) / rate if rate else 0.0
-    if downmix:
+        if info.channels > 1:
+            if info.format != 1:
+                raise AudioFormatError("expected 16-bit integer PCM samples")
+            if info.bits_per_sample != 16:
+                raise AudioFormatError("expected 16-bit samples")
+            out = np.empty(info.n_samples, dtype=np.float32)
+            rc = _native.wav_read_f32_downmix(
+                path.encode(),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                info.n_samples,
+            )
+            if rc != 0:
+                _raise_native(path, rc)
+            rate = int(info.sample_rate)
+            return out, rate, len(out) / rate if rate else 0.0
+        downmix = False  # mono: take the normal (int16-capable) path
+    elif downmix:
         samples, rate = _read_wav_python(path, downmix=True)
         return samples, rate, len(samples) / rate if rate else 0.0
+    want_i16 = np.dtype(dtype) == np.int16
     if _native is not None:
         info = _WavInfo()
         rc = _native.wav_info(path.encode(), ctypes.byref(info))

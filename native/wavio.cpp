@@ -12,6 +12,7 @@
 #include <cstdio>
 #include <cstring>
 #include <memory>
+#include <new>
 
 extern "C" {
 
@@ -160,7 +161,7 @@ int wav_read_f32_downmix(const char* path, float* out, int64_t n) {
   if (info.bits_per_sample != 16) return WAV_ERR_NOT_16BIT;
   if (n > info.n_samples) n = info.n_samples;
   int ch = info.channels;
-  if (ch <= 0) return WAV_ERR_NO_FMT;
+  if (ch <= 0 || ch > 64) return WAV_ERR_NO_FMT;  // sane channel bound
 
   FILE* f = fopen(path, "rb");
   if (!f) return WAV_ERR_OPEN;
@@ -168,7 +169,8 @@ int wav_read_f32_downmix(const char* path, float* out, int64_t n) {
   if (fseek(f, (long)info.data_offset, SEEK_SET) != 0) return WAV_ERR_TRUNCATED;
 
   constexpr int64_t FRAMES = 1 << 14;
-  std::unique_ptr<int16_t[]> buf(new int16_t[FRAMES * ch]);
+  std::unique_ptr<int16_t[]> buf(new (std::nothrow) int16_t[FRAMES * ch]);
+  if (!buf) return WAV_ERR_NO_FMT;
   const float scale = 1.0f / (32768.0f * ch);
   int64_t done = 0;
   while (done < n) {

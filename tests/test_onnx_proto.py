@@ -208,10 +208,7 @@ def test_decoder_robust_to_corruption():
         try:
             import_onnx(bytes(mutated))
             outcomes["ok"] += 1
-        except (ModelLoadError, ValueError, NotImplementedError, IndexError,
-                UnicodeDecodeError, KeyError, OverflowError, MemoryError,
-                TypeError) as e:
-            del e
+        except ModelLoadError:
             outcomes["raised"] += 1
     # No hangs, no segfaults, every mutation either parsed or raised.
     assert outcomes["ok"] + outcomes["raised"] == 150
