@@ -212,3 +212,25 @@ def test_wrong_output_count_rejected(tmp_path):
     birdnet_v30.save_tiny(p, num_species=10, embedding_dim=8)
     with pytest.raises(E.RangeFilterInferenceError):
         RangeFilter.builder().model_path(p).labels(LABELS).build()
+
+
+def test_from_classifier_labels_integration(meta_model, tmp_path):
+    """Labels copied from a live classifier stay in sync (reference:
+    rangefilter.rs:186-193)."""
+    from birdnet_tpu import Classifier
+    from birdnet_tpu.models import birdnet_v24
+
+    mp = tmp_path / "v24.onnx"
+    birdnet_v24.save_tiny(mp, num_species=10)
+    clf = Classifier.builder().model_path(mp).labels(LABELS).top_k(5).build()
+    rf = (
+        RangeFilter.builder()
+        .model_path(meta_model)
+        .from_classifier_labels(clf.labels)
+        .build()
+    )
+    assert rf.labels == clf.labels
+    preds = clf.predict(np.zeros(144_000, np.float32)).predictions
+    scores = rf.predict(42.0, -76.0, 6, 15)
+    out = rf.filter_predictions(preds, scores)
+    assert all(p.species in clf.labels for p in out)
