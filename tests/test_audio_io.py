@@ -168,3 +168,31 @@ def test_wave_format_extensible_pcm(tmp_path, monkeypatch):
     samples2, rate2, _ = read_wav(p)
     assert rate2 == 48_000
     np.testing.assert_allclose(samples2, sig.astype(np.float32) / 32768.0)
+
+
+def test_downmix_mono_keeps_int16_fast_path(sine_wav):
+    """--downmix on an already-mono file takes the raw int16 path."""
+    p, sig = sine_wav
+    samples, rate, _ = read_wav(p, dtype="int16", downmix=True)
+    assert samples.dtype == np.int16
+    np.testing.assert_allclose(
+        samples.astype(np.float32) / 32768.0, sig, atol=1.0 / 32768
+    )
+
+
+def test_downmix_stereo_averages(tmp_path):
+    n = 1000
+    left = (np.ones(n) * 10000).astype(np.int16)
+    right = (np.ones(n) * -10000).astype(np.int16)
+    inter = np.empty(n * 2, dtype=np.int16)
+    inter[0::2] = left
+    inter[1::2] = right
+    p = tmp_path / "st.wav"
+    with open(p, "wb") as f:
+        data = inter.astype("<i2").tobytes()
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 48_000, 192_000, 4, 16))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+    samples, rate, _ = read_wav(p, downmix=True)
+    assert samples.dtype == np.float32
+    np.testing.assert_allclose(samples, np.zeros(n), atol=1e-6)  # L+R cancel
