@@ -29,6 +29,12 @@ from . import ops as op_registry
 # epsilon tensors) and all integer tensors stay compile-time constants so
 # shape/axis computations fold.
 _PARAM_MIN_SIZE = 16
+# Quantized (int8/uint8) weight tensors also become params rather than
+# baked-in XLA constants — they are real model weights (QDQ / QLinear
+# graphs) and must stay donatable/shardable. The higher threshold keeps
+# per-channel zero-point vectors as compile-time constants, which the
+# quantized lowerings rely on to prove zero points are zero.
+_QPARAM_MIN_SIZE = 1024
 
 
 @dataclass
@@ -123,6 +129,8 @@ def import_onnx(
     consts: Dict[str, np.ndarray] = {}
     for name, arr in tensors.items():
         if np.issubdtype(arr.dtype, np.floating) and arr.size >= _PARAM_MIN_SIZE:
+            params[name] = arr
+        elif arr.dtype in (np.int8, np.uint8) and arr.size >= _QPARAM_MIN_SIZE:
             params[name] = arr
         else:
             consts[name] = arr

@@ -12,15 +12,25 @@ Passes:
 - ``fold_batchnorm``: fold inference BatchNormalization into a preceding
   Conv/Gemm/ConvTranspose when the BN stats are initializers, rewriting the
   weights ``w' = w * s/sqrt(v+eps)`` and bias accordingly.
+- ``sink_through_qdq``: move value-preserving ops (MaxPool, reshapes)
+  sandwiched between a DequantizeLinear and a matching QuantizeLinear into
+  the quantized domain, so quantized regions stay int8 end to end.
+- ``fuse_qdq``: rewrite DequantizeLinear→Conv/MatMul/Gemm(→Relu)→
+  QuantizeLinear chains into QLinearConv/QLinearMatMul/_QLinearGemm nodes
+  whose lowerings run on the int8 MXU (the TensorRT-int8 analog; reference:
+  src/tensorrt_config.rs int8 option).
+- ``collapse_requant``: cancel adjacent DequantizeLinear→QuantizeLinear
+  pairs with identical quantization parameters (exact round trip).
+- ``eliminate_dead_nodes``: drop nodes whose outputs are never consumed.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..onnx.proto import GraphProto, NodeProto
+from ..onnx.proto import GraphProto, NodeProto, make_attr
 
 
 def _usage_counts(graph: GraphProto) -> Dict[str, int]:
@@ -126,9 +136,341 @@ def fold_batchnorm(graph: GraphProto, tensors: Dict[str, np.ndarray]) -> int:
     return folded
 
 
+# ---------------------------------------------------------------------------
+# QDQ (quantize-dequantize) graph rewrites — the int8 MXU enablement passes
+# ---------------------------------------------------------------------------
+
+# Ops that commute with (de)quantization: applying them to the raw integer
+# codes yields the same codes as quantizing their float result, provided the
+# quantization parameters are unchanged (max is monotone; the rest only move
+# elements around).
+_QDQ_SINKABLE = {
+    "MaxPool", "GlobalMaxPool", "Reshape", "Transpose", "Flatten",
+    "Squeeze", "Unsqueeze",
+}
+
+
+def _producer_map(graph: GraphProto) -> Dict[str, NodeProto]:
+    return {o: n for n in graph.node for o in n.output if o}
+
+
+def _opt_input(node: NodeProto, idx: int) -> str:
+    return node.input[idx] if len(node.input) > idx else ""
+
+
+def _same_qparams(tensors, s_a: str, z_a: str, s_b: str, z_b: str) -> bool:
+    """True when two (scale, zero_point) initializer pairs are provably the
+    same quantization (values compared, not names; absent zp == zero zp of
+    unknowable dtype, so absent only matches absent)."""
+    if s_a not in tensors or s_b not in tensors:
+        return False
+    if not np.array_equal(tensors[s_a], tensors[s_b]):
+        return False
+    if not z_a and not z_b:
+        return True
+    if not z_a or not z_b:
+        return False
+    if z_a not in tensors or z_b not in tensors:
+        return False
+    za, zb = tensors[z_a], tensors[z_b]
+    return za.dtype == zb.dtype and np.array_equal(za, zb)
+
+
+def _quantized_dtype(name: str, tensors, producers) -> Optional[np.dtype]:
+    """Integer dtype of a quantized tensor, or None if unknowable."""
+    if name in tensors:
+        dt = tensors[name].dtype
+        return dt if dt in (np.int8, np.uint8) else None
+    p = producers.get(name)
+    if p is None:
+        return None
+    if p.op_type == "QuantizeLinear":
+        zp = _opt_input(p, 2)
+        if zp:
+            return tensors[zp].dtype if zp in tensors else None
+        return np.dtype(np.uint8)
+    if p.op_type in ("QLinearConv", "QLinearMatMul", "_QLinearGemm"):
+        zp = _opt_input(p, 7)
+        if zp:
+            return tensors[zp].dtype if zp in tensors else None
+        return np.dtype(np.uint8)
+    if p.op_type in _QDQ_SINKABLE:
+        return _quantized_dtype(p.input[0], tensors, producers)
+    return None
+
+
+def sink_through_qdq(graph: GraphProto, tensors) -> int:
+    """Move DQ→(sinkable op)→Q sandwiches into the quantized domain."""
+    moved = 0
+    changed = True
+    while changed:
+        changed = False
+        producers = _producer_map(graph)
+        usage = _usage_counts(graph)
+        gouts = {o.name for o in graph.output}
+        for q in graph.node:
+            if q.op_type != "QuantizeLinear":
+                continue
+            m = producers.get(q.input[0])
+            if (
+                m is None
+                or m.op_type not in _QDQ_SINKABLE
+                or usage.get(m.output[0], 0) != 1
+                or m.output[0] in gouts
+            ):
+                continue
+            d = producers.get(m.input[0])
+            if (
+                d is None
+                or d.op_type != "DequantizeLinear"
+                or usage.get(d.output[0], 0) != 1
+                or d.output[0] in gouts
+            ):
+                continue
+            if not _same_qparams(
+                tensors, d.input[1], _opt_input(d, 2), q.input[1], _opt_input(q, 2)
+            ):
+                continue
+            if _quantized_dtype(d.input[0], tensors, producers) is None:
+                continue
+            # Rewire: x_q → m(int) → q's old output; drop d and q (they must
+            # be removed explicitly — m now produces q's output name, so
+            # dead-node elimination would consider q still live).
+            m.input[0] = d.input[0]
+            m.output[0] = q.output[0]
+            graph.node[:] = [n for n in graph.node if n is not d and n is not q]
+            moved += 1
+            changed = True
+            break  # maps are stale; rescan
+    return moved
+
+
+def _dequant_const(tensors, q_name, s_name, z_name) -> Optional[np.ndarray]:
+    """Concretely dequantize an initializer (used for bias conversion)."""
+    if q_name not in tensors or s_name not in tensors:
+        return None
+    if z_name and z_name not in tensors:
+        return None
+    q = tensors[q_name].astype(np.float64)
+    if z_name:
+        q = q - tensors[z_name].astype(np.float64)
+    return q * tensors[s_name].astype(np.float64)
+
+
+def fuse_qdq(graph: GraphProto, tensors) -> int:
+    """Fuse DQ→{Conv,MatMul,Gemm}(→Relu)→Q chains into QLinear* nodes.
+
+    The rewritten nodes keep the raw int8 tensors as operands, which the
+    lowerings feed straight to the int8 MXU. A Relu between the compute op
+    and the requantize folds into a ``_fused_relu`` clamp at the output
+    zero point (exact in the quantized domain).
+    """
+    producers = _producer_map(graph)
+    usage = _usage_counts(graph)
+    gouts = {o.name for o in graph.output}
+    consumers: Dict[str, List[NodeProto]] = {}
+    for n in graph.node:
+        for i in n.input:
+            if i:
+                consumers.setdefault(i, []).append(n)
+
+    replace: Dict[int, NodeProto] = {}
+    removed = set()
+    fused = 0
+    for n in graph.node:
+        if n.op_type not in ("Conv", "MatMul", "Gemm") or id(n) in removed:
+            continue
+        if n.op_type == "Gemm":
+            attrs = n.attrs
+            if float(attrs.get("alpha", 1.0)) != 1.0 or float(
+                attrs.get("beta", 1.0)
+            ) != 1.0:
+                continue
+
+        dq_x = producers.get(n.input[0])
+        dq_w = producers.get(n.input[1])
+        if (
+            dq_x is None or dq_x.op_type != "DequantizeLinear"
+            or dq_w is None or dq_w.op_type != "DequantizeLinear"
+        ):
+            continue
+        x_s, x_zp = dq_x.input[1], _opt_input(dq_x, 2)
+        w_s, w_zp = dq_w.input[1], _opt_input(dq_w, 2)
+        # Activation scale/zp must be static per-tensor scalars (the int8
+        # fast path's zero-point-padding correction requires it).
+        if x_s not in tensors or tensors[x_s].size != 1:
+            continue
+        if x_zp and (x_zp not in tensors or tensors[x_zp].size != 1):
+            continue
+        if _quantized_dtype(dq_x.input[0], tensors, producers) is None:
+            continue
+        # Weights must be quantized initializers with a static scale.
+        w_q_name = dq_w.input[0]
+        if w_q_name not in tensors or tensors[w_q_name].dtype not in (
+            np.int8, np.uint8,
+        ):
+            continue
+        if w_s not in tensors or (w_zp and w_zp not in tensors):
+            continue
+        w_rank = tensors[w_q_name].ndim
+        ws_val = tensors[w_s]
+        if ws_val.size > 1:  # per-channel: the axis must match the lowering
+            axis = int(dq_w.attrs.get("axis", 1))
+            if axis < 0:
+                axis += w_rank
+            if n.op_type == "Conv":
+                expected = 0
+            elif n.op_type == "MatMul":
+                expected = w_rank - 1
+            else:  # Gemm: output-channel axis depends on transB
+                expected = 0 if int(n.attrs.get("transB", 0)) else 1
+            if axis != expected:
+                continue
+
+        # Optional bias (Conv/Gemm input 2): float initializer or DQ of an
+        # int32 initializer; requantized concretely to scale x_s * w_s.
+        b_f = None
+        b_name = _opt_input(n, 2)
+        dq_b = None
+        if b_name:
+            if b_name in tensors and np.issubdtype(
+                tensors[b_name].dtype, np.floating
+            ):
+                b_f = tensors[b_name].astype(np.float64)
+            else:
+                dq_b = producers.get(b_name)
+                if dq_b is None or dq_b.op_type != "DequantizeLinear":
+                    continue
+                b_f = _dequant_const(
+                    tensors, dq_b.input[0], dq_b.input[1], _opt_input(dq_b, 2)
+                )
+                if b_f is None:
+                    continue
+
+        # Output chain: Conv →(Relu)→ QuantizeLinear, each link exclusive.
+        out = n.output[0]
+        if usage.get(out, 0) != 1 or out in gouts:
+            continue
+        c1 = consumers[out][0]
+        relu = None
+        if c1.op_type == "Relu":
+            if usage.get(c1.output[0], 0) != 1 or c1.output[0] in gouts:
+                continue
+            relu = c1
+            c1 = consumers[c1.output[0]][0]
+        if c1.op_type != "QuantizeLinear":
+            continue
+        qnode = c1
+        y_s, y_zp = qnode.input[1], _opt_input(qnode, 2)
+        if y_s not in tensors or tensors[y_s].size != 1:
+            continue
+        if y_zp and y_zp not in tensors:
+            continue
+
+        bias_i32_name = ""
+        if b_f is not None:
+            scale = tensors[x_s].astype(np.float64).reshape(()) * ws_val.astype(
+                np.float64
+            ).reshape(-1)
+            b_i32 = np.clip(
+                np.rint(b_f.reshape(-1) / scale), -(2**31), 2**31 - 1
+            ).astype(np.int32)
+            bias_i32_name = f"{n.output[0]}_qdq_bias"
+            tensors[bias_i32_name] = b_i32
+
+        new_op = {
+            "Conv": "QLinearConv",
+            "MatMul": "QLinearMatMul",
+            "Gemm": "_QLinearGemm",
+        }[n.op_type]
+        inputs = [dq_x.input[0], x_s, x_zp, w_q_name, w_s, w_zp, y_s, y_zp]
+        if bias_i32_name:
+            inputs.append(bias_i32_name)
+        while inputs and not inputs[-1]:
+            inputs.pop()
+        attribute = [a for a in n.attribute if a.name not in ("alpha", "beta")]
+        if relu is not None:
+            attribute = attribute + [make_attr("_fused_relu", 1)]
+        replace[id(n)] = NodeProto(
+            op_type=new_op,
+            name=(n.name or n.op_type) + "_qfused",
+            input=inputs,
+            output=[qnode.output[0]],
+            attribute=attribute,
+        )
+        removed.add(id(qnode))
+        if relu is not None:
+            removed.add(id(relu))
+        fused += 1
+        # usage bookkeeping so later fusions see the dropped f32 edges
+        usage[out] = 0
+        usage[n.input[0]] = usage.get(n.input[0], 1) - 1
+        usage[n.input[1]] = usage.get(n.input[1], 1) - 1
+        if dq_b is not None:
+            usage[b_name] = usage.get(b_name, 1) - 1
+
+    if fused:
+        graph.node[:] = [
+            replace.get(id(x), x) for x in graph.node if id(x) not in removed
+        ]
+        eliminate_dead_nodes(graph)
+    return fused
+
+
+def collapse_requant(graph: GraphProto, tensors) -> int:
+    """Cancel DQ→Q pairs with identical qparams: the round trip is exact
+    (same scale/zp/dtype ⇒ clip(round((q-z)s/s)+z) == q), so consumers can
+    read the original quantized tensor directly."""
+    producers = _producer_map(graph)
+    gouts = {o.name for o in graph.output}
+    rename: Dict[str, str] = {}
+    for q in graph.node:
+        if q.op_type != "QuantizeLinear" or q.output[0] in gouts:
+            continue
+        src = rename.get(q.input[0], q.input[0])
+        d = producers.get(src)
+        if d is None or d.op_type != "DequantizeLinear":
+            continue
+        if not _same_qparams(
+            tensors, d.input[1], _opt_input(d, 2), q.input[1], _opt_input(q, 2)
+        ):
+            continue
+        if _quantized_dtype(d.input[0], tensors, producers) is None:
+            continue
+        rename[q.output[0]] = rename.get(d.input[0], d.input[0])
+    if not rename:
+        return 0
+    for n in graph.node:
+        n.input[:] = [rename.get(i, i) for i in n.input]
+    eliminate_dead_nodes(graph)
+    return len(rename)
+
+
+def eliminate_dead_nodes(graph: GraphProto) -> int:
+    """Drop nodes none of whose outputs are consumed (fixpoint)."""
+    removed = 0
+    while True:
+        used = {o.name for o in graph.output}
+        for n in graph.node:
+            used.update(i for i in n.input if i)
+        kept = [
+            n for n in graph.node
+            if any(o in used for o in n.output if o)
+        ]
+        if len(kept) == len(graph.node):
+            return removed
+        removed += len(graph.node) - len(kept)
+        graph.node[:] = kept
+
+
 def optimize_graph(graph: GraphProto, tensors: Dict[str, np.ndarray]) -> Dict[str, int]:
     """Run all passes; mutates graph/tensors. Returns per-pass counts."""
     stats = {}
     stats["identity_removed"] = eliminate_identity(graph)
     stats["batchnorm_folded"] = fold_batchnorm(graph, tensors)
+    stats["qdq_sunk"] = sink_through_qdq(graph, tensors)
+    stats["qdq_fused"] = fuse_qdq(graph, tensors)
+    stats["requant_collapsed"] = collapse_requant(graph, tensors)
+    if stats["qdq_fused"] or stats["requant_collapsed"]:
+        stats["dead_removed"] = eliminate_dead_nodes(graph)
     return stats
