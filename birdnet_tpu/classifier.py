@@ -60,6 +60,8 @@ class ClassifierBuilder:
         self._warmup_batches: Sequence[int] = ()
         self._mesh = None
         self._use_mesh = False
+        self._int8 = False
+        self._int8_calibration = None
 
     # -- required inputs --------------------------------------------------
 
@@ -101,6 +103,22 @@ class ClassifierBuilder:
         """Pre-compile executables for these batch sizes at build time (the
         TensorRT engine-build analog; cached persistently)."""
         self._warmup_batches = tuple(batch_sizes)
+        return self
+
+    def int8(self, calibration_segments=None) -> "ClassifierBuilder":
+        """Post-training int8 quantization onto the int8 MXU (2x bf16 peak
+        on v5e) — the analog of the reference's TensorRT int8 flag
+        (reference: src/tensorrt_config.rs:100-160, which relies on TRT
+        calibration tables).
+
+        ``calibration_segments``: real audio for activation calibration —
+        an iterable of [B, sample_count] float32 batches (recommended: a
+        few dozen representative field-recording segments). ``None`` falls
+        back to synthetic noise/sweep audio, which keeps scales sane but
+        calibrates less accurately than real recordings.
+        """
+        self._int8 = True
+        self._int8_calibration = calibration_segments
         return self
 
     # -- device selection (EP-method analogs, classifier.rs:159-322) ------
@@ -162,6 +180,17 @@ class ClassifierBuilder:
         imported = import_any(self._model_path)
         input_shape, output_shapes = imported.detection_shapes()
         config = detect_model_type(input_shape, output_shapes, self._model_type)
+
+        if self._int8:
+            from .compiler.quantize import (
+                quantize_model,
+                synthetic_calibration_segments,
+            )
+
+            calibration = self._int8_calibration
+            if calibration is None:
+                calibration = synthetic_calibration_segments(config.sample_count)
+            imported = quantize_model(imported, calibration)
 
         if self._labels is not None:
             labels = list(self._labels)

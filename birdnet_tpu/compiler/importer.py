@@ -68,6 +68,21 @@ class ImportedModel:
         return inp, outs
 
 
+def split_params(tensors: Dict[str, np.ndarray]):
+    """Partition initializers into jit params (donatable/shardable weights)
+    and compile-time constants (shape/axis/threshold scalars)."""
+    params: Dict[str, np.ndarray] = {}
+    consts: Dict[str, np.ndarray] = {}
+    for name, arr in tensors.items():
+        if np.issubdtype(arr.dtype, np.floating) and arr.size >= _PARAM_MIN_SIZE:
+            params[name] = arr
+        elif arr.dtype in (np.int8, np.uint8) and arr.size >= _QPARAM_MIN_SIZE:
+            params[name] = arr
+        else:
+            consts[name] = arr
+    return params, consts
+
+
 def import_onnx(
     source: Union[str, bytes, ModelProto], optimize: bool = True
 ) -> ImportedModel:
@@ -125,15 +140,7 @@ def import_onnx(
 
         optimize_graph(graph, tensors)
 
-    params: Dict[str, np.ndarray] = {}
-    consts: Dict[str, np.ndarray] = {}
-    for name, arr in tensors.items():
-        if np.issubdtype(arr.dtype, np.floating) and arr.size >= _PARAM_MIN_SIZE:
-            params[name] = arr
-        elif arr.dtype in (np.int8, np.uint8) and arr.size >= _QPARAM_MIN_SIZE:
-            params[name] = arr
-        else:
-            consts[name] = arr
+    params, consts = split_params(tensors)
 
     initializer_names = set(params) | set(consts)
     input_names, input_shapes = [], []
