@@ -1411,42 +1411,113 @@ def _run_subgraph(ctx: OpContext, graph, extra_env=None):
 
 @op("If")
 def _if(ctx, cond):
-    """Static-condition If: the branch is chosen at trace time (data-
-    dependent conditions would need lax.cond over both subgraphs)."""
-    if not _is_static(cond):
-        raise NotImplementedError("If with a data-dependent condition")
-    branch = (
-        ctx.attr("then_branch")
-        if bool(np.asarray(cond).reshape(-1)[0])
-        else ctx.attr("else_branch")
+    """ONNX If. A static condition picks the branch at trace time (only
+    that subgraph is compiled); a data-dependent condition lowers to
+    ``lax.cond`` over both traced subgraphs (their output shapes/dtypes
+    must match, which XLA enforces)."""
+    if _is_static(cond):
+        branch = (
+            ctx.attr("then_branch")
+            if bool(np.asarray(cond).reshape(-1)[0])
+            else ctx.attr("else_branch")
+        )
+        return list(_run_subgraph(ctx, branch))
+
+    def _branch(graph):
+        def f(_):
+            return tuple(jnp.asarray(v) for v in _run_subgraph(ctx, graph))
+
+        return f
+
+    pred = jnp.asarray(cond).reshape(())
+    outs = lax.cond(
+        pred, _branch(ctx.attr("then_branch")), _branch(ctx.attr("else_branch")), None
     )
-    return list(_run_subgraph(ctx, branch))
+    return list(outs)
+
+
+def _loop_while(ctx, body, body_inputs, start_i, cond0, carried, max_trip):
+    """Data-dependent Loop tail: ``lax.while_loop`` over the carried state
+    (compiled once, looped on device). ONNX requires loop-invariant carried
+    shapes for this form, which matches XLA's while-carry rule; scan
+    outputs are structurally impossible here (their length is unknowable at
+    compile time) and are rejected by the caller."""
+    n = len(carried)
+    state0 = (
+        jnp.asarray(start_i, jnp.int32),
+        jnp.asarray(cond0).reshape(()).astype(jnp.bool_),
+    ) + tuple(jnp.asarray(c) for c in carried)
+    if max_trip is not None:
+        bound = jnp.asarray(max_trip).reshape(()).astype(jnp.int32)
+
+    def cond_fun(state):
+        ok = state[1]
+        if max_trip is not None:
+            ok = jnp.logical_and(ok, state[0] < bound)
+        return ok
+
+    def body_fun(state):
+        i = state[0]
+        extra = dict(zip(body_inputs, (i, state[1]) + state[2:]))
+        outs = _run_subgraph(ctx, body, extra)
+        new_cond = jnp.asarray(outs[0]).reshape(()).astype(jnp.bool_)
+        new_carried = tuple(
+            jnp.asarray(o) for o in outs[1:1 + n]
+        )
+        return (i + 1, new_cond) + new_carried
+
+    final = lax.while_loop(cond_fun, body_fun, state0)
+    return list(final[2:])
 
 
 @op("Loop")
 def _loop(ctx, trip_count=None, cond=None, *v_initial):
-    """ONNX Loop with a static trip count (the common exporter pattern:
-    ``for i in range(M)``). Dynamic/data-dependent conditions would need
-    lax.while_loop with a fixed carry structure; unsupported for now.
+    """ONNX Loop. Static trip count + static condition unrolls at trace
+    time (the common exporter pattern, supports scan outputs). A
+    data-dependent trip count or condition lowers to ``lax.while_loop``
+    (compiled once, looped on device) — including the hybrid case where a
+    statically-started unroll discovers a traced ``cond_out`` mid-body.
+    Scan outputs are impossible on the while path (their stacked length is
+    unknowable at compile time) and raise NotImplementedError.
 
     Body graph inputs: (iter_num, cond_in, *carried); outputs:
     (cond_out, *carried_out, *scan_outputs). Scan outputs are stacked
     along a new leading axis.
     """
     body = ctx.attr("body")
-    if trip_count is None or not _is_static(trip_count):
-        raise NotImplementedError("Loop requires a static trip count")
-    if cond is not None and not _is_static(cond):
-        raise NotImplementedError("Loop with a data-dependent condition")
-    if cond is not None and not bool(np.asarray(cond).reshape(-1)[0]):
-        raise NotImplementedError("Loop with an initially-false condition")
-    m = _static_int(trip_count, "Loop trip count")
-    if m > 256:
-        raise NotImplementedError(f"Loop trip count {m} too large to unroll")
-
     n_carried = len(v_initial)
     n_scan = ctx.num_outputs - n_carried
     body_inputs = [vi.name for vi in body.input]
+
+    dynamic = (trip_count is not None and not _is_static(trip_count)) or (
+        cond is not None and not _is_static(cond)
+    )
+    if dynamic:
+        if n_scan > 0:
+            raise NotImplementedError(
+                "Loop with a data-dependent trip count/condition and scan "
+                "outputs (their stacked shape is unknowable at compile time)"
+            )
+        cond0 = cond if cond is not None else np.bool_(True)
+        return _loop_while(
+            ctx, body, body_inputs, 0, cond0, list(v_initial), trip_count
+        )
+
+    if cond is not None and not bool(np.asarray(cond).reshape(-1)[0]):
+        # Initially-false condition: zero iterations.
+        if n_scan > 0:
+            raise NotImplementedError(
+                "Loop with zero iterations and scan outputs (their shapes "
+                "are unknowable without running the body)"
+            )
+        return list(v_initial)
+    m = (
+        _static_int(trip_count, "Loop trip count")
+        if trip_count is not None
+        else None
+    )
+    if m is not None and m > 256:
+        raise NotImplementedError(f"Loop trip count {m} too large to unroll")
     if m == 0:
         if n_scan > 0:
             raise NotImplementedError(
@@ -1457,7 +1528,13 @@ def _loop(ctx, trip_count=None, cond=None, *v_initial):
 
     carried = list(v_initial)
     scan_outputs = None
-    for i in range(m):
+    i = 0
+    while m is None or i < m:
+        if m is None and i > 256:
+            raise NotImplementedError(
+                "Loop with no trip count ran >256 statically-true "
+                "iterations at trace time (likely infinite)"
+            )
         extra = dict(zip(body_inputs, [np.int64(i), np.bool_(True)] + carried))
         outs = _run_subgraph(ctx, body, extra)
         # Per the ONNX spec, iteration i's outputs are consumed even when
@@ -1471,12 +1548,19 @@ def _loop(ctx, trip_count=None, cond=None, *v_initial):
                 dest.append(s)
         cond_out = outs[0]
         if not _is_static(cond_out):
-            raise NotImplementedError(
-                "Loop with a data-dependent termination condition "
-                "(cond_out is a traced value)"
+            # Hybrid: the termination condition turned out data-dependent;
+            # continue the remaining iterations on device.
+            if n_scan > 0:
+                raise NotImplementedError(
+                    "Loop with a data-dependent termination condition and "
+                    "scan outputs"
+                )
+            return _loop_while(
+                ctx, body, body_inputs, i + 1, cond_out, carried, m
             )
         if not bool(np.asarray(cond_out).reshape(-1)[0]):
             break
+        i += 1
     stacked = [
         jnp.stack([jnp.asarray(x) for x in parts]) for parts in (scan_outputs or [])
     ]

@@ -37,7 +37,9 @@ _QMAX = 127.0  # symmetric int8 in [-127, 127]: avoids the -128 asymmetry
 
 
 def _eligible_nodes(
-    graph: GraphProto, tensors: Dict[str, np.ndarray]
+    graph: GraphProto,
+    tensors: Dict[str, np.ndarray],
+    quantize_first_layer: bool = False,
 ) -> List[Tuple[NodeProto, Optional[NodeProto], int, str]]:
     """(node, following_relu_or_None, weight_channel_axis, original_x_name)
     for every
@@ -45,6 +47,7 @@ def _eligible_nodes(
     optional float initializer bias, and a quantization target tensor that
     is not a graph output."""
     gouts = {o.name for o in graph.output}
+    gins = {vi.name for vi in graph.input if vi.name not in tensors}
     consumers: Dict[str, List[NodeProto]] = {}
     for n in graph.node:
         for i in n.input:
@@ -56,6 +59,11 @@ def _eligible_nodes(
         if n.op_type not in ("Conv", "MatMul", "Gemm"):
             continue
         if len(n.input) < 2:
+            continue
+        if not quantize_first_layer and n.input[0] in gins:
+            # First-layer-fp (standard PTQ): in the audio models this is
+            # the in-graph spectrogram frontend, whose huge dynamic range
+            # dominates quantization error while contributing few FLOPs.
             continue
         w = tensors.get(n.input[1])
         if w is None or not np.issubdtype(w.dtype, np.floating) or w.ndim < 2:
@@ -132,18 +140,21 @@ def quantize_model(
     model: ImportedModel,
     calibration: Sequence,
     per_channel: bool = True,
+    quantize_first_layer: bool = False,
 ) -> ImportedModel:
     """Return a new int8-quantized :class:`ImportedModel`.
 
     ``calibration``: iterable of model-input batches (a bare array is
     treated as a single-input batch). The source model is not mutated.
+    Layers reading a graph input or producing a graph output stay float
+    (first/last-layer-fp, standard PTQ practice).
     """
     graph = deepcopy(model.graph)
     tensors: Dict[str, np.ndarray] = {}
     tensors.update(model.params)
     tensors.update(model.consts)
 
-    eligible = _eligible_nodes(graph, tensors)
+    eligible = _eligible_nodes(graph, tensors, quantize_first_layer)
     if not eligible:
         raise ModelLoadError(
             "no quantizable layers found (Conv/MatMul/Gemm with float "

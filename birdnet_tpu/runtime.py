@@ -48,7 +48,16 @@ def init_runtime(compilation_cache_dir: Optional[str] = None) -> None:
                 jax.config.update("jax_compilation_cache_dir", cache_dir)
                 # Cache every compile, even fast ones — model shapes recur.
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-            jax.devices()  # force backend init; raises if no platform usable
+            try:
+                jax.devices()  # force backend init; raises if nothing usable
+            except RuntimeError as e:
+                # A tunnel/plugin (e.g. axon) may pin jax_platforms to a
+                # backend name it then fails to register — recoverable when
+                # another backend (tpu/cpu) did come up: let JAX re-probe.
+                if "not in the list of known backends" not in str(e):
+                    raise
+                jax.config.update("jax_platforms", None)
+                jax.devices()
         except Exception as e:  # noqa: BLE001 - surface as typed error
             raise RuntimeInitError(str(e)) from e
         _initialized = True
