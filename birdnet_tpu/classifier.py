@@ -112,10 +112,11 @@ class ClassifierBuilder:
         calibration tables).
 
         ``calibration_segments``: real audio for activation calibration —
-        an iterable of [B, sample_count] float32 batches (recommended: a
-        few dozen representative field-recording segments). ``None`` falls
-        back to synthetic noise/sweep audio, which keeps scales sane but
-        calibrates less accurately than real recordings.
+        an iterable of [B, sample_count] float32 batches, or a raw 1-D
+        recording (float32 or int16 PCM) that gets chunked into
+        evenly-spaced segments. ``None`` falls back to synthetic
+        noise/sweep audio, which keeps scales sane but calibrates less
+        accurately than real recordings.
         """
         self._int8 = True
         self._int8_calibration = calibration_segments
@@ -183,6 +184,7 @@ class ClassifierBuilder:
 
         if self._int8:
             from .compiler.quantize import (
+                calibration_from_samples,
                 quantize_model,
                 synthetic_calibration_segments,
             )
@@ -190,6 +192,11 @@ class ClassifierBuilder:
             calibration = self._int8_calibration
             if calibration is None:
                 calibration = synthetic_calibration_segments(config.sample_count)
+            elif isinstance(calibration, np.ndarray) and calibration.ndim == 1:
+                # Raw recording: chunk into evenly-spaced segments.
+                calibration = calibration_from_samples(
+                    calibration, config.sample_count
+                )
             imported = quantize_model(imported, calibration)
 
         if self._labels is not None:

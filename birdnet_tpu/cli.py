@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="MXU precision policy (default: mixed on TPU, fp32 on CPU)",
     )
     p.add_argument(
+        "--int8",
+        action="store_true",
+        help="Quantize the model to int8 (post-training, MXU int8 path), "
+        "calibrating activation scales on the first input recording",
+    )
+    p.add_argument(
         "--resample",
         action="store_true",
         help="Resample the WAV to the model rate on-device (polyphase sinc) "
@@ -234,6 +240,15 @@ def run_with_args(args: argparse.Namespace) -> int:
         builder = builder.model_type(model_type_override)
     if args.precision:
         builder = builder.precision(args.precision)
+    if args.int8:
+        # Calibrate on the first recording itself (amplitude statistics are
+        # what matter; rate mismatches handled later by --resample don't
+        # change them materially).
+        _debug(args.verbose, f"Reading {audio_files[0]} for int8 calibration...")
+        calib_samples, _, _ = read_wav(
+            audio_files[0], dtype="int16", downmix=args.downmix
+        )
+        builder = builder.int8(calibration_segments=calib_samples)
     if args.mesh:
         builder = builder.with_mesh()
     elif not is_cpu:

@@ -48,11 +48,30 @@ def _eligible_nodes(
     is not a graph output."""
     gouts = {o.name for o in graph.output}
     gins = {vi.name for vi in graph.input if vi.name not in tensors}
+    producers = {o: n for n in graph.node for o in n.output if o}
     consumers: Dict[str, List[NodeProto]] = {}
     for n in graph.node:
         for i in n.input:
             if i:
                 consumers.setdefault(i, []).append(n)
+
+    _LAYOUT = {
+        "Reshape", "Transpose", "Flatten", "Squeeze", "Unsqueeze",
+        "Identity", "Cast", "Slice", "Pad",
+    }
+
+    def _from_graph_input(name: str, depth: int = 8) -> bool:
+        """True if the tensor is the raw model input, possibly routed
+        through shape/layout ops (the audio frontend pattern)."""
+        while depth > 0:
+            if name in gins:
+                return True
+            p = producers.get(name)
+            if p is None or p.op_type not in _LAYOUT:
+                return False
+            name = p.input[0]
+            depth -= 1
+        return False
 
     out = []
     for n in graph.node:
@@ -60,7 +79,7 @@ def _eligible_nodes(
             continue
         if len(n.input) < 2:
             continue
-        if not quantize_first_layer and n.input[0] in gins:
+        if not quantize_first_layer and _from_graph_input(n.input[0]):
             # First-layer-fp (standard PTQ): in the audio models this is
             # the in-graph spectrogram frontend, whose huge dynamic range
             # dominates quantization error while contributing few FLOPs.
@@ -292,6 +311,25 @@ def quantize_model(
         output_names=list(model.output_names),
         output_shapes=[list(s) for s in model.output_shapes],
     )
+
+
+def calibration_from_samples(
+    samples, sample_count: int, max_segments: int = 16, batch_size: int = 4
+) -> List[np.ndarray]:
+    """Build calibration batches from a raw recording: up to
+    ``max_segments`` non-overlapping windows spaced evenly across the
+    audio (int16 PCM is scaled to [-1, 1) like the inference path)."""
+    x = np.asarray(samples).reshape(-1)
+    if x.dtype == np.int16:
+        x = x.astype(np.float32) / 32768.0
+    x = x.astype(np.float32)
+    if x.size < sample_count:
+        x = np.pad(x, (0, sample_count - x.size))
+    n_avail = x.size // sample_count
+    n = max(1, min(max_segments, n_avail))
+    starts = np.linspace(0, x.size - sample_count, n).astype(np.int64)
+    segs = np.stack([x[s:s + sample_count] for s in starts])
+    return [segs[i:i + batch_size] for i in range(0, len(segs), batch_size)]
 
 
 def synthetic_calibration_segments(

@@ -247,3 +247,14 @@ def test_cli_multi_file_error_continues(cli_fixtures, tmp_path, capsys):
     assert rc == 1  # a failure occurred…
     assert "Error analyzing" in captured.err
     assert "3 segments of 7s audio" in captured.out  # …but the good file ran
+
+
+def test_cli_int8(cli_fixtures, capsys):
+    """--int8 quantizes with calibration from the input recording."""
+    wav, model, labels = cli_fixtures
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.0", "-t", "0", "--int8"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert re.search(r"3 segments of 7s audio analyzed", out)
+    assert re.search(r"^00:00\.0  species_\d+ \(\d+\.\d%\)", out, re.M)
