@@ -117,19 +117,28 @@ def available_devices() -> List[DeviceInfo]:
 
 def default_device(prefer: Optional[str] = None):
     """Pick the default jax.Device: requested platform, else accelerator,
-    else CPU."""
+    else CPU. Only process-local devices qualify — under ``jax.distributed``
+    the global device list includes other hosts' chips, which this process
+    cannot execute on directly (the multi-host tier shards *files*, not
+    arrays; see parallel/multihost.py)."""
     import jax
 
     init_runtime()
+    local = jax.local_devices()
     if prefer:
-        for d in jax.devices():
+        for d in local:
             if d.platform.lower() == prefer.lower():
                 return d
         try:
-            return jax.devices(prefer)[0]
+            for d in jax.devices(prefer):
+                if d.process_index == jax.process_index():
+                    return d
+            raise RuntimeInitError(
+                f"no process-local {prefer!r} devices available"
+            )
         except RuntimeError as e:
             raise RuntimeInitError(f"no {prefer!r} devices available: {e}") from e
-    for d in jax.devices():
+    for d in local:
         if d.platform.lower() in _ACCEL_PLATFORMS:
             return d
-    return jax.devices()[0]
+    return local[0]
