@@ -101,6 +101,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Also write detections as CSV (start_s,end_s,species,confidence; "
         "a leading 'file' column is added when analyzing multiple files)",
     )
+    p.add_argument(
+        "--embeddings",
+        metavar="FILE",
+        default=None,
+        help="Also export per-segment embeddings to an .npz file "
+        "(keys: '<path>/embeddings' [N,E] and '<path>/times' [N]; "
+        "v3.0/Perch models only)",
+    )
     p.add_argument("-v", "--verbose", action="store_true", help="Enable verbose logging")
     p.add_argument(
         "--profile",
@@ -257,6 +265,14 @@ def run_with_args(args: argparse.Namespace) -> int:
     config = classifier.config
     _debug(args.verbose, f"Classifier built in {time.monotonic() - t0:.3f}s")
 
+    if args.embeddings and not config.model_type.has_embeddings:
+        raise ModelDetectionError(
+            f"--embeddings requires a model with embedding outputs "
+            f"(BirdNET v3.0 / Perch v2); {config.model_type.display_name} "
+            f"has none"
+        )
+    embeddings_out = {}
+
     use_stream = not args.no_stream
     if args.overlap >= config.segment_duration:
         raise ModelDetectionError(
@@ -372,6 +388,19 @@ def run_with_args(args: argparse.Namespace) -> int:
         profile_ctx.__enter__()
         _debug(args.verbose, f"Profiling to {args.profile}")
 
+    def _export_embeddings(audio_path: str, samples) -> None:
+        """Second device pass collecting [N, E] embeddings (detections and
+        embeddings use different fused programs; the audio is re-streamed)."""
+        _debug(args.verbose, "Extracting embeddings...")
+        t0 = time.monotonic()
+        emb, times = classifier.embed_samples(samples, args.overlap)
+        embeddings_out[f"{audio_path}/embeddings"] = emb
+        embeddings_out[f"{audio_path}/times"] = times
+        _debug(
+            args.verbose,
+            f"Embeddings {emb.shape} extracted in {time.monotonic() - t0:.3f}s",
+        )
+
     def _process_file(audio_path: str) -> None:
         _debug(args.verbose, f"Reading WAV file: {audio_path}")
         t0 = time.monotonic()
@@ -452,6 +481,8 @@ def run_with_args(args: argparse.Namespace) -> int:
                 f"analyzed in {elapsed:.1f}s ({segments_per_sec:.1f} segments/s, "
                 f"{x_realtime:.1f}x realtime)"
             )
+            if args.embeddings and not state["cancelled"]:
+                _export_embeddings(audio_path, samples)
             return
 
         _debug(args.verbose, "Chunking audio into segments...")
@@ -496,6 +527,8 @@ def run_with_args(args: argparse.Namespace) -> int:
             f"analyzed in {elapsed:.1f}s ({segments_per_sec:.1f} segments/s, "
             f"{x_realtime:.1f}x realtime)"
         )
+        if args.embeddings and not state["cancelled"]:
+            _export_embeddings(audio_path, samples)
 
     failures = 0
     try:
@@ -514,6 +547,15 @@ def run_with_args(args: argparse.Namespace) -> int:
             profile_ctx.__exit__(None, None, None)
         if csv_file is not None:
             csv_file.close()
+        if args.embeddings and embeddings_out:
+            import numpy as np
+
+            np.savez(args.embeddings, **embeddings_out)
+            print(
+                f"Embeddings written to {args.embeddings} "
+                f"({len(embeddings_out) // 2} file(s))",
+                file=sys.stderr,
+            )
     return 1 if failures else 0
 
 

@@ -258,3 +258,39 @@ def test_cli_int8(cli_fixtures, capsys):
     assert rc == 0
     assert re.search(r"3 segments of 7s audio analyzed", out)
     assert re.search(r"^00:00\.0  species_\d+ \(\d+\.\d%\)", out, re.M)
+
+
+def test_cli_embeddings_export(tmp_path, capsys):
+    """--embeddings writes an npz with [N,E] embeddings + start times."""
+    from birdnet_tpu.models import birdnet_v30
+
+    model = tmp_path / "v30_tiny.onnx"
+    birdnet_v30.save_tiny(model, num_species=10, embedding_dim=32)
+    labels = tmp_path / "labels.csv"
+    labels.write_text(
+        "\n".join(f"sp_{i},Common {i}" for i in range(10)), encoding="utf-8"
+    )
+    wav = tmp_path / "a32k.wav"
+    sig = (0.2 * np.sin(2 * np.pi * 800 * np.arange(32_000 * 10) / 32_000))
+    write_wav(wav, sig.astype(np.float32), 32_000)
+    out = tmp_path / "emb.npz"
+    rc = main([str(wav), "-m", str(model), "-l", str(labels), "--provider",
+               "cpu", "--min-confidence", "0.0", "-t", "0",
+               "--embeddings", str(out)])
+    assert rc == 0
+    data = np.load(out)
+    emb = data[f"{wav}/embeddings"]
+    times = data[f"{wav}/times"]
+    assert emb.shape == (2, 32)  # 10 s at 5 s segments
+    assert times.shape == (2,)
+    assert np.isfinite(emb).all()
+    np.testing.assert_allclose(times, [0.0, 5.0])
+
+
+def test_cli_embeddings_rejected_for_v24(cli_fixtures, capsys):
+    wav, model, labels = cli_fixtures
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--embeddings", "/tmp/never.npz"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "--embeddings requires a model with embedding outputs" in err
