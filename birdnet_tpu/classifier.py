@@ -192,11 +192,20 @@ class ClassifierBuilder:
             calibration = self._int8_calibration
             if calibration is None:
                 calibration = synthetic_calibration_segments(config.sample_count)
-            elif isinstance(calibration, np.ndarray) and calibration.ndim == 1:
-                # Raw recording: chunk into evenly-spaced segments.
-                calibration = calibration_from_samples(
-                    calibration, config.sample_count
-                )
+            elif isinstance(calibration, np.ndarray):
+                if calibration.ndim == 1:
+                    # Raw recording: chunk into evenly-spaced segments.
+                    calibration = calibration_from_samples(
+                        calibration, config.sample_count
+                    )
+                elif calibration.ndim == 2:
+                    # [N, sample_count] segment stack: split into batches
+                    # (a bare 2-D array would otherwise iterate into 1-D
+                    # rows, each misread as a whole model input).
+                    calibration = [
+                        calibration[i:i + 4]
+                        for i in range(0, calibration.shape[0], 4)
+                    ]
             imported = quantize_model(imported, calibration)
 
         if self._labels is not None:

@@ -69,7 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--precision",
         choices=["fp32", "mixed", "fast", "bf16"],
         default=None,
-        help="MXU precision policy (default: mixed on TPU, fp32 on CPU)",
+        help="MXU precision policy (defaults: streaming pipeline 'fast' on "
+        "TPU — top-1 identical to mixed; per-batch paths 'mixed' on TPU; "
+        "fp32 on CPU)",
     )
     p.add_argument(
         "--int8",
@@ -107,7 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="Also export per-segment embeddings to an .npz file "
         "(keys: '<path>/embeddings' [N,E] and '<path>/times' [N]; "
-        "v3.0/Perch models only)",
+        "v3.0/Perch models only). Embeddings follow the engine precision: "
+        "the TPU streaming default is bf16-activation 'fast' — pass "
+        "--precision mixed for full-precision vectors",
     )
     p.add_argument("-v", "--verbose", action="store_true", help="Enable verbose logging")
     p.add_argument(
@@ -248,15 +252,16 @@ def run_with_args(args: argparse.Namespace) -> int:
         builder = builder.model_type(model_type_override)
     if args.precision:
         builder = builder.precision(args.precision)
+    wav_cache = {}  # (path, dtype) → read_wav result, reused by analysis
     if args.int8:
         # Calibrate on the first recording itself (amplitude statistics are
         # what matter; rate mismatches handled later by --resample don't
-        # change them materially).
+        # change them materially). The decoded audio is cached so the
+        # analysis pass doesn't re-read the file.
         _debug(args.verbose, f"Reading {audio_files[0]} for int8 calibration...")
-        calib_samples, _, _ = read_wav(
-            audio_files[0], dtype="int16", downmix=args.downmix
-        )
-        builder = builder.int8(calibration_segments=calib_samples)
+        first = read_wav(audio_files[0], dtype="int16", downmix=args.downmix)
+        wav_cache[(audio_files[0], "int16")] = first
+        builder = builder.int8(calibration_segments=first[0])
     if args.mesh:
         builder = builder.with_mesh()
     elif not is_cpu:
@@ -388,12 +393,13 @@ def run_with_args(args: argparse.Namespace) -> int:
         profile_ctx.__enter__()
         _debug(args.verbose, f"Profiling to {args.profile}")
 
-    def _export_embeddings(audio_path: str, samples) -> None:
+    def _export_embeddings(audio_path: str, samples, options) -> None:
         """Second device pass collecting [N, E] embeddings (detections and
-        embeddings use different fused programs; the audio is re-streamed)."""
+        embeddings use different fused programs; the audio is re-streamed).
+        Honors the same timeout/Ctrl-C options as the detection pass."""
         _debug(args.verbose, "Extracting embeddings...")
         t0 = time.monotonic()
-        emb, times = classifier.embed_samples(samples, args.overlap)
+        emb, times = classifier.embed_samples(samples, args.overlap, options)
         embeddings_out[f"{audio_path}/embeddings"] = emb
         embeddings_out[f"{audio_path}/times"] = times
         _debug(
@@ -406,11 +412,14 @@ def run_with_args(args: argparse.Namespace) -> int:
         t0 = time.monotonic()
         # Streaming ships raw int16 PCM to the device (half the transfer
         # bytes; the /32768 scale runs on-device); per-batch wants float32.
-        samples, sample_rate, duration_secs = read_wav(
-            audio_path,
-            dtype="int16" if use_stream else "float32",
-            downmix=args.downmix,
-        )
+        dtype = "int16" if use_stream else "float32"
+        cached = wav_cache.pop((audio_path, dtype), None)
+        if cached is not None:
+            samples, sample_rate, duration_secs = cached
+        else:
+            samples, sample_rate, duration_secs = read_wav(
+                audio_path, dtype=dtype, downmix=args.downmix
+            )
         _debug(args.verbose, f"WAV file read in {time.monotonic() - t0:.3f}s")
 
         if sample_rate != config.sample_rate:
@@ -482,7 +491,7 @@ def run_with_args(args: argparse.Namespace) -> int:
                 f"{x_realtime:.1f}x realtime)"
             )
             if args.embeddings and not state["cancelled"]:
-                _export_embeddings(audio_path, samples)
+                _export_embeddings(audio_path, samples, options)
             return
 
         _debug(args.verbose, "Chunking audio into segments...")
@@ -528,7 +537,7 @@ def run_with_args(args: argparse.Namespace) -> int:
             f"{x_realtime:.1f}x realtime)"
         )
         if args.embeddings and not state["cancelled"]:
-            _export_embeddings(audio_path, samples)
+            _export_embeddings(audio_path, samples, options)
 
     failures = 0
     try:

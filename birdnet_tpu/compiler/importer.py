@@ -31,9 +31,10 @@ from . import ops as op_registry
 _PARAM_MIN_SIZE = 16
 # Quantized (int8/uint8) weight tensors also become params rather than
 # baked-in XLA constants — they are real model weights (QDQ / QLinear
-# graphs) and must stay donatable/shardable. The higher threshold keeps
-# per-channel zero-point vectors as compile-time constants, which the
-# quantized lowerings rely on to prove zero points are zero.
+# graphs) and must stay donatable/shardable. Only rank-2+ tensors qualify:
+# 1-D int8 vectors are per-channel zero points, which must stay
+# compile-time constants so the quantized lowerings can prove they are
+# zero (the int8 MXU fast path).
 _QPARAM_MIN_SIZE = 1024
 
 
@@ -76,7 +77,11 @@ def split_params(tensors: Dict[str, np.ndarray]):
     for name, arr in tensors.items():
         if np.issubdtype(arr.dtype, np.floating) and arr.size >= _PARAM_MIN_SIZE:
             params[name] = arr
-        elif arr.dtype in (np.int8, np.uint8) and arr.size >= _QPARAM_MIN_SIZE:
+        elif (
+            arr.dtype in (np.int8, np.uint8)
+            and arr.ndim >= 2
+            and arr.size >= _QPARAM_MIN_SIZE
+        ):
             params[name] = arr
         else:
             consts[name] = arr

@@ -1530,7 +1530,7 @@ def _loop(ctx, trip_count=None, cond=None, *v_initial):
     scan_outputs = None
     i = 0
     while m is None or i < m:
-        if m is None and i > 256:
+        if m is None and i >= 256:
             raise NotImplementedError(
                 "Loop with no trip count ran >256 statically-true "
                 "iterations at trace time (likely infinite)"

@@ -158,16 +158,23 @@ def _opt_input(node: NodeProto, idx: int) -> str:
     return node.input[idx] if len(node.input) > idx else ""
 
 
-def _same_qparams(tensors, s_a: str, z_a: str, s_b: str, z_b: str) -> bool:
+def _same_qparams(
+    tensors, s_a: str, z_a: str, s_b: str, z_b: str, q_dtype=None
+) -> bool:
     """True when two (scale, zero_point) initializer pairs are provably the
-    same quantization (values compared, not names; absent zp == zero zp of
-    unknowable dtype, so absent only matches absent)."""
+    same quantization (values compared, not names).
+
+    ``q_dtype`` is the dtype of the already-quantized tensor (the DQ
+    input). When BOTH zero points are absent, ONNX implies zp=0 of dtype
+    uint8 on the QuantizeLinear side — so the pair only matches if the
+    existing tensor is itself uint8 (an int8 tensor re-quantized through a
+    zp-less Q would clamp negatives to 0 and change dtype)."""
     if s_a not in tensors or s_b not in tensors:
         return False
     if not np.array_equal(tensors[s_a], tensors[s_b]):
         return False
     if not z_a and not z_b:
-        return True
+        return q_dtype is not None and np.dtype(q_dtype) == np.uint8
     if not z_a or not z_b:
         return False
     if z_a not in tensors or z_b not in tensors:
@@ -227,11 +234,13 @@ def sink_through_qdq(graph: GraphProto, tensors) -> int:
                 or d.output[0] in gouts
             ):
                 continue
-            if not _same_qparams(
-                tensors, d.input[1], _opt_input(d, 2), q.input[1], _opt_input(q, 2)
-            ):
+            q_dt = _quantized_dtype(d.input[0], tensors, producers)
+            if q_dt is None:
                 continue
-            if _quantized_dtype(d.input[0], tensors, producers) is None:
+            if not _same_qparams(
+                tensors, d.input[1], _opt_input(d, 2),
+                q.input[1], _opt_input(q, 2), q_dtype=q_dt,
+            ):
                 continue
             # Rewire: x_q → m(int) → q's old output; drop d and q (they must
             # be removed explicitly — m now produces q's output name, so
@@ -431,11 +440,13 @@ def collapse_requant(graph: GraphProto, tensors) -> int:
         d = producers.get(src)
         if d is None or d.op_type != "DequantizeLinear":
             continue
-        if not _same_qparams(
-            tensors, d.input[1], _opt_input(d, 2), q.input[1], _opt_input(q, 2)
-        ):
+        q_dt = _quantized_dtype(d.input[0], tensors, producers)
+        if q_dt is None:
             continue
-        if _quantized_dtype(d.input[0], tensors, producers) is None:
+        if not _same_qparams(
+            tensors, d.input[1], _opt_input(d, 2),
+            q.input[1], _opt_input(q, 2), q_dtype=q_dt,
+        ):
             continue
         rename[q.output[0]] = rename.get(d.input[0], d.input[0])
     if not rename:

@@ -196,6 +196,8 @@ def quantize_model(
     insert_after: Dict[int, List[NodeProto]] = {}
     x_dq_cache: Dict[str, str] = {}
     w_dq_cache: Dict[str, str] = {}
+    w_axis_by_name: Dict[str, int] = {}
+    w_rewired: Dict[str, int] = {}
     quantized = 0
 
     for n, relu, w_axis, x_name in eligible:
@@ -207,6 +209,12 @@ def quantize_model(
         sy = stats.get(t_name, 0.0) / _QMAX
         if sx <= 0.0 or sy <= 0.0:
             continue  # degenerate (all-zero) activations: leave float
+        prior_axis = w_axis_by_name.get(n.input[1])
+        if prior_axis is not None and prior_axis != w_axis:
+            # Weight tied between ops with different channel axes (e.g. a
+            # Conv and a MatMul): per-channel scales can only be right for
+            # one of them — leave this node float.
+            continue
 
         # -- activation input: Q+DQ pair, shared across consumers of x
         if x_name in x_dq_cache:
@@ -230,6 +238,8 @@ def quantize_model(
 
         # -- weights: symmetric int8 initializer + DQ
         w_name = n.input[1]
+        w_rewired[w_name] = w_rewired.get(w_name, 0) + 1
+        w_axis_by_name[w_name] = w_axis
         if w_name in w_dq_cache:
             n.input[1] = w_dq_cache[w_name]
         else:
@@ -257,7 +267,6 @@ def quantize_model(
             )
             insert_before.setdefault(id(n), []).append(dq_w)
             w_dq_cache[w_name] = f"{w_name}__dq"
-            del tensors[w_name]  # replaced; drop the float copy
             n.input[1] = f"{w_name}__dq"
 
         # -- output: Q+DQ after the (relu-fused) producer; float consumers
@@ -288,6 +297,13 @@ def quantize_model(
         raise ModelLoadError(
             "calibration produced no usable activation ranges (all zero?)"
         )
+
+    # Drop replaced float weights — but only when every consumer was
+    # rewired to the quantized view (a weight tied to a non-quantized
+    # node, e.g. the fp32 last layer, must keep its float copy).
+    for w_name, count in w_rewired.items():
+        if count == len(consumers.get(w_name, [])) and w_name in tensors:
+            del tensors[w_name]
 
     new_nodes: List[NodeProto] = []
     for n in graph.node:

@@ -86,9 +86,11 @@ def analyze_files_distributed(
 
     ``on_result(path, detections)`` fires locally per finished file.
     With ``gather=True`` every process returns the full result map
-    ``{path: [(start_s, [(species, confidence), ...]), ...]}`` after one
+    ``{path: [[start_s, [[species, confidence], ...]], ...]}`` after one
     DCN all-gather of the (tiny) JSON-encoded shard results; with
-    ``gather=False`` only the local shard is returned.
+    ``gather=False`` only the local shard is returned. Entries are plain
+    lists in BOTH modes (the gathered map round-trips through JSON, so
+    tuples would silently become lists only on the gather path).
     """
     local: Dict[str, list] = {}
     for path in shard_files(files):
@@ -96,7 +98,7 @@ def analyze_files_distributed(
             path, overlap_seconds=overlap_seconds, resample=resample
         )
         slim = [
-            (float(t), [(p.species, float(p.confidence)) for p in preds])
+            [float(t), [[p.species, float(p.confidence)] for p in preds]]
             for t, preds in results
         ]
         local[str(path)] = slim

@@ -350,3 +350,43 @@ def test_fusion_blocked_when_conv_output_shared(irng):
     imported, _ = _run(_build(nodes, {"x": x}, inits), {"x": x}, optimize=True)
     assert "Conv" in _ops(imported)
     assert "QLinearConv" not in _ops(imported)
+
+
+def test_collapse_requant_absent_zp_int8_not_collapsed(irng):
+    """DQ(int8)→Q with BOTH zero points absent must NOT collapse: the Q
+    implies uint8 output (negatives clamp to 0), not an int8 passthrough."""
+    x = ((irng.random((3, 8), dtype=np.float32) - 0.5) * 2).astype(np.float32)
+    inits = {"s": np.float32(0.03), "zp8": np.int8(0)}
+    nodes = [
+        # produce an int8 tensor, then a zp-less DQ→Q round trip
+        P.make_node("QuantizeLinear", ["x", "s", "zp8"], ["xq"]),
+        P.make_node("DequantizeLinear", ["xq", "s"], ["xf"]),
+        P.make_node("QuantizeLinear", ["xf", "s"], ["xq2"]),  # uint8!
+        P.make_node("DequantizeLinear", ["xq2", "s"], ["y"]),
+    ]
+    imported, (y,) = _run(_build(nodes, {"x": x}, inits), {"x": x}, optimize=True)
+    ops = _ops(imported)
+    assert ops.count("QuantizeLinear") == 2  # round trip kept
+    nodes2 = [
+        P.make_node("QuantizeLinear", ["x", "s", "zp8"], ["xq"]),
+        P.make_node("DequantizeLinear", ["xq", "s"], ["xf"]),
+        P.make_node("QuantizeLinear", ["xf", "s"], ["xq2"]),
+        P.make_node("DequantizeLinear", ["xq2", "s"], ["y"]),
+    ]
+    _, (y_ref,) = _run(_build(nodes2, {"x": x}, dict(inits)), {"x": x}, optimize=False)
+    np.testing.assert_array_equal(y, y_ref)
+    assert (y >= 0).all()  # uint8 semantics preserved: negatives clamped
+
+
+def test_collapse_requant_absent_zp_uint8_collapses(irng):
+    """DQ(uint8)→Q with both zps absent IS an exact round trip."""
+    x = (irng.random((3, 8), dtype=np.float32) * 2).astype(np.float32)
+    inits = {"s": np.float32(0.03)}
+    nodes = [
+        P.make_node("QuantizeLinear", ["x", "s"], ["xq"]),  # uint8
+        P.make_node("DequantizeLinear", ["xq", "s"], ["xf"]),
+        P.make_node("QuantizeLinear", ["xf", "s"], ["xq2"]),
+        P.make_node("DequantizeLinear", ["xq2", "s"], ["y"]),
+    ]
+    imported, _ = _run(_build(nodes, {"x": x}, inits), {"x": x}, optimize=True)
+    assert _ops(imported).count("QuantizeLinear") == 1

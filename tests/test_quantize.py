@@ -180,3 +180,60 @@ def test_calibration_from_samples_shapes():
     # short audio pads up to one segment
     (b,) = calibration_from_samples(np.ones(10, np.float32), 100)
     assert b.shape == (1, 100)
+
+
+def test_builder_int8_2d_segment_stack(tiny_v24):
+    """A 2-D [N, sample_count] array is split into batches, not iterated
+    into 1-D rows misread as whole model inputs."""
+    labels = [f"s{i}" for i in range(32)]
+    clf = (
+        birdnet_tpu.Classifier.builder()
+        .model_path(tiny_v24)
+        .labels(labels)
+        .int8(calibration_segments=_segments(6))
+        .build()
+    )
+    res = clf.predict(_segments(1)[0])
+    assert np.isfinite(res.raw_scores).all()
+
+
+def test_quantize_keeps_float_weight_shared_with_unquantized_node():
+    """A weight tied to both an eligible MatMul and a float-only consumer
+    keeps its float copy (regression: it used to be deleted)."""
+    from birdnet_tpu.onnx import proto as P
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(16, 8)).astype(np.float32)
+    x = rng.normal(size=(4, 16)).astype(np.float32)
+    nodes = [
+        P.make_node("MatMul", ["x", "w"], ["m"]),
+        P.make_node("Relu", ["m"], ["r"]),
+        # float-only second consumer of the same weight initializer
+        P.make_node("ReduceSum", ["w"], ["wsum"], keepdims=1),
+        P.make_node("Mul", ["r", "scale2"], ["r2"]),
+        P.make_node("MatMul", ["r2", "w2"], ["y0"]),
+        P.make_node("Add", ["y0", "wsum"], ["y"]),
+    ]
+    inits = {
+        "w": w,
+        "w2": rng.normal(size=(8, 1)).astype(np.float32),
+        "scale2": np.float32(0.5) * np.ones(8, np.float32),
+    }
+    init = [P.TensorProto.from_numpy(v, name=k) for k, v in inits.items()]
+    g = P.GraphProto(
+        name="t",
+        node=nodes,
+        initializer=init,
+        input=[P.make_value_info("x", P.DataType.FLOAT, [4, 16])],
+        output=[P.make_value_info("y", P.DataType.FLOAT, [4, 1])],
+    )
+    model = import_onnx(P.make_model(g), optimize=False)
+    q = quantize_model(
+        model, [x], quantize_first_layer=True
+    )
+    # loads and runs: the float 'w' still exists for ReduceSum
+    (y_ref,) = make_forward(model)(model.params, x)
+    (y_q,) = make_forward(q)(q.params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_q), np.asarray(y_ref), rtol=0.1, atol=0.1
+    )
