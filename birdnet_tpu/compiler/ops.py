@@ -1295,9 +1295,28 @@ def _int_matmul_acc(a, b, a_zp, b_zp):
     return jnp.matmul(a32, b32, preferred_element_type=jnp.int32)
 
 
+# Activations foldable into the quantized epilogue. They run in f32 on the
+# dequantized accumulator BEFORE requantization — bit-identical to the
+# unfused f32 computation, and they save a full HBM round trip: without
+# folding, each activation is a separate elementwise pass over int8
+# activations, doubling the memory traffic of a bandwidth-bound block.
+_EPILOGUE_ACTS = {
+    "": lambda v: v,
+    "relu": lambda v: jnp.maximum(v, 0.0),
+    "sigmoid": jax.nn.sigmoid,
+    "silu": lambda v: v * jax.nn.sigmoid(v),
+    "tanh": jnp.tanh,
+}
+
+
 def _requantize(ctx, acc_f32, y_scale, y_zp, channel_ndim=None):
     """float accumulator → quantized output tensor (round-half-even,
-    saturating cast; output dtype follows the zero point, uint8 default)."""
+    saturating cast; output dtype follows the zero point, uint8 default).
+    An optional ``_fused_act`` attribute applies the activation in the f32
+    epilogue (exact; see _EPILOGUE_ACTS). ``_fused_relu`` is the legacy
+    boolean spelling of ``_fused_act='relu'``."""
+    act = ctx.attr("_fused_act", "relu" if int(ctx.attr("_fused_relu", 0)) else "")
+    acc_f32 = _EPILOGUE_ACTS[act](acc_f32)
     y_scale = jnp.asarray(y_scale).astype(jnp.float32)
     if channel_ndim is not None:
         y_scale = _bcast_channel(y_scale, channel_ndim, 1)
@@ -1308,10 +1327,6 @@ def _requantize(ctx, acc_f32, y_scale, y_zp, channel_ndim=None):
         q = q + zp.astype(jnp.float32)
     else:
         out_dtype = jnp.uint8
-    if int(ctx.attr("_fused_relu", 0)):
-        # relu(y) quantizes to max(q, zero_point): rounding is monotone.
-        zero = jnp.asarray(y_zp).astype(jnp.float32) if y_zp is not None else 0.0
-        q = jnp.maximum(q, zero)
     info = jnp.iinfo(out_dtype)
     return jnp.clip(q, info.min, info.max).astype(out_dtype)
 
@@ -1319,8 +1334,9 @@ def _requantize(ctx, acc_f32, y_scale, y_zp, channel_ndim=None):
 @op("QLinearConv")
 def _qlinear_conv(ctx, x, x_s, x_zp, w, w_s, w_zp, y_s, y_zp=None, b=None):
     """Quantized conv on the int8 MXU. Inputs per the ONNX spec; the
-    optional ``_fused_relu`` attribute is set by the QDQ fusion pass for
-    Conv→Relu→QuantizeLinear chains (exact in the quantized domain)."""
+    optional ``_fused_act`` attribute (relu/sigmoid/silu/tanh) is set by
+    the QDQ fusion pass for Conv→activation→QuantizeLinear chains and runs
+    in the f32 requant epilogue (exact, and one HBM pass instead of two)."""
     x = jnp.asarray(x)
     w = jnp.asarray(w)
     nd = x.ndim - 2

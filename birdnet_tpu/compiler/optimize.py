@@ -254,6 +254,41 @@ def sink_through_qdq(graph: GraphProto, tensors) -> int:
     return moved
 
 
+def follow_activation(node: NodeProto, consumers, usage, gouts):
+    """Match an epilogue-foldable activation chain hanging off ``node``.
+
+    Returns ``(act_name, chain_nodes, out_tensor)`` — ``act_name`` is one
+    of the _EPILOGUE_ACTS keys in compiler.ops ('' = none), ``chain_nodes``
+    the nodes the fold consumes, ``out_tensor`` the tensor to quantize.
+    Chains: Relu / Sigmoid / Tanh (single consumer), and SiLU as the
+    two-consumer Mul(x, Sigmoid(x)) pattern. Every intermediate must be
+    exclusively consumed and not a graph output.
+    """
+    out = node.output[0]
+    if out in gouts:
+        return "", [], out
+    cs = consumers.get(out, [])
+    unary = {"Relu": "relu", "Sigmoid": "sigmoid", "Tanh": "tanh"}
+    if len(cs) == 1 and cs[0].op_type in unary:
+        c = cs[0]
+        if usage.get(c.output[0], 0) >= 1 and c.output[0] not in gouts:
+            return unary[c.op_type], [c], c.output[0]
+    if len(cs) == 2:
+        sig = next((c for c in cs if c.op_type == "Sigmoid"), None)
+        mul = next((c for c in cs if c.op_type == "Mul"), None)
+        if (
+            sig is not None
+            and mul is not None
+            and sig is not mul
+            and sorted(mul.input) == sorted([out, sig.output[0]])
+            and usage.get(sig.output[0], 0) == 1
+            and sig.output[0] not in gouts
+            and mul.output[0] not in gouts
+        ):
+            return "silu", [sig, mul], mul.output[0]
+    return "", [], out
+
+
 def _dequant_const(tensors, q_name, s_name, z_name) -> Optional[np.ndarray]:
     """Concretely dequantize an initializer (used for bias conversion)."""
     if q_name not in tensors or s_name not in tensors:
@@ -270,9 +305,10 @@ def fuse_qdq(graph: GraphProto, tensors) -> int:
     """Fuse DQ→{Conv,MatMul,Gemm}(→Relu)→Q chains into QLinear* nodes.
 
     The rewritten nodes keep the raw int8 tensors as operands, which the
-    lowerings feed straight to the int8 MXU. A Relu between the compute op
-    and the requantize folds into a ``_fused_relu`` clamp at the output
-    zero point (exact in the quantized domain).
+    lowerings feed straight to the int8 MXU. An activation between the
+    compute op and the requantize (relu/sigmoid/silu/tanh, see
+    ``follow_activation``) folds into the f32 requant epilogue via the
+    ``_fused_act`` attribute — exact, and one HBM pass instead of two.
     """
     producers = _producer_map(graph)
     usage = _usage_counts(graph)
@@ -356,17 +392,21 @@ def fuse_qdq(graph: GraphProto, tensors) -> int:
                 if b_f is None:
                     continue
 
-        # Output chain: Conv →(Relu)→ QuantizeLinear, each link exclusive.
+        # Output chain: Conv →(activation)→ QuantizeLinear, each link
+        # exclusive. Foldable activations (relu/sigmoid/silu/tanh) run in
+        # the f32 requant epilogue — exact, one HBM pass instead of two.
         out = n.output[0]
-        if usage.get(out, 0) != 1 or out in gouts:
+        if out in gouts:
             continue
-        c1 = consumers[out][0]
-        relu = None
-        if c1.op_type == "Relu":
-            if usage.get(c1.output[0], 0) != 1 or c1.output[0] in gouts:
+        act, act_nodes, act_out = follow_activation(n, consumers, usage, gouts)
+        if act:
+            if usage.get(act_out, 0) != 1:
                 continue
-            relu = c1
-            c1 = consumers[c1.output[0]][0]
+            c1 = consumers[act_out][0]
+        else:
+            if usage.get(out, 0) != 1:
+                continue
+            c1 = consumers[out][0]
         if c1.op_type != "QuantizeLinear":
             continue
         qnode = c1
@@ -398,8 +438,8 @@ def fuse_qdq(graph: GraphProto, tensors) -> int:
         while inputs and not inputs[-1]:
             inputs.pop()
         attribute = [a for a in n.attribute if a.name not in ("alpha", "beta")]
-        if relu is not None:
-            attribute = attribute + [make_attr("_fused_relu", 1)]
+        if act:
+            attribute = attribute + [make_attr("_fused_act", act)]
         replace[id(n)] = NodeProto(
             op_type=new_op,
             name=(n.name or n.op_type) + "_qfused",
@@ -408,8 +448,8 @@ def fuse_qdq(graph: GraphProto, tensors) -> int:
             attribute=attribute,
         )
         removed.add(id(qnode))
-        if relu is not None:
-            removed.add(id(relu))
+        for a_node in act_nodes:
+            removed.add(id(a_node))
         fused += 1
         # usage bookkeeping so later fusions see the dropped f32 edges
         usage[out] = 0

@@ -31,7 +31,7 @@ import numpy as np
 from ..errors import ModelLoadError
 from ..onnx.proto import GraphProto, NodeProto, make_node
 from .importer import ImportedModel, interpret_graph, split_params
-from .optimize import optimize_graph
+from .optimize import follow_activation, optimize_graph
 
 _QMAX = 127.0  # symmetric int8 in [-127, 127]: avoids the -128 asymmetry
 
@@ -41,11 +41,11 @@ def _eligible_nodes(
     tensors: Dict[str, np.ndarray],
     quantize_first_layer: bool = False,
 ) -> List[Tuple[NodeProto, Optional[NodeProto], int, str]]:
-    """(node, following_relu_or_None, weight_channel_axis, original_x_name)
-    for every
-    Conv/MatMul/Gemm that can be quantized: float initializer weights, an
-    optional float initializer bias, and a quantization target tensor that
-    is not a graph output."""
+    """(node, activation_chain_nodes, weight_channel_axis, original_x_name)
+    for every Conv/MatMul/Gemm that can be quantized: float initializer
+    weights, an optional float initializer bias, and a quantization target
+    tensor (the output of the foldable activation chain — relu/sigmoid/
+    silu/tanh — or the node itself) that is not a graph output."""
     gouts = {o.name for o in graph.output}
     gins = {vi.name for vi in graph.input if vi.name not in tensors}
     producers = {o: n for n in graph.node for o in n.output if o}
@@ -105,15 +105,13 @@ def _eligible_nodes(
             w_axis = w.ndim - 1
         else:
             w_axis = 0 if int(attrs.get("transB", 0)) else 1
-        t = n.output[0]
-        relu = None
-        cs = consumers.get(t, [])
-        if len(cs) == 1 and cs[0].op_type == "Relu" and t not in gouts:
-            relu = cs[0]
-            t = relu.output[0]
+        usage = {k: len(v) for k, v in consumers.items()}
+        for o in gouts:
+            usage[o] = usage.get(o, 0) + 1
+        _, act_nodes, t = follow_activation(n, consumers, usage, gouts)
         if t in gouts:
             continue  # last-layer-fp: keep output-producing layers float
-        out.append((n, relu, w_axis, n.input[0]))
+        out.append((n, act_nodes, w_axis, n.input[0]))
     return out
 
 
@@ -180,9 +178,9 @@ def quantize_model(
             "initializer weights not producing a graph output)"
         )
     need = set()
-    for n, relu, _, x_name in eligible:
+    for n, act_nodes, _, x_name in eligible:
         need.add(x_name)
-        need.add((relu or n).output[0])
+        need.add((act_nodes[-1] if act_nodes else n).output[0])
     # Stats come from the *original* model (same tensor names).
     stats = _collect_absmax(model, calibration, need)
 
@@ -200,10 +198,10 @@ def quantize_model(
     w_rewired: Dict[str, int] = {}
     quantized = 0
 
-    for n, relu, w_axis, x_name in eligible:
+    for n, act_nodes, w_axis, x_name in eligible:
         # x_name is the tensor's *original* (calibrated) name; a preceding
         # quantized layer may already have rewired n.input[0] to its __dq view
-        t_node = relu or n
+        t_node = act_nodes[-1] if act_nodes else n
         t_name = t_node.output[0]
         sx = stats.get(x_name, 0.0) / _QMAX
         sy = stats.get(t_name, 0.0) / _QMAX

@@ -390,3 +390,59 @@ def test_collapse_requant_absent_zp_uint8_collapses(irng):
     ]
     imported, _ = _run(_build(nodes, {"x": x}, inits), {"x": x}, optimize=True)
     assert _ops(imported).count("QuantizeLinear") == 1
+
+
+def test_fuse_silu_epilogue(irng):
+    """Conv→Sigmoid→Mul(SiLU)→Q folds into the QLinearConv f32 epilogue —
+    exact vs the unfused QDQ graph, and the elementwise nodes disappear."""
+    x = (irng.random((1, 3, 10, 10), dtype=np.float32) - 0.5) * 2
+    wq = irng.integers(-127, 128, size=(6, 3, 3, 3)).astype(np.int8)
+    inits = {
+        "xs": np.float32(0.02), "xzp": np.int8(0),
+        "wq": wq, "ws": np.float32(0.01), "wzp": np.int8(0),
+        "ys": np.float32(0.02), "yzp": np.int8(0),
+    }
+    def nodes():
+        return [
+            P.make_node("QuantizeLinear", ["x", "xs", "xzp"], ["xq"]),
+            P.make_node("DequantizeLinear", ["xq", "xs", "xzp"], ["xf"]),
+            P.make_node("DequantizeLinear", ["wq", "ws", "wzp"], ["wf"]),
+            P.make_node("Conv", ["xf", "wf"], ["c"], pads=[1, 1, 1, 1]),
+            P.make_node("Sigmoid", ["c"], ["s"]),
+            P.make_node("Mul", ["c", "s"], ["m"]),
+            P.make_node("QuantizeLinear", ["m", "ys", "yzp"], ["mq"]),
+            P.make_node("DequantizeLinear", ["mq", "ys", "yzp"], ["y"]),
+        ]
+    imported, (y_fused,) = _run(_build(nodes(), {"x": x}, dict(inits)), {"x": x}, optimize=True)
+    ops = _ops(imported)
+    assert "QLinearConv" in ops
+    assert "Sigmoid" not in ops and "Mul" not in ops
+    node = next(n for n in imported.graph.node if n.op_type == "QLinearConv")
+    assert node.attrs.get("_fused_act") == "silu"
+    _, (y_ref,) = _run(_build(nodes(), {"x": x}, dict(inits)), {"x": x}, optimize=False)
+    np.testing.assert_array_equal(y_fused, y_ref)  # exact epilogue fold
+
+
+def test_silu_shared_with_extra_consumer_not_folded(irng):
+    """If the conv output feeds anything beyond the SiLU pair, no fold."""
+    x = irng.random((1, 2, 6, 6), dtype=np.float32)
+    wq = irng.integers(-127, 128, size=(3, 2, 3, 3)).astype(np.int8)
+    inits = {
+        "xs": np.float32(0.02), "xzp": np.int8(0),
+        "wq": wq, "ws": np.float32(0.01), "wzp": np.int8(0),
+        "ys": np.float32(0.05), "yzp": np.int8(0),
+    }
+    nodes = [
+        P.make_node("QuantizeLinear", ["x", "xs", "xzp"], ["xq"]),
+        P.make_node("DequantizeLinear", ["xq", "xs", "xzp"], ["xf"]),
+        P.make_node("DequantizeLinear", ["wq", "ws", "wzp"], ["wf"]),
+        P.make_node("Conv", ["xf", "wf"], ["c"], pads=[1, 1, 1, 1]),
+        P.make_node("Sigmoid", ["c"], ["s"]),
+        P.make_node("Mul", ["c", "s"], ["m"]),
+        P.make_node("QuantizeLinear", ["m", "ys", "yzp"], ["mq"]),
+        P.make_node("DequantizeLinear", ["mq", "ys", "yzp"], ["md"]),
+        P.make_node("Add", ["md", "c"], ["y"]),  # third consumer of c
+    ]
+    imported, _ = _run(_build(nodes, {"x": x}, inits), {"x": x}, optimize=True)
+    assert "Conv" in _ops(imported)
+    assert "QLinearConv" not in _ops(imported)
