@@ -388,3 +388,35 @@ def test_inference_options_chaining(v24_classifier):
     assert opts.needs_monitor()
     r = v24_classifier.predict(sine_segment(), opts)
     assert len(r.predictions) <= 3
+
+
+def test_perch_canonical_species_count_with_reference_labels(tmp_path):
+    """Full canonical Perch v2 head (14,795 classes) + the real label CSV
+    shipped with the reference: detection, label-count validation, and a
+    predict round trip at the true output width."""
+    import os
+
+    perch_csv = "/root/reference/data/labels/perch_v2/labels.csv"
+    if not os.path.exists(perch_csv):
+        pytest.skip("reference label data not mounted")
+    from birdnet_tpu.models import perch_v2
+
+    p = tmp_path / "perch_canonical.onnx"
+    # thin trunk, true head width
+    perch_v2.save(p, width=0.05, depth=1, num_species=14_795, embedding_dim=64)
+    clf = (
+        Classifier.builder()
+        .model_path(p)
+        .labels_path(perch_csv)
+        .top_k(5)
+        .build()
+    )
+    assert clf.model_type is ModelType.PERCH_V2
+    assert clf.num_species == 14_795
+    seg = np.zeros(clf.config.sample_count, np.float32)
+    res = clf.predict(seg)
+    assert len(res.predictions) == 5
+    assert res.raw_scores.shape == (14_795,)
+    # species names come from the CSV's first column
+    assert all(r.species for r in res.predictions)
+    assert res.embeddings is not None and res.embeddings.shape == (64,)
