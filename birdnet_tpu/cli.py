@@ -92,6 +92,19 @@ def build_parser() -> argparse.ArgumentParser:
         "(data axis) and the classifier head (model axis)",
     )
     p.add_argument(
+        "--coordinator",
+        metavar="HOST:PORT",
+        default=None,
+        help="Multi-host mode: jax.distributed coordinator address. Each "
+        "process analyzes its deterministic shard of the input files "
+        "(requires --num-processes and --process-id; on TPU pods with "
+        "auto-detection, omit all three)",
+    )
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="Multi-host: total number of processes")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="Multi-host: this process's rank")
+    p.add_argument(
         "--downmix",
         action="store_true",
         help="Average multichannel WAVs to mono instead of rejecting them",
@@ -228,6 +241,28 @@ def run_with_args(args: argparse.Namespace) -> int:
     t0 = time.monotonic()
     if provider == "cpu":
         set_platform("cpu")
+    if args.coordinator is not None:
+        # Multi-host: join the process group BEFORE any backend init, then
+        # keep only this process's shard of the input files.
+        from .parallel import distributed_init, shard_files
+
+        rank = distributed_init(
+            args.coordinator, args.num_processes, args.process_id
+        )
+        total_files = len(audio_files)
+        audio_files = shard_files(audio_files)
+        print(
+            f"Distributed: process {rank}, analyzing {len(audio_files)} "
+            f"file(s) of this shard",
+            file=sys.stderr,
+        )
+        if args.csv:
+            args.csv = f"{args.csv}.{rank}"  # per-process CSV shard
+        if args.embeddings:
+            args.embeddings = f"{args.embeddings}.{rank}"
+        if not audio_files:
+            print("No files in this process's shard", file=sys.stderr)
+            return 0
     init_runtime()
     _debug(args.verbose, f"Runtime initialized in {time.monotonic() - t0:.3f}s")
 
@@ -354,7 +389,9 @@ def run_with_args(args: argparse.Namespace) -> int:
 
     csv_writer = None
     csv_file = None
-    multi_file = len(audio_files) > 1
+    # In distributed mode the CSV schema must be uniform across process
+    # shards, so the file column follows the PRE-shard count.
+    multi_file = (total_files if args.coordinator is not None else len(audio_files)) > 1
     if args.csv:
         import csv as _csv
 

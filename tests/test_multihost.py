@@ -91,3 +91,57 @@ def test_two_process_distributed_analysis(tmp_path):
         for t, preds in dets:
             assert len(preds) == 3
             assert all(p[0].startswith("sp_") for p in preds)
+
+
+def test_cli_distributed_two_processes(tmp_path):
+    """Two CLI processes with --coordinator split the files and both finish."""
+    from birdnet_tpu.models import birdnet_v24
+
+    model = tmp_path / "m.onnx"
+    birdnet_v24.save_tiny(model, num_species=10)
+    labels = tmp_path / "labels.txt"
+    labels.write_text("\n".join(f"sp_{i}" for i in range(10)), encoding="utf-8")
+    wavs = []
+    for i in range(3):
+        w = tmp_path / f"r{i}.wav"
+        sig = (0.3 * np.sin(2 * np.pi * (400 + 200 * i) *
+                            np.arange(48_000 * 3) / 48_000)).astype(np.float32)
+        write_wav(w, sig, 48_000)
+        wavs.append(str(w))
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    csv = tmp_path / "out.csv"
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "birdnet_tpu.cli", *wavs,
+                "-m", str(model), "-l", str(labels),
+                "--provider", "cpu", "--min-confidence", "0.0", "-t", "0",
+                "--csv", str(csv),
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(rank),
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=repo,
+        )
+        for rank in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-1500:]
+    # rank 0 got files 0 and 2; rank 1 got file 1
+    assert b"analyzing 2 file(s)" in outs[0][1]
+    assert b"analyzing 1 file(s)" in outs[1][1]
+    # per-process CSV shards both exist and cover all three files
+    import csv as _csv
+
+    rows = []
+    for rank in range(2):
+        with open(f"{csv}.{rank}", encoding="utf-8") as f:
+            rows += list(_csv.reader(f))[1:]
+    files_seen = {r[0] for r in rows}
+    assert files_seen == set(wavs)
