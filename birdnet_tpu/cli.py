@@ -241,6 +241,7 @@ def run_with_args(args: argparse.Namespace) -> int:
     t0 = time.monotonic()
     if provider == "cpu":
         set_platform("cpu")
+    total_files = len(audio_files)
     if args.coordinator is not None:
         # Multi-host: join the process group BEFORE any backend init, then
         # keep only this process's shard of the input files.
@@ -249,7 +250,6 @@ def run_with_args(args: argparse.Namespace) -> int:
         rank = distributed_init(
             args.coordinator, args.num_processes, args.process_id
         )
-        total_files = len(audio_files)
         audio_files = shard_files(audio_files)
         print(
             f"Distributed: process {rank}, analyzing {len(audio_files)} "
@@ -389,9 +389,9 @@ def run_with_args(args: argparse.Namespace) -> int:
 
     csv_writer = None
     csv_file = None
-    # In distributed mode the CSV schema must be uniform across process
-    # shards, so the file column follows the PRE-shard count.
-    multi_file = (total_files if args.coordinator is not None else len(audio_files)) > 1
+    # The file column follows the PRE-shard count so distributed process
+    # shards emit a uniform CSV schema.
+    multi_file = total_files > 1
     if args.csv:
         import csv as _csv
 

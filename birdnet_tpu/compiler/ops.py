@@ -1279,7 +1279,7 @@ def _int_matmul_acc(a, b, a_zp, b_zp):
     the b zero point is statically zero and the a zero point is scalar."""
     a_s8, azp, azp_zero = _quant_pair(a, a_zp)
     b_s8, bzp, bzp_zero = _quant_pair(b, b_zp)
-    azp_scalar = jnp.asarray(azp).ndim == 0 or np.prod(jnp.asarray(azp).shape) == 1
+    azp_scalar = jnp.asarray(azp).size == 1
     if bzp_zero and (azp_zero or azp_scalar):
         acc = jnp.matmul(a_s8, b_s8, preferred_element_type=jnp.int32)
         if not azp_zero:

@@ -73,6 +73,10 @@ def _eligible_nodes(
             depth -= 1
         return False
 
+    usage = {k: len(v) for k, v in consumers.items()}
+    for o in gouts:
+        usage[o] = usage.get(o, 0) + 1
+
     out = []
     for n in graph.node:
         if n.op_type not in ("Conv", "MatMul", "Gemm"):
@@ -105,9 +109,6 @@ def _eligible_nodes(
             w_axis = w.ndim - 1
         else:
             w_axis = 0 if int(attrs.get("transB", 0)) else 1
-        usage = {k: len(v) for k, v in consumers.items()}
-        for o in gouts:
-            usage[o] = usage.get(o, 0) + 1
         _, act_nodes, t = follow_activation(n, consumers, usage, gouts)
         if t in gouts:
             continue  # last-layer-fp: keep output-producing layers float
