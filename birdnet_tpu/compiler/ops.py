@@ -1630,6 +1630,240 @@ def _scan(ctx, *inputs):
     return results
 
 
+# ---------------------------------------------------------------------------
+# recurrent ops (LSTM / GRU / RNN) — lax.scan device loops
+#
+# The input projection X·Wᵀ for ALL timesteps is hoisted out of the scan as
+# one big MXU matmul; the scan body only does the [B,H]·[H,G·H] recurrence.
+# ---------------------------------------------------------------------------
+
+
+def _rnn_act(name, alpha=None, beta=None):
+    name = name.decode() if isinstance(name, bytes) else str(name)
+    if name == "Sigmoid":
+        return jax.nn.sigmoid
+    if name == "Tanh":
+        return jnp.tanh
+    if name == "Relu":
+        return lambda v: jnp.maximum(v, 0.0)
+    if name == "LeakyRelu":
+        a = 0.01 if alpha is None else float(alpha)
+        return lambda v: jnp.where(v >= 0, v, a * v)
+    if name == "HardSigmoid":
+        a = 0.2 if alpha is None else float(alpha)
+        bb = 0.5 if beta is None else float(beta)
+        return lambda v: jnp.clip(a * v + bb, 0.0, 1.0)
+    if name == "Elu":
+        a = 1.0 if alpha is None else float(alpha)
+        return lambda v: jnp.where(v > 0, v, a * (jnp.exp(v) - 1.0))
+    if name == "Softsign":
+        return lambda v: v / (1.0 + jnp.abs(v))
+    if name == "Softplus":
+        return jax.nn.softplus
+    raise NotImplementedError(f"RNN activation {name!r} not supported")
+
+
+def _rnn_prepare(ctx, x, seq_lens, hidden):
+    """Shared RNN-family plumbing. Returns
+    (x [T,B,I], directions, seq_lens or None, init [dirs,B,H] fn, acts)."""
+    x = jnp.asarray(x)
+    if int(ctx.attr("layout", 0)) == 1:  # [B,T,I] → [T,B,I]
+        x = jnp.swapaxes(x, 0, 1)
+    direction = ctx.attr("direction", "forward")
+    direction = (
+        direction.decode() if isinstance(direction, bytes) else str(direction)
+    )
+    dirs = 2 if direction == "bidirectional" else 1
+    if seq_lens is not None and direction != "forward":
+        raise NotImplementedError(
+            "sequence_lens with reverse/bidirectional RNNs"
+        )
+    alphas = ctx.attr("activation_alpha") or []
+    betas = ctx.attr("activation_beta") or []
+    names = ctx.attr("activations")
+
+    def acts_for(d):
+        if not names:
+            return None
+        per_dir = len(names) // dirs
+        out = []
+        for k in range(per_dir):
+            i = d * per_dir + k
+            out.append(
+                _rnn_act(
+                    names[i],
+                    alphas[i] if i < len(alphas) else None,
+                    betas[i] if i < len(betas) else None,
+                )
+            )
+        return out
+
+    b = x.shape[1]
+    layout = int(ctx.attr("layout", 0))
+
+    def init_state(v, d):
+        if v is None:
+            return jnp.zeros((b, hidden), x.dtype)
+        v = jnp.asarray(v)
+        # layout 0: [dirs, B, H]; layout 1: [B, dirs, H]
+        return v[:, d, :] if layout == 1 else v[d]
+
+    clip = ctx.attr("clip")
+    pre = (
+        (lambda g: jnp.clip(g, -float(clip), float(clip)))
+        if clip is not None
+        else (lambda g: g)
+    )
+    return x, direction, dirs, init_state, acts_for, pre
+
+
+def _rnn_scan(xw, step_gates, h0, extra_carry, seq_lens):
+    """Run the recurrence over the hoisted input projections ``xw``
+    [T, B, G·H]. ``step_gates(xw_t, h, extra) -> (h_new, new_extra)``;
+    masking freezes state and zeroes Y past each row's sequence length."""
+    lens = None if seq_lens is None else jnp.asarray(seq_lens).reshape(-1)
+
+    def step(carry, xw_t):
+        t, h, ex = carry
+        h_new, ex_new = step_gates(xw_t, h, ex)
+        if lens is not None:
+            mask = (t < lens)[:, None]
+            h_new = jnp.where(mask, h_new, h)
+            ex_new = tuple(
+                jnp.where(mask, n, o) for n, o in zip(ex_new, ex)
+            )
+            y_t = jnp.where(mask, h_new, 0)
+        else:
+            y_t = h_new
+        return (t + 1, h_new, ex_new), y_t
+
+    (_, h_f, ex_f), ys = jax.lax.scan(
+        step, (jnp.int32(0), h0, extra_carry), xw
+    )
+    return ys, h_f, ex_f
+
+
+def _rnn_family(ctx, kind, x, w, r, b=None, seq_lens=None,
+                initial_h=None, initial_c=None):
+    n_gates = {"RNN": 1, "GRU": 3, "LSTM": 4}[kind]
+    w = jnp.asarray(w)
+    r = jnp.asarray(r)
+    hidden = int(ctx.attr("hidden_size", r.shape[-1]))
+    x, direction, dirs, init_state, acts_for, pre = _rnn_prepare(
+        ctx, x, seq_lens, hidden
+    )
+    lbr = int(ctx.attr("linear_before_reset", 0))
+    ys_all, hs, cs = [], [], []
+    for d in range(dirs):
+        rev = direction == "reverse" or d == 1
+        x_d = jnp.flip(x, 0) if rev else x
+        wd, rd = w[d], r[d]
+        if b is not None:
+            bd = jnp.asarray(b)[d]
+            wb, rbias = bd[: n_gates * hidden], bd[n_gates * hidden:]
+        else:
+            wb = rbias = jnp.zeros(n_gates * hidden, x.dtype)
+        acts = acts_for(d)
+        h0 = init_state(initial_h, d)
+        xw = jnp.einsum(
+            "tbi,gi->tbg", x_d, wd, preferred_element_type=jnp.float32
+        ).astype(x.dtype) + wb
+        r_t = rd.T
+
+        def split(g):
+            return [
+                g[:, k * hidden:(k + 1) * hidden] for k in range(n_gates)
+            ]
+
+        if kind == "LSTM":
+            f_act, g_act, h_act = acts or (
+                jax.nn.sigmoid, jnp.tanh, jnp.tanh
+            )
+            c0 = init_state(initial_c, d)
+
+            def lstm_gates(xw_t, h, ex):
+                (c,) = ex
+                gi, go, gf, gc = split(pre(xw_t + h @ r_t + rbias))
+                i_g, o_g, f_g = f_act(gi), f_act(go), f_act(gf)
+                c_new = f_g * c + i_g * g_act(gc)
+                return o_g * h_act(c_new), (c_new,)
+
+            ys, h_f, (c_f,) = _rnn_scan(xw, lstm_gates, h0, (c0,), seq_lens)
+            cs.append(c_f)
+        elif kind == "GRU":
+            f_act, g_act = acts or (jax.nn.sigmoid, jnp.tanh)
+            # The reset gate couples into the h-gate recurrence, so the
+            # recurrent term is split per gate instead of one fused matmul.
+            rz, rr, rh = (
+                r_t[:, : hidden], r_t[:, hidden: 2 * hidden],
+                r_t[:, 2 * hidden:],
+            )
+            rb_z, rb_r, rb_h = (
+                rbias[: hidden], rbias[hidden: 2 * hidden],
+                rbias[2 * hidden:],
+            )
+
+            def gru_gates(xw_t, h, ex):
+                gz = f_act(pre(xw_t[:, : hidden] + h @ rz + rb_z))
+                gr = f_act(pre(xw_t[:, hidden: 2 * hidden] + h @ rr + rb_r))
+                if lbr:
+                    gh = g_act(
+                        pre(xw_t[:, 2 * hidden:] + gr * (h @ rh + rb_h))
+                    )
+                else:
+                    gh = g_act(
+                        pre(xw_t[:, 2 * hidden:] + (gr * h) @ rh + rb_h)
+                    )
+                return (1 - gz) * gh + gz * h, ()
+
+            ys, h_f, _ = _rnn_scan(xw, gru_gates, h0, (), seq_lens)
+        else:  # RNN
+            (act,) = acts or (jnp.tanh,)
+
+            def rnn_gates(xw_t, h, ex):
+                return act(pre(xw_t + h @ r_t + rbias)), ()
+
+            ys, h_f, _ = _rnn_scan(xw, rnn_gates, h0, (), seq_lens)
+        if rev:
+            ys = jnp.flip(ys, 0)
+        ys_all.append(ys)
+        hs.append(h_f)
+
+    y = jnp.stack(ys_all, axis=1)          # [T, dirs, B, H]
+    y_h = jnp.stack(hs, axis=0)            # [dirs, B, H]
+    if int(ctx.attr("layout", 0)) == 1:
+        y = jnp.transpose(y, (2, 0, 1, 3))  # [B, T, dirs, H]
+        y_h = jnp.swapaxes(y_h, 0, 1)
+    outs = [y, y_h]
+    if kind == "LSTM":
+        y_c = jnp.stack(cs, axis=0)
+        if int(ctx.attr("layout", 0)) == 1:
+            y_c = jnp.swapaxes(y_c, 0, 1)
+        outs.append(y_c)
+    return outs
+
+
+@op("LSTM")
+def _lstm(ctx, x, w, r, b=None, seq_lens=None, initial_h=None,
+          initial_c=None, p=None):
+    """ONNX LSTM (gate order i,o,f,c) via lax.scan. Peepholes unsupported."""
+    if p is not None:
+        raise NotImplementedError("LSTM peephole weights (P) not supported")
+    return _rnn_family(ctx, "LSTM", x, w, r, b, seq_lens, initial_h, initial_c)
+
+
+@op("GRU")
+def _gru(ctx, x, w, r, b=None, seq_lens=None, initial_h=None):
+    """ONNX GRU (gate order z,r,h; both linear_before_reset modes)."""
+    return _rnn_family(ctx, "GRU", x, w, r, b, seq_lens, initial_h)
+
+
+@op("RNN")
+def _rnn(ctx, x, w, r, b=None, seq_lens=None, initial_h=None):
+    """ONNX vanilla RNN (single gate, default Tanh)."""
+    return _rnn_family(ctx, "RNN", x, w, r, b, seq_lens, initial_h)
+
+
 @op("HannWindow", "HammingWindow", "BlackmanWindow")
 def _window(ctx, size):
     n = _static_int(size, f"{ctx.op_type} size")
