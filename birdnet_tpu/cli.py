@@ -126,6 +126,20 @@ def build_parser() -> argparse.ArgumentParser:
         "the TPU streaming default is bf16-activation 'fast' — pass "
         "--precision mixed for full-precision vectors",
     )
+    p.add_argument(
+        "--inspect",
+        action="store_true",
+        help="Load the model, print detection/shape/op/param info, and exit "
+        "(no audio needed)",
+    )
+    p.add_argument(
+        "--save-checkpoint",
+        metavar="FILE.btck",
+        default=None,
+        help="After building (incl. import-time optimization and --int8),"
+        " save the weights as a fast-loading .btck checkpoint; pass it to"
+        " -m later to skip ONNX decode + optimization",
+    )
     p.add_argument("-v", "--verbose", action="store_true", help="Enable verbose logging")
     p.add_argument(
         "--profile",
@@ -211,11 +225,57 @@ def list_providers_and_exit() -> int:
     return 0
 
 
+def inspect_model_and_exit(model_path: str) -> int:
+    """Print model facts (detection, shapes, ops, params) and exit."""
+    from collections import Counter
+
+    from .checkpoint import import_any
+    from .detection import detect_model_type
+
+    imported = import_any(model_path)
+
+    def fmt(shape):
+        return "[" + ", ".join(
+            str(d) if d is not None else "batch" for d in shape
+        ) + "]"
+
+    print(f"Model: {model_path}")
+    for name, shape in zip(imported.input_names, imported.input_shapes):
+        print(f"  input   {name}: {fmt(shape)}")
+    for name, shape in zip(imported.output_names, imported.output_shapes):
+        print(f"  output  {name}: {fmt(shape)}")
+    try:
+        config = detect_model_type(*imported.detection_shapes())
+        print(
+            f"  detected: {config.model_type.display_name} "
+            f"({config.num_species} species, {config.sample_rate} Hz, "
+            f"{config.segment_duration:.1f}s segments)"
+        )
+    except BirdnetError as e:
+        print(f"  detected: none ({e})")
+    print(
+        f"  params: {imported.param_bytes() / (1024 * 1024):.1f} MB "
+        f"({len(imported.params)} tensors), consts: {len(imported.consts)}"
+    )
+    hist = Counter(n.op_type for n in imported.graph.node)
+    ops = ", ".join(f"{op}×{c}" for op, c in hist.most_common())
+    print(f"  graph: {len(imported.graph.node)} nodes ({ops})")
+    return 0
+
+
 def run_with_args(args: argparse.Namespace) -> int:
     if args.list_providers:
         return list_providers_and_exit()
+    if args.inspect:
+        if not args.model:
+            print("error: model is required", file=sys.stderr)
+            return 2
+        return inspect_model_and_exit(args.model)
 
-    for name in ("audio_file", "model", "labels"):
+    required = ["model", "labels"]
+    if not args.save_checkpoint:
+        required.insert(0, "audio_file")  # checkpoint-only runs need no audio
+    for name in required:
         if not getattr(args, name):
             print(f"error: {name.replace('_', ' ')} is required", file=sys.stderr)
             return 2
@@ -288,7 +348,9 @@ def run_with_args(args: argparse.Namespace) -> int:
     if args.precision:
         builder = builder.precision(args.precision)
     wav_cache = {}  # (path, dtype) → read_wav result, reused by analysis
-    if args.int8:
+    if args.int8 and not audio_files:
+        builder = builder.int8()  # checkpoint-only: synthetic calibration
+    elif args.int8:
         # Calibrate on the first recording itself (amplitude statistics are
         # what matter; rate mismatches handled later by --resample don't
         # change them materially). The decoded audio is cached so the
@@ -304,6 +366,12 @@ def run_with_args(args: argparse.Namespace) -> int:
     classifier = builder.build()
     config = classifier.config
     _debug(args.verbose, f"Classifier built in {time.monotonic() - t0:.3f}s")
+
+    if args.save_checkpoint:
+        classifier.save_checkpoint(args.save_checkpoint)
+        print(f"Checkpoint written to {args.save_checkpoint}", file=sys.stderr)
+        if not audio_files:
+            return 0
 
     if args.embeddings and not config.model_type.has_embeddings:
         raise ModelDetectionError(

@@ -294,3 +294,30 @@ def test_cli_embeddings_rejected_for_v24(cli_fixtures, capsys):
     err = capsys.readouterr().err
     assert rc == 1
     assert "--embeddings requires a model with embedding outputs" in err
+
+
+def test_cli_inspect(cli_fixtures, capsys):
+    _, model, _ = cli_fixtures
+    rc = main(["--inspect", "-m", model])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "detected: BirdNET v2.4 (10 species, 48000 Hz, 3.0s segments)" in out
+    assert "input   input: [batch, 144000]" in out
+    assert "params:" in out and "graph:" in out
+
+
+def test_cli_save_checkpoint_roundtrip(cli_fixtures, tmp_path, capsys):
+    wav, model, labels = cli_fixtures
+    ck = tmp_path / "m.btck"
+    # checkpoint-only run: no audio required
+    rc = main(["-m", model, "-l", labels, "--provider", "cpu",
+               "--save-checkpoint", str(ck)])
+    assert rc == 0
+    assert ck.exists()
+    capsys.readouterr()
+    # the checkpoint loads and analyzes identically
+    rc = main([wav, "-m", str(ck), "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.0", "-t", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert re.search(r"3 segments of 7s audio analyzed", out)
