@@ -1486,15 +1486,56 @@ def _loop_while(ctx, body, body_inputs, start_i, cond0, carried, max_trip):
     return list(final[2:])
 
 
+def _loop_is_for(body) -> bool:
+    """True when the body's cond_out is a passthrough of cond_in (the
+    exporter pattern for a plain ``for i in range(M)``): the loop can
+    never terminate early, so it lowers to ``lax.scan``."""
+    if len(body.input) < 2:
+        return False
+    target = body.output[0].name
+    src = body.input[1].name
+    aliases = {src}
+    for node in body.node:
+        if node.op_type == "Identity" and node.input[0] in aliases:
+            aliases.add(node.output[0])
+    return target in aliases
+
+
+def _loop_scan(ctx, body, body_inputs, m, v_initial, n_carried):
+    """Static for-loop as ``lax.scan``: compiled once, any trip count,
+    scan outputs stacked by the scan itself."""
+    def step(carry, i):
+        extra = dict(
+            zip(body_inputs, [i, jnp.bool_(True)] + list(carry))
+        )
+        outs = _run_subgraph(ctx, body, extra)
+        new_carry = tuple(jnp.asarray(o) for o in outs[1:1 + n_carried])
+        scans = tuple(jnp.asarray(o) for o in outs[1 + n_carried:])
+        return new_carry, scans
+
+    init = tuple(jnp.asarray(v) for v in v_initial)
+    final, stacked = jax.lax.scan(step, init, jnp.arange(m, dtype=jnp.int32))
+    return list(final) + list(stacked)
+
+
+# For-loops at or under this trip count unroll at trace time (constants
+# fold per iteration, and exotic bodies with iteration-dependent shapes
+# stay legal); longer ones lower to lax.scan (compiled once, no cap).
+_LOOP_UNROLL_LIMIT = 64
+
+
 @op("Loop")
 def _loop(ctx, trip_count=None, cond=None, *v_initial):
     """ONNX Loop. Static trip count + static condition unrolls at trace
-    time (the common exporter pattern, supports scan outputs). A
-    data-dependent trip count or condition lowers to ``lax.while_loop``
-    (compiled once, looped on device) — including the hybrid case where a
-    statically-started unroll discovers a traced ``cond_out`` mid-body.
-    Scan outputs are impossible on the while path (their stacked length is
-    unknowable at compile time) and raise NotImplementedError.
+    time (the common exporter pattern, supports scan outputs); plain
+    for-loops (cond_out = cond_in passthrough) longer than
+    ``_LOOP_UNROLL_LIMIT`` lower to ``lax.scan`` — compiled once, any
+    trip count. A data-dependent trip count or condition lowers to
+    ``lax.while_loop`` (compiled once, looped on device) — including the
+    hybrid case where a statically-started unroll discovers a traced
+    ``cond_out`` mid-body. Scan outputs are impossible on the while path
+    (their stacked length is unknowable at compile time) and raise
+    NotImplementedError.
 
     Body graph inputs: (iter_num, cond_in, *carried); outputs:
     (cond_out, *carried_out, *scan_outputs). Scan outputs are stacked
@@ -1532,8 +1573,13 @@ def _loop(ctx, trip_count=None, cond=None, *v_initial):
         if trip_count is not None
         else None
     )
+    if m is not None and m > _LOOP_UNROLL_LIMIT and _loop_is_for(body):
+        return _loop_scan(ctx, body, body_inputs, m, v_initial, n_carried)
     if m is not None and m > 256:
-        raise NotImplementedError(f"Loop trip count {m} too large to unroll")
+        raise NotImplementedError(
+            f"Loop trip count {m} too large to unroll (and the body's "
+            f"termination condition is not a plain for-loop passthrough)"
+        )
     if m == 0:
         if n_scan > 0:
             raise NotImplementedError(

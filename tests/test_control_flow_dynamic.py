@@ -192,3 +192,71 @@ def test_loop_dynamic_with_scan_outputs_rejected():
             {"cond": np.array(True)},
             outputs=["final", "scans"],
         )
+
+
+def test_loop_long_for_loop_via_scan():
+    """A plain for-loop with trip count 1000 (cond passthrough) lowers to
+    lax.scan instead of hitting the 256-iteration unroll cap — with scan
+    outputs stacked."""
+    body = P.GraphProto(
+        name="body",
+        node=[
+            P.make_node("Identity", ["cond_in"], ["cond_out"]),
+            P.make_node("Add", ["v", "one"], ["v_out"]),
+            P.make_node("Identity", ["v_out"], ["scan0"]),
+        ],
+        initializer=[
+            P.TensorProto.from_numpy(np.ones(1, np.float32), name="one")
+        ],
+        input=[
+            P.make_value_info("iter", P.DataType.INT64, []),
+            P.make_value_info("cond_in", P.DataType.BOOL, []),
+            P.make_value_info("v", P.DataType.FLOAT, [1]),
+        ],
+        output=[
+            P.make_value_info("cond_out", P.DataType.BOOL, []),
+            P.make_value_info("v_out", P.DataType.FLOAT, [1]),
+            P.make_value_info("scan0", P.DataType.FLOAT, [1]),
+        ],
+    )
+    final, scans = _jit_run(
+        [P.make_node("Loop", ["M", "cond", "x"], ["final", "scans"], body=body)],
+        {"x": np.zeros(1, np.float32)},
+        {"M": np.array(1000, np.int64), "cond": np.array(True)},
+        outputs=["final", "scans"],
+    )
+    np.testing.assert_allclose(final, [1000.0])
+    assert scans.shape == (1000, 1)
+    np.testing.assert_allclose(scans[:, 0], np.arange(1, 1001, dtype=np.float32))
+
+
+def test_loop_long_with_real_termination_still_rejected():
+    """A >256 loop whose cond_out is actually computed (could break early)
+    must not silently become a fixed-length scan."""
+    body = P.GraphProto(
+        name="body",
+        node=[
+            P.make_node("Less", ["iter", "big"], ["cond_out"]),
+            P.make_node("Add", ["v", "one"], ["v_out"]),
+        ],
+        initializer=[
+            P.TensorProto.from_numpy(np.array(10_000, np.int64), name="big"),
+            P.TensorProto.from_numpy(np.ones(1, np.float32), name="one"),
+        ],
+        input=[
+            P.make_value_info("iter", P.DataType.INT64, []),
+            P.make_value_info("cond_in", P.DataType.BOOL, []),
+            P.make_value_info("v", P.DataType.FLOAT, [1]),
+        ],
+        output=[
+            P.make_value_info("cond_out", P.DataType.BOOL, []),
+            P.make_value_info("v_out", P.DataType.FLOAT, [1]),
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="too large to unroll"):
+        _jit_run(
+            [P.make_node("Loop", ["M", "cond", "x"], ["final"], body=body)],
+            {"x": np.zeros(1, np.float32)},
+            {"M": np.array(1000, np.int64), "cond": np.array(True)},
+            outputs=["final"],
+        )
