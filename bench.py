@@ -105,7 +105,9 @@ def main() -> int:
     audio_len = (n_tiles * TILE - 1) * step + config.sample_count
     padded = np.zeros(audio_len, np.int16)
     padded[:n_samples] = audio
-    audio_d = jax.device_put(padded, device)
+    # Zero-overlap audio ships 2-D [rows, S]: framing on device is then a
+    # contiguous row slice (no 1-D slice + reshape relayout per tile).
+    audio_d = jax.device_put(padded.reshape(-1, config.sample_count), device)
     out = fn(engine.params, audio_d)
     np.asarray(out[0])
     dts = []

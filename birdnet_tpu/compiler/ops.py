@@ -486,6 +486,50 @@ def _conv_geometry(ctx, x, w):
     )
 
 
+def _polyphase_conv1d(ctx, x, w, b, strides, pads, orig):
+    """Large-stride single-channel Conv1d as one dense matmul.
+
+    The BirdNET-style learned filterbank (kernel 1024, stride 280, C_in=1 —
+    the in-graph spectrogram frontend) lowers terribly through XLA's conv
+    path on TPU (measured 9.1 us/segment, 26% of total model time). The
+    polyphase decomposition j = k*s + r turns it into a reshape + ONE MXU
+    matmul with contraction depth s, plus m=ceil(K/s) statically shifted
+    adds:
+
+        R = x.reshape(N, rows, s);  P = R @ Wstack[s, m*C]
+        out[n, c, i] = sum_k P[n, i+k, k*C + c]
+
+    Measured on v5e: 2.0 us/segment for the bench frontend — 4.5x faster
+    than the conv lowering, no Pallas required.
+    """
+    s = strides[0]
+    n, _, length = x.shape
+    c_out, _, k = w.shape
+    lo, hi = pads[0]
+    if lo or hi:
+        x = jnp.pad(x, ((0, 0), (0, 0), (lo, hi)))
+        length += lo + hi
+    t = (length - k) // s + 1
+    m = -(-k // s)
+    rows = t + m - 1
+    need = rows * s
+    if need > length:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, need - length)))
+    x2, w2 = _mxu_operands(ctx, x, w)
+    r = x2[:, 0, :need].reshape(n, rows, s)
+    # Wstack[r, k*C + c] = w[c, k*s + r] (zero-padded past the true kernel).
+    wpad = jnp.pad(w2[:, 0, :], ((0, 0), (0, m * s - k)))
+    wstack = wpad.reshape(c_out, m, s).transpose(2, 1, 0).reshape(s, m * c_out)
+    p = jnp.matmul(r, wstack, preferred_element_type=_acc_dtype(ctx))
+    y = p[:, 0:t, 0:c_out]
+    for ki in range(1, m):
+        y = y + p[:, ki:ki + t, ki * c_out:(ki + 1) * c_out]
+    if b is not None:
+        y = y + jnp.asarray(b).reshape(1, 1, -1).astype(y.dtype)
+    y = _out_cast(ctx, y, orig)
+    return [jnp.swapaxes(y, 1, 2)]
+
+
 @op("Conv")
 def _conv(ctx, x, w, b=None):
     x = jnp.asarray(x)
@@ -493,6 +537,23 @@ def _conv(ctx, x, w, b=None):
     nd = x.ndim - 2  # spatial rank
     geo = _conv_geometry(ctx, x, w)
     orig = x.dtype
+    # NOTE: a C_in=1 small-kernel Conv2d "tap-sum of strided slices" variant
+    # (9 broadcast-FMAs for the 3x3 stem) was measured on v5e at 21 us/seg
+    # vs 3.4 for XLA's conv — strided slices relayout and the broadcast
+    # products materialize. XLA's native lowering stays for 2-D convs.
+    if (
+        nd == 1
+        and geo["feature_group_count"] == 1
+        and w.shape[1] == 1
+        and geo["window_strides"][0] >= 16
+        and w.shape[2] >= 16
+        and geo["rhs_dilation"] == [1]
+        and (x.shape[2] + sum(geo["padding"][0]) - w.shape[2])
+        // geo["window_strides"][0] >= 0
+    ):
+        return _polyphase_conv1d(
+            ctx, x, w, b, geo["window_strides"], geo["padding"], orig
+        )
     x2, w2 = _mxu_operands(ctx, x, w)
     y = lax.conv_general_dilated(
         x2,

@@ -55,6 +55,52 @@ def _bucket_tiles(n: int) -> int:
     return MAX_TILES
 
 
+# Precision policies whose activations are bf16: frames can be cast to bf16
+# right after the int16 scale, so the fused slice→scale→cast chain writes
+# half the bytes and the f32 frames tensor never exists in HBM.
+_BF16_ACTIVATION_POLICIES = frozenset(("fast", "bf16"))
+
+
+def prepare_frames(frames, precision: str):
+    """Scale int16 frames to float and apply the activation-precision cast."""
+    if frames.dtype != jnp.float32:
+        frames = frames.astype(jnp.float32) * (1.0 / 32768.0)
+    if precision in _BF16_ACTIVATION_POLICIES:
+        frames = frames.astype(jnp.bfloat16)
+    return frames
+
+
+def frame_tile(audio, tile_idx, tile: int, step: int, S: int):
+    """Slice one tile's [tile, S] frames out of the device-resident audio.
+
+    Zero-overlap audio arrives pre-shaped [rows, S] (a free host-side view),
+    so framing is a contiguous 2-D row slice — no 1-D slice + reshape
+    relayout on device. Overlapping audio stays 1-D; the static intra-span
+    offsets fuse into plain copies.
+    """
+    if step == S:
+        return lax.dynamic_slice(audio, (tile_idx * tile, 0), (tile, S))
+    span = (tile - 1) * step + S
+    sp = lax.dynamic_slice(audio, (tile_idx * tile * step,), (span,))
+    return jnp.stack(
+        [lax.slice_in_dim(sp, i * step, i * step + S) for i in range(tile)]
+    )
+
+
+def audio_device_shape(n_tiles: int, tile: int, step: int, S: int):
+    """Device-side audio shape for a dispatch (2-D rows when overlap-free)."""
+    if step == S:
+        return (n_tiles * tile, S)
+    return ((n_tiles * tile - 1) * step + S,)
+
+
+def chunk_to_device_layout(chunk: np.ndarray, step: int, S: int) -> np.ndarray:
+    """Host-side reshape matching :func:`audio_device_shape` (free view)."""
+    if step == S:
+        return chunk.reshape(-1, S)
+    return chunk
+
+
 class StreamingEngine:
     """Whole-recording analysis with one dispatch per superchunk."""
 
@@ -113,25 +159,19 @@ class StreamingEngine:
             tile = self.tile
             k = self.top_k
             forward = self._forward
+            precision = self.precision
             logits_index = self.logits_index
             embed_index = self.embed_index if with_embeddings else None
-            span = (tile - 1) * step + S  # samples one tile's segments cover
-            audio_len = (n_tiles * tile - 1) * step + S
 
             def program(params, audio):
-                if audio.dtype != jnp.float32:
-                    audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
-
                 def body(_, tile_idx):
-                    sp = lax.dynamic_slice(audio, (tile_idx * tile * step,), (span,))
-                    if step == S:
-                        # Zero overlap: segments are contiguous — free reshape.
-                        frames = sp.reshape(tile, S)
-                    else:
-                        # Static intra-span offsets fuse into plain copies.
-                        frames = jnp.stack(
-                            [lax.slice_in_dim(sp, i * step, i * step + S) for i in range(tile)]
-                        )
+                    # Framing + int16 scale + activation cast INSIDE the tile
+                    # body: the chain fuses into one pass instead of
+                    # materializing a float32 copy of the whole superchunk
+                    # (4.7 GB at 64 tiles).
+                    frames = prepare_frames(
+                        frame_tile(audio, tile_idx, tile, step, S), precision
+                    )
                     outs = forward(params, frames)
                     logits = outs[logits_index]
                     vals, idx = lax.top_k(logits, k)
@@ -154,7 +194,10 @@ class StreamingEngine:
                 lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype, sharding=sharding),
                 self.params,
             )
-            audio_spec = jax.ShapeDtypeStruct((audio_len,), dtype, sharding=sharding)
+            audio_spec = jax.ShapeDtypeStruct(
+                audio_device_shape(n_tiles, tile, step, S), dtype,
+                sharding=sharding,
+            )
             try:
                 fn = jitted.lower(params_spec, audio_spec).compile()
             except Exception as e:  # noqa: BLE001
@@ -255,7 +298,7 @@ def streaming_analyze(
             if chunk.shape[0] < audio_len:
                 pad = np.zeros(audio_len - chunk.shape[0], dtype=samples.dtype)
                 chunk = np.concatenate([chunk, pad])
-            outs = fn(eng.params, place(chunk))
+            outs = fn(eng.params, place(chunk_to_device_layout(chunk, step, S)))
             pending.append((outs, n_seg))
             # Honor cancellation/timeout between dispatches (the reference
             # honors options between batches, birdnet-analyze.rs:562-610):

@@ -204,28 +204,24 @@ class ShardedEngine:
             fn = self._compiled.get(key)
             if fn is not None:
                 return fn
+            from ..compiler.stream import frame_tile, prepare_frames
+
             S = self.config.sample_count
             tile = self.tile
             k = max(1, self.top_k)
             forward = self._forward
+            precision = self.precision
             logits_index = self.logits_index
             embed_index = self.embed_index if with_embeddings else None
-            span = (tile - 1) * step + S
             batch_sharded = self._batch_sharded
 
             def program(params, audio):
-                if audio.dtype != jnp.float32:
-                    audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
-
                 def body(_, tile_idx):
-                    sp = lax.dynamic_slice(audio, (tile_idx * tile * step,), (span,))
-                    if step == S:
-                        frames = sp.reshape(tile, S)
-                    else:
-                        frames = jnp.stack(
-                            [lax.slice_in_dim(sp, i * step, i * step + S)
-                             for i in range(tile)]
-                        )
+                    # Framing/scale/cast inside the body (see
+                    # compiler/stream.py for the fusion rationale).
+                    frames = prepare_frames(
+                        frame_tile(audio, tile_idx, tile, step, S), precision
+                    )
                     frames = lax.with_sharding_constraint(frames, batch_sharded)
                     outs = forward(params, frames)
                     logits = outs[logits_index]

@@ -184,7 +184,6 @@ def make_sharded_stream_program(
     logits_index, _ = demux_indices(config.model_type)
     k = max(1, min(top_k, config.num_species))
     S = config.sample_count
-    span = (tile - 1) * step + S
 
     p_specs = param_specs(imported.params, config, model_axis, mesh.shape[model_axis])
     params_shardings = {
@@ -194,17 +193,14 @@ def make_sharded_stream_program(
     batch_sharded = NamedSharding(mesh, P(data_axis, None))
 
     def program(params, audio):
-        if audio.dtype != jnp.float32:
-            audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+        from ..compiler.stream import frame_tile, prepare_frames
 
         def body(_, tile_idx):
-            sp = jax.lax.dynamic_slice(audio, (tile_idx * tile * step,), (span,))
-            if step == S:
-                frames = sp.reshape(tile, S)
-            else:
-                frames = jnp.stack(
-                    [jax.lax.slice_in_dim(sp, i * step, i * step + S) for i in range(tile)]
-                )
+            # Framing/scale/cast inside the body (see compiler/stream.py
+            # for the fusion rationale).
+            frames = prepare_frames(
+                frame_tile(audio, tile_idx, tile, step, S), precision
+            )
             frames = jax.lax.with_sharding_constraint(frames, batch_sharded)
             logits = forward(params, frames)[logits_index]
             vals, idx = jax.lax.top_k(logits, k)
@@ -220,6 +216,8 @@ def make_sharded_stream_program(
     )
 
     def shard_inputs(params, audio):
+        from ..compiler.stream import chunk_to_device_layout
+
         sharded_params = {
             name: jax.device_put(p, params_shardings[name])
             for name, p in params.items()
@@ -229,6 +227,7 @@ def make_sharded_stream_program(
         if audio.shape[0] < need:
             pad = np.zeros(need - audio.shape[0], dtype=audio.dtype)
             audio = np.concatenate([audio, pad])
-        return sharded_params, jax.device_put(audio[:need], replicated)
+        audio = chunk_to_device_layout(audio[:need], step, S)
+        return sharded_params, jax.device_put(audio, replicated)
 
     return fn, shard_inputs

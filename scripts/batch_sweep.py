@@ -58,7 +58,7 @@ def main() -> int:
     S = config.sample_count
     n_seg = args.segments
     audio = np.random.default_rng(0).normal(size=n_seg * S).astype(np.float32)
-    audio_d = jax.device_put(audio, device)
+    audio_d = jax.device_put(audio.reshape(-1, S), device)  # 2-D zero-overlap layout
 
     print(f"{'tile':>6}{'compile_s':>11}{'ms/run':>9}{'seg/s':>9}{'us/seg':>8}{'hbm_mb':>9}")
     best = (0.0, None)

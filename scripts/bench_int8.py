@@ -28,7 +28,7 @@ def _measure(engine, config, device, label):
     padded = np.zeros(audio_len, np.int16)
     n_samples = N_SEGMENTS * config.sample_count
     padded[:n_samples] = (rng.normal(size=n_samples) * 3000).astype(np.int16)
-    audio_d = jax.device_put(padded, device)
+    audio_d = jax.device_put(padded.reshape(-1, step), device)  # 2-D zero-overlap layout
     t0 = time.monotonic()
     out = fn(engine.params, audio_d)
     np.asarray(out[0])

@@ -33,7 +33,7 @@ def measure(precision, tile, n_segments):
     audio_len = (n_tiles * tile - 1) * step + config.sample_count
     rng = np.random.default_rng(0)
     padded = (rng.normal(size=audio_len) * 3000).astype(np.int16)
-    audio_d = jax.device_put(padded, device)
+    audio_d = jax.device_put(padded.reshape(-1, step), device)  # 2-D zero-overlap layout
     out = fn(eng.params, audio_d)
     np.asarray(out[0])
     dts = []

@@ -74,6 +74,42 @@ def test_conv1d_same_upper_vs_torch(rng):
     np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "length,k,stride,c_out,pads,bias",
+    [
+        (4000, 1024, 280, 96, None, True),   # BirdNET-style filterbank frontend
+        (512, 64, 64, 8, None, False),       # k == stride (pure reshape+matmul)
+        (500, 100, 48, 5, None, True),       # k not a multiple of stride
+        (300, 32, 17, 3, [7, 11], False),    # asymmetric explicit pads
+        (1040, 1024, 280, 4, None, True),    # single output frame
+    ],
+)
+def test_conv1d_polyphase_vs_torch(rng, length, k, stride, c_out, pads, bias):
+    """Large-stride C_in=1 Conv1d takes the polyphase matmul path."""
+    x = rng.normal(size=(2, 1, length)).astype(np.float32)
+    w = rng.normal(size=(c_out, 1, k)).astype(np.float32)
+    attrs = dict(strides=[stride])
+    if pads is not None:
+        attrs["pads"] = pads
+    inits = {"w": w}
+    names = ["x", "w"]
+    tb = None
+    if bias:
+        b = rng.normal(size=(c_out,)).astype(np.float32)
+        inits["b"] = b
+        names.append("b")
+        tb = torch.from_numpy(b)
+    (y,) = run_graph([P.make_node("Conv", names, ["y"], **attrs)], {"x": x}, inits)
+    xt = torch.from_numpy(x)
+    if pads is not None:
+        xt = torch.nn.functional.pad(xt, (pads[0], pads[1]))
+    expected = torch.nn.functional.conv1d(
+        xt, torch.from_numpy(w), tb, stride=stride
+    ).numpy()
+    assert y.shape == expected.shape
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-4)
+
+
 def test_conv_dilated_vs_torch(rng):
     x = rng.normal(size=(1, 2, 20, 20)).astype(np.float32)
     w = rng.normal(size=(4, 2, 3, 3)).astype(np.float32)
