@@ -1,0 +1,239 @@
+"""Import-time grouping of MBConv (inverted-residual) chains.
+
+The EfficientNet-style backbone used by BirdNET v2.4/v3.0 spends most of
+its HBM traffic on MBConv interiors: expand 1x1 + SiLU -> depthwise 3x3 +
+SiLU -> squeeze-excitation -> project 1x1 -> residual. Lowered op-by-op,
+every interior activation round-trips HBM. This pass matches the chain
+(post Conv+BatchNorm folding) and replaces it with ONE ``_FusedMBConv``
+node that carries the original nodes as a ``body`` graph attribute:
+
+- the lowering (compiler/ops.py) runs the whole block inside VMEM via the
+  Pallas kernel :func:`birdnet_tpu.ops.pallas.block2.mbconv_block2` when
+  the precision policy keeps bf16 activations on a single TPU device;
+- everywhere else it re-interprets ``body``, which is bit-identical to the
+  unfused graph by construction.
+
+The match is purely structural, so fusion is always safe; kernel
+eligibility (shapes, backend, precision) is decided at trace time.
+``unfuse_mbconv`` restores the original nodes (used by the PTQ
+quantizer, which needs to see the raw Convs).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List, Optional
+
+from ..onnx import proto as P
+
+
+def _attr_list(node, name, default):
+    v = node.attrs.get(name)
+    if v is None:
+        return default
+    return [int(x) for x in v]
+
+
+def _is_1x1(node) -> bool:
+    k = _attr_list(node, "kernel_shape", [1, 1])
+    s = _attr_list(node, "strides", [1, 1])
+    p = _attr_list(node, "pads", [0, 0, 0, 0])
+    g = int(node.attrs.get("group", 1) or 1)
+    d = _attr_list(node, "dilations", [1, 1])
+    return (k == [1, 1] and s == [1, 1] and p == [0, 0, 0, 0]
+            and g == 1 and d == [1, 1])
+
+
+def _is_dw3x3_s1(node, tensors) -> bool:
+    if len(node.input) < 2 or node.input[1] not in tensors:
+        return False
+    w = tensors[node.input[1]]
+    if w.ndim != 4 or w.shape[1] != 1 or tuple(w.shape[2:]) != (3, 3):
+        return False
+    g = int(node.attrs.get("group", 1) or 1)
+    return (g == w.shape[0]
+            and _attr_list(node, "kernel_shape", [3, 3]) == [3, 3]
+            and _attr_list(node, "strides", [1, 1]) == [1, 1]
+            and _attr_list(node, "pads", [1, 1, 1, 1]) == [1, 1, 1, 1]
+            and _attr_list(node, "dilations", [1, 1]) == [1, 1])
+
+
+def fuse_mbconv(graph: P.GraphProto, tensors: Dict) -> int:
+    """Rewrite matched MBConv chains into ``_FusedMBConv`` nodes.
+
+    Returns the number of blocks fused. Mutates ``graph.node``.
+    """
+    nodes = graph.node
+    prod: Dict[str, P.NodeProto] = {}
+    for n in nodes:
+        for o in n.output:
+            if o:
+                prod[o] = n
+    uses = Counter(i for n in nodes for i in n.input if i)
+    for o in graph.output:
+        uses[o.name] += 1
+
+    def swish_parts(mul_node) -> Optional[str]:
+        """If ``mul_node`` is Mul(a, Sigmoid(a)), return a's name."""
+        if mul_node.op_type != "Mul" or len(mul_node.input) != 2:
+            return None
+        a, b = mul_node.input
+        sig = prod.get(b)
+        if sig is not None and sig.op_type == "Sigmoid" and sig.input[0] == a:
+            return a
+        sig = prod.get(a)
+        if sig is not None and sig.op_type == "Sigmoid" and sig.input[0] == b:
+            return b
+        return None
+
+    consumed = set()
+    replacements: List = []  # (anchor_node, fused_node, member_ids)
+    consumers: Dict[str, List[P.NodeProto]] = {}
+    for n in nodes:
+        for i in n.input:
+            if i:
+                consumers.setdefault(i, []).append(n)
+
+    for dw in nodes:
+        if dw.op_type != "Conv" or id(dw) in consumed:
+            continue
+        if not _is_dw3x3_s1(dw, tensors) or len(dw.input) != 3:
+            continue
+        # ---- backwards: h1 = swish(expand Conv) ----
+        h1_mul = prod.get(dw.input[0])
+        if h1_mul is None or id(h1_mul) in consumed:
+            continue
+        bn1 = swish_parts(h1_mul)
+        if bn1 is None or uses[h1_mul.output[0]] != 1 or uses[bn1] != 2:
+            continue
+        expand = prod.get(bn1)
+        if (expand is None or expand.op_type != "Conv"
+                or not _is_1x1(expand) or len(expand.input) != 3
+                or expand.input[1] not in tensors):
+            continue
+        x_name = expand.input[0]
+        sig1 = [c for c in consumers.get(bn1, []) if c.op_type == "Sigmoid"]
+        if len(sig1) != 1:
+            continue
+        # ---- forwards: h2 = swish(dw out) ----
+        bn2 = dw.output[0]
+        if uses[bn2] != 2:
+            continue
+        h2_muls = [c for c in consumers.get(bn2, []) if c.op_type == "Mul"]
+        sig2 = [c for c in consumers.get(bn2, []) if c.op_type == "Sigmoid"]
+        if len(h2_muls) != 1 or len(sig2) != 1:
+            continue
+        h2_mul = h2_muls[0]
+        if swish_parts(h2_mul) != bn2:
+            continue
+        h2 = h2_mul.output[0]
+        if uses[h2] != 2:
+            continue
+        # ---- SE: GAP -> conv -> swish -> conv -> sigmoid -> Mul(h2, .) ----
+        gaps = [c for c in consumers.get(h2, []) if c.op_type == "GlobalAveragePool"]
+        scale_muls = [c for c in consumers.get(h2, []) if c.op_type == "Mul"]
+        if len(gaps) != 1 or len(scale_muls) != 1:
+            continue
+        gap = gaps[0]
+        if uses[gap.output[0]] != 1:
+            continue
+        se1 = next(iter(consumers.get(gap.output[0], [])), None)
+        if (se1 is None or se1.op_type != "Conv" or not _is_1x1(se1)
+                or len(se1.input) != 3 or se1.input[1] not in tensors
+                or uses[se1.output[0]] != 2):
+            continue
+        se_swishes = [c for c in consumers.get(se1.output[0], [])
+                      if c.op_type == "Mul"]
+        se_sigs = [c for c in consumers.get(se1.output[0], [])
+                   if c.op_type == "Sigmoid"]
+        if len(se_swishes) != 1 or len(se_sigs) != 1:
+            continue
+        se_swish = se_swishes[0]
+        if (swish_parts(se_swish) != se1.output[0]
+                or uses[se_swish.output[0]] != 1):
+            continue
+        se2 = next(iter(consumers.get(se_swish.output[0], [])), None)
+        if (se2 is None or se2.op_type != "Conv" or not _is_1x1(se2)
+                or len(se2.input) != 3 or se2.input[1] not in tensors
+                or uses[se2.output[0]] != 1):
+            continue
+        se2_sig = next(iter(consumers.get(se2.output[0], [])), None)
+        if (se2_sig is None or se2_sig.op_type != "Sigmoid"
+                or uses[se2_sig.output[0]] != 1):
+            continue
+        scale_mul = scale_muls[0]
+        if set(scale_mul.input) != {h2, se2_sig.output[0]}:
+            continue
+        h3 = scale_mul.output[0]
+        if uses[h3] != 1:
+            continue
+        # ---- project ----
+        proj = next(iter(consumers.get(h3, [])), None)
+        if (proj is None or proj.op_type != "Conv" or not _is_1x1(proj)
+                or len(proj.input) != 3 or proj.input[1] not in tensors):
+            continue
+        out_name = proj.output[0]
+        members = [expand, sig1[0], h1_mul, dw, sig2[0], h2_mul, gap,
+                   se1, se_sigs[0], se_swish, se2, se2_sig, scale_mul, proj]
+        residual = 0
+        # ---- optional residual Add(x, proj) ----
+        if uses[out_name] == 1:
+            add = next(iter(consumers.get(out_name, [])), None)
+            if (add is not None and add.op_type == "Add"
+                    and set(add.input) == {x_name, out_name}):
+                members.append(add)
+                out_name = add.output[0]
+                residual = 1
+        member_ids = {id(m) for m in members}
+        if member_ids & consumed:
+            continue
+        body = P.GraphProto(
+            name="mbconv_body",
+            node=list(members),
+            initializer=[],
+            input=[],
+            output=[P.make_value_info(out_name, P.DataType.FLOAT, [])],
+        )
+        fused = P.make_node(
+            "_FusedMBConv",
+            [x_name,
+             expand.input[1], expand.input[2],
+             dw.input[1], dw.input[2],
+             se1.input[1], se1.input[2],
+             se2.input[1], se2.input[2],
+             proj.input[1], proj.input[2]],
+            [out_name],
+            residual=residual,
+            body=body,
+        )
+        consumed |= member_ids
+        replacements.append((members[-1], fused, member_ids))
+
+    if not replacements:
+        return 0
+    anchor_to_fused = {id(anchor): fused for anchor, fused, _ in replacements}
+    new_nodes = []
+    for n in nodes:
+        if id(n) in anchor_to_fused:
+            new_nodes.append(anchor_to_fused[id(n)])
+        elif id(n) in consumed:
+            continue
+        else:
+            new_nodes.append(n)
+    graph.node = new_nodes
+    return len(replacements)
+
+
+def unfuse_mbconv(graph: P.GraphProto) -> int:
+    """Expand ``_FusedMBConv`` nodes back to their original chains."""
+    count = 0
+    out = []
+    for n in graph.node:
+        if n.op_type == "_FusedMBConv":
+            out.extend(n.attrs["body"].node)
+            count += 1
+        else:
+            out.append(n)
+    if count:
+        graph.node = out
+    return count

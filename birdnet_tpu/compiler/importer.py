@@ -232,7 +232,8 @@ def interpret_graph(
     return tuple(env[o] for o in output_names)
 
 
-def make_forward(model: ImportedModel, precision: str = "fp32"):
+def make_forward(model: ImportedModel, precision: str = "fp32",
+                 disable_pallas_fusion: bool = False):
     """Build the pure forward function ``fn(params, *inputs) -> tuple(outputs)``.
 
     The returned function abstractly interprets the node list; under
@@ -241,6 +242,10 @@ def make_forward(model: ImportedModel, precision: str = "fp32"):
 
     ``precision``: ``fp32`` | ``mixed`` (bf16 MXU operands, f32 accumulate)
     | ``fast`` (bf16 activations too) | ``bf16``.
+
+    ``disable_pallas_fusion``: lower fused-block nodes via their reference
+    subgraphs (required under pjit/mesh sharding, where a pallas_call would
+    not partition over the batch axis).
     """
     graph = model.graph
     opset = model.opset
@@ -255,6 +260,8 @@ def make_forward(model: ImportedModel, precision: str = "fp32"):
                 f"model expects {len(input_names)} inputs, got {len(inputs)}"
             )
         env: Dict[str, object] = dict(consts)
+        if disable_pallas_fusion:
+            env[op_registry.NO_PALLAS_SENTINEL] = True
         env.update(params)
         for name, x in zip(input_names, inputs):
             env[name] = x

@@ -1486,6 +1486,59 @@ def _run_subgraph(ctx: OpContext, graph, extra_env=None):
     )
 
 
+# ---------------------------------------------------------------------------
+# fused MBConv (see compiler/fuse_mbconv.py)
+# ---------------------------------------------------------------------------
+
+# The Pallas whole-block kernel is disabled by the mesh-sharded paths
+# (a pallas_call inside pjit would not partition over the batch axis):
+# make_forward(..., disable_pallas_fusion=True) plants this sentinel in
+# the interpreter environment, which control-flow subgraphs inherit.
+NO_PALLAS_SENTINEL = "\x00no_pallas_fusion"
+
+
+@op("_FusedMBConv")
+def _fused_mbconv(ctx, x, w1, b1, wd, bd, se1w, se1b, se2w, se2b, w3, b3):
+    """Whole MBConv block. With ``BIRDNET_PALLAS_MBCONV=1`` on a single TPU
+    device with bf16 activations ('fast'/'bf16' policies) this runs the
+    fused Pallas kernel (ops/pallas/block2.py): the block interiors stay in
+    VMEM and only the input/output touch HBM. By default it re-interprets
+    the original node chain stored in the ``body`` attribute — bit-identical
+    to the unfused graph.
+
+    The kernel is opt-in because it LOSES end-to-end despite winning its
+    microbenchmark (measured on v5e: standalone blocks 0.67-0.93x of the
+    XLA chain, but the full streaming pipeline regresses 23.9k -> 17.5k
+    seg/s with kernels on — pallas_calls inside the tile scan defeat XLA's
+    cross-block scheduling/fusion). Kept for per-block experimentation."""
+    import os
+
+    x = jnp.asarray(x)
+    use_kernel = (
+        os.environ.get("BIRDNET_PALLAS_MBCONV") == "1"
+        and NO_PALLAS_SENTINEL not in ctx.env
+        and ctx.precision in ("fast", "bf16")
+        and x.ndim == 4
+        and (x.shape[2] * x.shape[3]) % 128 == 0
+        and jax.default_backend() in ("tpu", "axon")
+    )
+    if use_kernel:
+        from ..ops.pallas.block2 import mbconv_block2
+
+        y = mbconv_block2(
+            x,
+            jnp.asarray(w1)[:, :, 0, 0], b1,
+            wd, bd,
+            jnp.asarray(se1w)[:, :, 0, 0], se1b,
+            jnp.asarray(se2w)[:, :, 0, 0], se2b,
+            jnp.asarray(w3)[:, :, 0, 0], b3,
+            residual=bool(ctx.attr("residual", 0)),
+        )
+        return [y.astype(jnp.bfloat16)]
+    body = ctx.attr("body")
+    return list(_run_subgraph(ctx, body))
+
+
 @op("If")
 def _if(ctx, cond):
     """ONNX If. A static condition picks the branch at trace time (only

@@ -524,4 +524,7 @@ def optimize_graph(graph: GraphProto, tensors: Dict[str, np.ndarray]) -> Dict[st
     stats["requant_collapsed"] = collapse_requant(graph, tensors)
     if stats["qdq_fused"] or stats["requant_collapsed"]:
         stats["dead_removed"] = eliminate_dead_nodes(graph)
+    from .fuse_mbconv import fuse_mbconv
+
+    stats["mbconv_fused"] = fuse_mbconv(graph, tensors)
     return stats

@@ -120,6 +120,7 @@ def _collect_absmax(
     model: ImportedModel,
     calibration: Sequence[Tuple],
     names: set,
+    graph=None,
 ) -> Dict[str, float]:
     """Interpret the graph per calibration batch; track abs-max of ``names``.
 
@@ -144,7 +145,8 @@ def _collect_absmax(
             env[nm] = np.asarray(x, dtype=np.float32)
         with jax.default_device(cpu):
             interpret_graph(
-                model.graph, model.opset, "fp32", env, model.output_names
+                graph if graph is not None else model.graph,
+                model.opset, "fp32", env, model.output_names,
             )
         for nm in names:
             if nm in env:
@@ -172,6 +174,12 @@ def quantize_model(
     tensors.update(model.params)
     tensors.update(model.consts)
 
+    # The quantizer works on raw Conv/MatMul nodes; expand any fused
+    # MBConv groups back to their original chains first.
+    from .fuse_mbconv import unfuse_mbconv
+
+    unfuse_mbconv(graph)
+
     eligible = _eligible_nodes(graph, tensors, quantize_first_layer)
     if not eligible:
         raise ModelLoadError(
@@ -182,8 +190,10 @@ def quantize_model(
     for n, act_nodes, _, x_name in eligible:
         need.add(x_name)
         need.add((act_nodes[-1] if act_nodes else n).output[0])
-    # Stats come from the *original* model (same tensor names).
-    stats = _collect_absmax(model, calibration, need)
+    # Stats come from the unfused graph copy (same tensor names; the
+    # source model's graph may hold _FusedMBConv groups whose interior
+    # tensors never surface in the outer interpreter environment).
+    stats = _collect_absmax(model, calibration, need, graph=graph)
 
     consumers: Dict[str, List[NodeProto]] = {}
     for n in graph.node:

@@ -72,7 +72,8 @@ class ShardedEngine:
             raise InferenceError(
                 f"tile {self.tile} not divisible by data-axis size {self.dp}"
             )
-        self._forward = make_forward(imported, precision=precision)
+        self._forward = make_forward(imported, precision=precision,
+                                     disable_pallas_fusion=True)
         self.logits_index, self.embed_index = demux_indices(config.model_type)
 
         specs = param_specs(imported.params, config, model_axis, mesh.shape[model_axis])

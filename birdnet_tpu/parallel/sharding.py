@@ -112,7 +112,8 @@ def make_sharded_program(
     from ..compiler.importer import make_forward
     from .._demux import demux_indices
 
-    forward = make_forward(imported, precision=precision)
+    forward = make_forward(imported, precision=precision,
+                           disable_pallas_fusion=True)
     logits_index, _ = demux_indices(config.model_type)
     k = max(0, min(top_k, config.num_species))
 
@@ -180,7 +181,8 @@ def make_sharded_stream_program(
     from ..compiler.importer import make_forward
     from .._demux import demux_indices
 
-    forward = make_forward(imported, precision=precision)
+    forward = make_forward(imported, precision=precision,
+                           disable_pallas_fusion=True)
     logits_index, _ = demux_indices(config.model_type)
     k = max(1, min(top_k, config.num_species))
     S = config.sample_count

@@ -6,6 +6,10 @@ the axon tunnel rules in docs/performance.md), run on the full-size
 generated BirdNET v2.4 model for both precisions.
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import statistics
 import sys
 import time

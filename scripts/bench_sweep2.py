@@ -3,6 +3,10 @@
 Device-resident sustained protocol (forced readback), median of 3.
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import itertools
 import statistics
 import sys

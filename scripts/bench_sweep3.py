@@ -1,6 +1,10 @@
 """Focused follow-up: superchunk scaling at fast/tile-128, tile variants,
 and fast-vs-mixed top-1 agreement at the best config."""
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import statistics
 import sys
 import time

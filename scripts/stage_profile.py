@@ -30,8 +30,9 @@ def milestones_of(graph):
 
     After import-time Conv+BN folding the benchmark v2.4 graph's Conv nodes
     are: [frontend, stem, (expand, dw, se1, se2, project) x 12, head].
+    Works for the QDQ-fused int8 graph too (QLinearConv nodes).
     """
-    convs = [n for n in graph.node if n.op_type == "Conv"]
+    convs = [n for n in graph.node if n.op_type in ("Conv", "QLinearConv")]
     out = [("frontend", convs[0].output[0]), ("stem", convs[1].output[0])]
     n_blocks = (len(convs) - 3) // 5
     for b in range(n_blocks):
@@ -50,6 +51,8 @@ def main():
     ap.add_argument("--tile", type=int, default=128)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--precision", default="fast")
+    ap.add_argument("--int8", action="store_true",
+                    help="profile the PTQ-quantized graph instead")
     args = ap.parse_args()
 
     import jax
@@ -64,6 +67,15 @@ def main():
     print(f"# device: {device.platform} {getattr(device, 'device_kind', '?')}")
 
     imported = import_onnx(birdnet_v24.build_model())
+    if args.int8:
+        from birdnet_tpu.compiler.quantize import (
+            quantize_model,
+            synthetic_calibration_segments,
+        )
+
+        imported = quantize_model(
+            imported, synthetic_calibration_segments(144_000, batches=2)
+        )
     graph, opset, consts = imported.graph, imported.opset, imported.consts
     marks = milestones_of(graph)
     print(f"# {len(marks)} milestones, reps={args.reps}, tile={args.tile}, "

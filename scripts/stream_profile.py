@@ -33,6 +33,7 @@ def main():
     from jax import lax
 
     from birdnet_tpu.compiler.importer import import_onnx, make_forward
+    from birdnet_tpu.compiler.stream import frame_tile, prepare_frames
     from birdnet_tpu.models import birdnet_v24
     from birdnet_tpu.runtime import default_device, init_runtime
 
@@ -46,17 +47,17 @@ def main():
 
     S = 144_000
     tile = args.tile
-    span = tile * S
     rng = np.random.default_rng(0)
     audio = jax.device_put(
-        (rng.normal(size=span + 4096) * 3000).astype(np.int16), device
+        (rng.normal(size=(tile * 4, S)) * 3000).astype(np.int16), device
     )
 
     def body_upto(stage, off):
-        sp = lax.dynamic_slice(audio, (off,), (span,))
-        frames = sp.reshape(tile, S).astype(jnp.float32) * (1.0 / 32768.0)
+        frames = prepare_frames(
+            frame_tile(audio, off, tile, S, S), args.precision
+        )
         if stage == "frames":
-            return frames[0, 0]
+            return frames[0, 0].astype(jnp.float32)
         logits = forward(params, frames)[0]
         if stage == "logits":
             return logits[0, 0]

@@ -1,0 +1,80 @@
+"""MBConv fusion pass: structural + fallback-equality tests (CPU)."""
+
+from copy import deepcopy
+
+import numpy as np
+import pytest
+
+from birdnet_tpu.compiler.fuse_mbconv import fuse_mbconv, unfuse_mbconv
+from birdnet_tpu.compiler.importer import import_onnx, make_forward
+from birdnet_tpu.models import birdnet_v24
+from birdnet_tpu.onnx import proto as P
+
+
+@pytest.fixture(scope="module")
+def fused_model():
+    return import_onnx(birdnet_v24.build_model(width=0.25, depth=2,
+                                               num_species=10))
+
+
+def test_fuses_all_stride1_blocks(fused_model):
+    # 12 MBConv blocks in the depth-2 schedule; the 4 stride-2 lead blocks
+    # of stages 2-5 stay unfused.
+    n = sum(1 for nd in fused_model.graph.node if nd.op_type == "_FusedMBConv")
+    assert n == 8
+
+
+def test_fused_node_wiring(fused_model):
+    node = next(nd for nd in fused_model.graph.node
+                if nd.op_type == "_FusedMBConv")
+    assert len(node.input) == 11  # x + 5 weight/bias pairs
+    assert len(node.attrs["body"].node) in (14, 15)  # +Add when residual
+    assert node.attrs["residual"] in (0, 1)
+    # every weight input resolves to a param or const
+    known = set(fused_model.params) | set(fused_model.consts)
+    for name in node.input[1:]:
+        assert name in known
+
+
+def test_fallback_matches_unfused_bitwise(fused_model):
+    """The interpret fallback re-runs the original nodes: identical output."""
+    x = (np.random.default_rng(0).normal(size=(2, 144_000)) * 0.1
+         ).astype(np.float32)
+    unfused = deepcopy(fused_model)
+    assert unfuse_mbconv(unfused.graph) == 8
+    for precision in ("fp32", "fast"):
+        yf = np.asarray(
+            make_forward(fused_model, precision)(fused_model.params, x)[0],
+            np.float32)
+        yu = np.asarray(
+            make_forward(unfused, precision)(unfused.params, x)[0], np.float32)
+        np.testing.assert_array_equal(yf, yu)
+
+
+def test_unfuse_roundtrip_refuses_nothing(fused_model):
+    g = deepcopy(fused_model.graph)
+    n_before = len(g.node)
+    assert unfuse_mbconv(g) == 8
+    assert not any(nd.op_type == "_FusedMBConv" for nd in g.node)
+    # re-fusing the expanded graph finds the same 8 blocks
+    tensors = {}
+    tensors.update(fused_model.params)
+    tensors.update(fused_model.consts)
+    assert fuse_mbconv(g, tensors) == 8
+    assert len(g.node) == n_before
+
+
+def test_fused_graph_serializes(fused_model):
+    """The body graph attribute survives the proto codec (checkpoint path)."""
+    model = birdnet_v24.build_model(width=0.1, depth=1, num_species=10)
+    imp = import_onnx(model)
+    n = sum(1 for nd in imp.graph.node if nd.op_type == "_FusedMBConv")
+    assert n > 0
+    blob = P.encode_model(P.make_model(imp.graph, opset_version=imp.opset))
+    decoded = P.decode_model(blob)
+    n2 = sum(1 for nd in decoded.graph.node
+             if nd.op_type == "_FusedMBConv")
+    assert n2 == n
+    body = next(nd for nd in decoded.graph.node
+                if nd.op_type == "_FusedMBConv").attrs["body"]
+    assert len(body.node) in (14, 15)
