@@ -105,9 +105,11 @@ def main() -> int:
     audio_len = (n_tiles * TILE - 1) * step + config.sample_count
     padded = np.zeros(audio_len, np.int16)
     padded[:n_samples] = audio
-    # Zero-overlap audio ships 2-D [rows, S]: framing on device is then a
-    # contiguous row slice (no 1-D slice + reshape relayout per tile).
-    audio_d = jax.device_put(padded.reshape(-1, config.sample_count), device)
+    from birdnet_tpu.compiler.stream import chunk_to_device_layout
+
+    audio_d = jax.device_put(
+        chunk_to_device_layout(padded, step, config.sample_count), device
+    )
     out = fn(engine.params, audio_d)
     np.asarray(out[0])
     dts = []

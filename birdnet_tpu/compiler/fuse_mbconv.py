@@ -34,13 +34,23 @@ def _attr_list(node, name, default):
     return [int(x) for x in v]
 
 
-def _is_1x1(node) -> bool:
-    k = _attr_list(node, "kernel_shape", [1, 1])
+def _no_auto_pad(node) -> bool:
+    ap = node.attrs.get("auto_pad", "NOTSET") or "NOTSET"
+    return ap == "NOTSET"
+
+
+def _is_1x1(node, tensors) -> bool:
+    if len(node.input) < 2 or node.input[1] not in tensors:
+        return False
+    w = tensors[node.input[1]]
+    if w.ndim != 4 or tuple(w.shape[2:]) != (1, 1):
+        return False
     s = _attr_list(node, "strides", [1, 1])
+    # ONNX default pads is ZERO — the correct SAME padding for a 1x1 kernel.
     p = _attr_list(node, "pads", [0, 0, 0, 0])
     g = int(node.attrs.get("group", 1) or 1)
     d = _attr_list(node, "dilations", [1, 1])
-    return (k == [1, 1] and s == [1, 1] and p == [0, 0, 0, 0]
+    return (_no_auto_pad(node) and s == [1, 1] and p == [0, 0, 0, 0]
             and g == 1 and d == [1, 1])
 
 
@@ -51,10 +61,13 @@ def _is_dw3x3_s1(node, tensors) -> bool:
     if w.ndim != 4 or w.shape[1] != 1 or tuple(w.shape[2:]) != (3, 3):
         return False
     g = int(node.attrs.get("group", 1) or 1)
-    return (g == w.shape[0]
+    # pads must be EXPLICITLY SAME ([1,1,1,1]): the ONNX default is zero
+    # (VALID), which the fused kernel's SAME-padded stencil would get wrong.
+    return (_no_auto_pad(node)
+            and g == w.shape[0]
             and _attr_list(node, "kernel_shape", [3, 3]) == [3, 3]
             and _attr_list(node, "strides", [1, 1]) == [1, 1]
-            and _attr_list(node, "pads", [1, 1, 1, 1]) == [1, 1, 1, 1]
+            and _attr_list(node, "pads", None) == [1, 1, 1, 1]
             and _attr_list(node, "dilations", [1, 1]) == [1, 1])
 
 
@@ -108,7 +121,7 @@ def fuse_mbconv(graph: P.GraphProto, tensors: Dict) -> int:
             continue
         expand = prod.get(bn1)
         if (expand is None or expand.op_type != "Conv"
-                or not _is_1x1(expand) or len(expand.input) != 3
+                or not _is_1x1(expand, tensors) or len(expand.input) != 3
                 or expand.input[1] not in tensors):
             continue
         x_name = expand.input[0]
@@ -138,7 +151,7 @@ def fuse_mbconv(graph: P.GraphProto, tensors: Dict) -> int:
         if uses[gap.output[0]] != 1:
             continue
         se1 = next(iter(consumers.get(gap.output[0], [])), None)
-        if (se1 is None or se1.op_type != "Conv" or not _is_1x1(se1)
+        if (se1 is None or se1.op_type != "Conv" or not _is_1x1(se1, tensors)
                 or len(se1.input) != 3 or se1.input[1] not in tensors
                 or uses[se1.output[0]] != 2):
             continue
@@ -153,7 +166,7 @@ def fuse_mbconv(graph: P.GraphProto, tensors: Dict) -> int:
                 or uses[se_swish.output[0]] != 1):
             continue
         se2 = next(iter(consumers.get(se_swish.output[0], [])), None)
-        if (se2 is None or se2.op_type != "Conv" or not _is_1x1(se2)
+        if (se2 is None or se2.op_type != "Conv" or not _is_1x1(se2, tensors)
                 or len(se2.input) != 3 or se2.input[1] not in tensors
                 or uses[se2.output[0]] != 1):
             continue
@@ -169,7 +182,7 @@ def fuse_mbconv(graph: P.GraphProto, tensors: Dict) -> int:
             continue
         # ---- project ----
         proj = next(iter(consumers.get(h3, [])), None)
-        if (proj is None or proj.op_type != "Conv" or not _is_1x1(proj)
+        if (proj is None or proj.op_type != "Conv" or not _is_1x1(proj, tensors)
                 or len(proj.input) != 3 or proj.input[1] not in tensors):
             continue
         out_name = proj.output[0]

@@ -58,7 +58,8 @@ def main() -> int:
     S = config.sample_count
     n_seg = args.segments
     audio = np.random.default_rng(0).normal(size=n_seg * S).astype(np.float32)
-    audio_d = jax.device_put(audio.reshape(-1, S), device)  # 2-D zero-overlap layout
+    from birdnet_tpu.compiler.stream import chunk_to_device_layout
+    audio_d = jax.device_put(chunk_to_device_layout(audio, S, S), device)
 
     print(f"{'tile':>6}{'compile_s':>11}{'ms/run':>9}{'seg/s':>9}{'us/seg':>8}{'hbm_mb':>9}")
     best = (0.0, None)

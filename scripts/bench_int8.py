@@ -32,7 +32,8 @@ def _measure(engine, config, device, label):
     padded = np.zeros(audio_len, np.int16)
     n_samples = N_SEGMENTS * config.sample_count
     padded[:n_samples] = (rng.normal(size=n_samples) * 3000).astype(np.int16)
-    audio_d = jax.device_put(padded.reshape(-1, step), device)  # 2-D zero-overlap layout
+    from birdnet_tpu.compiler.stream import chunk_to_device_layout
+    audio_d = jax.device_put(chunk_to_device_layout(padded, step, config.sample_count), device)
     t0 = time.monotonic()
     out = fn(engine.params, audio_d)
     np.asarray(out[0])

@@ -21,7 +21,8 @@ def measure(eng, config, device, tile, n_segments, runs=3):
     audio_len = (n_tiles * tile - 1) * step + config.sample_count
     rng = np.random.default_rng(0)
     padded = (rng.normal(size=audio_len) * 3000).astype(np.int16)
-    audio_d = jax.device_put(padded.reshape(-1, step), device)  # 2-D zero-overlap layout
+    from birdnet_tpu.compiler.stream import chunk_to_device_layout
+    audio_d = jax.device_put(chunk_to_device_layout(padded, step, config.sample_count), device)
     out = fn(eng.params, audio_d)
     np.asarray(out[0])
     dts = []

@@ -67,6 +67,12 @@ def main():
     print(f"# device: {device.platform} {getattr(device, 'device_kind', '?')}")
 
     imported = import_onnx(birdnet_v24.build_model())
+    # Profile the raw node chains: expand _FusedMBConv groups so milestones
+    # see the per-block project convs (the XLA program is identical; the
+    # fallback lowering re-interprets these same nodes).
+    from birdnet_tpu.compiler.fuse_mbconv import unfuse_mbconv
+
+    unfuse_mbconv(imported.graph)
     if args.int8:
         from birdnet_tpu.compiler.quantize import (
             quantize_model,

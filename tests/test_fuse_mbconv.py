@@ -78,3 +78,27 @@ def test_fused_graph_serializes(fused_model):
     body = next(nd for nd in decoded.graph.node
                 if nd.op_type == "_FusedMBConv").attrs["body"]
     assert len(body.node) in (14, 15)
+
+
+def test_valid_padding_depthwise_not_fused():
+    """A padless (VALID) 3x3 depthwise chain must not match: the fused
+    kernel assumes SAME padding (ONNX default pads is zero)."""
+    from birdnet_tpu.models._builder import GraphBuilder
+
+    gb = GraphBuilder("t", seed=0)
+    c = 16
+    x = gb.conv_bn_act("input", 1, c, [3, 3], strides=[1, 1])
+    y = gb.conv_bn_act(x, c, c, [1, 1])
+    # depthwise WITHOUT pads (VALID)
+    y = gb.conv(y, c, c, [3, 3], pads=[0, 0, 0, 0], group=c)
+    y = gb.batchnorm(y, c)
+    y = gb.swish(y)
+    y = gb.se_block(y, c)
+    y = gb.conv(y, c, c, [1, 1], pads=[0, 0, 0, 0])
+    y = gb.batchnorm(y, c)
+    model = gb.build(
+        inputs=[P.make_value_info("input", P.DataType.FLOAT, [1, 1, 16, 16])],
+        outputs=[P.make_value_info(y, P.DataType.FLOAT, [])],
+    )
+    imp = import_onnx(model)
+    assert not any(n.op_type == "_FusedMBConv" for n in imp.graph.node)
