@@ -2090,14 +2090,48 @@ def _stft(ctx, signal, frame_step, window=None, frame_length=None):
         raise ValueError("STFT needs frame_length or window")
     onesided = int(ctx.attr("onesided", 1))
     n_frames = (x.shape[1] - flen) // step + 1
-    idx = np.arange(n_frames)[:, None] * step + np.arange(flen)[None, :]
-    frames = x[:, idx]  # [B, frames, flen]
+    m = -(-flen // step)
+    if m <= 32:
+        # Polyphase framing: reshape to [B, rows, step] and concatenate m
+        # row-shifted slices — frame i is x[i*step : i*step+flen]. Avoids
+        # the [n_frames, flen] gather (523k indices for BirdNET-sized
+        # frontends), which lowers terribly on TPU.
+        rows = n_frames + m - 1
+        need = rows * step
+        if need > x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+        r = x[:, :need].reshape(x.shape[0], rows, step)
+        parts = [
+            lax.slice_in_dim(r, k, k + n_frames, axis=1) for k in range(m)
+        ]
+        frames = jnp.concatenate(parts, axis=2)[:, :, :flen]
+    else:
+        idx = np.arange(n_frames)[:, None] * step + np.arange(flen)[None, :]
+        frames = x[:, idx]  # [B, frames, flen]
     if window is not None:
         win = jnp.asarray(window).astype(frames.dtype)
         if win.shape[0] < flen:
             # Spec: windows shorter than frame_length are zero-padded.
             win = jnp.pad(win, (0, flen - win.shape[0]))
         frames = frames * win
+    if flen <= 4096:
+        # DFT as an MXU matmul: XLA's TPU FFT measures ~90 us/segment at
+        # BirdNET frame sizes (flen 1024, 511 frames) — 9x slower than the
+        # dense [T, flen] @ [flen, 2*bins] product, despite the FLOP
+        # asymptotics. The matmul honors the precision policy (bf16
+        # operands under mixed/fast, f32 accumulation).
+        bins = flen // 2 + 1 if onesided else flen
+        ang = (-2.0 * np.pi / flen) * np.outer(
+            np.arange(flen), np.arange(bins)
+        )
+        basis = np.concatenate(
+            [np.cos(ang), np.sin(ang)], axis=1
+        ).astype(np.float32)  # [flen, 2*bins]
+        f2, b2 = _mxu_operands(ctx, frames, jnp.asarray(basis))
+        out = jnp.matmul(f2, b2, preferred_element_type=jnp.float32)
+        spec_r = out[..., :bins]
+        spec_i = out[..., bins:]
+        return [jnp.stack([spec_r, spec_i], axis=-1).astype(x.dtype)]
     if onesided:
         spec = jnp.fft.rfft(frames, axis=-1)
     else:
