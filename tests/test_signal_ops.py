@@ -161,3 +161,41 @@ def test_stft_frontend_model_end_to_end(tmp_path):
     stream = clf.analyze_samples(np.tile(sine_segment(), 2))
     assert len(stream) == 2
     assert [p.index for p in stream[0][1]] == [p.index for p in r.predictions]
+
+
+def test_stft_two_sided_vs_torch(rng):
+    """onesided=0 exercises the full-spectrum DFT-matmul basis."""
+    x = rng.normal(size=(1, 1024)).astype(np.float32)
+    window = torch.hann_window(256, periodic=True).numpy().astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("STFT", ["x", "step", "win"], ["y"], onesided=0)],
+        {"x": x},
+        {"step": np.array(128, dtype=np.int64), "win": window},
+        opset=17,
+    )
+    ref = torch.stft(
+        torch.from_numpy(x), n_fft=256, hop_length=128,
+        window=torch.from_numpy(window), center=False, onesided=False,
+        return_complex=True,
+    ).numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(y[..., 0], ref.real, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(y[..., 1], ref.imag, rtol=1e-3, atol=1e-3)
+
+
+def test_stft_small_step_gather_fallback(rng):
+    """step so small that m = ceil(flen/step) > 32 takes the gather path."""
+    x = rng.normal(size=(1, 700)).astype(np.float32)
+    window = torch.hann_window(512, periodic=True).numpy().astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("STFT", ["x", "step", "win"], ["y"], onesided=1)],
+        {"x": x},
+        {"step": np.array(8, dtype=np.int64), "win": window},
+        opset=17,
+    )
+    ref = torch.stft(
+        torch.from_numpy(x), n_fft=512, hop_length=8,
+        window=torch.from_numpy(window), center=False, onesided=True,
+        return_complex=True,
+    ).numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(y[..., 0], ref.real, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(y[..., 1], ref.imag, rtol=1e-3, atol=1e-3)
