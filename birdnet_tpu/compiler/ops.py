@@ -2127,8 +2127,20 @@ def _stft(ctx, signal, frame_step, window=None, frame_length=None):
         basis = np.concatenate(
             [np.cos(ang), np.sin(ang)], axis=1
         ).astype(np.float32)  # [flen, 2*bins]
-        f2, b2 = _mxu_operands(ctx, frames, jnp.asarray(basis))
-        out = jnp.matmul(f2, b2, preferred_element_type=jnp.float32)
+        if ctx.precision in ("fast", "bf16"):
+            # bf16 operands: spectra are cancellation-prone, so only the
+            # explicitly-reduced policies trade precision here.
+            f2, b2 = frames.astype(jnp.bfloat16), jnp.asarray(basis).astype(jnp.bfloat16)
+            out = jnp.matmul(f2, b2, preferred_element_type=jnp.float32)
+        else:
+            # fp32/mixed keep true-f32 DFT passes (bf16 single-pass shows
+            # ~0.3 log-space error on near-cancelling bins — see
+            # ops/pallas/frontend.py measurement notes).
+            out = jnp.matmul(
+                frames.astype(jnp.float32), jnp.asarray(basis),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         spec_r = out[..., :bins]
         spec_i = out[..., bins:]
         return [jnp.stack([spec_r, spec_i], axis=-1).astype(x.dtype)]
