@@ -1161,6 +1161,22 @@ def _resize(ctx, x, roi=None, scales=None, sizes=None):
     return [jax.image.resize(x, out_shape, method=method).astype(x.dtype)]
 
 
+@op("Upsample")
+def _upsample(ctx, x, scales=None):
+    """Legacy Upsample (deprecated opset 10; old TF/keras exporters emit
+    it). Equivalent to Resize with nearest/linear mode."""
+    x = jnp.asarray(x)
+    mode = ctx.attr("mode", "nearest")
+    if isinstance(mode, bytes):
+        mode = mode.decode()
+    if scales is None:
+        scales = ctx.attr("scales")  # opset 7 spelling: attribute
+    sc = np.asarray(scales, dtype=np.float64).reshape(-1)
+    out_shape = [int(math.floor(d * s)) for d, s in zip(x.shape, sc)]
+    method = {"nearest": "nearest", "linear": "linear", "bilinear": "linear"}[mode]
+    return [jax.image.resize(x, out_shape, method=method).astype(x.dtype)]
+
+
 @op("Celu")
 def _celu(ctx, x):
     alpha = float(ctx.attr("alpha", 1.0))

@@ -276,3 +276,28 @@ def test_scatter_nd(rng):
     expected[1] = [1, 2, 3]
     expected[3] = [4, 5, 6]
     np.testing.assert_allclose(y, expected)
+
+
+def test_upsample_legacy_input_scales(rng):
+    """Deprecated Upsample (opset 9/10 spelling: scales as input)."""
+    x = rng.normal(size=(1, 2, 4, 4)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Upsample", ["x", "scales"], ["y"], mode="nearest")],
+        {"x": x},
+        {"scales": np.array([1.0, 1.0, 2.0, 2.0], dtype=np.float32)},
+        opset=10,
+    )
+    assert y.shape == (1, 2, 8, 8)
+    np.testing.assert_allclose(y[0, 0, ::2, ::2], x[0, 0], rtol=1e-6)
+
+
+def test_upsample_legacy_attr_scales(rng):
+    """Opset 7 spelling: scales as an attribute, bilinear mode."""
+    x = rng.normal(size=(1, 1, 4, 4)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Upsample", ["x"], ["y"], mode="bilinear",
+                     scales=[1.0, 1.0, 2.0, 2.0])],
+        {"x": x},
+        opset=9,
+    )
+    assert y.shape == (1, 1, 8, 8)
