@@ -110,6 +110,40 @@ def test_conv1d_polyphase_vs_torch(rng, length, k, stride, c_out, pads, bias):
     np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-4)
 
 
+def test_conv1d_polyphase_randomized_vs_torch():
+    """Seeded random sweep over the polyphase-eligible config space."""
+    r = np.random.default_rng(123)
+    for _ in range(20):
+        stride = int(r.integers(16, 400))
+        k = int(r.integers(16, 1200))
+        c_out = int(r.integers(1, 12))
+        t = int(r.integers(1, 9))  # desired output frames
+        length = (t - 1) * stride + k + int(r.integers(0, stride))
+        bias = bool(r.integers(0, 2))
+        x = r.normal(size=(1, 1, length)).astype(np.float32)
+        w = r.normal(size=(c_out, 1, k)).astype(np.float32)
+        inits = {"w": w}
+        names = ["x", "w"]
+        tb = None
+        if bias:
+            b = r.normal(size=(c_out,)).astype(np.float32)
+            inits["b"] = b
+            names.append("b")
+            tb = torch.from_numpy(b)
+        (y,) = run_graph(
+            [P.make_node("Conv", names, ["y"], strides=[stride])],
+            {"x": x}, inits,
+        )
+        expected = torch.nn.functional.conv1d(
+            torch.from_numpy(x), torch.from_numpy(w), tb, stride=stride
+        ).numpy()
+        assert y.shape == expected.shape, (k, stride, length)
+        np.testing.assert_allclose(
+            y, expected, rtol=1e-3, atol=1e-3,
+            err_msg=f"k={k} stride={stride} len={length} bias={bias}",
+        )
+
+
 def test_conv_dilated_vs_torch(rng):
     x = rng.normal(size=(1, 2, 20, 20)).astype(np.float32)
     w = rng.normal(size=(4, 2, 3, 3)).astype(np.float32)
