@@ -166,3 +166,29 @@ def test_analyze_wav(clf, tmp_path):
         clf.analyze_wav(wav32)
     out = clf.analyze_wav(wav32, resample=True)
     assert len(out) == 1
+
+
+def test_stream_pre_cancelled_token(clf):
+    """Streaming honors cancellation between dispatch and collection
+    (the reference honors options between batches,
+    birdnet-analyze.rs:562-610)."""
+    from birdnet_tpu import CancellationToken, InferenceOptions
+
+    tok = CancellationToken()
+    tok.cancel()
+    with pytest.raises(E.InferenceCancelledError):
+        clf.analyze_samples(
+            _audio(9.0), options=InferenceOptions(cancellation_token=tok)
+        )
+
+
+def test_stream_tiny_timeout(clf):
+    """A zero-second-scale timeout raises InferenceTimeoutError."""
+    from birdnet_tpu import InferenceOptions
+
+    with pytest.raises(E.InferenceTimeoutError):
+        # timeout so small the wait must expire (the device work is
+        # abandoned, not terminated — documented semantic difference)
+        clf.analyze_samples(
+            _audio(30.0), options=InferenceOptions(timeout=1e-9)
+        )
