@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="Device to use (auto, tpu, axon, cpu, gpu)",
     )
     p.add_argument("-b", "--batch-size", type=int, default=None, help="Batch size (defaults: 8 CPU, 32 TPU)")
-    p.add_argument("-t", "--timeout", type=float, default=1.0, help="Timeout per batch in seconds (0 = no timeout)")
+    p.add_argument("-t", "--timeout", type=float, default=1.0, help="Timeout per batch in seconds (0 = no timeout; in streaming mode the budget scales to the superchunk size at the same per-segment allowance)")
     p.add_argument("--lat", type=float, default=None, help="Latitude for range filtering (requires --meta-model)")
     p.add_argument("--lon", type=float, default=None, help="Longitude for range filtering")
     p.add_argument("--date", default=None, help="Date MM-DD for range filtering (default: today)")
@@ -557,8 +557,19 @@ def run_with_args(args: argparse.Namespace) -> int:
         )
         print()
 
+        timeout = args.timeout if args.timeout > 0 else None
+        if timeout is not None and use_stream:
+            # --timeout is "per batch" (reference: birdnet-analyze.rs
+            # timeout bounds one predict_batch of `batch_size` segments).
+            # The streaming pipeline waits on whole superchunks (up to
+            # MAX_TILES x tile segments plus their upload), so scale the
+            # budget to the same per-segment allowance.
+            from .compiler.stream import MAX_TILES
+
+            tile = getattr(classifier._streaming_engine(), "tile", batch_size)
+            timeout *= max(1, -(-MAX_TILES * tile // batch_size))
         options = InferenceOptions(
-            timeout=args.timeout if args.timeout > 0 else None,
+            timeout=timeout,
             cancellation_token=cancel_token,
         )
         start_time = time.monotonic()
