@@ -410,6 +410,17 @@ class Classifier:
 
     # -- streaming whole-recording path --------------------------------------
 
+    def streaming_timeout_scale(self, batch_size: int) -> int:
+        """Factor converting a per-batch timeout budget into a
+        per-superchunk one: the streaming paths wait on whole superchunks
+        (up to MAX_TILES × tile segments plus their upload), so a timeout
+        meant to bound one ``predict_batch(batch_size)`` call must scale
+        to the same per-segment allowance."""
+        from .compiler.stream import MAX_TILES
+
+        tile = getattr(self._streaming_engine(), "tile", batch_size)
+        return max(1, -(-MAX_TILES * tile // max(1, batch_size)))
+
     def _streaming_engine(self):
         if getattr(self._engine, "streams_natively", False):
             return self._engine  # ShardedEngine streams through itself

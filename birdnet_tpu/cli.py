@@ -558,18 +558,22 @@ def run_with_args(args: argparse.Namespace) -> int:
         print()
 
         timeout = args.timeout if args.timeout > 0 else None
-        if timeout is not None and use_stream:
-            # --timeout is "per batch" (reference: birdnet-analyze.rs
-            # timeout bounds one predict_batch of `batch_size` segments).
-            # The streaming pipeline waits on whole superchunks (up to
-            # MAX_TILES x tile segments plus their upload), so scale the
-            # budget to the same per-segment allowance.
-            from .compiler.stream import MAX_TILES
-
-            tile = getattr(classifier._streaming_engine(), "tile", batch_size)
-            timeout *= max(1, -(-MAX_TILES * tile // batch_size))
+        # --timeout is "per batch" (reference: birdnet-analyze.rs timeout
+        # bounds one predict_batch of `batch_size` segments). The streaming
+        # paths (detection pipeline AND --embeddings export) wait on whole
+        # superchunks, so their budget scales to the same per-segment
+        # allowance.
+        stream_timeout = (
+            timeout * classifier.streaming_timeout_scale(batch_size)
+            if timeout is not None
+            else None
+        )
         options = InferenceOptions(
             timeout=timeout,
+            cancellation_token=cancel_token,
+        )
+        stream_options = InferenceOptions(
+            timeout=stream_timeout,
             cancellation_token=cancel_token,
         )
         start_time = time.monotonic()
@@ -586,7 +590,7 @@ def run_with_args(args: argparse.Namespace) -> int:
             processed = 0
             try:
                 for offset, predictions in classifier.analyze_samples_iter(
-                    samples, args.overlap, options
+                    samples, args.overlap, stream_options
                 ):
                     _emit(audio_path, offset, predictions, duration_secs)
                     processed += 1
@@ -607,7 +611,7 @@ def run_with_args(args: argparse.Namespace) -> int:
                 f"{x_realtime:.1f}x realtime)"
             )
             if args.embeddings and not state["cancelled"]:
-                _export_embeddings(audio_path, samples, options)
+                _export_embeddings(audio_path, samples, stream_options)
             return
 
         _debug(args.verbose, "Chunking audio into segments...")
@@ -653,7 +657,7 @@ def run_with_args(args: argparse.Namespace) -> int:
             f"{x_realtime:.1f}x realtime)"
         )
         if args.embeddings and not state["cancelled"]:
-            _export_embeddings(audio_path, samples, options)
+            _export_embeddings(audio_path, samples, stream_options)
 
     failures = 0
     try:

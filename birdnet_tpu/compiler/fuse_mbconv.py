@@ -34,9 +34,11 @@ def _attr_list(node, name, default):
     return [int(x) for x in v]
 
 
-def _no_auto_pad(node) -> bool:
+def _auto_pad(node) -> str:
     ap = node.attrs.get("auto_pad", "NOTSET") or "NOTSET"
-    return ap == "NOTSET"
+    if isinstance(ap, bytes):
+        ap = ap.decode()
+    return ap
 
 
 def _is_1x1(node, tensors) -> bool:
@@ -46,12 +48,16 @@ def _is_1x1(node, tensors) -> bool:
     if w.ndim != 4 or tuple(w.shape[2:]) != (1, 1):
         return False
     s = _attr_list(node, "strides", [1, 1])
-    # ONNX default pads is ZERO — the correct SAME padding for a 1x1 kernel.
-    p = _attr_list(node, "pads", [0, 0, 0, 0])
     g = int(node.attrs.get("group", 1) or 1)
     d = _attr_list(node, "dilations", [1, 1])
-    return (_no_auto_pad(node) and s == [1, 1] and p == [0, 0, 0, 0]
-            and g == 1 and d == [1, 1])
+    ap = _auto_pad(node)
+    # For a 1x1 stride-1 kernel, VALID / SAME_UPPER / SAME_LOWER are all
+    # equivalent to explicit zero pads.
+    if ap == "NOTSET":
+        pads_ok = _attr_list(node, "pads", [0, 0, 0, 0]) == [0, 0, 0, 0]
+    else:
+        pads_ok = ap in ("VALID", "SAME_UPPER", "SAME_LOWER")
+    return pads_ok and s == [1, 1] and g == 1 and d == [1, 1]
 
 
 def _is_dw3x3_s1(node, tensors) -> bool:
@@ -61,13 +67,18 @@ def _is_dw3x3_s1(node, tensors) -> bool:
     if w.ndim != 4 or w.shape[1] != 1 or tuple(w.shape[2:]) != (3, 3):
         return False
     g = int(node.attrs.get("group", 1) or 1)
-    # pads must be EXPLICITLY SAME ([1,1,1,1]): the ONNX default is zero
-    # (VALID), which the fused kernel's SAME-padded stencil would get wrong.
-    return (_no_auto_pad(node)
+    ap = _auto_pad(node)
+    # The fused kernel's stencil is SAME ([1,1,1,1]); ONNX's default pads
+    # is ZERO (VALID), which must NOT match. For a 3x3 stride-1 kernel
+    # SAME_UPPER and SAME_LOWER both resolve to (1,1) per side.
+    if ap == "NOTSET":
+        pads_ok = _attr_list(node, "pads", None) == [1, 1, 1, 1]
+    else:
+        pads_ok = ap in ("SAME_UPPER", "SAME_LOWER")
+    return (pads_ok
             and g == w.shape[0]
             and _attr_list(node, "kernel_shape", [3, 3]) == [3, 3]
             and _attr_list(node, "strides", [1, 1]) == [1, 1]
-            and _attr_list(node, "pads", None) == [1, 1, 1, 1]
             and _attr_list(node, "dilations", [1, 1]) == [1, 1])
 
 

@@ -1164,7 +1164,10 @@ def _resize(ctx, x, roi=None, scales=None, sizes=None):
 @op("Upsample")
 def _upsample(ctx, x, scales=None):
     """Legacy Upsample (deprecated opset 10; old TF/keras exporters emit
-    it). Equivalent to Resize with nearest/linear mode."""
+    it). Uses ASYMMETRIC coordinates with floor-nearest — the legacy
+    semantics ONNX Runtime implements (Resize with
+    coordinate_transformation_mode=asymmetric), which differ from
+    jax.image.resize's half-pixel convention."""
     x = jnp.asarray(x)
     mode = ctx.attr("mode", "nearest")
     if isinstance(mode, bytes):
@@ -1172,9 +1175,26 @@ def _upsample(ctx, x, scales=None):
     if scales is None:
         scales = ctx.attr("scales")  # opset 7 spelling: attribute
     sc = np.asarray(scales, dtype=np.float64).reshape(-1)
-    out_shape = [int(math.floor(d * s)) for d, s in zip(x.shape, sc)]
-    method = {"nearest": "nearest", "linear": "linear", "bilinear": "linear"}[mode]
-    return [jax.image.resize(x, out_shape, method=method).astype(x.dtype)]
+    linear = mode in ("linear", "bilinear", "trilinear")
+    for axis, s in enumerate(sc):
+        d_in = x.shape[axis]
+        d_out = int(math.floor(d_in * s))
+        if d_out == d_in and s == 1.0:
+            continue
+        src = np.arange(d_out) * (d_in / d_out) if d_out else np.zeros(0)
+        lo = np.clip(np.floor(src).astype(np.int64), 0, d_in - 1)
+        if not linear:
+            x = jnp.take(x, jnp.asarray(lo), axis=axis)
+            continue
+        hi = np.minimum(lo + 1, d_in - 1)
+        frac = (src - lo).astype(np.float32)
+        shape = [1] * x.ndim
+        shape[axis] = d_out
+        w = jnp.asarray(frac).reshape(shape).astype(x.dtype)
+        xl = jnp.take(x, jnp.asarray(lo), axis=axis)
+        xh = jnp.take(x, jnp.asarray(hi), axis=axis)
+        x = xl + (xh - xl) * w
+    return [x]
 
 
 @op("Celu")
@@ -2106,6 +2126,11 @@ def _stft(ctx, signal, frame_step, window=None, frame_length=None):
         raise ValueError("STFT needs frame_length or window")
     onesided = int(ctx.attr("onesided", 1))
     n_frames = (x.shape[1] - flen) // step + 1
+    if n_frames <= 0:
+        # Signal shorter than one frame: zero frames (matches the gather
+        # path's behavior with an empty index array).
+        bins = flen // 2 + 1 if onesided else flen
+        return [jnp.zeros((x.shape[0], 0, bins, 2), dtype=x.dtype)]
     m = -(-flen // step)
     if m <= 32:
         # Polyphase framing: reshape to [B, rows, step] and concatenate m
@@ -2134,8 +2159,10 @@ def _stft(ctx, signal, frame_step, window=None, frame_length=None):
         # DFT as an MXU matmul: XLA's TPU FFT measures ~90 us/segment at
         # BirdNET frame sizes (flen 1024, 511 frames) — 9x slower than the
         # dense [T, flen] @ [flen, 2*bins] product, despite the FLOP
-        # asymptotics. The matmul honors the precision policy (bf16
-        # operands under mixed/fast, f32 accumulation).
+        # asymptotics. Precision: bf16 operands ONLY under fast/bf16;
+        # 'mixed' deliberately keeps true-f32 passes here (unlike the
+        # package-wide matmul policy) because spectra are
+        # cancellation-prone — see the branch comments below.
         bins = flen // 2 + 1 if onesided else flen
         ang = (-2.0 * np.pi / flen) * np.outer(
             np.arange(flen), np.arange(bins)

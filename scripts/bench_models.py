@@ -65,7 +65,8 @@ def main():
             np.asarray(out[1])
             dts.append(time.monotonic() - t0)
         med = statistics.median(dts)
-        seg_s = args.nseg / med
+        n_run = n_tiles * args.tile  # actually dispatched segments
+        seg_s = n_run / med
         xrt = seg_s * config.segment_duration
         print(f"{name}: {med*1000:.0f}ms -> {seg_s:.0f} seg/s "
               f"(xRT {xrt:.0f}, {config.segment_duration}s segments, "

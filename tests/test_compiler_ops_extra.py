@@ -291,8 +291,10 @@ def test_upsample_legacy_input_scales(rng):
     np.testing.assert_allclose(y[0, 0, ::2, ::2], x[0, 0], rtol=1e-6)
 
 
-def test_upsample_legacy_attr_scales(rng):
-    """Opset 7 spelling: scales as an attribute, bilinear mode."""
+def test_upsample_legacy_attr_scales_bilinear(rng):
+    """Opset 7 spelling (attribute scales), ASYMMETRIC linear coordinates
+    (the legacy semantics ORT implements for Upsample): out[i] lerps
+    between floor(i/scale) and its neighbor with weight frac(i/scale)."""
     x = rng.normal(size=(1, 1, 4, 4)).astype(np.float32)
     (y,) = run_graph(
         [P.make_node("Upsample", ["x"], ["y"], mode="bilinear",
@@ -301,3 +303,30 @@ def test_upsample_legacy_attr_scales(rng):
         opset=9,
     )
     assert y.shape == (1, 1, 8, 8)
+
+    def up1d(a, scale):
+        d_out = int(a.shape[-1] * scale)
+        src = np.arange(d_out) / scale
+        lo = np.clip(np.floor(src).astype(int), 0, a.shape[-1] - 1)
+        hi = np.minimum(lo + 1, a.shape[-1] - 1)
+        w = (src - lo).astype(np.float32)
+        return a[..., lo] * (1 - w) + a[..., hi] * w
+
+    expected = up1d(np.swapaxes(up1d(np.swapaxes(x, -1, -2), 2.0), -1, -2), 2.0)
+    np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_upsample_nearest_noninteger_scale_vs_torch(rng):
+    """Nearest with scale 1.5 must floor (asymmetric), matching torch's
+    F.interpolate(mode='nearest')."""
+    x = rng.normal(size=(1, 1, 4, 4)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Upsample", ["x", "scales"], ["y"], mode="nearest")],
+        {"x": x},
+        {"scales": np.array([1.0, 1.0, 1.5, 1.5], dtype=np.float32)},
+        opset=10,
+    )
+    expected = torch.nn.functional.interpolate(
+        torch.from_numpy(x), scale_factor=1.5, mode="nearest"
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-6)

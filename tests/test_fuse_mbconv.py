@@ -102,3 +102,31 @@ def test_valid_padding_depthwise_not_fused():
     )
     imp = import_onnx(model)
     assert not any(n.op_type == "_FusedMBConv" for n in imp.graph.node)
+
+
+def test_pad_predicates_auto_pad_spellings():
+    """Equivalent auto_pad spellings are accepted; VALID 3x3 is not."""
+    from birdnet_tpu.compiler.fuse_mbconv import _is_1x1, _is_dw3x3_s1
+
+    w1 = np.zeros((8, 4, 1, 1), np.float32)
+    wd = np.zeros((8, 1, 3, 3), np.float32)
+    tensors = {"w1": w1, "wd": wd}
+
+    def conv(w, **attrs):
+        return P.make_node("Conv", ["x", w, "b"], ["y"], **attrs)
+
+    # 1x1: explicit zero pads, VALID, SAME_UPPER, SAME_LOWER all equal
+    assert _is_1x1(conv("w1"), tensors)
+    assert _is_1x1(conv("w1", auto_pad="VALID"), tensors)
+    assert _is_1x1(conv("w1", auto_pad="SAME_UPPER"), tensors)
+    assert _is_1x1(conv("w1", auto_pad="SAME_LOWER"), tensors)
+    assert not _is_1x1(conv("w1", pads=[1, 1, 1, 1]), tensors)
+
+    # dw 3x3 s1: explicit SAME pads or SAME_* auto_pad; never VALID/default
+    same = dict(group=8, kernel_shape=[3, 3], strides=[1, 1])
+    assert _is_dw3x3_s1(conv("wd", pads=[1, 1, 1, 1], **same), tensors)
+    assert _is_dw3x3_s1(conv("wd", auto_pad="SAME_UPPER", **same), tensors)
+    assert _is_dw3x3_s1(conv("wd", auto_pad="SAME_LOWER", **same), tensors)
+    assert not _is_dw3x3_s1(conv("wd", **same), tensors)  # default pads = 0
+    assert not _is_dw3x3_s1(conv("wd", auto_pad="VALID", **same), tensors)
+    assert not _is_dw3x3_s1(conv("wd", pads=[0, 0, 0, 0], **same), tensors)

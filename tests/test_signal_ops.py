@@ -199,3 +199,16 @@ def test_stft_small_step_gather_fallback(rng):
     ).numpy().transpose(0, 2, 1)
     np.testing.assert_allclose(y[..., 0], ref.real, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(y[..., 1], ref.imag, rtol=1e-3, atol=1e-3)
+
+
+def test_stft_signal_shorter_than_frame(rng):
+    """Zero frames when the signal can't fill one window."""
+    x = rng.normal(size=(2, 100)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("STFT", ["x", "step", "", "flen"], ["y"], onesided=1)],
+        {"x": x},
+        {"step": np.array(300, dtype=np.int64),
+         "flen": np.array(512, dtype=np.int64)},
+        opset=17,
+    )
+    assert y.shape == (2, 0, 257, 2)
