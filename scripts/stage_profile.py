@@ -53,20 +53,24 @@ def main():
     ap.add_argument("--precision", default="fast")
     ap.add_argument("--int8", action="store_true",
                     help="profile the PTQ-quantized graph instead")
+    ap.add_argument("--model", default="v24", choices=["v24", "v30", "perch"])
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from birdnet_tpu.compiler.importer import import_onnx, interpret_graph
-    from birdnet_tpu.models import birdnet_v24
+    from birdnet_tpu.models import birdnet_v24, birdnet_v30, perch_v2
     from birdnet_tpu.runtime import default_device, init_runtime
 
     init_runtime()
     device = default_device()
     print(f"# device: {device.platform} {getattr(device, 'device_kind', '?')}")
 
-    imported = import_onnx(birdnet_v24.build_model())
+    builder = {"v24": birdnet_v24, "v30": birdnet_v30,
+               "perch": perch_v2}[args.model]
+    sample_count = builder.SAMPLE_COUNT
+    imported = import_onnx(builder.build_model())
     # Profile the raw node chains: expand _FusedMBConv groups so milestones
     # see the per-block project convs (the XLA program is identical; the
     # fallback lowering re-interprets these same nodes).
@@ -80,7 +84,7 @@ def main():
         )
 
         imported = quantize_model(
-            imported, synthetic_calibration_segments(144_000, batches=2)
+            imported, synthetic_calibration_segments(sample_count, batches=2)
         )
     graph, opset, consts = imported.graph, imported.opset, imported.consts
     marks = milestones_of(graph)
@@ -93,7 +97,7 @@ def main():
     params = jax.device_put(imported.params, device)
     rng = np.random.default_rng(0)
     x = jax.device_put(
-        (rng.normal(size=(args.tile, 144_000)) * 0.1).astype(np.float32), device
+        (rng.normal(size=(args.tile, sample_count)) * 0.1).astype(np.float32), device
     )
 
     def make_prog(tensor_name):
