@@ -17,6 +17,12 @@ bench:
 sweep:
 	python scripts/batch_sweep.py
 
+profile:
+	python scripts/stage_profile.py
+
+bench-models:
+	python scripts/bench_models.py
+
 lint:
 	python -m compileall -q birdnet_tpu tests bench.py __graft_entry__.py
 
