@@ -27,11 +27,11 @@ import numpy as np
 
 TILE = 128  # measured optimum on v5e (MXU utilization; 2.6× over tile 32;
             # 64 and 192 measured 30%+ slower)
-N_SEGMENTS = 8192  # ≈6.8 h of 3 s segments — one superchunk dispatch.
-                   # Per-dispatch overhead amortizes with superchunk size
-                   # (fast precision: 4096→18.9k, 6144→22.0k, 8192→22.0k
-                   # seg/s) and plateaus past 48 tiles; 2.4 GB int16 on
-                   # device, well inside v5e HBM.
+N_SEGMENTS = 12288  # ≈10 h of 3 s segments — one superchunk dispatch.
+                    # Per-dispatch overhead amortizes with superchunk
+                    # size (same-process A/B at fast: 64 tiles → 24.1k,
+                    # 96 → 26.6k, 128 → 26.5k seg/s); 3.5 GB int16 on
+                    # device, well inside v5e HBM.
 PRECISION = "fast"  # bf16 activations, f32 accumulation: top-1 IDENTICAL
                     # to "mixed" (0.9998 agreement, 0.0000 top-1 confidence
                     # delta over 4,096 segments, measured on v5e)

@@ -40,11 +40,12 @@ from .engine import _wait
 from .importer import ImportedModel, make_forward
 
 # Tile-count buckets per dispatch: bounded compile variants, ≤33% padding
-# waste. Max 64 tiles (= 8,192 segments at tile 128 ≈ 6.8 h of 3 s audio,
-# ~2.4 GB int16 on device): measured +64% sustained throughput over the
-# old 16-tile cap on v5e (22.0k vs 13.4k seg/s) — per-dispatch overhead
-# amortizes with superchunk size and plateaus past 48 tiles.
-_TILE_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+# waste. Max 96 tiles (= 12,288 segments at tile 128 ≈ 10 h of 3 s audio,
+# ~3.5 GB int16 on device): same-process A/B on v5e measured 64 → 24.1k,
+# 96 → 26.6k, 128 → 26.5k seg/s — dispatch overhead keeps amortizing to
+# 96 tiles and flattens there (the earlier "plateau past 48" came from
+# noisier cross-invocation runs).
+_TILE_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96)
 MAX_TILES = _TILE_BUCKETS[-1]
 
 
