@@ -191,6 +191,12 @@ def _validate_ops(model: ImportedModel) -> None:
         )
 
 
+# Control-flow / fused ops whose lowerings interpret subgraphs that may
+# capture *outer-scope* tracers through ``env`` — even when every direct
+# input is static, they cannot be evaluated at compile time.
+_NO_FOLD_OPS = frozenset({"If", "Loop", "Scan", "_FusedMBConv"})
+
+
 def interpret_graph(
     graph: GraphProto,
     opset: int,
@@ -203,7 +209,18 @@ def interpret_graph(
     Shared by the top-level forward and by control-flow ops (If/Loop), whose
     subgraphs may read outer-scope values already present in ``env`` (the
     ONNX closure-capture rule).
+
+    Trace-time constant folding: when every input to a node is a
+    compile-time concrete value (numpy or non-tracer jax array), the
+    lowering is evaluated under ``jax.ensure_compile_time_eval()`` so its
+    result stays concrete even inside a ``jit`` trace (JAX stages *all* ops
+    on the trace otherwise). This is what lets exporter-emitted dynamic
+    shape chains — ``Shape → Gather → Unsqueeze → Concat → Expand/Pad/
+    Resize``, the standard torch/tf2onnx idiom for symbolic batch dims —
+    fold down to the static shapes XLA requires.
     """
+    import jax
+
     for node in graph.node:
         fn = op_registry.get_lowering(node.op_type)
         ctx = op_registry.OpContext(
@@ -225,7 +242,13 @@ def interpret_graph(
         # Trim trailing absent optional inputs.
         while args and args[-1] is None:
             args.pop()
-        outs = fn(ctx, *args)
+        if node.op_type not in _NO_FOLD_OPS and all(
+            not isinstance(a, jax.core.Tracer) for a in args
+        ):
+            with jax.ensure_compile_time_eval():
+                outs = fn(ctx, *args)
+        else:
+            outs = fn(ctx, *args)
         for out_name, out_val in zip(node.output, outs):
             if out_name:
                 env[out_name] = out_val
