@@ -45,9 +45,23 @@ RUNS = 5  # median of 5 with stall rejection: the dev tunnel occasionally
 BASELINE_SEG_S = 667.0  # reference RTX 5080 best (gpu-batch-optimization.md:70)
 
 
-def _robust_median(dts):
+def _robust_median(dts, label=""):
+    """Median with tunnel-stall rejection. Prints BOTH the raw and the
+    stall-filtered medians (plus the discard count) to stderr so the
+    headline number's provenance is visible — runs slower than 1.5x the
+    fastest are treated as TCP stalls, not chip behavior."""
     keep = [d for d in dts if d <= 1.5 * min(dts)] or dts
-    return statistics.median(keep)
+    dropped = len(dts) - len(keep)
+    raw = statistics.median(dts)
+    filtered = statistics.median(keep)
+    if label:
+        print(
+            f"# {label}: raw median {raw * 1000:.0f}ms over {len(dts)} runs, "
+            f"stall-filtered median {filtered * 1000:.0f}ms "
+            f"({dropped} run(s) discarded as stalls)",
+            file=sys.stderr,
+        )
+    return filtered
 
 
 def _bench_model_path() -> str:
@@ -103,7 +117,7 @@ def main() -> int:
         conf, idx, times = engine.analyze(e2e_audio)
         e2e.append(time.monotonic() - t0)
     assert conf.shape == (N_E2E, 10)
-    e2e_dt = _robust_median(e2e)
+    e2e_dt = _robust_median(e2e, label="e2e runs")
     e2e_seg_s = N_E2E / e2e_dt
 
     # Sustained device-resident throughput (audio already on-chip).
@@ -127,7 +141,7 @@ def main() -> int:
         np.asarray(out[0])
         np.asarray(out[1])
         dts.append(time.monotonic() - t0)
-    dev_dt = _robust_median(dts)
+    dev_dt = _robust_median(dts, label="device-resident runs")
     dev_seg_s = N_SEGMENTS / dev_dt
 
     print(

@@ -5,8 +5,11 @@ with a pre-allocated host input buffer so repeated batches run with zero
 allocation (reference: src/batch_context.rs:69-122). The TPU-native
 equivalent:
 
-- a pinned host staging buffer of ``max_batch × sample_count`` float32
-  (the ``input_buffer`` analog, batch_context.rs:122);
+- a pair of pinned host staging buffers of ``max_batch × sample_count``
+  float32 used alternately (the ``input_buffer`` analog,
+  batch_context.rs:122 — double-buffered so no per-call host allocation
+  happens: the buffer handed to the device for call N is not refilled
+  until call N+2, by which time its results have been read back);
 - a fixed-shape XLA executable at ``[max_batch, S]`` with the input buffer
   *donated* to XLA, so its HBM is reused across calls (the
   bind-outputs-to-device analog, batch_context.rs:231-270);
@@ -43,9 +46,16 @@ class BatchInferenceContext:
         self._engine = engine
         self._config = config
         self._max_batch_size = int(max_batch_size)
-        self._buffer = np.zeros(
-            (self._max_batch_size, config.sample_count), dtype=np.float32
+        # Double-buffered staging: zero per-call allocation (the reference's
+        # IoBinding exists precisely to avoid per-call allocation,
+        # batch_context.rs:122, :188-226). predict_batch_with_context reads
+        # results back before returning, so a buffer is never refilled while
+        # its device copy is still in use.
+        self._buffers = (
+            np.zeros((self._max_batch_size, config.sample_count), np.float32),
+            np.zeros((self._max_batch_size, config.sample_count), np.float32),
         )
+        self._active = 0
         self.donate = True
         # Pre-compile the fixed-shape donated executable now, so the first
         # timed batch doesn't pay compilation (TRT engine-build analog).
@@ -62,7 +72,7 @@ class BatchInferenceContext:
         return self._max_batch_size
 
     def input_buffer_bytes(self) -> int:
-        return int(self._buffer.nbytes)
+        return int(self._buffers[0].nbytes)
 
     def output_buffer_bytes(self) -> int:
         logits = self._max_batch_size * self._config.num_species * 4
@@ -78,9 +88,13 @@ class BatchInferenceContext:
     # -- input staging -------------------------------------------------------
 
     def prepare_input(self, segments) -> Tuple[np.ndarray, int]:
-        """Validate + copy segments into the staging buffer
-        (reference: batch_context.rs:188-226). Returns (full padded buffer
-        copy handed to XLA, actual batch size)."""
+        """Validate + copy segments into the active staging buffer
+        (reference: batch_context.rs:188-226). Returns (the padded staging
+        buffer itself — no copy is made — and the actual batch size).
+
+        The two staging buffers alternate across calls, so the array handed
+        to the device on one call is not touched again until two calls
+        later; by then its results have been read back to host."""
         segs: List[np.ndarray] = [
             np.asarray(s, dtype=np.float32).reshape(-1) for s in segments
         ]
@@ -90,17 +104,19 @@ class BatchInferenceContext:
                 f"batch size {b} exceeds context max {self._max_batch_size}"
             )
         sample_count = self._config.sample_count
+        buf = self._buffers[self._active]
+        self._active ^= 1
         for i, s in enumerate(segs):
             if s.shape[0] != sample_count:
                 raise BatchInputSizeError(
                     index=i, expected=sample_count, got=s.shape[0]
                 )
-            self._buffer[i, :] = s
+            buf[i, :] = s
         if b < self._max_batch_size:
-            self._buffer[b:, :] = 0.0
-        # Copy: the staging buffer itself must survive donation for reuse.
-        return self._buffer.copy(), b
+            buf[b:, :] = 0.0
+        return buf, b
 
     def clear_inputs(self) -> None:
-        """Zero the staging buffer (reference: batch_context.rs:284-286)."""
-        self._buffer[:] = 0.0
+        """Zero the staging buffers (reference: batch_context.rs:284-286)."""
+        for buf in self._buffers:
+            buf[:] = 0.0

@@ -410,16 +410,27 @@ class Classifier:
 
     # -- streaming whole-recording path --------------------------------------
 
-    def streaming_timeout_scale(self, batch_size: int) -> int:
+    def streaming_timeout_scale(
+        self, batch_size: int, n_segments: Optional[int] = None
+    ) -> int:
         """Factor converting a per-batch timeout budget into a
         per-superchunk one: the streaming paths wait on whole superchunks
         (up to MAX_TILES × tile segments plus their upload), so a timeout
         meant to bound one ``predict_batch(batch_size)`` call must scale
-        to the same per-segment allowance."""
-        from .compiler.stream import MAX_TILES
+        to the same per-segment allowance.
+
+        ``n_segments``, when known, caps the scale at the tiles the
+        recording actually dispatches (a 2-tile recording must not get a
+        full-superchunk timeout budget, which would let a genuine hang
+        linger for minutes). A run with a timeout is by definition
+        monitored, so the superchunk bound is MONITORED_MAX_TILES."""
+        from .compiler.stream import MONITORED_MAX_TILES
 
         tile = getattr(self._streaming_engine(), "tile", batch_size)
-        return max(1, -(-MAX_TILES * tile // max(1, batch_size)))
+        tiles = MONITORED_MAX_TILES
+        if n_segments is not None and n_segments > 0:
+            tiles = min(tiles, -(-int(n_segments) // tile))
+        return max(1, -(-tiles * tile // max(1, batch_size)))
 
     def _streaming_engine(self):
         if getattr(self._engine, "streams_natively", False):

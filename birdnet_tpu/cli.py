@@ -558,24 +558,29 @@ def run_with_args(args: argparse.Namespace) -> int:
         print()
 
         timeout = args.timeout if args.timeout > 0 else None
-        # --timeout is "per batch" (reference: birdnet-analyze.rs timeout
-        # bounds one predict_batch of `batch_size` segments). The streaming
-        # paths (detection pipeline AND --embeddings export) wait on whole
-        # superchunks, so their budget scales to the same per-segment
-        # allowance.
-        stream_timeout = (
-            timeout * classifier.streaming_timeout_scale(batch_size)
-            if timeout is not None
-            else None
-        )
         options = InferenceOptions(
             timeout=timeout,
             cancellation_token=cancel_token,
         )
-        stream_options = InferenceOptions(
-            timeout=stream_timeout,
-            cancellation_token=cancel_token,
-        )
+
+        def make_stream_options() -> InferenceOptions:
+            # --timeout is "per batch" (reference: birdnet-analyze.rs
+            # timeout bounds one predict_batch of `batch_size` segments).
+            # The streaming paths (detection pipeline AND --embeddings
+            # export) wait on whole superchunks, so their budget scales to
+            # the same per-segment allowance — computed lazily, only on
+            # the paths that stream, and capped at the tiles this
+            # recording actually dispatches.
+            if timeout is None:
+                return options
+            step = config.sample_count - int(args.overlap * sample_rate)
+            n_seg = -(-len(samples) // step) if len(samples) and step > 0 else 0
+            return InferenceOptions(
+                timeout=timeout
+                * classifier.streaming_timeout_scale(batch_size, n_seg),
+                cancellation_token=cancel_token,
+            )
+
         start_time = time.monotonic()
 
         if use_stream:
@@ -587,6 +592,7 @@ def run_with_args(args: argparse.Namespace) -> int:
             )
             from .errors import InferenceCancelledError
 
+            stream_options = make_stream_options()
             processed = 0
             try:
                 for offset, predictions in classifier.analyze_samples_iter(
@@ -657,7 +663,7 @@ def run_with_args(args: argparse.Namespace) -> int:
             f"{x_realtime:.1f}x realtime)"
         )
         if args.embeddings and not state["cancelled"]:
-            _export_embeddings(audio_path, samples, stream_options)
+            _export_embeddings(audio_path, samples, make_stream_options())
 
     failures = 0
     try:

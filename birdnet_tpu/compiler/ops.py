@@ -1181,7 +1181,11 @@ def _upsample(ctx, x, scales=None):
         d_out = int(math.floor(d_in * s))
         if d_out == d_in and s == 1.0:
             continue
-        src = np.arange(d_out) * (d_in / d_out) if d_out else np.zeros(0)
+        # Asymmetric mapping uses the ORIGINAL scale (x_src = x_out / s),
+        # not the d_in/d_out ratio — for fractional scales where d_in*s is
+        # non-integer the two pick different source indices (ORT legacy
+        # semantics use x/scale).
+        src = np.arange(d_out) / s if d_out else np.zeros(0)
         lo = np.clip(np.floor(src).astype(np.int64), 0, d_in - 1)
         if not linear:
             x = jnp.take(x, jnp.asarray(lo), axis=axis)
@@ -1555,7 +1559,10 @@ def _fused_mbconv(ctx, x, w1, b1, wd, bd, se1w, se1b, se2w, se2b, w3, b3):
         and NO_PALLAS_SENTINEL not in ctx.env
         and ctx.precision in ("fast", "bf16")
         and x.ndim == 4
-        and (x.shape[2] * x.shape[3]) % 128 == 0
+        # block2's documented support envelope: W a lane multiple (H*W
+        # divisible by 128 is NOT sufficient — e.g. H=32, W=64 violates
+        # the kernel's roll/mask layout).
+        and x.shape[3] % 128 == 0
         and jax.default_backend() in ("tpu", "axon")
     )
     if use_kernel:

@@ -48,6 +48,15 @@ from .importer import ImportedModel, make_forward
 _TILE_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96)
 MAX_TILES = _TILE_BUCKETS[-1]
 
+# Superchunk cap when a cancellation/timeout monitor is active: a cancel
+# can only strand work already committed to the device, so monitored runs
+# dispatch 16-tile superchunks (2,048 segments at tile 128, ~80 ms of chip
+# work) instead of 96-tile ones (~10 h of audio). Unmonitored runs keep
+# the full-size superchunks and their throughput (the reference's
+# RunOptions::terminate stops within ~10 ms; this bounds the analogous
+# abandoned work, reference: src/classifier.rs:527-554).
+MONITORED_MAX_TILES = 16
+
 
 def _bucket_tiles(n: int) -> int:
     for b in _TILE_BUCKETS:
@@ -282,7 +291,8 @@ def streaming_analyze(
                 np.zeros((0, eng.config.embedding_dim or 0), np.float32),
             )
         return empty
-    segs_per_chunk = MAX_TILES * eng.tile
+    monitored = options is not None and options.needs_monitor()
+    segs_per_chunk = (MONITORED_MAX_TILES if monitored else MAX_TILES) * eng.tile
 
     # Dispatch superchunks with pipelined uploads: device_put + dispatch are
     # async, so chunk c+1 uploads while chunk c computes.

@@ -22,30 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture_activations(imported, precision: str, x: np.ndarray):
-    """Run the graph and return {value_name: np.ndarray} for every node
-    output (float tensors only)."""
-    import jax
-
-    from birdnet_tpu.compiler.importer import interpret_graph
-
-    graph = imported.graph
-    names = [o for n in graph.node for o in n.output if o]
-
-    def fwd(params, inp):
-        env = dict(imported.consts)
-        env.update(params)
-        env[imported.input_names[0]] = inp
-        interpret_graph(graph, imported.opset, precision, env, imported.output_names)
-        return tuple(env[n] for n in names)
-
-    outs = jax.jit(fwd)(imported.params, x)
-    result = {}
-    for name, val in zip(names, outs):
-        arr = np.asarray(val)
-        if np.issubdtype(arr.dtype, np.floating) or arr.dtype == np.dtype("bfloat16"):
-            result[name] = arr.astype(np.float32)
-    return result
+from birdnet_tpu.utils.activation_diff import capture_activations  # noqa: E402
 
 
 def main() -> int:
@@ -80,18 +57,10 @@ def main() -> int:
         for o in n.output:
             node_of[o] = n.op_type
 
-    rows = []
-    for name, a in ref.items():
-        b = test.get(name)
-        if b is None or b.shape != a.shape:
-            continue
-        denom = np.maximum(np.abs(a), 1e-6)
-        rel = float(np.max(np.abs(a - b) / denom))
-        absd = float(np.max(np.abs(a - b)))
-        rows.append((rel, absd, name, node_of.get(name, "?")))
+    from birdnet_tpu.utils.activation_diff import layer_diffs
 
-    rows.sort(reverse=True)
-    print(f"{'max_rel':>10} {'max_abs':>10}  {'op':<22} value")
+    rows = layer_diffs(ref, test, node_of)
+    print(f"{'scale_rel':>10} {'max_abs':>10}  {'op':<22} value")
     for rel, absd, name, op in rows[: args.top]:
         print(f"{rel:>10.2e} {absd:>10.2e}  {op:<22} {name}")
 

@@ -229,6 +229,28 @@ def test_batch_context_roundtrip(v24_classifier):
     assert len(v24_classifier.predict_batch_with_context(ctx, segs * 2)) == 4
 
 
+def test_batch_context_zero_allocation(v24_classifier):
+    """prepare_input hands out the pre-allocated staging buffers themselves,
+    alternating between exactly two identities — no per-call host allocation
+    (reference: batch_context.rs:122, IoBinding exists to avoid per-call
+    allocation)."""
+    ctx = v24_classifier.create_batch_context(2)
+    seg = sine_segment()
+    idents = set()
+    for _ in range(6):
+        buf, b = ctx.prepare_input([seg])
+        assert b == 1
+        idents.add(id(buf))
+    assert len(idents) == 2
+    # successive real calls stay correct despite buffer reuse
+    r1 = v24_classifier.predict_batch_with_context(ctx, [sine_segment(freq=500.0)])
+    r2 = v24_classifier.predict_batch_with_context(ctx, [sine_segment(freq=1500.0)])
+    p1 = v24_classifier.predict(sine_segment(freq=500.0))
+    p2 = v24_classifier.predict(sine_segment(freq=1500.0))
+    np.testing.assert_allclose(r1[0].raw_scores, p1.raw_scores, **_tol(v24_classifier))
+    np.testing.assert_allclose(r2[0].raw_scores, p2.raw_scores, **_tol(v24_classifier))
+
+
 def test_batch_context_exceeds_max(v24_classifier):
     ctx = v24_classifier.create_batch_context(2)
     segs = [sine_segment()] * 3

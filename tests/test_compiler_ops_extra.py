@@ -316,6 +316,26 @@ def test_upsample_legacy_attr_scales_bilinear(rng):
     np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
 
 
+def test_upsample_fractional_scale_uses_original_scale(rng):
+    """Scale 1.7 on dim 5: d_out = floor(5*1.7) = 8, and the asymmetric
+    mapping must use floor(i/1.7), NOT floor(i*5/8) — the two disagree at
+    i=5 (2 vs 3). Matches torch's floor(i/scale) nearest semantics."""
+    x = rng.normal(size=(1, 1, 5, 5)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Upsample", ["x", "scales"], ["y"], mode="nearest")],
+        {"x": x},
+        {"scales": np.array([1.0, 1.0, 1.7, 1.7], dtype=np.float32)},
+        opset=10,
+    )
+    assert y.shape == (1, 1, 8, 8)
+    src = np.floor(np.arange(8) / 1.7).astype(int)
+    expected = x[:, :, src][:, :, :, src]
+    np.testing.assert_allclose(y, expected, rtol=1e-6)
+    # and the ratio-based mapping would differ at index 5
+    ratio = np.floor(np.arange(8) * (5 / 8)).astype(int)
+    assert not np.array_equal(src, ratio)
+
+
 def test_upsample_nearest_noninteger_scale_vs_torch(rng):
     """Nearest with scale 1.5 must floor (asymmetric), matching torch's
     F.interpolate(mode='nearest')."""

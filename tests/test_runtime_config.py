@@ -57,3 +57,22 @@ def test_available_devices_cpu_present():
 def test_is_device_available():
     assert is_device_available("cpu")
     assert not is_device_available("quantum")
+
+
+def test_gpu_provider_errors_cleanly_when_absent():
+    """--provider gpu / .device("gpu") on a machine with no GPU must fail
+    with a clear RuntimeInitError, not silently fall back (the reference
+    validates provider availability up front,
+    src/execution_providers.rs:35-58). GPU is accepted but second-class:
+    this framework is TPU-first (see README)."""
+    import birdnet_tpu.errors as E
+    from birdnet_tpu.runtime import default_device
+
+    if is_device_available("gpu"):  # pragma: no cover - no GPU in CI
+        return
+    try:
+        default_device("gpu")
+    except E.RuntimeInitError as e:
+        assert "gpu" in str(e).lower()
+    else:  # pragma: no cover
+        raise AssertionError("expected RuntimeInitError for absent gpu")

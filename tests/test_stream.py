@@ -182,6 +182,122 @@ def test_stream_pre_cancelled_token(clf):
         )
 
 
+class _StubEngine:
+    """Duck-typed engine for exercising streaming_analyze's dispatch loop
+    without real compilation: records every dispatched chunk size."""
+
+    def __init__(self, tile=4, sample_count=100):
+        from birdnet_tpu.types import ModelConfig, ModelType
+
+        self.config = ModelConfig(
+            model_type=ModelType.BIRDNET_V24,
+            sample_rate=100,
+            segment_duration=1.0,
+            sample_count=sample_count,
+            num_species=5,
+            embedding_dim=None,
+        )
+        self.tile = tile
+        self.top_k = 3
+        self.embed_index = None
+        self.params = {}
+        self.dispatched_tiles = []
+
+    def _compile(self, n_tiles, step, dtype, with_embeddings=False):
+        tile, k = self.tile, self.top_k
+
+        class _Ready:
+            """Minimal stand-in for a jax.Array: ready immediately."""
+
+            def __init__(self, arr):
+                self._arr = arr
+
+            def is_ready(self):
+                return True
+
+            def __array__(self, dtype=None, copy=None):
+                return self._arr
+
+        def fn(params, audio):
+            self.dispatched_tiles.append(n_tiles)
+            n = n_tiles * tile
+            return (
+                _Ready(np.zeros((n, k), np.float32)),
+                _Ready(np.zeros((n, k), np.int32)),
+            )
+
+        return fn
+
+
+def test_monitored_superchunks_are_bounded():
+    """With a cancellation/timeout monitor active the superchunk is capped
+    at MONITORED_MAX_TILES so a cancel strands at most ~one small chunk of
+    committed device work (reference spirit: RunOptions::terminate within
+    10 ms, src/classifier.rs:527-554)."""
+    from birdnet_tpu import CancellationToken, InferenceOptions
+    from birdnet_tpu.compiler.stream import (
+        MONITORED_MAX_TILES,
+        streaming_analyze,
+    )
+
+    # 40 tiles worth of segments at tile=4 → 160 segments of 100 samples
+    eng = _StubEngine(tile=4)
+    samples = np.zeros(160 * 100, np.float32)
+
+    # Unmonitored: everything goes out in one big dispatch.
+    conf, idx, times = streaming_analyze(
+        eng, samples, 0.0, None, False, None, place=lambda c: c
+    )
+    assert conf.shape == (160, 3)
+    assert len(eng.dispatched_tiles) == 1
+
+    # Monitored: chunks capped at MONITORED_MAX_TILES tiles each.
+    eng2 = _StubEngine(tile=4)
+    opts = InferenceOptions(cancellation_token=CancellationToken())
+    streaming_analyze(eng2, samples, 0.0, opts, False, None, place=lambda c: c)
+    assert all(t <= MONITORED_MAX_TILES for t in eng2.dispatched_tiles)
+    assert len(eng2.dispatched_tiles) > 1
+
+
+def test_cancel_strands_at_most_one_chunk():
+    """After the token fires, at most one further superchunk may already be
+    committed (the pipeline keeps ≤2 in flight and waits on the oldest)."""
+    from birdnet_tpu import CancellationToken, InferenceOptions
+    from birdnet_tpu.compiler.stream import streaming_analyze
+
+    tok = CancellationToken()
+    eng = _StubEngine(tile=4)
+    dispatches = []
+    orig_compile = eng._compile
+
+    def counting_compile(n_tiles, step, dtype, with_embeddings=False):
+        inner = orig_compile(n_tiles, step, dtype, with_embeddings)
+
+        def fn(params, audio):
+            dispatches.append(n_tiles)
+            if len(dispatches) == 2:
+                tok.cancel()  # fires while chunk 2 is "in flight"
+            return inner(params, audio)
+
+        return fn
+
+    eng._compile = counting_compile
+    samples = np.zeros(160 * 100, np.float32)  # 40 tiles = 3 chunks of 16
+    with np.testing.assert_raises(E.InferenceCancelledError):
+        streaming_analyze(
+            eng,
+            samples,
+            0.0,
+            InferenceOptions(cancellation_token=tok),
+            False,
+            None,
+            place=lambda c: c,
+        )
+    # Cancel fired during dispatch 2; the loop waits on the oldest pending
+    # chunk before dispatching chunk 3, so chunk 3 never launches.
+    assert len(dispatches) == 2
+
+
 def test_stream_tiny_timeout(clf):
     """A zero-second-scale timeout raises InferenceTimeoutError."""
     from birdnet_tpu import InferenceOptions
