@@ -75,7 +75,98 @@ def _bench_model_path() -> str:
     return path
 
 
+def bench_mesh(n_devices: int) -> int:
+    """--mesh N: run the DP-sharded streaming program over an N-device mesh.
+
+    On a machine with N real accelerator chips this measures actual
+    multi-chip throughput; otherwise it builds the N-device virtual CPU
+    mesh (correctness-scale shapes) and reports its numbers, labeled as
+    such. The scaling model (docs/performance.md): streaming is pure DP —
+    audio tiles shard over the batch axis, weights replicate, the only
+    collective is the tiny [tile, K] top-K gather over ICI — so per-chip
+    throughput is flat in N and aggregate ≈ N × single-chip (26.6k seg/s
+    → ~213k seg/s on a v5e-8).
+    """
+    import os
+
+    import jax
+
+    # Pin the platform BEFORE the first device query: the axon plugin
+    # overrides JAX_PLATFORMS, and once a backend initializes the pin is a
+    # no-op. Virtual-mesh tier is requested via the host-device-count flag.
+    virtual = "host_platform_device_count" in os.environ.get("XLA_FLAGS", "")
+    if virtual:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        devs = jax.devices()
+    except RuntimeError:
+        devs = []
+    real = (
+        len(devs) >= n_devices and devs and devs[0].platform != "cpu"
+    )
+    if not real and not virtual:
+        print(
+            f"# --mesh {n_devices}: no {n_devices} real chips; re-run "
+            f"with XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n_devices} JAX_PLATFORMS=cpu for the virtual-mesh tier",
+            file=sys.stderr,
+        )
+        return 1
+    if not real and len(devs) < n_devices:
+        print(f"# --mesh: only {len(devs)} devices visible", file=sys.stderr)
+        return 1
+
+    from birdnet_tpu.compiler.importer import import_onnx
+    from birdnet_tpu.detection import detect_model_type
+    from birdnet_tpu.models import birdnet_v24
+    from birdnet_tpu.onnx import proto as P
+    from birdnet_tpu.parallel import make_mesh, make_sharded_stream_program
+
+    if real:
+        imported = import_onnx(_bench_model_path())
+        tile, n_tiles, runs = TILE, 24, RUNS
+    else:  # correctness-scale on the virtual mesh
+        imported = import_onnx(
+            P.encode_model(birdnet_v24.build_model(width=0.1, depth=1,
+                                                   num_species=64))
+        )
+        tile, n_tiles, runs = n_devices * 2, 2, 3
+    config = detect_model_type(*imported.detection_shapes())
+    mesh = make_mesh(devices=devs[:n_devices], shape=(n_devices, 1))
+    fn, shard = make_sharded_stream_program(
+        imported, config, mesh, n_tiles=n_tiles, step=config.sample_count,
+        tile=tile, top_k=10,
+    )
+    audio = np.zeros(n_tiles * tile * config.sample_count, dtype=np.int16)
+    params, audio_d = shard(imported.params, audio)
+    conf, idx = fn(params, audio_d)
+    np.asarray(conf)
+    dts = []
+    for _ in range(runs):
+        t0 = time.monotonic()
+        conf, idx = fn(params, audio_d)
+        np.asarray(conf)
+        np.asarray(idx)
+        dts.append(time.monotonic() - t0)
+    dt = _robust_median(dts, label=f"mesh-{n_devices} runs")
+    seg_s = n_tiles * tile / dt
+    tier = "real-mesh" if real else "virtual-cpu-mesh (correctness scale)"
+    print(
+        json.dumps(
+            {
+                "metric": f"BirdNET v2.4 segments/sec, {n_devices}-device DP mesh [{tier}]",
+                "value": round(seg_s, 1),
+                "unit": "segments/s",
+                "vs_baseline": round(seg_s / BASELINE_SEG_S, 3),
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
+    if "--mesh" in sys.argv:
+        return bench_mesh(int(sys.argv[sys.argv.index("--mesh") + 1]))
     import jax
 
     from birdnet_tpu.compiler.importer import import_onnx
