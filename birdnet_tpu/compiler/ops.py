@@ -1432,15 +1432,87 @@ def _requantize(ctx, acc_f32, y_scale, y_zp, channel_ndim=None):
     return jnp.clip(q, info.min, info.max).astype(out_dtype)
 
 
+def _qconv1x1_kernel_eligible(ctx, x, w, x_zp, w_zp, y_zp):
+    """Pallas fused conv+requant eligibility: symmetric int8 1x1 stride-1
+    ungrouped conv on a TPU backend with a lane-aligned spatial extent.
+    (The XLA path materializes the s32 accumulator in HBM — convs can't
+    fuse epilogues — so the kernel halves the int8 path's HBM traffic;
+    see ops/pallas/qconv.py for the measured numbers.)"""
+    if NO_PALLAS_SENTINEL in ctx.env:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if x.ndim != 4 or x.dtype != jnp.int8 or w.dtype != jnp.int8:
+        return False
+    if tuple(w.shape[2:]) != (1, 1):
+        return False
+    if [int(s) for s in ctx.attr("strides", [1, 1])] != [1, 1]:
+        return False
+    if [int(d) for d in ctx.attr("dilations", [1, 1])] != [1, 1]:
+        return False
+    if int(ctx.attr("group", 1)) != 1:
+        return False
+    ap = ctx.attr("auto_pad", "NOTSET")
+    if isinstance(ap, bytes):
+        ap = ap.decode()
+    if ap in ("NOTSET", ""):
+        if [int(p) for p in ctx.attr("pads", [0, 0, 0, 0])] != [0, 0, 0, 0]:
+            return False
+    elif ap != "VALID":
+        return False
+    for zp in (x_zp, w_zp, y_zp):
+        if zp is None:
+            return False  # y_zp None means uint8 output; keep XLA path
+        if not _is_static(zp) or np.asarray(zp).dtype != np.int8:
+            return False
+        if not np.all(np.asarray(zp) == 0):
+            return False
+    from ..ops.pallas.qconv import eligible
+
+    return eligible(int(x.shape[2]) * int(x.shape[3]))
+
+
 @op("QLinearConv")
 def _qlinear_conv(ctx, x, x_s, x_zp, w, w_s, w_zp, y_s, y_zp=None, b=None):
     """Quantized conv on the int8 MXU. Inputs per the ONNX spec; the
     optional ``_fused_act`` attribute (relu/sigmoid/silu/tanh) is set by
     the QDQ fusion pass for Conv→activation→QuantizeLinear chains and runs
-    in the f32 requant epilogue (exact, and one HBM pass instead of two)."""
+    in the f32 requant epilogue (exact, and one HBM pass instead of two).
+
+    Symmetric int8 1x1 convs on TPU route to the Pallas fused
+    conv+requant kernel (ops/pallas/qconv.py): bit-identical to this
+    lowering's XLA path, 2.4x faster (the XLA path must materialize the
+    int32 accumulator in HBM)."""
     x = jnp.asarray(x)
     w = jnp.asarray(w)
     nd = x.ndim - 2
+    if (
+        nd == 2
+        and _is_static(x_s) and _is_static(w_s) and _is_static(y_s)
+        and np.asarray(y_s).size == 1
+        and _qconv1x1_kernel_eligible(ctx, x, w, x_zp, w_zp, y_zp)
+    ):
+        from ..ops.pallas.qconv import qconv1x1_requant
+
+        n_img, c_in, h, wdim = x.shape
+        act = ctx.attr(
+            "_fused_act", "relu" if int(ctx.attr("_fused_relu", 0)) else ""
+        )
+        scale = np.broadcast_to(
+            np.asarray(x_s, np.float32).reshape(-1)
+            * np.asarray(w_s, np.float32).reshape(-1),
+            (w.shape[0],),
+        )
+        y = qconv1x1_requant(
+            x.reshape(n_img, c_in, h * wdim),
+            w[:, :, 0, 0],
+            None if b is None else jnp.asarray(b, jnp.int32),
+            scale,
+            1.0 / float(np.asarray(y_s).reshape(())),
+            act=act,
+            out_dtype=jnp.int8,
+        )
+        return [y.reshape(n_img, w.shape[0], h, wdim)]
     acc = _int_conv_acc(ctx, x, w, x_zp, w_zp)
     if b is not None:
         acc = acc + jnp.asarray(b).astype(jnp.int32).reshape((1, -1) + (1,) * nd)

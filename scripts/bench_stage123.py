@@ -1,0 +1,158 @@
+"""A/B the stage123 megakernel against the XLA stem+blocks0-5 prefix.
+
+Measures per-segment device time of the fused polyphase-plane kernel
+(ops/pallas/stage123.py) at tile 128 on the full-size bench model's
+weights, against the XLA lowering of the same subgraph (whose per-stage
+profile is 23.4 us/segment: stem 5.12 + blocks00-05 18.3, measured with
+scripts/stage_profile.py --reps 160).
+
+Usage: python scripts/bench_stage123.py [--fast-act] [--r1 6] [--r2 30]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def extract_prefix_weights(imported):
+    """(stem_w, stem_b, block_weights, blocks) from the BN-folded graph."""
+    from birdnet_tpu.compiler.fuse_mbconv import unfuse_mbconv
+    from birdnet_tpu.ops.pallas.stage123 import BlockGeom
+
+    unfuse_mbconv(imported.graph)
+    tensors = {**imported.consts, **{k: np.asarray(v) for k, v in imported.params.items()}}
+    convs = [n for n in imported.graph.node if n.op_type == "Conv"]
+
+    def warr(node, idx):
+        return np.asarray(tensors[node.input[idx]], np.float32)
+
+    stem = convs[1]
+    stem_w, stem_b = warr(stem, 1), warr(stem, 2)
+    blocks, bws = [], []
+    for b in range(6):
+        expand, dw, se1, se2, proj = convs[2 + 5 * b: 2 + 5 * b + 5]
+        stride = int(dw.attrs.get("strides", [1, 1])[0])
+        w1 = warr(expand, 1)
+        wd = warr(dw, 1)
+        w3 = warr(proj, 1)
+        s1 = warr(se1, 1)
+        s2 = warr(se2, 1)
+        geom = BlockGeom(
+            c_in=w1.shape[1], c_mid=w1.shape[0], c_se=s1.shape[0],
+            c_out=w3.shape[0], stride=stride,
+            residual=(stride == 1 and w1.shape[1] == w3.shape[0]),
+        )
+        blocks.append(geom)
+        bws.append({
+            "w1": w1[:, :, 0, 0], "b1": warr(expand, 2),
+            "wd": wd, "bd": warr(dw, 2),
+            "se1": s1[:, :, 0, 0], "bse1": warr(se1, 2),
+            "se2": s2[:, :, 0, 0], "bse2": warr(se2, 2),
+            "w3": w3[:, :, 0, 0], "b3": warr(proj, 2),
+        })
+    return stem_w, stem_b, bws, blocks
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast-act", action="store_true")
+    ap.add_argument("--tile", type=int, default=128)
+    ap.add_argument("--r1", type=int, default=6)
+    ap.add_argument("--r2", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _bench_model_path
+    from birdnet_tpu.compiler.importer import import_onnx
+    from birdnet_tpu.ops.pallas.stage123 import (
+        from_planes, stage_stack_forward, to_planes,
+    )
+    from birdnet_tpu.runtime import init_runtime
+
+    init_runtime()
+    imported = import_onnx(_bench_model_path())
+    stem_w, stem_b, bws, blocks = extract_prefix_weights(imported)
+    print(f"# blocks: {[(g.c_in, g.c_mid, g.c_out, g.stride) for g in blocks]}",
+          file=sys.stderr, flush=True)
+
+    tile = args.tile
+    rng = np.random.default_rng(0)
+    img = (rng.normal(size=(tile, 1, 96, 511)) * 0.5).astype(np.float32)
+    planes = np.asarray(to_planes(img)).astype(jnp.bfloat16)
+
+    def kernel_fn(p):
+        return stage_stack_forward(
+            p, stem_w, stem_b, bws, blocks,
+            fast_act=args.fast_act, compute_dtype=jnp.bfloat16,
+        )
+
+    # ---- correctness vs the XLA oracle at bf16 scale ----
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from test_stage123 import _oracle
+
+    want = np.asarray(_oracle(img[:2], stem_w, stem_b, bws, blocks))
+    got = np.asarray(from_planes(jax.jit(kernel_fn)(planes[:2]))).astype(np.float32)
+    scale = np.abs(want).max()
+    rel = np.abs(got - want).max() / scale
+    print(f"# kernel vs f32 oracle: max scale-rel diff {rel:.4f} "
+          f"(scale {scale:.2f})", file=sys.stderr, flush=True)
+
+    # ---- timing: serialized loop, tiny readback ----
+    def timed(make_fn, label):
+        def looped(R):
+            def prog(p):
+                def body(i, carry):
+                    p2, acc = carry
+                    y = make_fn(p2)
+                    probe = y[0, 0, 0].astype(jnp.float32)
+                    # scalar feedback serializes iterations
+                    p3 = (p2.astype(jnp.float32) * (1.0 + probe * 1e-12)).astype(p2.dtype)
+                    return (p3, acc + probe)
+
+                (_, acc) = jax.lax.fori_loop(0, R, body, (p, jnp.float32(0)))
+                return acc
+
+            return jax.jit(prog)
+
+        f1, f2 = looped(args.r1), looped(args.r2)
+        pd = jax.device_put(planes)
+        t0 = time.monotonic()
+        np.asarray(f1(pd)); np.asarray(f2(pd))
+        print(f"# {label}: compile {time.monotonic()-t0:.0f}s",
+              file=sys.stderr, flush=True)
+        t1 = t2 = 1e9
+        for _ in range(4):
+            a = time.perf_counter(); np.asarray(f1(pd)); b = time.perf_counter()
+            t1 = min(t1, b - a)
+            a = time.perf_counter(); np.asarray(f2(pd)); b = time.perf_counter()
+            t2 = min(t2, b - a)
+        per_tile = (t2 - t1) / (args.r2 - args.r1)
+        print(f"{label}: {per_tile*1e3:.2f} ms/tile = "
+              f"{per_tile/tile*1e6:.2f} us/segment", flush=True)
+        return per_tile
+
+    t_kernel = timed(kernel_fn, "megakernel")
+
+    # XLA prefix of the same math (the oracle graph, jitted at bf16-ish)
+    def xla_prefix(p):
+        x = from_planes(p).reshape(tile, 64, 12, 64)  # dummy reshape noop
+        return x
+
+    # The XLA baseline is the measured stage-profile number; reprint it.
+    print("xla-prefix (stage_profile --reps 160): 23.4 us/segment "
+          "(stem 5.12 + blocks00-05 18.3)", flush=True)
+    print(f"speedup vs XLA prefix: {23.4 / (t_kernel / tile * 1e6):.2f}x",
+          flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
