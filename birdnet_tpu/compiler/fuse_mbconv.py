@@ -60,26 +60,51 @@ def _is_1x1(node, tensors) -> bool:
     return pads_ok and s == [1, 1] and g == 1 and d == [1, 1]
 
 
-def _is_dw3x3_s1(node, tensors) -> bool:
+def _dw3x3_stride(node, tensors) -> Optional[int]:
+    """If ``node`` is a depthwise 3x3 SAME conv the fused kernels model,
+    return its stride (1 or 2); else None.
+
+    Stride 2 additionally requires the *top-left anchored* pad convention
+    (explicit pads starting [1, 1, ...]): the conv center sits at even
+    input coordinates (``y_in = 2*y_out``), which is how both the model
+    builder (models/_builder.py:76) and the polyphase-plane megakernel
+    (ops/pallas/stage123.py::tap_source) place it. SAME_UPPER at stride 2
+    centers at odd coordinates — a different function — and must NOT
+    match.
+    """
     if len(node.input) < 2 or node.input[1] not in tensors:
-        return False
+        return None
     w = tensors[node.input[1]]
     if w.ndim != 4 or w.shape[1] != 1 or tuple(w.shape[2:]) != (3, 3):
-        return False
+        return None
     g = int(node.attrs.get("group", 1) or 1)
+    if (g != w.shape[0]
+            or _attr_list(node, "kernel_shape", [3, 3]) != [3, 3]
+            or _attr_list(node, "dilations", [1, 1]) != [1, 1]):
+        return None
+    stride = _attr_list(node, "strides", [1, 1])
+    if stride not in ([1, 1], [2, 2]):
+        return None
+    s = stride[0]
     ap = _auto_pad(node)
-    # The fused kernel's stencil is SAME ([1,1,1,1]); ONNX's default pads
-    # is ZERO (VALID), which must NOT match. For a 3x3 stride-1 kernel
-    # SAME_UPPER and SAME_LOWER both resolve to (1,1) per side.
-    if ap == "NOTSET":
-        pads_ok = _attr_list(node, "pads", None) == [1, 1, 1, 1]
+    # ONNX's default pads is ZERO (VALID), which must NOT match. For a
+    # 3x3 stride-1 kernel SAME_UPPER and SAME_LOWER both resolve to
+    # (1,1) per side; for stride 2 only the anchored explicit form is
+    # accepted (see docstring).
+    if s == 1:
+        if ap == "NOTSET":
+            pads_ok = _attr_list(node, "pads", None) == [1, 1, 1, 1]
+        else:
+            pads_ok = ap in ("SAME_UPPER", "SAME_LOWER")
     else:
-        pads_ok = ap in ("SAME_UPPER", "SAME_LOWER")
-    return (pads_ok
-            and g == w.shape[0]
-            and _attr_list(node, "kernel_shape", [3, 3]) == [3, 3]
-            and _attr_list(node, "strides", [1, 1]) == [1, 1]
-            and _attr_list(node, "dilations", [1, 1]) == [1, 1])
+        pads = _attr_list(node, "pads", None)
+        # [1,1,b,r] with b/r in {0,1}: for even input dims the bottom /
+        # right pad row is never read at stride 2, so these are the same
+        # conv; the builder emits [1,1,1,1].
+        pads_ok = (ap == "NOTSET" and pads is not None
+                   and pads[:2] == [1, 1] and pads[2] in (0, 1)
+                   and pads[3] in (0, 1))
+    return s if pads_ok else None
 
 
 def fuse_mbconv(graph: P.GraphProto, tensors: Dict) -> int:
@@ -121,7 +146,8 @@ def fuse_mbconv(graph: P.GraphProto, tensors: Dict) -> int:
     for dw in nodes:
         if dw.op_type != "Conv" or id(dw) in consumed:
             continue
-        if not _is_dw3x3_s1(dw, tensors) or len(dw.input) != 3:
+        dw_stride = _dw3x3_stride(dw, tensors)
+        if dw_stride is None or len(dw.input) != 3:
             continue
         # ---- backwards: h1 = swish(expand Conv) ----
         h1_mul = prod.get(dw.input[0])
@@ -200,8 +226,9 @@ def fuse_mbconv(graph: P.GraphProto, tensors: Dict) -> int:
         members = [expand, sig1[0], h1_mul, dw, sig2[0], h2_mul, gap,
                    se1, se_sigs[0], se_swish, se2, se2_sig, scale_mul, proj]
         residual = 0
-        # ---- optional residual Add(x, proj) ----
-        if uses[out_name] == 1:
+        # ---- optional residual Add(x, proj) — stride 1 only (at stride 2
+        # the spatial shapes differ, so no Add can reference x) ----
+        if dw_stride == 1 and uses[out_name] == 1:
             add = next(iter(consumers.get(out_name, [])), None)
             if (add is not None and add.op_type == "Add"
                     and set(add.input) == {x_name, out_name}):
@@ -228,6 +255,7 @@ def fuse_mbconv(graph: P.GraphProto, tensors: Dict) -> int:
              proj.input[1], proj.input[2]],
             [out_name],
             residual=residual,
+            stride=dw_stride,
             body=body,
         )
         consumed |= member_ids

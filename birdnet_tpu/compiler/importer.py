@@ -194,7 +194,9 @@ def _validate_ops(model: ImportedModel) -> None:
 # Control-flow / fused ops whose lowerings interpret subgraphs that may
 # capture *outer-scope* tracers through ``env`` — even when every direct
 # input is static, they cannot be evaluated at compile time.
-_NO_FOLD_OPS = frozenset({"If", "Loop", "Scan", "_FusedMBConv"})
+_NO_FOLD_OPS = frozenset(
+    {"If", "Loop", "Scan", "_FusedMBConv", "_FusedStagePrefix"}
+)
 
 
 def interpret_graph(

@@ -1630,6 +1630,7 @@ def _fused_mbconv(ctx, x, w1, b1, wd, bd, se1w, se1b, se2w, se2b, w3, b3):
         os.environ.get("BIRDNET_PALLAS_MBCONV") == "1"
         and NO_PALLAS_SENTINEL not in ctx.env
         and ctx.precision in ("fast", "bf16")
+        and int(ctx.attr("stride", 1)) == 1  # block2 models stride-1 only
         and x.ndim == 4
         # block2's documented support envelope: W a lane multiple (H*W
         # divisible by 128 is NOT sufficient — e.g. H=32, W=64 violates
@@ -1652,6 +1653,106 @@ def _fused_mbconv(ctx, x, w1, b1, wd, bd, se1w, se1b, se2w, se2b, w3, b3):
         return [y.astype(jnp.bfloat16)]
     body = ctx.attr("body")
     return list(_run_subgraph(ctx, body))
+
+
+@op("_FusedStagePrefix")
+def _fused_stage_prefix(ctx, x, stem_w, stem_b, *block_args):
+    """Stem + leading MBConv chain as ONE Pallas megakernel call
+    (ops/pallas/stage123.py): the whole prefix for each segment runs inside
+    VMEM, cutting its HBM traffic to the mel image in and the last block's
+    activations out. Bundled by compiler/fuse_stage_prefix.py.
+
+    Controls:
+    - ``BIRDNET_PALLAS_STAGE123=0`` disables the kernel (body fallback).
+    - ``BIRDNET_STAGE123_SPLIT=k`` runs the kernel for stem + the first
+      ``k`` blocks only, interpreting the remaining blocks op-by-op — the
+      A/B lever for choosing the fastest split point.
+
+    Eligibility is decided here at trace time: TPU backend, bf16
+    activation policy, and the kernel's exact geometry envelope
+    ([N, 1, 96, W] with W in {511, 512} — see stage123.py's module
+    docstring for why one pad column keeps it exact). Everything else
+    re-interprets the ``body`` chain, bit-identical to the unfused graph.
+    """
+    import os
+
+    from ..ops.pallas.stage123 import BlockGeom
+
+    x = jnp.asarray(x)
+    strides = [int(s) for s in ctx.attr("strides")]
+    n_blocks = len(strides)
+    residuals = [int(r) for r in ctx.attr("residuals")]
+    body = ctx.attr("body")
+
+    eligible = (
+        os.environ.get("BIRDNET_PALLAS_STAGE123", "1") != "0"
+        and NO_PALLAS_SENTINEL not in ctx.env
+        and ctx.precision in ("fast", "bf16")
+        and x.ndim == 4
+        and x.shape[1] == 1
+        and x.shape[2] == 96
+        and x.shape[3] in (511, 512)
+        and jax.default_backend() in ("tpu", "axon")
+    )
+    interpret = os.environ.get("BIRDNET_STAGE123_INTERPRET") == "1"
+    if interpret:  # CI-tier wiring test: run the kernel in interpret mode
+        eligible = (x.ndim == 4 and x.shape[1] == 1 and x.shape[2] == 96
+                    and x.shape[3] in (511, 512))
+    k = n_blocks
+    split = os.environ.get("BIRDNET_STAGE123_SPLIT")
+    if split is not None:
+        k = max(0, min(n_blocks, int(split)))
+    if not eligible or k == 0:
+        return list(_run_subgraph(ctx, body))
+
+    from ..ops.pallas.stage123 import (
+        from_planes, stage_stack_forward, to_planes,
+    )
+
+    blocks = []
+    bws = []
+    for bi in range(k):
+        (w1, b1, wd, bd, se1w, se1b, se2w, se2b, w3, b3) = (
+            jnp.asarray(a) for a in block_args[10 * bi:10 * bi + 10]
+        )
+        blocks.append(BlockGeom(
+            c_in=w1.shape[1], c_mid=w1.shape[0], c_se=se1w.shape[0],
+            c_out=w3.shape[0], stride=strides[bi],
+            residual=bool(residuals[bi]),
+        ))
+        bws.append({
+            "w1": w1[:, :, 0, 0], "b1": b1, "wd": wd, "bd": bd,
+            "se1": se1w[:, :, 0, 0], "bse1": se1b,
+            "se2": se2w[:, :, 0, 0], "bse2": se2b,
+            "w3": w3[:, :, 0, 0], "b3": b3,
+        })
+    planes = to_planes(x.astype(jnp.bfloat16))
+    y = stage_stack_forward(
+        planes, jnp.asarray(stem_w), jnp.asarray(stem_b), bws, blocks,
+        fast_act=(ctx.precision == "fast"),
+        compute_dtype=jnp.bfloat16,
+        interpret=interpret,
+    )
+    grid = 4  # phase grid after the stride-2 stem
+    for s in strides[:k]:
+        grid //= s
+    x_k = from_planes(y, grid, grid)
+    if k == n_blocks:
+        return [x_k]
+    # Partial split: interpret the remaining blocks from the body chain,
+    # seeded with the kernel's intermediate activation.
+    from ..onnx import proto as P
+
+    block_outputs = list(ctx.attr("block_outputs"))
+    suffix = P.GraphProto(
+        name="stage_prefix_suffix",
+        node=body.node[3 + k:],
+        initializer=[],
+        input=[],
+        output=[P.make_value_info(block_outputs[-1], _DT.FLOAT, [])],
+    )
+    return list(_run_subgraph(ctx, suffix,
+                              extra_env={block_outputs[k - 1]: x_k}))
 
 
 @op("If")

@@ -525,6 +525,8 @@ def optimize_graph(graph: GraphProto, tensors: Dict[str, np.ndarray]) -> Dict[st
     if stats["qdq_fused"] or stats["requant_collapsed"]:
         stats["dead_removed"] = eliminate_dead_nodes(graph)
     from .fuse_mbconv import fuse_mbconv
+    from .fuse_stage_prefix import fuse_stage_prefix
 
     stats["mbconv_fused"] = fuse_mbconv(graph, tensors)
+    stats["stage_prefix_blocks"] = fuse_stage_prefix(graph, tensors)
     return stats

@@ -175,9 +175,12 @@ def quantize_model(
     tensors.update(model.consts)
 
     # The quantizer works on raw Conv/MatMul nodes; expand any fused
-    # MBConv groups back to their original chains first.
+    # stage-prefix / MBConv groups back to their original chains first
+    # (prefix first: its body holds _FusedMBConv nodes).
     from .fuse_mbconv import unfuse_mbconv
+    from .fuse_stage_prefix import unfuse_stage_prefix
 
+    unfuse_stage_prefix(graph)
     unfuse_mbconv(graph)
 
     eligible = _eligible_nodes(graph, tensors, quantize_first_layer)

@@ -143,22 +143,39 @@ def _build_kernel(blocks: Sequence[BlockGeom], fast_act: bool,
             v = v * masks_ref[k:k + 1, :]
         return v
 
-    def depthwise(h1, a, b, s, wd_ref, bd_ref, masks_ref):
-        """Per-plane taps: h1 f32 [C, a*b*L] -> silu(dw+bd) f32 planes."""
+    # Channel-chunk size for the per-plane tap loops: a [32, 768] slice is
+    # 24 vregs, so the 3 live tap sources + accumulator stay register-
+    # resident. Wider slices ([160, 768] = 120 vregs each) spill to VMEM
+    # per term — measured 13x slower on the stage-2 block.
+    C_CHUNK = 32
+
+    def depthwise(h1, c_mid, a, b, s, wd_ref, bd_ref, masks_ref):
+        """Per-(channel-chunk, plane) taps:
+        h1 f32 [C, a*b*L] -> silu(dw+bd) f32 planes."""
         a_o, b_o = a // s, b // s
         out_planes = []
         for ry_o in range(a_o):
             for rx_o in range(b_o):
-                acc = None
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        p_in, ish, jsh = tap_source(a, b, s, ry_o, rx_o, dy, dx)
-                        src = h1[:, p_in * LANES:(p_in + 1) * LANES]
-                        src = rollmask(src, ish, jsh, masks_ref)
-                        t = (dy + 1) * 3 + (dx + 1)
-                        term = src * wd_ref[:, t][:, None]
-                        acc = term if acc is None else acc + term
-                out_planes.append(_silu(acc + bd_ref[...], fast_act))
+                chunks = []
+                for c0 in range(0, c_mid, C_CHUNK):
+                    c1 = min(c0 + C_CHUNK, c_mid)
+                    acc = None
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            p_in, ish, jsh = tap_source(
+                                a, b, s, ry_o, rx_o, dy, dx)
+                            src = h1[c0:c1,
+                                     p_in * LANES:(p_in + 1) * LANES]
+                            src = rollmask(src, ish, jsh, masks_ref)
+                            t = (dy + 1) * 3 + (dx + 1)
+                            term = src * wd_ref[c0:c1, t][:, None]
+                            acc = term if acc is None else acc + term
+                    chunks.append(
+                        _silu(acc + bd_ref[c0:c1, :], fast_act))
+                out_planes.append(
+                    chunks[0] if len(chunks) == 1
+                    else jnp.concatenate(chunks, axis=0)
+                )
         return out_planes
 
     def kernel(*refs):
@@ -195,7 +212,8 @@ def _build_kernel(blocks: Sequence[BlockGeom], fast_act: bool,
             # expand 1x1 + silu (f32 through the depthwise rolls)
             h1 = _silu(_mm(w1_ref, x, compute_dtype) + b1_ref[...], fast_act)
             # depthwise 3x3 (stride folds into plane enumeration)
-            planes = depthwise(h1, a, b, s, wd_ref, bd_ref, masks_ref)
+            planes = depthwise(h1, geom.c_mid, a, b, s, wd_ref, bd_ref,
+                               masks_ref)
             h2 = jnp.concatenate(planes, axis=1)  # [C_mid, (a//s)*(b//s)*L]
             a, b = a // s, b // s
             # squeeze-excitation (reduce-formulated channel contractions;
@@ -228,9 +246,10 @@ def _colv(v):
 
 def _wtaps(wd):
     """ONNX depthwise [C,1,3,3] (or stem [C,1,3,3]) -> [C, 16] tap table
-    (9 taps, lane-padded)."""
-    wd = np.asarray(wd, np.float32).reshape(wd.shape[0], 9)
-    return np.pad(wd, ((0, 0), (0, 7)))
+    (9 taps, lane-padded). jnp-based: weights may be jit tracers when the
+    engine threads params through the forward (compiler/importer.py)."""
+    wd = jnp.asarray(wd, jnp.float32).reshape(wd.shape[0], 9)
+    return jnp.pad(wd, ((0, 0), (0, 7)))
 
 
 def stage_stack_forward(
@@ -257,11 +276,12 @@ def stage_stack_forward(
         return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd,
                             memory_space=pltpu.VMEM)
 
+    c_stem = stem_w.shape[0]
     in_specs = [
         pl.BlockSpec((1, 64, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        const_spec((32, 16)),
-        const_spec((32, 1)),
+        const_spec((c_stem, 16)),
+        const_spec((c_stem, 1)),
     ]
     args = [
         img_planes,
@@ -329,7 +349,15 @@ def to_planes(img):
     return x.reshape(n, 64, LANES)
 
 
-def from_planes(y):
-    """[N, C, LANES] final-resolution planes -> [N, C, 12, 64] NCHW."""
+def from_planes(y, a: int = 1, b: int = 1):
+    """[N, C, a*b*LANES] polyphase planes -> [N, C, a*12, b*64] NCHW.
+
+    Inverse of the plane interleave: plane (ry, rx) holds
+    ``orig[y = a*i + ry, x = b*j + rx]``, so H groups as (i, ry) and W as
+    (j, rx). ``a = b = 1`` is the fully-subsampled final resolution."""
     n, c, _ = y.shape
-    return y.reshape(n, c, BASE_H, BASE_W)
+    if a == 1 and b == 1:
+        return y.reshape(n, c, BASE_H, BASE_W)
+    y = y.reshape(n, c, a, b, BASE_H, BASE_W)      # [n, c, ry, rx, i, j]
+    y = y.transpose(0, 1, 4, 2, 5, 3)              # [n, c, i, ry, j, rx]
+    return y.reshape(n, c, a * BASE_H, b * BASE_W)

@@ -43,6 +43,9 @@ def main():
         config = detect_model_type(*imported.detection_shapes())
         n_fused = sum(
             1 for n in imported.graph.node if n.op_type == "_FusedMBConv"
+        ) + sum(
+            len(n.attrs.get("strides", []))
+            for n in imported.graph.node if n.op_type == "_FusedStagePrefix"
         )
         eng = StreamingEngine(imported, config, device=device, top_k=10,
                               tile=args.tile, precision="fast")

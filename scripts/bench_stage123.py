@@ -22,8 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def extract_prefix_weights(imported):
     """(stem_w, stem_b, block_weights, blocks) from the BN-folded graph."""
     from birdnet_tpu.compiler.fuse_mbconv import unfuse_mbconv
+    from birdnet_tpu.compiler.fuse_stage_prefix import unfuse_stage_prefix
     from birdnet_tpu.ops.pallas.stage123 import BlockGeom
 
+    unfuse_stage_prefix(imported.graph)
     unfuse_mbconv(imported.graph)
     tensors = {**imported.consts, **{k: np.asarray(v) for k, v in imported.params.items()}}
     convs = [n for n in imported.graph.node if n.op_type == "Conv"]
@@ -64,6 +66,8 @@ def main():
     ap.add_argument("--tile", type=int, default=128)
     ap.add_argument("--r1", type=int, default=6)
     ap.add_argument("--r2", type=int, default=30)
+    ap.add_argument("--ladder", action="store_true",
+                    help="time stem-only, then +1 block, ... +6 blocks")
     args = ap.parse_args()
 
     import jax
@@ -138,6 +142,29 @@ def main():
         print(f"{label}: {per_tile*1e3:.2f} ms/tile = "
               f"{per_tile/tile*1e6:.2f} us/segment", flush=True)
         return per_tile
+
+    if args.ladder:
+        prev = None
+        for nb in range(0, 7):
+            bl, bw = blocks[:nb], bws[:nb]
+
+            def fn(p, _bl=bl, _bw=bw):
+                if not _bl:
+                    # stem only: hack — single no-op block? use blocks[:1] w/o? 
+                    pass
+                return stage_stack_forward(
+                    p, stem_w, stem_b, _bw, _bl,
+                    fast_act=args.fast_act, compute_dtype=jnp.bfloat16,
+                ) if _bl else None
+
+            if not bl:
+                continue
+            t = timed(fn, f"stem+{nb}blk")
+            if prev is not None:
+                print(f"  delta block{nb-1:02d}: "
+                      f"{(t-prev)/tile*1e6:.2f} us/seg", flush=True)
+            prev = t
+        return 0
 
     t_kernel = timed(kernel_fn, "megakernel")
 

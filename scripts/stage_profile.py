@@ -75,7 +75,9 @@ def main():
     # see the per-block project convs (the XLA program is identical; the
     # fallback lowering re-interprets these same nodes).
     from birdnet_tpu.compiler.fuse_mbconv import unfuse_mbconv
+    from birdnet_tpu.compiler.fuse_stage_prefix import unfuse_stage_prefix
 
+    unfuse_stage_prefix(imported.graph)
     unfuse_mbconv(imported.graph)
     if args.int8:
         from birdnet_tpu.compiler.quantize import (

@@ -17,11 +17,16 @@ def fused_model():
                                                num_species=10))
 
 
-def test_fuses_all_stride1_blocks(fused_model):
-    # 12 MBConv blocks in the depth-2 schedule; the 4 stride-2 lead blocks
-    # of stages 2-5 stay unfused.
+def test_fuses_all_blocks(fused_model):
+    # 12 MBConv blocks in the depth-2 schedule (stride-1 AND stride-2 both
+    # fuse); the stage-prefix pass then bundles the first 6 (stem + stages
+    # 1-3) into one _FusedStagePrefix, leaving 6 standalone.
     n = sum(1 for nd in fused_model.graph.node if nd.op_type == "_FusedMBConv")
-    assert n == 8
+    assert n == 6
+    prefix = [nd for nd in fused_model.graph.node
+              if nd.op_type == "_FusedStagePrefix"]
+    assert len(prefix) == 1
+    assert [int(s) for s in prefix[0].attrs["strides"]] == [1, 1, 2, 1, 2, 1]
 
 
 def test_fused_node_wiring(fused_model):
@@ -38,10 +43,13 @@ def test_fused_node_wiring(fused_model):
 
 def test_fallback_matches_unfused_bitwise(fused_model):
     """The interpret fallback re-runs the original nodes: identical output."""
+    from birdnet_tpu.compiler.fuse_stage_prefix import unfuse_stage_prefix
+
     x = (np.random.default_rng(0).normal(size=(2, 144_000)) * 0.1
          ).astype(np.float32)
     unfused = deepcopy(fused_model)
-    assert unfuse_mbconv(unfused.graph) == 8
+    assert unfuse_stage_prefix(unfused.graph) == 1
+    assert unfuse_mbconv(unfused.graph) == 12
     for precision in ("fp32", "fast"):
         yf = np.asarray(
             make_forward(fused_model, precision)(fused_model.params, x)[0],
@@ -52,15 +60,22 @@ def test_fallback_matches_unfused_bitwise(fused_model):
 
 
 def test_unfuse_roundtrip_refuses_nothing(fused_model):
+    from birdnet_tpu.compiler.fuse_stage_prefix import (
+        fuse_stage_prefix,
+        unfuse_stage_prefix,
+    )
+
     g = deepcopy(fused_model.graph)
     n_before = len(g.node)
-    assert unfuse_mbconv(g) == 8
+    assert unfuse_stage_prefix(g) == 1
+    assert unfuse_mbconv(g) == 12
     assert not any(nd.op_type == "_FusedMBConv" for nd in g.node)
-    # re-fusing the expanded graph finds the same 8 blocks
+    # re-fusing the expanded graph finds the same 12 blocks + same prefix
     tensors = {}
     tensors.update(fused_model.params)
     tensors.update(fused_model.consts)
-    assert fuse_mbconv(g, tensors) == 8
+    assert fuse_mbconv(g, tensors) == 12
+    assert fuse_stage_prefix(g, tensors) == 6
     assert len(g.node) == n_before
 
 
@@ -106,7 +121,7 @@ def test_valid_padding_depthwise_not_fused():
 
 def test_pad_predicates_auto_pad_spellings():
     """Equivalent auto_pad spellings are accepted; VALID 3x3 is not."""
-    from birdnet_tpu.compiler.fuse_mbconv import _is_1x1, _is_dw3x3_s1
+    from birdnet_tpu.compiler.fuse_mbconv import _dw3x3_stride, _is_1x1
 
     w1 = np.zeros((8, 4, 1, 1), np.float32)
     wd = np.zeros((8, 1, 3, 3), np.float32)
@@ -124,9 +139,23 @@ def test_pad_predicates_auto_pad_spellings():
 
     # dw 3x3 s1: explicit SAME pads or SAME_* auto_pad; never VALID/default
     same = dict(group=8, kernel_shape=[3, 3], strides=[1, 1])
-    assert _is_dw3x3_s1(conv("wd", pads=[1, 1, 1, 1], **same), tensors)
-    assert _is_dw3x3_s1(conv("wd", auto_pad="SAME_UPPER", **same), tensors)
-    assert _is_dw3x3_s1(conv("wd", auto_pad="SAME_LOWER", **same), tensors)
-    assert not _is_dw3x3_s1(conv("wd", **same), tensors)  # default pads = 0
-    assert not _is_dw3x3_s1(conv("wd", auto_pad="VALID", **same), tensors)
-    assert not _is_dw3x3_s1(conv("wd", pads=[0, 0, 0, 0], **same), tensors)
+    assert _dw3x3_stride(conv("wd", pads=[1, 1, 1, 1], **same), tensors) == 1
+    assert _dw3x3_stride(conv("wd", auto_pad="SAME_UPPER", **same),
+                         tensors) == 1
+    assert _dw3x3_stride(conv("wd", auto_pad="SAME_LOWER", **same),
+                         tensors) == 1
+    assert _dw3x3_stride(conv("wd", **same), tensors) is None  # default = 0
+    assert _dw3x3_stride(conv("wd", auto_pad="VALID", **same), tensors) is None
+    assert _dw3x3_stride(conv("wd", pads=[0, 0, 0, 0], **same),
+                         tensors) is None
+
+    # dw 3x3 s2: only the top-left anchored explicit pad convention — the
+    # conv tap_source models (center at even input coords). SAME_UPPER at
+    # stride 2 centers at odd coords: a different function, must not match.
+    s2 = dict(group=8, kernel_shape=[3, 3], strides=[2, 2])
+    assert _dw3x3_stride(conv("wd", pads=[1, 1, 1, 1], **s2), tensors) == 2
+    assert _dw3x3_stride(conv("wd", pads=[1, 1, 0, 0], **s2), tensors) == 2
+    assert _dw3x3_stride(conv("wd", auto_pad="SAME_UPPER", **s2),
+                         tensors) is None
+    assert _dw3x3_stride(conv("wd", pads=[0, 0, 1, 1], **s2), tensors) is None
+    assert _dw3x3_stride(conv("wd", **s2), tensors) is None
