@@ -195,7 +195,8 @@ def _validate_ops(model: ImportedModel) -> None:
 # capture *outer-scope* tracers through ``env`` — even when every direct
 # input is static, they cannot be evaluated at compile time.
 _NO_FOLD_OPS = frozenset(
-    {"If", "Loop", "Scan", "_FusedMBConv", "_FusedStagePrefix"}
+    {"If", "Loop", "Scan", "_FusedMBConv", "_FusedStagePrefix",
+     "_FusedFrontend"}
 )
 
 

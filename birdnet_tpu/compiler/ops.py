@@ -1755,6 +1755,49 @@ def _fused_stage_prefix(ctx, x, stem_w, stem_b, *block_args):
                               extra_env={block_outputs[k - 1]: x_k}))
 
 
+@op("_FusedFrontend")
+def _fused_frontend(ctx, x, w):
+    """Conv-form audio frontend (framing + filterbank + power + log) as one
+    Pallas kernel per segment (ops/pallas/frontend.py::
+    segments_filterbank_logpower). Bundled by compiler/fuse_frontend.py.
+
+    Eligible on TPU under bf16 activation policies when the phase count
+    ``hop / gcd(S, hop)`` is ≤ 8 (7 for every BirdNET v2.4 config); the
+    kernel's bf16 MXU operands match what the XLA conv lowering uses under
+    the same policy, so numerics are policy-equivalent. Everything else
+    re-interprets ``body``. ``BIRDNET_PALLAS_FRONTEND=0`` disables.
+    """
+    import math
+    import os
+
+    x = jnp.asarray(x)
+    body = ctx.attr("body")
+    hop = int(ctx.attr("hop"))
+    eps = float(ctx.attr("eps"))
+    interpret = os.environ.get("BIRDNET_FRONTEND_INTERPRET") == "1"
+    eligible = (
+        x.ndim == 2
+        and x.shape[0] is not None
+        and hop // math.gcd(int(x.shape[1]), hop) <= 8
+        and (interpret
+             or (os.environ.get("BIRDNET_PALLAS_FRONTEND", "1") != "0"
+                 and NO_PALLAS_SENTINEL not in ctx.env
+                 and ctx.precision in ("fast", "bf16")
+                 and jax.default_backend() in ("tpu", "axon")))
+    )
+    if not eligible:
+        return list(_run_subgraph(ctx, body))
+
+    from ..ops.pallas.frontend import segments_filterbank_logpower
+
+    out = segments_filterbank_logpower(
+        x.astype(jnp.bfloat16), jnp.asarray(w), hop=hop, eps=eps,
+        compute_dtype=jnp.bfloat16, interpret=interpret,
+    )  # [N, T, F]
+    img = jnp.transpose(out, (0, 2, 1))[:, None]  # [N, 1, F, T]
+    return [img]
+
+
 @op("If")
 def _if(ctx, cond):
     """ONNX If. A static condition picks the branch at trace time (only

@@ -177,9 +177,11 @@ def quantize_model(
     # The quantizer works on raw Conv/MatMul nodes; expand any fused
     # stage-prefix / MBConv groups back to their original chains first
     # (prefix first: its body holds _FusedMBConv nodes).
+    from .fuse_frontend import unfuse_frontend
     from .fuse_mbconv import unfuse_mbconv
     from .fuse_stage_prefix import unfuse_stage_prefix
 
+    unfuse_frontend(graph)
     unfuse_stage_prefix(graph)
     unfuse_mbconv(graph)
 

@@ -84,13 +84,20 @@ def _kernel_row_aligned(
 
 
 def _filterbank_body(grid2d, w_ref, out_ref, patch_scratch, *,
-                     hop, kernel_size, n_frames, eps, scale):
+                     hop, kernel_size, n_frames, eps, scale,
+                     compute_dtype=jnp.float32):
     """Shared tail: polyphase patch assembly + MXU filterbank + log-power.
 
     ``grid2d``: [rows, hop] ref of segment samples. Frame j is rows
     j..j+n_parts-1 concatenated, truncated to kernel_size — all static
     slices, so no Mosaic dynamic-lane constraints apply. ``patch_scratch``
     may be sublane-padded; garbage pad rows are computed and sliced away.
+
+    ``compute_dtype=float32`` uses a HIGHEST-precision dot (true-f32 MXU
+    passes; the default TPU precision is bf16-based and shows ~0.3
+    log-space error on near-cancelling sums). bf16 matches the engine's
+    ``fast``/``bf16`` activation policies — the same operand width the
+    XLA conv lowering uses there.
     """
     n_parts = -(-kernel_size // hop)
     t_pad = patch_scratch.shape[0]
@@ -98,8 +105,10 @@ def _filterbank_body(grid2d, w_ref, out_ref, patch_scratch, *,
     # mis-handles ref loads at non-sublane-multiple row offsets, but value
     # slicing is a register relayout and is exact.
     seg = grid2d[:]
-    if seg.dtype != jnp.float32:
-        seg = seg.astype(jnp.float32) * scale
+    if seg.dtype != compute_dtype:
+        seg = seg.astype(compute_dtype)
+        if scale != 1.0:
+            seg = seg * jnp.asarray(scale, compute_dtype)
     parts = []
     for p in range(n_parts):
         width = min(hop, kernel_size - p * hop)
@@ -111,11 +120,11 @@ def _filterbank_body(grid2d, w_ref, out_ref, patch_scratch, *,
         shifted = pltpu.roll(seg, seg.shape[0] - p, 0) if p else seg
         parts.append(jax.lax.slice(shifted, (0, 0), (t_pad, width)))
     patch_scratch[:] = jnp.concatenate(parts, axis=1)
-    # HIGHEST keeps true-f32 MXU passes (default TPU precision is bf16-based,
-    # which shows up as ~0.3 log-space error on near-cancelling sums).
     fb = jnp.dot(patch_scratch[:], w_ref[:],
                  preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
+                 precision=(jax.lax.Precision.HIGHEST
+                            if compute_dtype == jnp.float32 else None))
+    fb = fb.astype(jnp.float32)
     res = jnp.log(fb * fb + eps)
     if out_ref.shape[1] == res.shape[0]:
         out_ref[0] = res
@@ -262,6 +271,161 @@ def frame_filterbank_logpower(
         ],
         interpret=interpret,
     )(audio_in, wt_padded)[:, :n_frames, :n_filters]
+
+
+def _kernel_phased(
+    audio_ref,       # HBM: [total_rows, hop]
+    w_ref,           # VMEM: [K, F_pad] (compute dtype)
+    out_ref,         # VMEM block: [1, t_pad, F_pad]
+    seg_scratch,     # VMEM: [rows_alloc, hop] audio dtype
+    aligned_scratch,  # VMEM: [rows_alloc, hop] audio dtype
+    patch_scratch,   # VMEM: [t_pad, K] compute dtype
+    sem,
+    *,
+    rows_alloc: int,
+    hop: int,
+    kernel_size: int,
+    n_frames: int,
+    eps: float,
+    scale: float,
+    sample_count: int,
+    shifts: tuple,
+    compute_dtype,
+):
+    """Arbitrary-hop variant: per-segment phased row DMA + static realign.
+
+    Segment ``i`` starts at flat sample ``i*sample_count``, i.e. row
+    ``start // hop`` at lane offset ``start % hop``. The offset cycles
+    through the small set ``shifts`` (period ``hop / gcd(sample_count,
+    hop)`` — 7 for BirdNET's 144000/280), so the kernel unrolls one
+    statically-shifted realign per phase behind ``pl.when``: the aligned
+    segment is ``concat(rows[:, s:], rows_shifted_up[:, :s])`` — two
+    static lane slices (register relayouts) + one sublane roll. This
+    sidesteps Mosaic's dynamic-lane-offset restriction (see module
+    docstring) without any in-kernel reshape.
+    """
+    i = pl.program_id(0)
+    start = i * sample_count
+    row0 = start // hop
+    sh = start % hop
+    dma = pltpu.make_async_copy(
+        audio_ref.at[pl.ds(row0, rows_alloc), :],
+        seg_scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+    seg = seg_scratch[:]
+    # Row r+1 moved to row r: the realigned tail of each row comes from the
+    # head of the next row.
+    up = pltpu.roll(seg, rows_alloc - 1, 0)
+    for s_const in shifts:
+        @pl.when(sh == s_const)
+        def _(s_const=s_const):
+            if s_const == 0:
+                aligned_scratch[:] = seg
+            else:
+                aligned_scratch[:] = jnp.concatenate(
+                    [
+                        jax.lax.slice(seg, (0, s_const), (rows_alloc, hop)),
+                        jax.lax.slice(up, (0, 0), (rows_alloc, s_const)),
+                    ],
+                    axis=1,
+                )
+    _filterbank_body(aligned_scratch, w_ref, out_ref, patch_scratch,
+                     hop=hop, kernel_size=kernel_size, n_frames=n_frames,
+                     eps=eps, scale=scale, compute_dtype=compute_dtype)
+
+
+def segments_filterbank_logpower(
+    segments: jax.Array,
+    weights: jax.Array,
+    *,
+    hop: int,
+    eps: float = 1e-6,
+    scale: float = 1.0,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused frontend over pre-sliced segments ``[N, S]`` at ANY hop.
+
+    The arbitrary-hop successor to :func:`frame_filterbank_logpower`
+    (which requires ``hop % 128 == 0``): segments are viewed as one flat
+    sample stream reshaped to ``[rows, hop]`` (a free relayout under XLA),
+    and each grid step DMAs its segment's row span, realigning the
+    ``(i*S) % hop`` lane offset with a per-phase static shift (see
+    ``_kernel_phased``). Requires the phase count ``hop / gcd(S, hop)``
+    to be small (≤ 8 unrolled branches) — 7 for every BirdNET v2.4
+    segment/overlap configuration.
+
+    ``segments``: [N, S], already scaled (pass ``scale`` otherwise).
+    ``compute_dtype``: bf16 matches the engine's ``fast``/``bf16``
+    activation policies (same MXU operand width as the XLA conv lowering
+    it replaces); f32 uses a HIGHEST-precision dot.
+    Returns ``[N, T, F]`` log-power.
+    """
+    import math
+
+    weights = jnp.asarray(weights)
+    if weights.ndim == 3:
+        weights = weights[:, 0, :]
+    n_filters, kernel_size = weights.shape
+    n, sample_count = segments.shape
+    n_frames = (sample_count - kernel_size) // hop + 1
+    n_parts = -(-kernel_size // hop)
+    shifts = tuple(sorted({(i * sample_count) % hop for i in range(n)}))
+    if len(shifts) > 8:
+        raise NotImplementedError(
+            f"{len(shifts)} segment phases (hop={hop}, S={sample_count}); "
+            f"the phased kernel unrolls at most 8"
+        )
+    t_pad = _round8(n_frames)
+    rows_alloc = _round8(t_pad + n_parts)
+    total_rows = max(-(-n * sample_count // hop),
+                     (n - 1) * sample_count // hop + rows_alloc)
+    flat = segments.reshape(-1)
+    pad = total_rows * hop - flat.shape[0]
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, flat.dtype)])
+    audio_in = flat.reshape(total_rows, hop)
+
+    out_cols = -(-n_filters // 128) * 128
+    wt = weights.T.astype(compute_dtype)
+    if out_cols != n_filters:
+        wt = jnp.pad(wt, ((0, 0), (0, out_cols - n_filters)))
+
+    kernel = functools.partial(
+        _kernel_phased,
+        rows_alloc=rows_alloc,
+        hop=hop,
+        kernel_size=kernel_size,
+        n_frames=n_frames,
+        eps=eps,
+        scale=scale,
+        sample_count=sample_count,
+        shifts=shifts,
+        compute_dtype=compute_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_pad, out_cols), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, t_pad, out_cols), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows_alloc, hop), segments.dtype),
+            pltpu.VMEM((rows_alloc, hop), segments.dtype),
+            pltpu.VMEM((t_pad, kernel_size), compute_dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(audio_in, wt)[:, :n_frames, :n_filters]
 
 
 def frontend_reference(

@@ -21,10 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def extract_prefix_weights(imported):
     """(stem_w, stem_b, block_weights, blocks) from the BN-folded graph."""
+    from birdnet_tpu.compiler.fuse_frontend import unfuse_frontend
     from birdnet_tpu.compiler.fuse_mbconv import unfuse_mbconv
     from birdnet_tpu.compiler.fuse_stage_prefix import unfuse_stage_prefix
     from birdnet_tpu.ops.pallas.stage123 import BlockGeom
 
+    unfuse_frontend(imported.graph)
     unfuse_stage_prefix(imported.graph)
     unfuse_mbconv(imported.graph)
     tensors = {**imported.consts, **{k: np.asarray(v) for k, v in imported.params.items()}}

@@ -74,9 +74,11 @@ def main():
     # Profile the raw node chains: expand _FusedMBConv groups so milestones
     # see the per-block project convs (the XLA program is identical; the
     # fallback lowering re-interprets these same nodes).
+    from birdnet_tpu.compiler.fuse_frontend import unfuse_frontend
     from birdnet_tpu.compiler.fuse_mbconv import unfuse_mbconv
     from birdnet_tpu.compiler.fuse_stage_prefix import unfuse_stage_prefix
 
+    unfuse_frontend(imported.graph)
     unfuse_stage_prefix(imported.graph)
     unfuse_mbconv(imported.graph)
     if args.int8:

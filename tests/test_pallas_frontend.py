@@ -77,3 +77,49 @@ def test_kernel_audio_too_short(rng):
             np.zeros((8, 64), np.float32),
             n_segments=2, step=100, sample_count=128, hop=32, interpret=True,
         )
+
+
+# ---- phased (arbitrary-hop) segments kernel --------------------------------
+
+
+@pytest.mark.parametrize(
+    "S,hop,K,F,n_seg,dtype",
+    [
+        (1000, 28, 96, 20, 8, "float32"),    # 7 phases (gcd(1000,28)=4)
+        (1000, 28, 96, 20, 8, "bfloat16"),   # engine fast-policy operands
+        (1400, 28, 96, 20, 5, "float32"),    # phase 0 only (1400 % 28 == 0)
+        (4000, 280, 1024, 96, 3, "float32"),  # BirdNET-shaped mini config
+    ],
+)
+def test_phased_segments_kernel_matches_oracle(rng, S, hop, K, F, n_seg, dtype):
+    import jax.numpy as jnp
+
+    from birdnet_tpu.ops.pallas.frontend import segments_filterbank_logpower
+
+    audio = rng.normal(size=n_seg * S).astype(np.float32)
+    w = (rng.normal(size=(F, K)) * 0.02).astype(np.float32)
+    # oracle: segments are the flat stream at step=S
+    ref = frontend_reference(
+        audio, w, n_segments=n_seg, step=S, sample_count=S, hop=hop, scale=1.0
+    )
+    segs = audio.reshape(n_seg, S)
+    compute = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    out = np.asarray(
+        segments_filterbank_logpower(
+            jnp.asarray(segs).astype(compute), w, hop=hop,
+            compute_dtype=compute, interpret=True,
+        )
+    ).astype(np.float32)
+    assert out.shape == ref.shape
+    tol = 2e-1 if dtype == "bfloat16" else 1e-3
+    np.testing.assert_allclose(out, ref, rtol=tol, atol=tol)
+
+
+def test_phased_segments_rejects_many_phases(rng):
+    from birdnet_tpu.ops.pallas.frontend import segments_filterbank_logpower
+
+    # gcd(1003, 28) = 1 -> 28 phases; 12 segments surface 12 distinct > 8
+    segs = rng.normal(size=(12, 1003)).astype(np.float32)
+    w = np.zeros((8, 96), np.float32)
+    with pytest.raises(NotImplementedError):
+        segments_filterbank_logpower(segs, w, hop=28, interpret=True)
