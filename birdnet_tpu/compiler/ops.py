@@ -1611,46 +1611,13 @@ NO_PALLAS_SENTINEL = "\x00no_pallas_fusion"
 
 @op("_FusedMBConv")
 def _fused_mbconv(ctx, x, w1, b1, wd, bd, se1w, se1b, se2w, se2b, w3, b3):
-    """Whole MBConv block. With ``BIRDNET_PALLAS_MBCONV=1`` on a single TPU
-    device with bf16 activations ('fast'/'bf16' policies) this runs the
-    fused Pallas kernel (ops/pallas/block2.py): the block interiors stay in
-    VMEM and only the input/output touch HBM. By default it re-interprets
-    the original node chain stored in the ``body`` attribute — bit-identical
-    to the unfused graph.
-
-    The kernel is opt-in because it LOSES end-to-end despite winning its
-    microbenchmark (measured on v5e: standalone blocks 0.67-0.93x of the
-    XLA chain, but the full streaming pipeline regresses 23.9k -> 17.5k
-    seg/s with kernels on — pallas_calls inside the tile scan defeat XLA's
-    cross-block scheduling/fusion). Kept for per-block experimentation."""
-    import os
-
-    x = jnp.asarray(x)
-    use_kernel = (
-        os.environ.get("BIRDNET_PALLAS_MBCONV") == "1"
-        and NO_PALLAS_SENTINEL not in ctx.env
-        and ctx.precision in ("fast", "bf16")
-        and int(ctx.attr("stride", 1)) == 1  # block2 models stride-1 only
-        and x.ndim == 4
-        # block2's documented support envelope: W a lane multiple (H*W
-        # divisible by 128 is NOT sufficient — e.g. H=32, W=64 violates
-        # the kernel's roll/mask layout).
-        and x.shape[3] % 128 == 0
-        and jax.default_backend() in ("tpu", "axon")
-    )
-    if use_kernel:
-        from ..ops.pallas.block2 import mbconv_block2
-
-        y = mbconv_block2(
-            x,
-            jnp.asarray(w1)[:, :, 0, 0], b1,
-            wd, bd,
-            jnp.asarray(se1w)[:, :, 0, 0], se1b,
-            jnp.asarray(se2w)[:, :, 0, 0], se2b,
-            jnp.asarray(w3)[:, :, 0, 0], b3,
-            residual=bool(ctx.attr("residual", 0)),
-        )
-        return [y.astype(jnp.bfloat16)]
+    """Whole MBConv block, re-interpreting the original node chain stored
+    in the ``body`` attribute — bit-identical to the unfused graph. The
+    grouping exists for the stage-prefix bundler (fuse_stage_prefix.py)
+    and per-block analysis tooling; per-block Pallas kernels were
+    measured a LOSS end-to-end and removed (round-1 block/block2 and the
+    round-2 stage123 in-pipeline sweep — docs/performance.md has the
+    numbers and the mechanism)."""
     body = ctx.attr("body")
     return list(_run_subgraph(ctx, body))
 
@@ -1662,11 +1629,18 @@ def _fused_stage_prefix(ctx, x, stem_w, stem_b, *block_args):
     VMEM, cutting its HBM traffic to the mel image in and the last block's
     activations out. Bundled by compiler/fuse_stage_prefix.py.
 
-    Controls:
-    - ``BIRDNET_PALLAS_STAGE123=0`` disables the kernel (body fallback).
+    **Default OFF** (``k = 0``: body fallback). The in-pipeline sweep
+    (scripts/split_sweep.py, v5e, 4096-segment dispatches) measured EVERY
+    split point slower than the pure XLA lowering — 20.7k seg/s at
+    split 0 vs 20.2k/20.2k/19.3k/18.7k at splits 1/2/3/6: the depthwise
+    tap arithmetic is VPU-bound and the polyphase roll/mask overhead plus
+    the from_planes boundary relayout outweigh the HBM savings
+    (docs/performance.md has the full attribution). The kernel stays
+    correct, tested, and reachable for experimentation:
+
     - ``BIRDNET_STAGE123_SPLIT=k`` runs the kernel for stem + the first
-      ``k`` blocks only, interpreting the remaining blocks op-by-op — the
-      A/B lever for choosing the fastest split point.
+      ``k`` blocks, interpreting the remaining blocks op-by-op.
+    - ``BIRDNET_PALLAS_STAGE123=0`` force-disables regardless.
 
     Eligibility is decided here at trace time: TPU backend, bf16
     activation policy, and the kernel's exact geometry envelope
@@ -1698,10 +1672,13 @@ def _fused_stage_prefix(ctx, x, stem_w, stem_b, *block_args):
     if interpret:  # CI-tier wiring test: run the kernel in interpret mode
         eligible = (x.ndim == 4 and x.shape[1] == 1 and x.shape[2] == 96
                     and x.shape[3] in (511, 512))
-    k = n_blocks
     split = os.environ.get("BIRDNET_STAGE123_SPLIT")
     if split is not None:
         k = max(0, min(n_blocks, int(split)))
+    elif interpret:
+        k = n_blocks  # wiring tests exercise the full kernel path
+    else:
+        k = 0  # measured default: XLA wins at every split (see docstring)
     if not eligible or k == 0:
         return list(_run_subgraph(ctx, body))
 
@@ -1793,9 +1770,8 @@ def _fused_frontend(ctx, x, w):
     out = segments_filterbank_logpower(
         x.astype(jnp.bfloat16), jnp.asarray(w), hop=hop, eps=eps,
         compute_dtype=jnp.bfloat16, interpret=interpret,
-    )  # [N, T, F]
-    img = jnp.transpose(out, (0, 2, 1))[:, None]  # [N, 1, F, T]
-    return [img]
+    )  # [N, F, T] — already the mel-image orientation
+    return [out[:, None]]
 
 
 @op("If")

@@ -85,7 +85,7 @@ def _kernel_row_aligned(
 
 def _filterbank_body(grid2d, w_ref, out_ref, patch_scratch, *,
                      hop, kernel_size, n_frames, eps, scale,
-                     compute_dtype=jnp.float32):
+                     compute_dtype=jnp.float32, transposed_out=False):
     """Shared tail: polyphase patch assembly + MXU filterbank + log-power.
 
     ``grid2d``: [rows, hop] ref of segment samples. Frame j is rows
@@ -105,10 +105,14 @@ def _filterbank_body(grid2d, w_ref, out_ref, patch_scratch, *,
     # mis-handles ref loads at non-sublane-multiple row offsets, but value
     # slicing is a register relayout and is exact.
     seg = grid2d[:]
-    if seg.dtype != compute_dtype:
-        seg = seg.astype(compute_dtype)
+    # Rolls run in f32 regardless of compute dtype: Mosaic's vector rotate
+    # is 32-bit-only ("Rotate with non-32-bit data" — measured on v5e).
+    # The cast back to ``compute_dtype`` happens at the patch write, so
+    # the MXU operands still match the activation policy.
+    if seg.dtype != jnp.float32:
+        seg = seg.astype(jnp.float32)
         if scale != 1.0:
-            seg = seg * jnp.asarray(scale, compute_dtype)
+            seg = seg * jnp.float32(scale)
     parts = []
     for p in range(n_parts):
         width = min(hop, kernel_size - p * hop)
@@ -119,17 +123,28 @@ def _filterbank_body(grid2d, w_ref, out_ref, patch_scratch, *,
         # row r+p to row r (an upward shift by p).
         shifted = pltpu.roll(seg, seg.shape[0] - p, 0) if p else seg
         parts.append(jax.lax.slice(shifted, (0, 0), (t_pad, width)))
-    patch_scratch[:] = jnp.concatenate(parts, axis=1)
-    fb = jnp.dot(patch_scratch[:], w_ref[:],
-                 preferred_element_type=jnp.float32,
-                 precision=(jax.lax.Precision.HIGHEST
-                            if compute_dtype == jnp.float32 else None))
+    patch = jnp.concatenate(parts, axis=1)
+    patch_scratch[:] = patch.astype(patch_scratch.dtype)
+    prec = (jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32 else None)
+    if transposed_out:
+        # [F, K] x [T, K] -> [F, T]: the mel-image orientation downstream
+        # convs consume ([N, 1, F, T]) — computing it on the MXU directly
+        # avoids an XLA-side transpose of the whole output.
+        fb = jax.lax.dot_general(
+            w_ref[:], patch_scratch[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    else:
+        fb = jnp.dot(patch_scratch[:], w_ref[:],
+                     preferred_element_type=jnp.float32, precision=prec)
     fb = fb.astype(jnp.float32)
     res = jnp.log(fb * fb + eps)
     if out_ref.shape[1] == res.shape[0]:
-        out_ref[0] = res
+        out_ref[0] = res.astype(out_ref.dtype)
     else:
-        out_ref[0] = res[: out_ref.shape[1]]
+        out_ref[0] = res[: out_ref.shape[1]].astype(out_ref.dtype)
 
 
 def _kernel_flat(
@@ -315,7 +330,14 @@ def _kernel_phased(
     )
     dma.start()
     dma.wait()
+    # Realign in f32: Mosaic's vector rotate is 32-bit-only, and the
+    # aligned buffer is consumed by _filterbank_body's f32 roll path
+    # anyway (casts to the MXU compute dtype happen at the patch write).
     seg = seg_scratch[:]
+    if seg.dtype != jnp.float32:
+        seg = seg.astype(jnp.float32)
+        if scale != 1.0:
+            seg = seg * jnp.float32(scale)
     # Row r+1 moved to row r: the realigned tail of each row comes from the
     # head of the next row.
     up = pltpu.roll(seg, rows_alloc - 1, 0)
@@ -334,7 +356,8 @@ def _kernel_phased(
                 )
     _filterbank_body(aligned_scratch, w_ref, out_ref, patch_scratch,
                      hop=hop, kernel_size=kernel_size, n_frames=n_frames,
-                     eps=eps, scale=scale, compute_dtype=compute_dtype)
+                     eps=eps, scale=1.0, compute_dtype=compute_dtype,
+                     transposed_out=True)
 
 
 def segments_filterbank_logpower(
@@ -361,11 +384,11 @@ def segments_filterbank_logpower(
     ``segments``: [N, S], already scaled (pass ``scale`` otherwise).
     ``compute_dtype``: bf16 matches the engine's ``fast``/``bf16``
     activation policies (same MXU operand width as the XLA conv lowering
-    it replaces); f32 uses a HIGHEST-precision dot.
-    Returns ``[N, T, F]`` log-power.
+    it replaces) and is also the output dtype; f32 uses a
+    HIGHEST-precision dot and f32 output.
+    Returns ``[N, F, T]`` log-power — the mel-image orientation, computed
+    on the MXU directly so no whole-output transpose is needed.
     """
-    import math
-
     weights = jnp.asarray(weights)
     if weights.ndim == 3:
         weights = weights[:, 0, :]
@@ -389,10 +412,12 @@ def segments_filterbank_logpower(
         flat = jnp.concatenate([flat, jnp.zeros(pad, flat.dtype)])
     audio_in = flat.reshape(total_rows, hop)
 
-    out_cols = -(-n_filters // 128) * 128
-    wt = weights.T.astype(compute_dtype)
-    if out_cols != n_filters:
-        wt = jnp.pad(wt, ((0, 0), (0, out_cols - n_filters)))
+    f_pad = -(-n_filters // 8) * 8
+    wf = weights.astype(compute_dtype)  # [F, K]
+    if f_pad != n_filters:
+        wf = jnp.pad(wf, ((0, f_pad - n_filters), (0, 0)))
+    out_dtype = (jnp.bfloat16 if compute_dtype == jnp.bfloat16
+                 else jnp.float32)
 
     kernel = functools.partial(
         _kernel_phased,
@@ -414,18 +439,18 @@ def segments_filterbank_logpower(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, t_pad, out_cols), lambda i: (i, 0, 0),
+            (1, f_pad, t_pad), lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, t_pad, out_cols), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, f_pad, t_pad), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((rows_alloc, hop), segments.dtype),
-            pltpu.VMEM((rows_alloc, hop), segments.dtype),
+            pltpu.VMEM((rows_alloc, hop), jnp.float32),  # aligned (f32 rolls)
             pltpu.VMEM((t_pad, kernel_size), compute_dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(audio_in, wt)[:, :n_frames, :n_filters]
+    )(audio_in, wf)[:, :n_filters, :n_frames]
 
 
 def frontend_reference(

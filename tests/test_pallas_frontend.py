@@ -110,6 +110,7 @@ def test_phased_segments_kernel_matches_oracle(rng, S, hop, K, F, n_seg, dtype):
             compute_dtype=compute, interpret=True,
         )
     ).astype(np.float32)
+    out = out.transpose(0, 2, 1)  # kernel returns [N, F, T]
     assert out.shape == ref.shape
     tol = 2e-1 if dtype == "bfloat16" else 1e-3
     np.testing.assert_allclose(out, ref, rtol=tol, atol=tol)

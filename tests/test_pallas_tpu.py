@@ -61,34 +61,77 @@ def test_tpu_unaligned_rejected():
 
 
 @requires_tpu
-def test_tpu_mbconv_block():
-    """Fused MBConv block kernel on real hardware (compiled Mosaic path)."""
-    from birdnet_tpu.ops.pallas.block import mbconv_block, mbconv_reference
+def test_tpu_phased_frontend():
+    """Arbitrary-hop phased frontend kernel on real hardware (compiled
+    Mosaic path: per-phase pl.when realign + MXU filterbank)."""
+    import jax
+    import jax.numpy as jnp
+
+    from birdnet_tpu.ops.pallas.frontend import (
+        frontend_reference,
+        segments_filterbank_logpower,
+    )
     from birdnet_tpu.runtime import default_device, init_runtime
 
     init_runtime()
     dev = default_device()
     if dev.platform not in ("tpu", "axon"):
         pytest.skip("no TPU device")
-    # The exact backbone stage1-block2 config hardware-validated on v5e
-    # (Mosaic is shape-sensitive: e.g. c_in 24 → c_mid 96 with c_se 24
-    # fails remote compile while both real backbone shapes pass).
     irng = np.random.default_rng(7)
-    n, c_in, h, w = 128, 24, 48, 256
-    c_mid, c_se, c_out = 24, 6, 24
+    S, hop, K, F, n_seg = 144_000, 280, 1024, 96, 8
+    audio = (irng.normal(size=n_seg * S) * 0.1).astype(np.float32)
+    w = (irng.normal(size=(F, K)) * 0.02).astype(np.float32)
+    segs = jax.device_put(audio.reshape(n_seg, S), dev)
+    fn = jax.jit(
+        lambda a, ww: segments_filterbank_logpower(
+            a, ww, hop=hop, compute_dtype=jnp.float32
+        )
+    )
+    out = np.asarray(fn(segs, jax.device_put(w, dev)))
+    ref = frontend_reference(
+        audio, w, n_segments=n_seg, step=S, sample_count=S, hop=hop,
+        scale=1.0,
+    ).transpose(0, 2, 1)  # kernel returns [N, F, T]
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=5e-3)
 
-    def mk(*s, sc=0.2):
-        return (irng.normal(size=s) * sc).astype(np.float32)
 
-    x = mk(n, c_in, h, w, sc=0.3)
-    args = [
-        mk(c_mid, c_in), mk(c_mid, sc=0.05),
-        mk(c_mid, 1, 3, 3), mk(c_mid, sc=0.05),
-        mk(c_se, c_mid), mk(c_se, sc=0.05),
-        mk(c_mid, c_se), mk(c_mid, sc=0.05),
-        mk(c_out, c_mid), mk(c_out, sc=0.05),
-    ]
-    y = np.asarray(mbconv_block(x, *args, residual=True), np.float32)
-    ref = np.asarray(mbconv_reference(x, *args, residual=True))
-    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
-    assert rel < 0.02, f"hardware kernel diverged: rel={rel}"
+@requires_tpu
+def test_tpu_stage123_megakernel():
+    """Stage-prefix megakernel on real hardware: compiled Mosaic path vs
+    the f32 conv oracle (in-pipeline it is default-OFF — every split point
+    measured slower than XLA, scripts/split_sweep.py — but the kernel
+    itself must stay correct for experimentation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from birdnet_tpu.ops.pallas.stage123 import (
+        from_planes,
+        stage_stack_forward,
+        to_planes,
+    )
+    from birdnet_tpu.runtime import default_device, init_runtime
+
+    init_runtime()
+    dev = default_device()
+    if dev.platform not in ("tpu", "axon"):
+        pytest.skip("no TPU device")
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_stage123 import SMALL_BLOCKS, _oracle, _rand_weights
+
+    irng = np.random.default_rng(3)
+    blocks = list(SMALL_BLOCKS[:4])  # stem 32ch; strides 1,1,2,1 -> 2x2 grid
+    stem_w, stem_b, bws = _rand_weights(irng, blocks)
+    img = (irng.normal(size=(4, 1, 96, 511)) * 0.5).astype(np.float32)
+    planes = to_planes(jnp.asarray(img)).astype(jnp.bfloat16)
+    y = jax.jit(
+        lambda p: stage_stack_forward(
+            p, stem_w, stem_b, bws, blocks, compute_dtype=jnp.bfloat16
+        )
+    )(jax.device_put(planes, dev))
+    got = np.asarray(from_planes(y, 2, 2), np.float32)
+    want = np.asarray(_oracle(img, stem_w, stem_b, bws, blocks))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 5e-2
