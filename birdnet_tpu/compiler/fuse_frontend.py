@@ -11,9 +11,10 @@ Lowered op-by-op, the conv re-reads every sample K/hop (~3.7x) times and
 the power/log round-trip HBM. This pass bundles the chain into ONE
 ``_FusedFrontend`` node; the lowering (compiler/ops.py) runs the fused
 Pallas kernel :func:`birdnet_tpu.ops.pallas.frontend.
-segments_filterbank_logpower` — each segment's samples are DMA'd into
-VMEM once, framed by static phase-realigned row slices, matmul'd on the
-MXU and log-compressed without touching HBM in between. Ineligible
+segments_filterbank_logpower` — each segment is pre-folded into its own
+[rows, hop] matrix (free pad+reshape), block-pipelined into VMEM once,
+framed by static row slices, matmul'd on the MXU and log-compressed
+without touching HBM in between. Ineligible
 configs re-interpret the ``body`` attribute, bit-identical to the
 unfused graph.
 

@@ -1738,13 +1738,13 @@ def _fused_frontend(ctx, x, w):
     Pallas kernel per segment (ops/pallas/frontend.py::
     segments_filterbank_logpower). Bundled by compiler/fuse_frontend.py.
 
-    Eligible on TPU under bf16 activation policies when the phase count
-    ``hop / gcd(S, hop)`` is ≤ 8 (7 for every BirdNET v2.4 config); the
-    kernel's bf16 MXU operands match what the XLA conv lowering uses under
-    the same policy, so numerics are policy-equivalent. Everything else
-    re-interprets ``body``. ``BIRDNET_PALLAS_FRONTEND=0`` disables.
+    Eligible on TPU under bf16 activation policies (any hop — each
+    segment is pre-folded into its own row matrix, so there is no
+    alignment constraint); the kernel's bf16 MXU operands match what the
+    XLA conv lowering uses under the same policy, so numerics are
+    policy-equivalent. Everything else re-interprets ``body``.
+    ``BIRDNET_PALLAS_FRONTEND=0`` disables.
     """
-    import math
     import os
 
     x = jnp.asarray(x)
@@ -1755,7 +1755,6 @@ def _fused_frontend(ctx, x, w):
     eligible = (
         x.ndim == 2
         and x.shape[0] is not None
-        and hop // math.gcd(int(x.shape[1]), hop) <= 8
         and (interpret
              or (os.environ.get("BIRDNET_PALLAS_FRONTEND", "1") != "0"
                  and NO_PALLAS_SENTINEL not in ctx.env

@@ -28,13 +28,19 @@ STATUS (measured on v5e, jax 0.9):
   ``precision=HIGHEST`` on the MXU dot (the default is bf16-based and shows
   ~0.3 log-space error on near-cancelling sums — easily mistaken for a
   lowering bug).
-- **Arbitrary hop (e.g. BirdNET's 280) cannot be lowered soundly today**:
-  dynamic lane offsets must be 128-multiples, and ``ref.reshape`` is NOT a
-  flat-memory view (rows pad to lane tiles, silently reinterpreting
-  memory — measured). The interpreter path covers those configs.
-- The production streaming path keeps XLA's conv lowering for the frontend
-  (profiled at ~1% of model time, docs/performance.md); this kernel is the
-  fused design for alignment-friendly frontends.
+- **Arbitrary hop (e.g. BirdNET's 280)** is covered by
+  :func:`segments_filterbank_logpower`: each segment of the ``[N, S]``
+  input is padded to whole ``hop``-rows and reshaped to its own
+  ``[rows, hop]`` matrix XLA-side, so every segment is self-aligned and
+  Pallas block pipelining moves it — no dynamic-offset DMA (whose row
+  start Mosaic cannot prove tile-aligned for packed 16-bit layouts), no
+  in-kernel reshape (``ref.reshape`` is NOT a flat-memory view — rows pad
+  to lane tiles, silently reinterpreting memory, measured), and no
+  constraint relating hop to the segment length.
+- In-kernel part rolls run in f32 regardless of compute dtype: Mosaic's
+  vector rotate is 32-bit-only ("Rotate with non-32-bit data", measured).
+- Wired into imported graphs by compiler/fuse_frontend.py
+  (``_FusedFrontend``); ineligible configs interpret the original chain.
 """
 
 from __future__ import annotations
@@ -288,75 +294,31 @@ def frame_filterbank_logpower(
     )(audio_in, wt_padded)[:, :n_frames, :n_filters]
 
 
-def _kernel_phased(
-    audio_ref,       # HBM: [total_rows, hop]
-    w_ref,           # VMEM: [K, F_pad] (compute dtype)
-    out_ref,         # VMEM block: [1, t_pad, F_pad]
-    seg_scratch,     # VMEM: [rows_alloc, hop] audio dtype
-    aligned_scratch,  # VMEM: [rows_alloc, hop] audio dtype
+def _kernel_prefolded(
+    rows_ref,        # VMEM block: [1, rows_alloc, hop] (auto-pipelined)
+    w_ref,           # VMEM: [F_pad, K] (compute dtype)
+    out_ref,         # VMEM block: [1, F_pad, t_pad]
     patch_scratch,   # VMEM: [t_pad, K] compute dtype
-    sem,
     *,
-    rows_alloc: int,
     hop: int,
     kernel_size: int,
     n_frames: int,
     eps: float,
     scale: float,
-    sample_count: int,
-    shifts: tuple,
     compute_dtype,
 ):
-    """Arbitrary-hop variant: per-segment phased row DMA + static realign.
+    """Arbitrary-hop variant over pre-folded segments.
 
-    Segment ``i`` starts at flat sample ``i*sample_count``, i.e. row
-    ``start // hop`` at lane offset ``start % hop``. The offset cycles
-    through the small set ``shifts`` (period ``hop / gcd(sample_count,
-    hop)`` — 7 for BirdNET's 144000/280), so the kernel unrolls one
-    statically-shifted realign per phase behind ``pl.when``: the aligned
-    segment is ``concat(rows[:, s:], rows_shifted_up[:, :s])`` — two
-    static lane slices (register relayouts) + one sublane roll. This
-    sidesteps Mosaic's dynamic-lane-offset restriction (see module
-    docstring) without any in-kernel reshape.
+    Each segment arrives as its OWN ``[rows_alloc, hop]`` row matrix
+    (a free per-row pad+reshape on the [N, S] input), so row 0 lane 0 is
+    exactly the segment's sample 0 — no dynamic-offset DMA (whose row
+    start Mosaic cannot prove tile-aligned for packed 16-bit layouts,
+    measured on v5e) and no phase realign. Pallas block pipelining
+    overlaps the per-segment transfer with compute.
     """
-    i = pl.program_id(0)
-    start = i * sample_count
-    row0 = start // hop
-    sh = start % hop
-    dma = pltpu.make_async_copy(
-        audio_ref.at[pl.ds(row0, rows_alloc), :],
-        seg_scratch,
-        sem,
-    )
-    dma.start()
-    dma.wait()
-    # Realign in f32: Mosaic's vector rotate is 32-bit-only, and the
-    # aligned buffer is consumed by _filterbank_body's f32 roll path
-    # anyway (casts to the MXU compute dtype happen at the patch write).
-    seg = seg_scratch[:]
-    if seg.dtype != jnp.float32:
-        seg = seg.astype(jnp.float32)
-        if scale != 1.0:
-            seg = seg * jnp.float32(scale)
-    # Row r+1 moved to row r: the realigned tail of each row comes from the
-    # head of the next row.
-    up = pltpu.roll(seg, rows_alloc - 1, 0)
-    for s_const in shifts:
-        @pl.when(sh == s_const)
-        def _(s_const=s_const):
-            if s_const == 0:
-                aligned_scratch[:] = seg
-            else:
-                aligned_scratch[:] = jnp.concatenate(
-                    [
-                        jax.lax.slice(seg, (0, s_const), (rows_alloc, hop)),
-                        jax.lax.slice(up, (0, 0), (rows_alloc, s_const)),
-                    ],
-                    axis=1,
-                )
-    _filterbank_body(aligned_scratch, w_ref, out_ref, patch_scratch,
+    _filterbank_body(rows_ref[0], w_ref, out_ref, patch_scratch,
                      hop=hop, kernel_size=kernel_size, n_frames=n_frames,
-                     eps=eps, scale=1.0, compute_dtype=compute_dtype,
+                     eps=eps, scale=scale, compute_dtype=compute_dtype,
                      transposed_out=True)
 
 
@@ -373,13 +335,11 @@ def segments_filterbank_logpower(
     """Fused frontend over pre-sliced segments ``[N, S]`` at ANY hop.
 
     The arbitrary-hop successor to :func:`frame_filterbank_logpower`
-    (which requires ``hop % 128 == 0``): segments are viewed as one flat
-    sample stream reshaped to ``[rows, hop]`` (a free relayout under XLA),
-    and each grid step DMAs its segment's row span, realigning the
-    ``(i*S) % hop`` lane offset with a per-phase static shift (see
-    ``_kernel_phased``). Requires the phase count ``hop / gcd(S, hop)``
-    to be small (≤ 8 unrolled branches) — 7 for every BirdNET v2.4
-    segment/overlap configuration.
+    (which requires ``hop % 128 == 0``): each segment is padded to a
+    whole number of ``hop``-wide rows and reshaped to its own
+    ``[rows_alloc, hop]`` matrix (a per-row pad+reshape XLA fuses into
+    the producer chain), so every segment is self-aligned — row 0 lane 0
+    IS sample 0. No dynamic-offset DMA, no phase constraint, any hop.
 
     ``segments``: [N, S], already scaled (pass ``scale`` otherwise).
     ``compute_dtype``: bf16 matches the engine's ``fast``/``bf16``
@@ -396,21 +356,17 @@ def segments_filterbank_logpower(
     n, sample_count = segments.shape
     n_frames = (sample_count - kernel_size) // hop + 1
     n_parts = -(-kernel_size // hop)
-    shifts = tuple(sorted({(i * sample_count) % hop for i in range(n)}))
-    if len(shifts) > 8:
-        raise NotImplementedError(
-            f"{len(shifts)} segment phases (hop={hop}, S={sample_count}); "
-            f"the phased kernel unrolls at most 8"
-        )
     t_pad = _round8(n_frames)
     rows_alloc = _round8(t_pad + n_parts)
-    total_rows = max(-(-n * sample_count // hop),
-                     (n - 1) * sample_count // hop + rows_alloc)
-    flat = segments.reshape(-1)
-    pad = total_rows * hop - flat.shape[0]
+    pad = rows_alloc * hop - sample_count
+    if pad < 0:
+        raise ValueError(
+            f"segment of {sample_count} samples exceeds the "
+            f"{rows_alloc}x{hop} row allocation"
+        )
     if pad:
-        flat = jnp.concatenate([flat, jnp.zeros(pad, flat.dtype)])
-    audio_in = flat.reshape(total_rows, hop)
+        segments = jnp.pad(segments, ((0, 0), (0, pad)))
+    rows3 = segments.reshape(n, rows_alloc, hop)
 
     f_pad = -(-n_filters // 8) * 8
     wf = weights.astype(compute_dtype)  # [F, K]
@@ -420,22 +376,20 @@ def segments_filterbank_logpower(
                  else jnp.float32)
 
     kernel = functools.partial(
-        _kernel_phased,
-        rows_alloc=rows_alloc,
+        _kernel_prefolded,
         hop=hop,
         kernel_size=kernel_size,
         n_frames=n_frames,
         eps=eps,
         scale=scale,
-        sample_count=sample_count,
-        shifts=shifts,
         compute_dtype=compute_dtype,
     )
     return pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, rows_alloc, hop), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -444,13 +398,10 @@ def segments_filterbank_logpower(
         ),
         out_shape=jax.ShapeDtypeStruct((n, f_pad, t_pad), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows_alloc, hop), segments.dtype),
-            pltpu.VMEM((rows_alloc, hop), jnp.float32),  # aligned (f32 rolls)
             pltpu.VMEM((t_pad, kernel_size), compute_dtype),
-            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(audio_in, wf)[:, :n_filters, :n_frames]
+    )(rows3, wf)[:, :n_filters, :n_frames]
 
 
 def frontend_reference(

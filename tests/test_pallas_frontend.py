@@ -116,11 +116,22 @@ def test_phased_segments_kernel_matches_oracle(rng, S, hop, K, F, n_seg, dtype):
     np.testing.assert_allclose(out, ref, rtol=tol, atol=tol)
 
 
-def test_phased_segments_rejects_many_phases(rng):
+def test_segments_kernel_coprime_hop(rng):
+    """hop coprime with S (no phase structure at all) still works — the
+    pre-folded design has no alignment constraint."""
     from birdnet_tpu.ops.pallas.frontend import segments_filterbank_logpower
 
-    # gcd(1003, 28) = 1 -> 28 phases; 12 segments surface 12 distinct > 8
-    segs = rng.normal(size=(12, 1003)).astype(np.float32)
-    w = np.zeros((8, 96), np.float32)
-    with pytest.raises(NotImplementedError):
-        segments_filterbank_logpower(segs, w, hop=28, interpret=True)
+    S, hop, K, F, n_seg = 1003, 28, 96, 20, 5
+    audio = rng.normal(size=n_seg * S).astype(np.float32)
+    w = (rng.normal(size=(F, K)) * 0.02).astype(np.float32)
+    ref = frontend_reference(
+        audio, w, n_segments=n_seg, step=S, sample_count=S, hop=hop,
+        scale=1.0,
+    ).transpose(0, 2, 1)
+    out = np.asarray(
+        segments_filterbank_logpower(
+            audio.reshape(n_seg, S), w, hop=hop, interpret=True,
+            compute_dtype=np.float32,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)

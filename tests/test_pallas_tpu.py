@@ -61,9 +61,9 @@ def test_tpu_unaligned_rejected():
 
 
 @requires_tpu
-def test_tpu_phased_frontend():
-    """Arbitrary-hop phased frontend kernel on real hardware (compiled
-    Mosaic path: per-phase pl.when realign + MXU filterbank)."""
+def test_tpu_arbitrary_hop_frontend():
+    """Arbitrary-hop pre-folded frontend kernel on real hardware
+    (compiled Mosaic path: per-segment row blocks + MXU filterbank)."""
     import jax
     import jax.numpy as jnp
 
