@@ -1738,12 +1738,14 @@ def _fused_frontend(ctx, x, w):
     Pallas kernel per segment (ops/pallas/frontend.py::
     segments_filterbank_logpower). Bundled by compiler/fuse_frontend.py.
 
-    Eligible on TPU under bf16 activation policies (any hop — each
-    segment is pre-folded into its own row matrix, so there is no
-    alignment constraint); the kernel's bf16 MXU operands match what the
-    XLA conv lowering uses under the same policy, so numerics are
-    policy-equivalent. Everything else re-interprets ``body``.
-    ``BIRDNET_PALLAS_FRONTEND=0`` disables.
+    The kernel wins 2.93x standalone against the XLA conv chain
+    (scripts/bench_frontend.py: 2.99 vs 8.77 us/segment, bit-exact under
+    the same bf16 policy) but measures 0.96-0.97x END-TO-END in the
+    streaming scan (scripts/frontend_sweep.py, two 4096-segment runs):
+    XLA overlaps the conv-frontend with neighboring backbone work, and
+    the custom-call boundary serializes that overlap away. Default is
+    therefore the XLA body; set ``BIRDNET_PALLAS_FRONTEND=1`` to opt in
+    (bf16 policies on TPU only — numerics are policy-equivalent).
     """
     import os
 
@@ -1756,7 +1758,7 @@ def _fused_frontend(ctx, x, w):
         x.ndim == 2
         and x.shape[0] is not None
         and (interpret
-             or (os.environ.get("BIRDNET_PALLAS_FRONTEND", "1") != "0"
+             or (os.environ.get("BIRDNET_PALLAS_FRONTEND", "0") == "1"
                  and NO_PALLAS_SENTINEL not in ctx.env
                  and ctx.precision in ("fast", "bf16")
                  and jax.default_backend() in ("tpu", "axon")))
@@ -2285,22 +2287,9 @@ def _mel_weight_matrix(ctx, num_mel_bins, dft_length, sample_rate,
     lo = float(np.asarray(lower_edge_hertz).reshape(-1)[0])
     hi = float(np.asarray(upper_edge_hertz).reshape(-1)[0])
     dtype = _ONNX_TO_NP[int(ctx.attr("output_datatype", 1))]
-    n_bins = dft // 2 + 1
+    from ._melbank import mel_weight_matrix
 
-    def hz_to_mel(f):
-        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
-
-    mel_edges = np.linspace(hz_to_mel(lo), hz_to_mel(hi), m + 2)
-    bin_freqs = np.arange(n_bins, dtype=np.float64) * sr / dft
-    bin_mels = hz_to_mel(bin_freqs)
-    lower = mel_edges[:-2][None, :]
-    center = mel_edges[1:-1][None, :]
-    upper = mel_edges[2:][None, :]
-    bm = bin_mels[:, None]
-    up_slope = (bm - lower) / np.maximum(center - lower, 1e-12)
-    down_slope = (upper - bm) / np.maximum(upper - center, 1e-12)
-    weights = np.maximum(0.0, np.minimum(up_slope, down_slope))
-    return [np.asarray(weights).astype(np.dtype(dtype))]
+    return [mel_weight_matrix(m, dft, sr, lo, hi).astype(np.dtype(dtype))]
 
 
 @op("STFT")

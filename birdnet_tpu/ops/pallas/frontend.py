@@ -89,6 +89,32 @@ def _kernel_row_aligned(
                      eps=eps, scale=scale)
 
 
+def _assemble_patch(seg, *, hop, kernel_size, t_pad, scale):
+    """Polyphase frame assembly: [rows, hop] segment value → [t_pad, K]
+    patch value (frame j = samples j*hop .. j*hop+K, all static slices).
+
+    Rolls run in f32 regardless of compute dtype: Mosaic's vector rotate
+    is 32-bit-only ("Rotate with non-32-bit data" — measured on v5e).
+    Callers cast the returned patch to their compute dtype at the scratch
+    write, so MXU operands still match the activation policy.
+    """
+    n_parts = -(-kernel_size // hop)
+    if seg.dtype != jnp.float32:
+        seg = seg.astype(jnp.float32)
+        if scale != 1.0:
+            seg = seg * jnp.float32(scale)
+    parts = []
+    for p in range(n_parts):
+        width = min(hop, kernel_size - p * hop)
+        # Static roll realigns part p's rows to offset 0 so every slice and
+        # the concat share sublane offset 0 (Mosaic rejects concats of
+        # differently-offset slices). roll needs a non-negative shift;
+        # rolling down by (N - p) moves row r+p to row r.
+        shifted = pltpu.roll(seg, seg.shape[0] - p, 0) if p else seg
+        parts.append(jax.lax.slice(shifted, (0, 0), (t_pad, width)))
+    return jnp.concatenate(parts, axis=1)
+
+
 def _filterbank_body(grid2d, w_ref, out_ref, patch_scratch, *,
                      hop, kernel_size, n_frames, eps, scale,
                      compute_dtype=jnp.float32, transposed_out=False):
@@ -105,31 +131,10 @@ def _filterbank_body(grid2d, w_ref, out_ref, patch_scratch, *,
     ``fast``/``bf16`` activation policies — the same operand width the
     XLA conv lowering uses there.
     """
-    n_parts = -(-kernel_size // hop)
-    t_pad = patch_scratch.shape[0]
-    # Read the whole buffer once (aligned), then slice the VALUE: Mosaic
-    # mis-handles ref loads at non-sublane-multiple row offsets, but value
-    # slicing is a register relayout and is exact.
-    seg = grid2d[:]
-    # Rolls run in f32 regardless of compute dtype: Mosaic's vector rotate
-    # is 32-bit-only ("Rotate with non-32-bit data" — measured on v5e).
-    # The cast back to ``compute_dtype`` happens at the patch write, so
-    # the MXU operands still match the activation policy.
-    if seg.dtype != jnp.float32:
-        seg = seg.astype(jnp.float32)
-        if scale != 1.0:
-            seg = seg * jnp.float32(scale)
-    parts = []
-    for p in range(n_parts):
-        width = min(hop, kernel_size - p * hop)
-        # Static roll realigns part p's rows to offset 0 so every slice and
-        # the concat share sublane offset 0 (Mosaic rejects concats of
-        # differently-offset slices).
-        # roll requires a non-negative shift; rolling down by (N - p) moves
-        # row r+p to row r (an upward shift by p).
-        shifted = pltpu.roll(seg, seg.shape[0] - p, 0) if p else seg
-        parts.append(jax.lax.slice(shifted, (0, 0), (t_pad, width)))
-    patch = jnp.concatenate(parts, axis=1)
+    patch = _assemble_patch(
+        grid2d[:], hop=hop, kernel_size=kernel_size,
+        t_pad=patch_scratch.shape[0], scale=scale,
+    )
     patch_scratch[:] = patch.astype(patch_scratch.dtype)
     prec = (jax.lax.Precision.HIGHEST
             if compute_dtype == jnp.float32 else None)
@@ -402,6 +407,195 @@ def segments_filterbank_logpower(
         ],
         interpret=interpret,
     )(rows3, wf)[:, :n_filters, :n_frames]
+
+
+def _kernel_stft_prefolded(
+    rows_ref,        # VMEM block: [1, rows_alloc, hop] (auto-pipelined)
+    bc_ref,          # VMEM: [flen, bins_pad] windowed cos basis
+    bs_ref,          # VMEM: [flen, bins_pad] windowed sin basis
+    mel_ref,         # VMEM: [bins_pad, m_pad] mel weights (zero pad rows)
+    out_ref,         # VMEM block: [1, m_pad, t_pad]
+    patch_scratch,   # VMEM: [t_pad, flen] compute dtype
+    *,
+    hop: int,
+    frame_length: int,
+    n_frames: int,
+    eps: float,
+    scale: float,
+    compute_dtype,
+):
+    """STFT-form frontend over pre-folded segments: framing + windowed DFT
+    (two MXU matmuls) + power + mel projection (MXU) + log, all in VMEM.
+
+    The Hann window is folded into the DFT basis rows host-side
+    (frames*win @ B == frames @ diag(win)B), so framing feeds the MXU
+    directly. The basis carries only the mel filterbank's nonzero bin
+    support (its zero rows contribute nothing to the projection), which
+    cuts DFT columns ~bins → support — a truncation XLA cannot discover
+    from the unfused graph.
+    """
+    patch = _assemble_patch(
+        rows_ref[0], hop=hop, kernel_size=frame_length,
+        t_pad=patch_scratch.shape[0], scale=scale,
+    )
+    patch_scratch[:] = patch.astype(patch_scratch.dtype)
+    prec = (jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32 else None)
+    c = jnp.dot(patch_scratch[:], bc_ref[:],
+                preferred_element_type=jnp.float32, precision=prec)
+    s = jnp.dot(patch_scratch[:], bs_ref[:],
+                preferred_element_type=jnp.float32, precision=prec)
+    power = (c * c + s * s).astype(mel_ref.dtype)  # [t_pad, bins_pad]
+    # [bins_pad, M] x [t_pad, bins_pad] -> [M, t_pad]: the mel-image
+    # orientation downstream convs consume, straight off the MXU.
+    fb = jax.lax.dot_general(
+        mel_ref[:], power,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    out_ref[0] = jnp.log(fb + eps).astype(out_ref.dtype)
+
+
+def segments_stft_melspec(
+    segments: jax.Array,
+    window: jax.Array,
+    mel: jax.Array,
+    *,
+    hop: int,
+    frame_length: int,
+    eps: float = 1e-6,
+    scale: float = 1.0,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused STFT→power→mel→log frontend over segments ``[N, S]``, any hop.
+
+    The TF-export-style spectrogram stage (ONNX ``STFT`` →
+    ``ReduceSumSquare`` → mel ``MatMul`` → ``Add(eps)`` → ``Log``) as one
+    Pallas kernel per segment, using the same pre-folded row layout as
+    :func:`segments_filterbank_logpower`. ``window``: [flen] analysis
+    window (folded into the DFT basis). ``mel``: [bins, M] filterbank
+    (``bins = flen//2 + 1``, onesided). Returns ``[N, M, T]`` log-mel in
+    the mel-image orientation, ``T = (S - flen)//hop + 1``.
+
+    ``compute_dtype=bf16`` matches the engine's ``fast``/``bf16``
+    policies (the XLA STFT lowering uses bf16 DFT operands there too);
+    f32 uses HIGHEST-precision dots and f32 output.
+    """
+    segments = jnp.asarray(segments)
+    window = np.asarray(window, np.float32).reshape(-1)
+    mel = np.asarray(mel, np.float32)
+    flen = int(window.shape[0])
+    bins, n_mels = mel.shape
+    if bins != flen // 2 + 1:
+        raise ValueError(
+            f"mel rows ({bins}) must equal flen//2+1 ({flen // 2 + 1})"
+        )
+    n, sample_count = segments.shape
+    n_frames = (sample_count - flen) // hop + 1
+    if n_frames <= 0:
+        raise ValueError(
+            f"segment of {sample_count} samples shorter than one "
+            f"{flen}-sample frame"
+        )
+    n_parts = -(-flen // hop)
+    t_pad = _round8(n_frames)
+    rows_alloc = _round8(t_pad + n_parts)
+    pad = rows_alloc * hop - sample_count
+    if pad < 0:
+        raise ValueError(
+            f"segment of {sample_count} samples exceeds the "
+            f"{rows_alloc}x{hop} row allocation"
+        )
+    if pad:
+        segments = jnp.pad(segments, ((0, 0), (0, pad)))
+    rows3 = segments.reshape(n, rows_alloc, hop)
+
+    # Restrict the DFT to the mel filterbank's nonzero bin support.
+    nz = np.flatnonzero(np.abs(mel).max(axis=1) > 0.0)
+    lo_bin = int(nz[0]) if nz.size else 0
+    hi_bin = int(nz[-1]) + 1 if nz.size else 1
+    bins_u = hi_bin - lo_bin
+    bins_pad = -(-bins_u // 128) * 128
+    m_pad = -(-n_mels // 8) * 8
+
+    ang = (-2.0 * np.pi / flen) * np.outer(
+        np.arange(flen, dtype=np.float64),
+        np.arange(lo_bin, hi_bin, dtype=np.float64),
+    )
+    wcol = window.astype(np.float64)[:, None]
+    bc = np.zeros((flen, bins_pad), np.float32)
+    bs = np.zeros((flen, bins_pad), np.float32)
+    bc[:, :bins_u] = (np.cos(ang) * wcol).astype(np.float32)
+    bs[:, :bins_u] = (np.sin(ang) * wcol).astype(np.float32)
+    mel_used = np.zeros((bins_pad, m_pad), np.float32)
+    mel_used[:bins_u, :n_mels] = mel[lo_bin:hi_bin]
+
+    out_dtype = (jnp.bfloat16 if compute_dtype == jnp.bfloat16
+                 else jnp.float32)
+    kernel = functools.partial(
+        _kernel_stft_prefolded,
+        hop=hop,
+        frame_length=flen,
+        n_frames=n_frames,
+        eps=eps,
+        scale=scale,
+        compute_dtype=compute_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, rows_alloc, hop), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m_pad, t_pad), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, m_pad, t_pad), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t_pad, flen), compute_dtype),
+        ],
+        interpret=interpret,
+    )(
+        rows3,
+        jnp.asarray(bc, compute_dtype),
+        jnp.asarray(bs, compute_dtype),
+        jnp.asarray(mel_used, compute_dtype),
+    )
+    return out[:, :n_mels, :n_frames]
+
+
+def stft_melspec_reference(
+    segments: np.ndarray,
+    window: np.ndarray,
+    mel: np.ndarray,
+    *,
+    hop: int,
+    eps: float = 1e-6,
+    scale: float = 1.0,
+) -> np.ndarray:
+    """Numpy oracle for :func:`segments_stft_melspec` (f64 host math)."""
+    segments = np.asarray(segments, np.float64) * scale
+    window = np.asarray(window, np.float64).reshape(-1)
+    mel = np.asarray(mel, np.float64)
+    flen = window.shape[0]
+    n, sample_count = segments.shape
+    n_frames = (sample_count - flen) // hop + 1
+    n_mels = mel.shape[1]
+    out = np.empty((n, n_mels, n_frames), np.float64)
+    for i in range(n):
+        frames = np.stack(
+            [segments[i, j * hop: j * hop + flen] for j in range(n_frames)]
+        )
+        spec = np.fft.rfft(frames * window[None, :], axis=-1)
+        power = spec.real**2 + spec.imag**2  # [T, bins]
+        out[i] = np.log(power @ mel + eps).T
+    return out.astype(np.float32)
 
 
 def frontend_reference(
