@@ -196,7 +196,7 @@ def _validate_ops(model: ImportedModel) -> None:
 # input is static, they cannot be evaluated at compile time.
 _NO_FOLD_OPS = frozenset(
     {"If", "Loop", "Scan", "_FusedMBConv", "_FusedStagePrefix",
-     "_FusedFrontend"}
+     "_FusedFrontend", "_FusedStftFrontend"}
 )
 
 

@@ -1775,6 +1775,54 @@ def _fused_frontend(ctx, x, w):
     return [out[:, None]]
 
 
+@op("_FusedStftFrontend")
+def _fused_stft_frontend(ctx, x):
+    """STFT-form audio frontend (framing + windowed DFT + power + mel +
+    log) as one Pallas kernel per segment (ops/pallas/frontend.py::
+    segments_stft_melspec). Bundled by compiler/fuse_frontend.py::
+    fuse_stft_frontend; window/mel arrive as TENSOR attrs so the
+    lowering can fold the window into the DFT basis and truncate to the
+    mel filterbank's nonzero bin support host-side.
+
+    Unlike the conv-form kernel (opt-in — XLA hides that chain under
+    scan overlap), the XLA lowering of the STFT chain costs ~15
+    us/segment MORE than the conv form (docs/performance.md), so this
+    kernel defaults ON for bf16 policies on TPU;
+    ``BIRDNET_PALLAS_STFT=0`` disables. Ineligible configs re-interpret
+    ``body``, bit-identical to the unfused graph.
+    """
+    import os
+
+    x = jnp.asarray(x)
+    body = ctx.attr("body")
+    interpret = os.environ.get("BIRDNET_FRONTEND_INTERPRET") == "1"
+    eligible = (
+        x.ndim == 2
+        and x.shape[0] is not None
+        and (interpret
+             or (os.environ.get("BIRDNET_PALLAS_STFT", "1") != "0"
+                 and NO_PALLAS_SENTINEL not in ctx.env
+                 and ctx.precision in ("fast", "bf16")
+                 and jax.default_backend() in ("tpu", "axon")))
+    )
+    if not eligible:
+        return list(_run_subgraph(ctx, body))
+
+    from ..ops.pallas.frontend import segments_stft_melspec
+
+    out = segments_stft_melspec(
+        x.astype(jnp.bfloat16),
+        ctx.attr("window").to_numpy(),
+        ctx.attr("mel").to_numpy(),
+        hop=int(ctx.attr("hop")),
+        frame_length=int(ctx.attr("frame_length")),
+        eps=float(ctx.attr("eps")),
+        compute_dtype=jnp.bfloat16,
+        interpret=interpret,
+    )  # [N, M, T] — already the mel-image orientation
+    return [out[:, None]]
+
+
 @op("If")
 def _if(ctx, cond):
     """ONNX If. A static condition picks the branch at trace time (only

@@ -524,11 +524,12 @@ def optimize_graph(graph: GraphProto, tensors: Dict[str, np.ndarray]) -> Dict[st
     stats["requant_collapsed"] = collapse_requant(graph, tensors)
     if stats["qdq_fused"] or stats["requant_collapsed"]:
         stats["dead_removed"] = eliminate_dead_nodes(graph)
-    from .fuse_frontend import fuse_frontend
+    from .fuse_frontend import fuse_frontend, fuse_stft_frontend
     from .fuse_mbconv import fuse_mbconv
     from .fuse_stage_prefix import fuse_stage_prefix
 
     stats["mbconv_fused"] = fuse_mbconv(graph, tensors)
     stats["stage_prefix_blocks"] = fuse_stage_prefix(graph, tensors)
     stats["frontend_fused"] = fuse_frontend(graph, tensors)
+    stats["stft_frontend_fused"] = fuse_stft_frontend(graph, tensors)
     return stats

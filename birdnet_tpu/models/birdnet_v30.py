@@ -9,7 +9,7 @@ Contract (reference: src/types.rs:15-38, src/detection.rs:43-56):
 from __future__ import annotations
 
 from ..onnx import proto as P
-from ._builder import GraphBuilder, learned_frontend
+from ._builder import GraphBuilder, learned_frontend, stft_mel_frontend
 
 SAMPLE_COUNT = 160_000
 NUM_SPECIES = 6522
@@ -23,13 +23,24 @@ def build_model(
     depth: int = 2,
     seed: int = 1,
     batch_dim="batch",
+    frontend: str = "conv",
 ) -> P.ModelProto:
     gb = GraphBuilder("birdnet_v30", seed=seed)
 
     def ch(c):
         return max(8, int(c * width) // 8 * 8)
 
-    img, _t = learned_frontend(gb, "input", SAMPLE_COUNT, n_filters=96, stride=312)
+    if frontend == "stft":
+        # TF-export style (ONNX STFT + MelWeightMatrix) at the v3.0
+        # geometry: 5 s @ 32 kHz, hop 312.
+        img, _t = stft_mel_frontend(
+            gb, "input", SAMPLE_COUNT, sample_rate=32_000, hop=312,
+            n_mels=96, fmax=15_000.0,
+        )
+    else:
+        img, _t = learned_frontend(
+            gb, "input", SAMPLE_COUNT, n_filters=96, stride=312
+        )
 
     x = gb.conv_bn_act(img, 1, ch(32), [3, 3], strides=[2, 2])
     stages = [

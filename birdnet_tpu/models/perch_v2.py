@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..onnx import proto as P
-from ._builder import GraphBuilder, learned_frontend
+from ._builder import GraphBuilder, learned_frontend, stft_mel_frontend
 
 SAMPLE_COUNT = 160_000
 NUM_SPECIES = 14_795
@@ -31,6 +31,7 @@ def build_model(
     depth: int = 2,
     seed: int = 2,
     batch_dim="batch",
+    frontend: str = "conv",
 ) -> P.ModelProto:
     gb = GraphBuilder("perch_v2", seed=seed)
 
@@ -38,9 +39,18 @@ def build_model(
         return max(8, int(c * width) // 8 * 8)
 
     n_mels = 128
-    img, t_frames = learned_frontend(
-        gb, "input", SAMPLE_COUNT, n_filters=n_mels, kernel=1024, stride=320
-    )
+    if frontend == "stft":
+        # TF-export style (ONNX STFT + MelWeightMatrix) at the Perch
+        # geometry: 5 s @ 32 kHz, hop 320, 128 mels.
+        img, t_frames = stft_mel_frontend(
+            gb, "input", SAMPLE_COUNT, sample_rate=32_000, hop=320,
+            n_mels=n_mels, fmax=15_000.0,
+        )
+    else:
+        img, t_frames = learned_frontend(
+            gb, "input", SAMPLE_COUNT, n_filters=n_mels, kernel=1024,
+            stride=320,
+        )
     # spectrogram output: [N,1,M,T] -> [N,T,M]
     spec = gb.node("Squeeze", [img, gb.add_init("sq_ax", np.array([1], dtype=np.int64))])
     gb.node("Transpose", [spec], ["spectrogram"], perm=[0, 2, 1])
