@@ -1,7 +1,8 @@
 """A/B the fused STFT-frontend Pallas kernel in the real streaming pipeline.
 
-Builds a full-size STFT-form BirdNET v2.4 (ONNX STFT + MelWeightMatrix,
-the TF-export style) and runs the StreamingEngine with
+Builds a full-size STFT-form model (ONNX STFT + MelWeightMatrix, the
+TF-export style; --model birdnet_v24/birdnet_v30/perch_v2) and runs the
+StreamingEngine with
 BIRDNET_PALLAS_STFT=0 (XLA chain: polyphase framing + DFT-as-matmul +
 mel matmul) then =1 (fused kernel), reporting sustained seg/s for each.
 Usage: python scripts/stft_frontend_sweep.py [--nseg 4096]
@@ -18,14 +19,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _stft_model_path() -> str:
+def _stft_model_path(model: str) -> str:
     cache = os.path.expanduser("~/.cache/birdnet_tpu/bench")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, "birdnet_v24_stft_bench.onnx")
+    path = os.path.join(cache, f"{model}_stft_bench.onnx")
     if not os.path.exists(path):
-        from birdnet_tpu.models import birdnet_v24
+        from birdnet_tpu import models
 
-        birdnet_v24.save(path, frontend="stft")
+        getattr(models, model).save(path, frontend="stft")
     return path
 
 
@@ -34,6 +35,8 @@ def main():
     ap.add_argument("--nseg", type=int, default=4096)
     ap.add_argument("--tile", type=int, default=128)
     ap.add_argument("--runs", type=int, default=6)
+    ap.add_argument("--model", default="birdnet_v24",
+                    choices=["birdnet_v24", "birdnet_v30", "perch_v2"])
     args = ap.parse_args()
 
     import jax
@@ -48,7 +51,7 @@ def main():
 
     init_runtime()
     device = default_device()
-    imported = import_onnx(_stft_model_path())
+    imported = import_onnx(_stft_model_path(args.model))
     config = detect_model_type(*imported.detection_shapes())
     fused = sum(
         1 for n in imported.graph.node if n.op_type == "_FusedStftFrontend"
