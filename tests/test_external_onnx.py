@@ -320,6 +320,79 @@ def test_opset11_conv():
     assert_parity(m, (torch.randn(1, 2, 6, 6),), opset=11)
 
 
+def test_dilated_grouped_conv_stack():
+    m = nn.Sequential(
+        nn.Conv2d(8, 16, 3, padding=2, dilation=2),
+        nn.ReLU(),
+        nn.Conv2d(16, 16, 3, padding=1, groups=4),
+        nn.ReLU(),
+        nn.Conv2d(16, 8, 1, groups=2),
+    )
+    assert_parity(m, (torch.randn(2, 8, 12, 12),))
+
+
+def test_mobilenetv3_style_block():
+    """hardswish / hardsigmoid / relu6 (Clip) — the MobileNetV3 op diet."""
+    class MNV3(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.expand = nn.Conv2d(8, 32, 1)
+            self.dw = nn.Conv2d(32, 32, 3, padding=1, groups=32)
+            self.se_fc1 = nn.Conv2d(32, 8, 1)
+            self.se_fc2 = nn.Conv2d(8, 32, 1)
+            self.proj = nn.Conv2d(32, 8, 1)
+
+        def forward(self, x):
+            h = F.hardswish(self.expand(x))
+            h = F.relu6(self.dw(h))
+            s = F.adaptive_avg_pool2d(h, 1)
+            s = F.hardsigmoid(self.se_fc2(F.relu(self.se_fc1(s))))
+            return self.proj(h * s) + x
+
+    assert_parity(MNV3(), (torch.randn(2, 8, 10, 10),))
+
+
+def test_einsum_bilinear():
+    class Ein(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.w = nn.Parameter(torch.randn(6, 4, 5))
+
+        def forward(self, x, y):
+            return torch.einsum("bi,ioj,bj->bo", x, self.w, y)
+
+    assert_parity(Ein(), (torch.randn(3, 6), torch.randn(3, 5)), opset=13)
+
+
+def test_avgpool_variants():
+    m = nn.Sequential(
+        nn.AvgPool2d(3, stride=2, padding=1, count_include_pad=False),
+        nn.AvgPool2d(2, stride=2, ceil_mode=True),
+    )
+    assert_parity(m, (torch.randn(1, 3, 11, 11),))
+
+
+def test_torch_stft_export():
+    """torch.stft exports the ONNX STFT op (opset 17) — an external producer
+    of the exact frontend op the real TF-exported BirdNET graphs carry."""
+    class Spec(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.register_buffer("window", torch.hann_window(256))
+
+        def forward(self, x):
+            z = torch.stft(
+                x, n_fft=256, hop_length=128, win_length=256,
+                window=self.window, center=False, return_complex=False,
+            )
+            return (z * z).sum(-1)  # power spectrum
+
+    try:
+        assert_parity(Spec(), (torch.randn(2, 2048),), atol=1e-3)
+    except torch.onnx.errors.SymbolicValueError as e:
+        pytest.skip(f"torch exporter cannot emit STFT here: {e}")
+
+
 def test_model_detection_from_external_file(tmp_path):
     """The builder-level contract: detection shapes come from a file we did
     not encode (reference: src/detection.rs:15-80 reads ORT session shapes)."""
