@@ -166,7 +166,14 @@ def bench_mesh(n_devices: int) -> int:
 
 def main() -> int:
     if "--mesh" in sys.argv:
-        return bench_mesh(int(sys.argv[sys.argv.index("--mesh") + 1]))
+        i = sys.argv.index("--mesh")
+        try:
+            n = int(sys.argv[i + 1])
+        except (IndexError, ValueError):
+            print("usage: bench.py --mesh N  (N = device count, e.g. 8)",
+                  file=sys.stderr)
+            return 2
+        return bench_mesh(n)
     import jax
 
     from birdnet_tpu.compiler.importer import import_onnx

@@ -423,13 +423,17 @@ class Classifier:
         recording actually dispatches (a 2-tile recording must not get a
         full-superchunk timeout budget, which would let a genuine hang
         linger for minutes). A run with a timeout is by definition
-        monitored, so the superchunk bound is MONITORED_MAX_TILES."""
-        from .compiler.stream import MONITORED_MAX_TILES
+        monitored, so the superchunk bound is MONITORED_MAX_TILES. The
+        needed tile count rounds UP to the dispatch bucket the engine
+        will actually compile (stream._bucket_tiles) — budgeting the raw
+        tile count would under-budget e.g. a 5-tile recording that
+        dispatches a 6-tile superchunk and time out a healthy run."""
+        from .compiler.stream import MONITORED_MAX_TILES, _bucket_tiles
 
         tile = getattr(self._streaming_engine(), "tile", batch_size)
         tiles = MONITORED_MAX_TILES
         if n_segments is not None and n_segments > 0:
-            tiles = min(tiles, -(-int(n_segments) // tile))
+            tiles = min(tiles, _bucket_tiles(-(-int(n_segments) // tile)))
         return max(1, -(-tiles * tile // max(1, batch_size)))
 
     def _streaming_engine(self):

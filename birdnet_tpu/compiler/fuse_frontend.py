@@ -52,31 +52,7 @@ def fuse_frontend(graph: P.GraphProto, tensors: Dict) -> int:
     start at a graph input), else 0. Mutates ``graph.node``.
     """
     nodes = graph.node
-    uses = Counter(i for n in nodes for i in n.input if i)
-    for o in graph.output:
-        uses[o.name] += 1
-    consumers: Dict[str, List[P.NodeProto]] = {}
-    for n in nodes:
-        for i in n.input:
-            if i:
-                consumers.setdefault(i, []).append(n)
-
-    output_names = {o.name for o in graph.output}
-
-    def sole(name, op_type):
-        """The single consumer node of ``name`` (which may reference it in
-        SEVERAL inputs — the power stage is Mul(y, y)), or None."""
-        if name in output_names:
-            return None
-        cs = consumers.get(name, [])
-        distinct = {id(c) for c in cs}
-        if len(distinct) != 1:
-            return None
-        c = cs[0]
-        if uses[name] != sum(1 for i in c.input if i == name):
-            return None
-        return c if c.op_type == op_type else None
-
+    sole = _sole_consumer_query(graph)
     graph_inputs = {v.name for v in graph.input}
     for unsq in nodes:
         if unsq.op_type != "Unsqueeze" or unsq.input[0] not in graph_inputs:

@@ -5,16 +5,18 @@ its HBM traffic on MBConv interiors: expand 1x1 + SiLU -> depthwise 3x3 +
 SiLU -> squeeze-excitation -> project 1x1 -> residual. Lowered op-by-op,
 every interior activation round-trips HBM. This pass matches the chain
 (post Conv+BatchNorm folding) and replaces it with ONE ``_FusedMBConv``
-node that carries the original nodes as a ``body`` graph attribute:
+node that carries the original nodes as a ``body`` graph attribute.
 
-- the lowering (compiler/ops.py) runs the whole block inside VMEM via the
-  Pallas kernel :func:`birdnet_tpu.ops.pallas.block2.mbconv_block2` when
-  the precision policy keeps bf16 activations on a single TPU device;
-- everywhere else it re-interprets ``body``, which is bit-identical to the
-  unfused graph by construction.
+The lowering (compiler/ops.py::_fused_mbconv) re-interprets ``body``,
+which is bit-identical to the unfused graph by construction — the
+grouping is zero-overhead structure for analysis tooling
+(stage-prefix fusion, per-block profiling) rather than a kernel
+dispatch point. The round-1 per-block VMEM kernels this node once
+routed to were measured slower than XLA's lowering and deleted; the
+full investigation and numbers live in docs/performance.md
+§"backbone-fusion question".
 
-The match is purely structural, so fusion is always safe; kernel
-eligibility (shapes, backend, precision) is decided at trace time.
+The match is purely structural, so fusion is always safe.
 ``unfuse_mbconv`` restores the original nodes (used by the PTQ
 quantizer, which needs to see the raw Convs).
 """

@@ -1508,7 +1508,7 @@ def _qlinear_conv(ctx, x, x_s, x_zp, w, w_s, w_zp, y_s, y_zp=None, b=None):
             w[:, :, 0, 0],
             None if b is None else jnp.asarray(b, jnp.int32),
             scale,
-            1.0 / float(np.asarray(y_s).reshape(())),
+            float(np.asarray(y_s).reshape(())),
             act=act,
             out_dtype=jnp.int8,
         )

@@ -101,8 +101,10 @@ def _assemble_patch(seg, *, hop, kernel_size, t_pad, scale):
     n_parts = -(-kernel_size // hop)
     if seg.dtype != jnp.float32:
         seg = seg.astype(jnp.float32)
-        if scale != 1.0:
-            seg = seg * jnp.float32(scale)
+    if scale != 1.0:
+        # Applied for every input dtype: scale's effect must depend on its
+        # value, not on whether the caller's segments were already f32.
+        seg = seg * jnp.float32(scale)
     parts = []
     for p in range(n_parts):
         width = min(hop, kernel_size - p * hop)

@@ -53,7 +53,7 @@ def eligible(n_spatial: int) -> bool:
 
 
 def _qconv_kernel(x_ref, w_ref, sc_ref, b_ref, o_ref, *, act: str,
-                  inv_y: float, out_min: int, out_max: int):
+                  y_scale: float, out_min: int, out_max: int):
     """One image x one lane-chunk: s8 matmul + requant, all in VMEM.
 
     The activation runs on the DEQUANTIZED value (acc * x_s*w_s) and only
@@ -75,8 +75,11 @@ def _qconv_kernel(x_ref, w_ref, sc_ref, b_ref, o_ref, *, act: str,
     elif act == "tanh":
         v = jnp.tanh(v)
     # round-half-even (jnp.round) + saturate matches the ONNX semantics of
-    # ops._requantize.
-    q = jnp.round(v * inv_y)
+    # ops._requantize. True division by y_scale, NOT multiplication by a
+    # precomputed reciprocal: the f32 reciprocal can be 1 ulp off, which
+    # flips round-half-even boundary cases and breaks the bit-identical
+    # contract with the XLA path.
+    q = jnp.round(v / y_scale)
     o_ref[0] = jnp.clip(q, out_min, out_max).astype(o_ref.dtype)
 
 
@@ -85,7 +88,7 @@ def qconv1x1_requant(
     w,            # [C_out, C_in] int8
     bias_i32,     # [C_out] int32 at scale x_s*w_s (or None)
     scale,        # [C_out] f32 = x_s * w_s  (dequant multiplier)
-    inv_y_scale: float,  # static 1 / y_scale (output requant)
+    y_scale: float,  # static output requant scale (divides)
     act: str = "",
     out_dtype=jnp.int8,
     interpret: bool = False,
@@ -100,7 +103,7 @@ def qconv1x1_requant(
         bias_i32 = jnp.zeros((c_out,), jnp.int32)
     info = jnp.iinfo(out_dtype)
     kern = functools.partial(
-        _qconv_kernel, act=act, inv_y=float(inv_y_scale),
+        _qconv_kernel, act=act, y_scale=float(y_scale),
         out_min=int(info.min), out_max=int(info.max)
     )
     return pl.pallas_call(

@@ -200,6 +200,22 @@ def test_predict_batch_wrong_size(v24_classifier):
     assert ei.value.index == 1
 
 
+def test_streaming_timeout_scale_covers_bucketed_dispatch(v24_classifier):
+    """The timeout budget must cover the tile bucket the engine actually
+    dispatches (5 needed tiles -> 6-tile superchunk), not the raw need —
+    otherwise healthy runs on bucket-rounded recordings time out."""
+    from birdnet_tpu.compiler.stream import MONITORED_MAX_TILES, _bucket_tiles
+
+    clf = v24_classifier
+    tile = clf._streaming_engine().tile
+    assert _bucket_tiles(5) > 5  # precondition: 5 is not a bucket size
+    assert clf.streaming_timeout_scale(tile, 5 * tile) == _bucket_tiles(5)
+    # Huge recordings cap at the monitored superchunk bound.
+    assert (
+        clf.streaming_timeout_scale(tile, 1000 * tile) == MONITORED_MAX_TILES
+    )
+
+
 def test_predict_batch_matches_single(v24_classifier):
     seg = sine_segment()
     single = v24_classifier.predict(seg)

@@ -116,6 +116,30 @@ def test_phased_segments_kernel_matches_oracle(rng, S, hop, K, F, n_seg, dtype):
     np.testing.assert_allclose(out, ref, rtol=tol, atol=tol)
 
 
+def test_segments_kernel_scale_applies_to_float32(rng):
+    """``scale`` must act by value for every input dtype: f32 segments
+    with scale=1/32768 equal the pre-scaled f32 segments with scale=1."""
+    from birdnet_tpu.ops.pallas.frontend import segments_filterbank_logpower
+
+    S, hop, K, F, n_seg = 1024, 160, 256, 16, 3
+    segs = (rng.normal(size=(n_seg, S)) * 3000).astype(np.float32)
+    w = (rng.normal(size=(F, K)) * 0.02).astype(np.float32)
+    scale = 1.0 / 32768.0
+    want = np.asarray(
+        segments_filterbank_logpower(
+            segs * scale, w, hop=hop, compute_dtype=np.float32,
+            interpret=True,
+        )
+    )
+    got = np.asarray(
+        segments_filterbank_logpower(
+            segs, w, hop=hop, scale=scale, compute_dtype=np.float32,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_segments_kernel_coprime_hop(rng):
     """hop coprime with S (no phase structure at all) still works — the
     pre-folded design has no alignment constraint."""

@@ -76,12 +76,43 @@ def test_qconv_kernel_bit_exact(rng, act):
             w[:, :, 0, 0],
             b,
             (x_s * w_s).astype(np.float32),
-            1.0 / y_s,
+            y_s,
             act=act,
             interpret=True,
         )
     ).reshape(n_img, c_out, h, w_dim)
 
+    np.testing.assert_array_equal(got, want)
+
+
+def test_qconv_kernel_bit_exact_reciprocal_hostile_scale(rng):
+    """y_scale whose f32 reciprocal is inexact (1/0.3): multiplication by
+    the precomputed reciprocal lands 1 ulp off true division, which flips
+    round-half-even boundary accumulators. The kernel must divide."""
+    from birdnet_tpu.ops.pallas.qconv import qconv1x1_requant
+
+    n_img, c_in, c_out, h, w_dim = 4, 8, 16, 8, 128
+    x = rng.integers(-90, 90, (n_img, c_in, h, w_dim)).astype(np.int8)
+    w = rng.integers(-127, 128, (c_out, c_in, 1, 1)).astype(np.int8)
+    b = rng.integers(-5000, 5000, c_out).astype(np.int32)
+    # x_s*w_s = 0.15 exactly-representable-ish, y_s = 0.3: many integer
+    # accumulators dequantize to exact n+0.5 multiples where the two
+    # requant formulas disagree at the ulp level.
+    x_s = 0.15
+    w_s = np.ones(c_out, np.float32)
+    y_s = 0.3
+
+    want = _run_qlinearconv_xla(x, w, b, x_s, w_s, y_s)
+    got = np.asarray(
+        qconv1x1_requant(
+            x.reshape(n_img, c_in, h * w_dim),
+            w[:, :, 0, 0],
+            b,
+            (x_s * w_s).astype(np.float32),
+            y_s,
+            interpret=True,
+        )
+    ).reshape(n_img, c_out, h, w_dim)
     np.testing.assert_array_equal(got, want)
 
 
