@@ -7,13 +7,12 @@ Usage: python scripts/frontend_sweep.py [--nseg 4096]
 
 import argparse
 import os
-import statistics
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -25,12 +24,10 @@ def main():
 
     import jax
 
+    from _sweep_common import make_layout, print_parity, timed_seg_s
     from bench import _bench_model_path
     from birdnet_tpu.compiler.importer import import_onnx
-    from birdnet_tpu.compiler.stream import (
-        StreamingEngine,
-        chunk_to_device_layout,
-    )
+    from birdnet_tpu.compiler.stream import StreamingEngine
     from birdnet_tpu.detection import detect_model_type
     from birdnet_tpu.runtime import default_device, init_runtime
 
@@ -38,16 +35,7 @@ def main():
     device = default_device()
     imported = import_onnx(_bench_model_path())
     config = detect_model_type(*imported.detection_shapes())
-
-    n_samples = args.nseg * config.sample_count
-    rng = np.random.default_rng(0)
-    audio = (rng.normal(size=n_samples) * 3000).astype(np.int16)
-    step = config.sample_count
-    n_tiles = args.nseg // args.tile
-    audio_len = (n_tiles * args.tile - 1) * step + config.sample_count
-    padded = np.zeros(audio_len, np.int16)
-    padded[:n_samples] = audio
-    layout = chunk_to_device_layout(padded, step, config.sample_count)
+    layout, step, n_tiles = make_layout(config, args.nseg, args.tile)
 
     results = {}
     outs_by_mode = {}
@@ -57,34 +45,15 @@ def main():
             imported, config, device=device, top_k=10, tile=args.tile,
             precision="fast",
         )
-        t0 = time.monotonic()
         fn = engine._compile(n_tiles, step, np.int16)
         audio_d = jax.device_put(layout, device)
-        out = fn(engine.params, audio_d)
-        conf = np.asarray(out[0]); idx = np.asarray(out[1])
-        outs_by_mode[mode] = (conf, idx)
-        print(f"# frontend={mode}: compile+warm {time.monotonic()-t0:.0f}s",
-              file=sys.stderr, flush=True)
-        dts = []
-        for _ in range(args.runs):
-            t0 = time.monotonic()
-            out = fn(engine.params, audio_d)
-            np.asarray(out[0]); np.asarray(out[1])
-            dts.append(time.monotonic() - t0)
-        keep = [d for d in dts if d <= 1.5 * min(dts)] or dts
-        dt = statistics.median(keep)
-        seg_s = args.nseg / dt
-        results[mode] = seg_s
-        label = "xla" if mode == "0" else "pallas"
-        print(f"frontend={label}: {dt*1000:.0f}ms -> {seg_s:.0f} seg/s "
-              f"({len(dts)-len(keep)} stall-dropped)", flush=True)
+        label = "frontend=" + ("xla" if mode == "0" else "pallas")
+        results[mode], outs_by_mode[mode] = timed_seg_s(
+            fn, engine.params, audio_d, args.nseg, args.runs, label
+        )
     os.environ.pop("BIRDNET_PALLAS_FRONTEND", None)
 
-    (c0, i0), (c1, i1) = outs_by_mode["0"], outs_by_mode["1"]
-    top1 = float((i0[:, 0] == i1[:, 0]).mean())
-    dconf = float(np.abs(c0 - c1).max())
-    print(f"# parity: top-1 agreement {top1:.4f}, "
-          f"max top-K confidence delta {dconf:.4f}", flush=True)
+    print_parity(outs_by_mode["0"], outs_by_mode["1"])
     print(f"pallas/xla: {results['1']/results['0']:.3f}x", flush=True)
     return 0
 

@@ -7,18 +7,20 @@ hoists them (if not, the scan re-reads 50 MB fp32 + writes 25 MB bf16 of
 weight traffic per tile). The candidate fix is trivial: cast the params
 pytree to bf16 once on host before upload.
 
+Measured conclusion (v5e, 4096 segments): bf16-params 0.926x with
+bit-identical outputs — XLA DOES hoist the converts; see ROADMAP.md.
+
 Usage: python scripts/param_cast_ab.py [--nseg 4096] [--runs 6]
 """
 
 import argparse
 import os
-import statistics
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -29,12 +31,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import ml_dtypes
 
+    from _sweep_common import make_layout, print_parity, timed_seg_s
     from birdnet_tpu.compiler.importer import import_onnx
-    from birdnet_tpu.compiler.stream import (
-        StreamingEngine,
-        chunk_to_device_layout,
-    )
+    from birdnet_tpu.compiler.stream import StreamingEngine
     from birdnet_tpu.detection import detect_model_type
     from birdnet_tpu.models import birdnet_v24
     from birdnet_tpu.onnx import proto as P
@@ -44,18 +45,7 @@ def main():
     device = default_device()
     imported = import_onnx(P.encode_model(birdnet_v24.build_model()))
     config = detect_model_type(*imported.detection_shapes())
-
-    n_samples = args.nseg * config.sample_count
-    rng = np.random.default_rng(0)
-    audio = (rng.normal(size=n_samples) * 3000).astype(np.int16)
-    step = config.sample_count
-    n_tiles = args.nseg // args.tile
-    audio_len = (n_tiles * args.tile - 1) * step + config.sample_count
-    padded = np.zeros(audio_len, np.int16)
-    padded[:n_samples] = audio
-    layout = chunk_to_device_layout(padded, step, config.sample_count)
-
-    import ml_dtypes
+    layout, step, n_tiles = make_layout(config, args.nseg, args.tile)
 
     def bf16_params(params):
         return {
@@ -77,31 +67,11 @@ def main():
         fn = engine._compile(n_tiles, step, np.int16)
         if audio_d is None:
             audio_d = jax.device_put(layout, device)
-        params = engine.params
-        t0 = time.monotonic()
-        out = fn(params, audio_d)
-        conf = np.asarray(out[0]); idx = np.asarray(out[1])
-        outs[name] = (conf, idx)
-        print(f"# {name}: compile+warm {time.monotonic()-t0:.0f}s",
-              file=sys.stderr, flush=True)
-        dts = []
-        for _ in range(args.runs):
-            t0 = time.monotonic()
-            out = fn(params, audio_d)
-            np.asarray(out[0]); np.asarray(out[1])
-            dts.append(time.monotonic() - t0)
-        keep = [d for d in dts if d <= 1.5 * min(dts)] or dts
-        dt = statistics.median(keep)
-        results[name] = args.nseg / dt
-        print(f"{name}: {dt*1000:.0f}ms -> {results[name]:.0f} seg/s "
-              f"({len(dts)-len(keep)} stall-dropped)", flush=True)
+        results[name], outs[name] = timed_seg_s(
+            fn, engine.params, audio_d, args.nseg, args.runs, name
+        )
 
-    c0, i0 = outs["fp32-params"]
-    c1, i1 = outs["bf16-params"]
-    agree = float((i0[:, 0] == i1[:, 0]).mean())
-    dconf = float(np.abs(c0 - c1).max())
-    print(f"# parity: top-1 agreement {agree:.4f}, "
-          f"max top-K confidence delta {dconf:.4f}", flush=True)
+    print_parity(outs["fp32-params"], outs["bf16-params"])
     print(f"bf16/fp32 params: "
           f"{results['bf16-params']/results['fp32-params']:.3f}x", flush=True)
 

@@ -10,13 +10,12 @@ Usage: python scripts/split_sweep.py [--splits 0,1,2,3,6] [--nseg 4096]
 
 import argparse
 import os
-import statistics
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -29,12 +28,10 @@ def main():
 
     import jax
 
+    from _sweep_common import make_layout, timed_seg_s
     from bench import _bench_model_path
     from birdnet_tpu.compiler.importer import import_onnx
-    from birdnet_tpu.compiler.stream import (
-        StreamingEngine,
-        chunk_to_device_layout,
-    )
+    from birdnet_tpu.compiler.stream import StreamingEngine
     from birdnet_tpu.detection import detect_model_type
     from birdnet_tpu.runtime import default_device, init_runtime
 
@@ -42,16 +39,7 @@ def main():
     device = default_device()
     imported = import_onnx(_bench_model_path())
     config = detect_model_type(*imported.detection_shapes())
-
-    n_samples = args.nseg * config.sample_count
-    rng = np.random.default_rng(0)
-    audio = (rng.normal(size=n_samples) * 3000).astype(np.int16)
-    step = config.sample_count
-    n_tiles = args.nseg // args.tile
-    audio_len = (n_tiles * args.tile - 1) * step + config.sample_count
-    padded = np.zeros(audio_len, np.int16)
-    padded[:n_samples] = audio
-    layout = chunk_to_device_layout(padded, step, config.sample_count)
+    layout, step, n_tiles = make_layout(config, args.nseg, args.tile)
 
     results = {}
     for split in [s.strip() for s in args.splits.split(",")]:
@@ -60,26 +48,12 @@ def main():
             imported, config, device=device, top_k=10, tile=args.tile,
             precision="fast",
         )
-        t0 = time.monotonic()
         fn = engine._compile(n_tiles, step, np.int16)
         audio_d = jax.device_put(layout, device)
-        out = fn(engine.params, audio_d)
-        np.asarray(out[0])
-        print(f"# split={split}: compile+warm {time.monotonic()-t0:.0f}s",
-              file=sys.stderr, flush=True)
-        dts = []
-        for _ in range(args.runs):
-            t0 = time.monotonic()
-            out = fn(engine.params, audio_d)
-            np.asarray(out[0]); np.asarray(out[1])
-            dts.append(time.monotonic() - t0)
-        keep = [d for d in dts if d <= 1.5 * min(dts)] or dts
-        dt = statistics.median(keep)
-        seg_s = args.nseg / dt
-        results[split] = seg_s
-        print(f"split={split}: {dt*1000:.0f}ms -> {seg_s:.0f} seg/s "
-              f"({args.nseg/args.tile} tiles, {len(dts)-len(keep)} "
-              f"stall-dropped)", flush=True)
+        results[split], _ = timed_seg_s(
+            fn, engine.params, audio_d, args.nseg, args.runs,
+            f"split={split}"
+        )
     os.environ.pop("BIRDNET_STAGE123_SPLIT", None)
 
     best = max(results, key=results.get)
