@@ -42,6 +42,8 @@ _CPU_ORACLE_MODULES = {
     "test_resample",
     "test_pallas_frontend",
     "test_rnn_ops",  # fp32 torch-oracle tolerances; TPU matmuls use bf16 passes
+    "test_stage123",  # interpret-mode f32 oracle; on TPU BOTH sides run
+    #                   f32-via-bf16 with different op orders (flaky ~4e-4)
 }
 # Modules that need the 8-device virtual mesh.
 _MESH_MODULES = {"test_sharding", "test_sharded_classifier"}

@@ -25,12 +25,16 @@ def _silu(v):
 
 
 def _conv(x, w, stride=1, pad=1, groups=1):
+    # HIGHEST precision: on TPU an f32 conv otherwise runs bf16 passes,
+    # which makes the oracle itself ~1e-4 noisy vs the true-f32
+    # interpret-mode kernel and the comparison borderline-flaky.
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -50,11 +54,13 @@ def _oracle(img, stem_w, stem_b, block_weights, blocks):
         )
         gap = jnp.mean(h2, axis=(2, 3), keepdims=True)  # [N, C, 1, 1]
         s1 = _silu(
-            jnp.einsum("sc,nchw->nshw", bw["se1"].reshape(geom.c_se, geom.c_mid), gap)
+            jnp.einsum("sc,nchw->nshw", bw["se1"].reshape(geom.c_se, geom.c_mid),
+                       gap, precision=jax.lax.Precision.HIGHEST)
             + bw["bse1"].reshape(1, -1, 1, 1)
         )
         s2 = jax.nn.sigmoid(
-            jnp.einsum("cs,nshw->nchw", bw["se2"].reshape(geom.c_mid, geom.c_se), s1)
+            jnp.einsum("cs,nshw->nchw", bw["se2"].reshape(geom.c_mid, geom.c_se),
+                       s1, precision=jax.lax.Precision.HIGHEST)
             + bw["bse2"].reshape(1, -1, 1, 1)
         )
         h3 = h2 * s2
