@@ -194,9 +194,15 @@ def _validate_ops(model: ImportedModel) -> None:
 # Control-flow / fused ops whose lowerings interpret subgraphs that may
 # capture *outer-scope* tracers through ``env`` — even when every direct
 # input is static, they cannot be evaluated at compile time.
+# Ops that must not run under the compile-time-eval fold: control flow
+# (traces subgraphs), and every op that may dispatch a pallas_call — a
+# kernel traced inside ``ensure_compile_time_eval`` sees each scalar it
+# creates as a captured constant and pallas_call rejects it ("captures
+# constants ... pass them as inputs"). QLinearConv routes to the Pallas
+# qconv kernel on TPU.
 _NO_FOLD_OPS = frozenset(
-    {"If", "Loop", "Scan", "_FusedMBConv", "_FusedStagePrefix",
-     "_FusedFrontend", "_FusedStftFrontend"}
+    {"If", "Loop", "Scan", "QLinearConv", "_FusedMBConv",
+     "_FusedStagePrefix", "_FusedFrontend", "_FusedStftFrontend"}
 )
 
 

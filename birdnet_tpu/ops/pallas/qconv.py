@@ -80,7 +80,12 @@ def _qconv_kernel(x_ref, w_ref, sc_ref, b_ref, o_ref, *, act: str,
     # flips round-half-even boundary cases and breaks the bit-identical
     # contract with the XLA path.
     q = jnp.round(v / y_scale)
-    o_ref[0] = jnp.clip(q, out_min, out_max).astype(o_ref.dtype)
+    # Bare lax max/min, not jnp.clip: clip is a nested jit whose i32[]
+    # bound operands pallas rejects as captured constants under some trace
+    # contexts (see also _NO_FOLD_OPS in compiler/importer.py).
+    q = jax.lax.max(q, jnp.full((), out_min, q.dtype))
+    q = jax.lax.min(q, jnp.full((), out_max, q.dtype))
+    o_ref[0] = q.astype(o_ref.dtype)
 
 
 def qconv1x1_requant(
