@@ -1,0 +1,471 @@
+"""HTTP inference server (`birdnet-serve`).
+
+The reference ships a batch CLI only; deployment as a service means
+embedding the Rust library in your own daemon. This module is the
+TPU-native serving front end the prompt's production story needs: a
+dependency-free (stdlib ``http.server``) JSON/PCM API over one shared
+:class:`~birdnet_tpu.classifier.Classifier`, with concurrent ``/v1/predict``
+requests coalesced into device batches by
+:class:`~birdnet_tpu.serve.batcher.DynamicBatcher` and whole-recording
+``/v1/analyze`` requests going through the streaming device pipeline
+(one upload, fused segmentation + inference + top-K on device).
+
+Endpoints
+---------
+- ``GET  /v1/health``   liveness + model identity
+- ``GET  /v1/info``     model config, device, serving parameters
+- ``GET  /v1/labels``   full label list
+- ``GET  /v1/metrics``  request/batch/latency counters (JSON)
+- ``POST /v1/predict``  one segment → top-K predictions
+    Body: ``application/octet-stream`` raw little-endian PCM
+    (``?dtype=i16`` default, or ``f32``), or ``application/json``
+    ``{"samples": [...]}``. Exactly ``sample_count`` samples
+    (classifier.rs:612-618 semantics; errors map to HTTP 400 with the
+    reference's message strings).
+    Query: ``min_confidence`` (host-side filter), ``embeddings=1``
+    (base64 float32, v3.0/Perch only).
+- ``POST /v1/analyze``  whole recording → timestamped detections
+    Body: a WAV file (RIFF; mono/16-bit rules as the CLI,
+    birdnet-analyze.rs:653-704) or raw i16 PCM with ``?rate=``.
+    Query: ``overlap`` seconds (default 0), ``min_confidence``,
+    ``resample=1`` to accept non-model rates.
+
+Error mapping: 400 for validation errors (input size, audio format), 404
+unknown route, 413 oversized body, 503 queue-full/overload, 500 anything
+else — always ``{"error": <ExceptionName>, "message": <display string>}``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from ..classifier import Classifier
+from ..errors import (
+    AudioFormatError,
+    AudioReadError,
+    BirdnetError,
+    InferenceError,
+    InputSizeError,
+)
+from ..runtime import init_runtime
+from ..types import Prediction
+from .batcher import DynamicBatcher
+
+MAX_BODY_BYTES = 1 << 30  # 1 GiB — ~3h of 48kHz i16 mono
+
+
+class ServerState:
+    """Everything the handler threads share."""
+
+    def __init__(
+        self,
+        classifier: Classifier,
+        max_batch: int = 32,
+        max_wait_ms: float = 5.0,
+        max_queue: int = 4096,
+    ):
+        self.classifier = classifier
+        self.batcher = DynamicBatcher(
+            classifier,
+            max_batch=max_batch,
+            max_wait_ms=max_wait_ms,
+            max_queue=max_queue,
+        )
+        self.started_at = time.time()
+        self.analyze_lock = threading.Lock()  # one streaming pass at a time
+        self.analyses_total = 0
+        self.analyze_segments_total = 0
+
+    def close(self) -> None:
+        self.batcher.close()
+
+
+def _pred_json(p: Prediction) -> dict:
+    return {
+        "species": p.species,
+        "confidence": float(p.confidence),
+        "index": int(p.index),
+    }
+
+
+def _apply_min_conf(preds, min_conf: Optional[float]):
+    if min_conf is None:
+        return preds
+    return [p for p in preds if p.confidence >= min_conf]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "birdnet-tpu-serve/0.4"
+    protocol_version = "HTTP/1.1"
+
+    # quiet by default; the server object can set log=True
+    def log_message(self, fmt, *args):
+        if getattr(self.server, "verbose", False):
+            sys.stderr.write(
+                "%s - %s\n" % (self.address_string(), fmt % args)
+            )
+
+    @property
+    def state(self) -> ServerState:
+        return self.server.state  # type: ignore[attr-defined]
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _send_json(self, obj, status: int = 200) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_error_json(self, exc: Exception, status: int) -> None:
+        self._send_json(
+            {"error": type(exc).__name__, "message": str(exc)}, status=status
+        )
+
+    def _read_body(self) -> bytes:
+        length = int(self.headers.get("Content-Length", 0))
+        if length > MAX_BODY_BYTES:
+            raise _HttpError(413, f"body too large ({length} bytes)")
+        if length <= 0:
+            raise _HttpError(400, "empty request body")
+        return self.rfile.read(length)
+
+    def _query(self) -> dict:
+        parsed = urllib.parse.urlparse(self.path)
+        return {
+            k: v[-1]
+            for k, v in urllib.parse.parse_qs(parsed.query).items()
+        }
+
+    def _route(self) -> str:
+        return urllib.parse.urlparse(self.path).path.rstrip("/")
+
+    # -- GET ----------------------------------------------------------------
+
+    def do_GET(self):  # noqa: N802 (stdlib casing)
+        try:
+            route = self._route()
+            st = self.state
+            cfg = st.classifier.config
+            if route == "/v1/health":
+                self._send_json(
+                    {
+                        "status": "ok",
+                        "model_type": cfg.model_type.name,
+                        "device": str(st.classifier.device),
+                        "uptime_s": round(time.time() - st.started_at, 1),
+                    }
+                )
+            elif route == "/v1/info":
+                self._send_json(
+                    {
+                        "model_type": cfg.model_type.name,
+                        "sample_rate": cfg.sample_rate,
+                        "sample_count": cfg.sample_count,
+                        "segment_seconds": cfg.segment_duration,
+                        "num_species": cfg.num_species,
+                        "embedding_dim": cfg.embedding_dim,
+                        "top_k": st.classifier.top_k_value,
+                        "min_confidence": st.classifier.min_confidence_value,
+                        "device": str(st.classifier.device),
+                        "max_batch": st.batcher.max_batch,
+                    }
+                )
+            elif route == "/v1/labels":
+                self._send_json({"labels": st.classifier.labels})
+            elif route == "/v1/metrics":
+                m = st.batcher.metrics.snapshot()
+                m["queue_depth"] = st.batcher.queue_depth()
+                m["analyses_total"] = st.analyses_total
+                m["analyze_segments_total"] = st.analyze_segments_total
+                m["uptime_s"] = round(time.time() - st.started_at, 1)
+                self._send_json(m)
+            else:
+                self._send_json(
+                    {"error": "NotFound", "message": f"no route {route}"},
+                    status=404,
+                )
+        except Exception as e:  # pragma: no cover - handler safety net
+            self._send_error_json(e, 500)
+
+    # -- POST ---------------------------------------------------------------
+
+    def do_POST(self):  # noqa: N802
+        route = self._route()
+        try:
+            if route == "/v1/predict":
+                self._predict()
+            elif route == "/v1/analyze":
+                self._analyze()
+            else:
+                self._send_json(
+                    {"error": "NotFound", "message": f"no route {route}"},
+                    status=404,
+                )
+        except _HttpError as e:
+            self._send_json(
+                {"error": "BadRequest", "message": e.message}, status=e.status
+            )
+        except (InputSizeError, AudioFormatError, AudioReadError) as e:
+            self._send_error_json(e, 400)
+        except InferenceError as e:
+            # queue-full/overload surfaces as 503 so load balancers back off
+            status = 503 if "overloaded" in str(e) else 500
+            self._send_error_json(e, status)
+        except BirdnetError as e:
+            self._send_error_json(e, 400)
+        except Exception as e:
+            self._send_error_json(e, 500)
+
+    def _decode_segment(self, body: bytes, query: dict) -> np.ndarray:
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+        if ctype == "application/json":
+            payload = json.loads(body.decode())
+            if "samples" in payload:
+                return np.asarray(payload["samples"], dtype=np.float32)
+            if "pcm16_b64" in payload:
+                raw = base64.b64decode(payload["pcm16_b64"])
+                i16 = np.frombuffer(raw, dtype="<i2")
+                return i16.astype(np.float32) / 32768.0
+            raise _HttpError(
+                400, "JSON body needs 'samples' or 'pcm16_b64'"
+            )
+        dtype = query.get("dtype", "i16")
+        if dtype == "i16":
+            if len(body) % 2:
+                raise _HttpError(400, "odd byte count for i16 PCM")
+            return np.frombuffer(body, dtype="<i2").astype(np.float32) / 32768.0
+        if dtype == "f32":
+            if len(body) % 4:
+                raise _HttpError(400, "byte count not a multiple of 4 for f32")
+            return np.frombuffer(body, dtype="<f4").astype(np.float32)
+        raise _HttpError(400, f"unknown dtype {dtype!r} (use i16 or f32)")
+
+    def _predict(self) -> None:
+        query = self._query()
+        body = self._read_body()
+        segment = self._decode_segment(body, query)
+        st = self.state
+        fut = st.batcher.submit(segment)
+        timeout = float(query.get("timeout_s", 60.0))
+        result = fut.result(timeout=timeout)
+        min_conf = (
+            float(query["min_confidence"])
+            if "min_confidence" in query
+            else None
+        )
+        preds = _apply_min_conf(result.predictions, min_conf)
+        out = {
+            "model_type": result.model_type.name,
+            "predictions": [_pred_json(p) for p in preds],
+        }
+        if query.get("embeddings") in ("1", "true") and (
+            result.embeddings is not None
+        ):
+            emb = np.asarray(result.embeddings, dtype=np.float32)
+            out["embeddings_b64"] = base64.b64encode(emb.tobytes()).decode()
+            out["embedding_dim"] = int(emb.shape[-1])
+        self._send_json(out)
+
+    def _analyze(self) -> None:
+        query = self._query()
+        body = self._read_body()
+        st = self.state
+        cfg = st.classifier.config
+        overlap = float(query.get("overlap", 0.0))
+        resample = query.get("resample") in ("1", "true")
+        min_conf = (
+            float(query["min_confidence"])
+            if "min_confidence" in query
+            else None
+        )
+
+        if body[:4] == b"RIFF":
+            samples, rate = _read_wav_bytes(body, resample_to=None)
+        else:
+            if "rate" not in query:
+                raise _HttpError(
+                    400,
+                    "raw PCM analyze needs ?rate= (or send a WAV file body)",
+                )
+            rate = int(query["rate"])
+            if len(body) % 2:
+                raise _HttpError(400, "odd byte count for i16 PCM")
+            samples = np.frombuffer(body, dtype="<i2")
+        if rate != cfg.sample_rate:
+            if not resample:
+                raise AudioFormatError(
+                    f"model expects {cfg.sample_rate} Hz audio, input is "
+                    f"{rate} Hz (pass resample=1 to convert)"
+                )
+            from ..ops.resample import resample_audio
+
+            samples = resample_audio(
+                samples, rate, cfg.sample_rate, out_dtype=np.int16
+            )
+
+        t0 = time.monotonic()
+        with st.analyze_lock:
+            detections = st.classifier.analyze_samples(samples, overlap)
+        dt = time.monotonic() - t0
+        st.analyses_total += 1
+        st.analyze_segments_total += len(detections)
+
+        audio_seconds = len(samples) / cfg.sample_rate
+        out = {
+            "model_type": cfg.model_type.name,
+            "segments": len(detections),
+            "audio_seconds": round(audio_seconds, 3),
+            "wall_seconds": round(dt, 4),
+            "segments_per_second": round(len(detections) / dt, 1)
+            if dt > 0
+            else None,
+            "realtime_factor": round(audio_seconds / dt, 1)
+            if dt > 0
+            else None,
+            "detections": [
+                {
+                    "start_time": round(t, 3),
+                    "predictions": [
+                        _pred_json(p)
+                        for p in _apply_min_conf(preds, min_conf)
+                    ],
+                }
+                for t, preds in detections
+            ],
+        }
+        self._send_json(out)
+
+
+class _HttpError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+def _read_wav_bytes(body: bytes, resample_to=None):
+    """Decode an in-memory WAV via the same validated reader the CLI uses
+    (native wavio / numpy fallback are path-based, so spool to a temp
+    file — the decode itself dominates, not the spool)."""
+    from ..utils.audio_io import read_wav
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        f.write(body)
+        path = f.name
+    try:
+        samples, rate, _ = read_wav(path, dtype="int16")
+    finally:
+        os.unlink(path)
+    return samples, rate
+
+
+def make_server(
+    classifier: Classifier,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_batch: int = 32,
+    max_wait_ms: float = 5.0,
+    max_queue: int = 4096,
+    verbose: bool = False,
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; ``server.state`` carries the
+    shared classifier + batcher. Use ``serve_forever()`` / ``shutdown()``."""
+    server = ThreadingHTTPServer((host, port), _Handler)
+    server.daemon_threads = True
+    server.state = ServerState(  # type: ignore[attr-defined]
+        classifier,
+        max_batch=max_batch,
+        max_wait_ms=max_wait_ms,
+        max_queue=max_queue,
+    )
+    server.verbose = verbose  # type: ignore[attr-defined]
+    return server
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="birdnet-serve",
+        description="Serve a BirdNET/Perch model over HTTP with dynamic "
+        "request batching",
+    )
+    p.add_argument("--model", required=True, help="ONNX model or .btck checkpoint")
+    p.add_argument("--labels", required=True, help="labels file")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8439)
+    p.add_argument("--provider", default="auto", help="auto|cpu|tpu")
+    p.add_argument("--precision", default=None, help="fp32|mixed|fast|bf16")
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--min-confidence", type=float, default=None)
+    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument(
+        "--max-wait-ms",
+        type=float,
+        default=5.0,
+        help="batching window: how long the first queued request waits for "
+        "the batch to fill",
+    )
+    p.add_argument("--max-queue", type=int, default=4096)
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    init_runtime()
+    builder = (
+        Classifier.builder()
+        .model_path(args.model)
+        .labels_path(args.labels)
+        .top_k(args.top_k)
+    )
+    if args.min_confidence is not None:
+        builder = builder.min_confidence(args.min_confidence)
+    if args.precision:
+        builder = builder.precision(args.precision)
+    if args.provider not in ("auto", "cpu"):
+        builder = builder.with_device(args.provider)
+    classifier = builder.build()
+    server = make_server(
+        classifier,
+        host=args.host,
+        port=args.port,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        max_queue=args.max_queue,
+        verbose=args.verbose,
+    )
+    host, port = server.server_address[:2]
+    print(
+        f"birdnet-serve: {classifier.config.model_type.name} on "
+        f"{classifier.device} — listening on http://{host}:{port} "
+        f"(max_batch={args.max_batch}, window={args.max_wait_ms}ms)",
+        file=sys.stderr,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down", file=sys.stderr)
+    finally:
+        server.state.close()  # type: ignore[attr-defined]
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,412 @@
+"""Serving tier: DynamicBatcher coalescing + HTTP server end-to-end.
+
+The server runs on an ephemeral port with tiny generated models (the fake
+backend, SURVEY §4) and is driven with stdlib urllib — no network beyond
+localhost, no extra dependencies. Mirrors the reference's concurrency
+integration test (reference: tests/integration_test.rs:488-529) but goes
+further: concurrent requests must *coalesce into fewer device batches*,
+not just survive.
+"""
+
+import base64
+import json
+import struct
+import threading
+import time
+import urllib.error
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+import birdnet_tpu.errors as E
+from birdnet_tpu import Classifier
+from birdnet_tpu.serve import DynamicBatcher, make_server
+
+LABELS10 = [f"species_{i}" for i in range(10)]
+LABELS12 = [f"species_{i}" for i in range(12)]
+
+
+@pytest.fixture(scope="module")
+def v24_classifier(tmp_path_factory):
+    from birdnet_tpu.models import birdnet_v24
+
+    p = tmp_path_factory.mktemp("serve_models") / "v24_tiny.onnx"
+    birdnet_v24.save_tiny(p, num_species=10)
+    return (
+        Classifier.builder()
+        .model_path(str(p))
+        .labels(LABELS10)
+        .top_k(3)
+        .build()
+    )
+
+
+@pytest.fixture(scope="module")
+def perch_classifier(tmp_path_factory):
+    from birdnet_tpu.models import perch_v2
+
+    p = tmp_path_factory.mktemp("serve_models") / "perch_tiny.onnx"
+    perch_v2.save_tiny(p, num_species=12, embedding_dim=48)
+    return (
+        Classifier.builder()
+        .model_path(str(p))
+        .labels(LABELS12)
+        .top_k(3)
+        .build()
+    )
+
+
+def _segment(classifier, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(
+        classifier.config.sample_count, dtype=np.float32
+    ) * 0.1
+
+
+# ---------------------------------------------------------------------------
+# DynamicBatcher unit tests
+# ---------------------------------------------------------------------------
+
+
+class TestDynamicBatcher:
+    def test_single_request_matches_direct_predict(self, v24_classifier):
+        seg = _segment(v24_classifier)
+        direct = v24_classifier.predict(seg)
+        with DynamicBatcher(v24_classifier, max_batch=8, max_wait_ms=1) as b:
+            served = b.predict(seg, timeout=60)
+        assert [p.species for p in served.predictions] == [
+            p.species for p in direct.predictions
+        ]
+        np.testing.assert_allclose(
+            [p.confidence for p in served.predictions],
+            [p.confidence for p in direct.predictions],
+            rtol=1e-5,
+        )
+
+    def test_concurrent_requests_coalesce(self, v24_classifier):
+        n = 16
+        segs = [_segment(v24_classifier, seed=i) for i in range(n)]
+        direct = v24_classifier.predict_batch(segs)
+        with DynamicBatcher(
+            v24_classifier, max_batch=16, max_wait_ms=200
+        ) as b:
+            futures = [b.submit(s) for s in segs]
+            results = [f.result(timeout=120) for f in futures]
+            stats = b.metrics.snapshot()
+        # All submitted within the 200 ms window → far fewer batches than
+        # requests (a single one when the queue kept up).
+        assert stats["requests_total"] == n
+        assert stats["batches_total"] <= 4
+        assert stats["segments_total"] == n
+        assert stats["mean_batch_fill"] >= n / 4
+        for got, want in zip(results, direct):
+            assert [p.species for p in got.predictions] == [
+                p.species for p in want.predictions
+            ]
+
+    def test_submit_validates_size_in_caller_thread(self, v24_classifier):
+        with DynamicBatcher(v24_classifier, max_batch=4) as b:
+            with pytest.raises(E.InputSizeError):
+                b.submit(np.zeros(100, np.float32))
+            # queue unaffected; good requests still work
+            r = b.predict(_segment(v24_classifier), timeout=60)
+            assert len(r.predictions) <= 3
+
+    def test_queue_full_rejects(self, v24_classifier):
+        b = DynamicBatcher(
+            v24_classifier, max_batch=1, max_wait_ms=0, max_queue=1
+        )
+        try:
+            seg = _segment(v24_classifier)
+            # Saturate: submit many quickly; at least one should be rejected
+            # OR all complete (the worker may drain fast on CPU) — assert
+            # the error path only when it fires.
+            rejected = 0
+            futures = []
+            for _ in range(64):
+                try:
+                    futures.append(b.submit(seg))
+                except E.InferenceError as e:
+                    assert "overloaded" in str(e)
+                    rejected += 1
+            for f in futures:
+                f.result(timeout=120)
+            assert rejected == b.metrics.snapshot()["rejected_total"]
+        finally:
+            b.close()
+
+    def test_close_drains_pending(self, v24_classifier):
+        b = DynamicBatcher(v24_classifier, max_batch=4, max_wait_ms=50)
+        futures = [
+            b.submit(_segment(v24_classifier, seed=i)) for i in range(6)
+        ]
+        b.close()  # drain=True: everything completes
+        for f in futures:
+            assert f.result(timeout=1) is not None
+        with pytest.raises(E.InferenceError):
+            b.submit(_segment(v24_classifier))
+
+    def test_perch_fallback_path(self, perch_classifier):
+        seg = _segment(perch_classifier)
+        direct = perch_classifier.predict(seg)
+        with DynamicBatcher(
+            perch_classifier, max_batch=4, max_wait_ms=1
+        ) as b:
+            served = b.predict(seg, timeout=120)
+        assert [p.species for p in served.predictions] == [
+            p.species for p in direct.predictions
+        ]
+        # Perch results carry embeddings through the batcher too
+        assert served.embeddings is not None
+
+    def test_latency_metrics_populated(self, v24_classifier):
+        with DynamicBatcher(v24_classifier, max_batch=4, max_wait_ms=1) as b:
+            for i in range(3):
+                b.predict(_segment(v24_classifier, seed=i), timeout=60)
+            s = b.metrics.snapshot()
+        assert s["latency_p50_ms"] is not None and s["latency_p50_ms"] > 0
+        assert s["batches_total"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# HTTP server end-to-end
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def server(v24_classifier):
+    srv = make_server(v24_classifier, host="127.0.0.1", port=0, max_batch=8)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    yield f"http://{host}:{port}"
+    srv.shutdown()
+    srv.state.close()
+    srv.server_close()
+    thread.join(timeout=10)
+
+
+def _get(base, path):
+    try:
+        with urllib.request.urlopen(base + path, timeout=120) as r:
+            return r.status, json.loads(r.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def _post(base, path, body, content_type="application/octet-stream"):
+    req = urllib.request.Request(
+        base + path, data=body, headers={"Content-Type": content_type}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+class TestServer:
+    def test_health(self, server):
+        status, body = _get(server, "/v1/health")
+        assert status == 200
+        assert body["status"] == "ok"
+        assert body["model_type"] == "BIRDNET_V24"
+
+    def test_info(self, server, v24_classifier):
+        status, body = _get(server, "/v1/info")
+        assert status == 200
+        cfg = v24_classifier.config
+        assert body["sample_count"] == cfg.sample_count
+        assert body["sample_rate"] == cfg.sample_rate
+        assert body["num_species"] == 10
+        assert body["max_batch"] == 8
+
+    def test_labels(self, server):
+        status, body = _get(server, "/v1/labels")
+        assert status == 200
+        assert body["labels"] == LABELS10
+
+    def test_predict_i16(self, server, v24_classifier):
+        seg = _segment(v24_classifier)
+        i16 = (seg * 32768.0).clip(-32768, 32767).astype("<i2")
+        status, body = _post(server, "/v1/predict", i16.tobytes())
+        assert status == 200
+        direct = v24_classifier.predict(
+            i16.astype(np.float32) / 32768.0
+        )
+        assert [p["species"] for p in body["predictions"]] == [
+            p.species for p in direct.predictions
+        ]
+
+    def test_predict_f32(self, server, v24_classifier):
+        seg = _segment(v24_classifier, seed=7)
+        status, body = _post(
+            server, "/v1/predict?dtype=f32", seg.astype("<f4").tobytes()
+        )
+        assert status == 200
+        direct = v24_classifier.predict(seg)
+        np.testing.assert_allclose(
+            [p["confidence"] for p in body["predictions"]],
+            [p.confidence for p in direct.predictions],
+            rtol=1e-5,
+        )
+
+    def test_predict_json_samples(self, server, v24_classifier):
+        seg = _segment(v24_classifier, seed=3)
+        status, body = _post(
+            server,
+            "/v1/predict",
+            json.dumps({"samples": seg.tolist()}).encode(),
+            content_type="application/json",
+        )
+        assert status == 200
+        assert len(body["predictions"]) <= 3
+
+    def test_predict_json_pcm16_b64(self, server, v24_classifier):
+        seg = _segment(v24_classifier, seed=4)
+        i16 = (seg * 32768.0).clip(-32768, 32767).astype("<i2")
+        status, body = _post(
+            server,
+            "/v1/predict",
+            json.dumps(
+                {"pcm16_b64": base64.b64encode(i16.tobytes()).decode()}
+            ).encode(),
+            content_type="application/json",
+        )
+        assert status == 200
+        assert len(body["predictions"]) <= 3
+
+    def test_predict_wrong_size_is_400_with_reference_message(
+        self, server, v24_classifier
+    ):
+        status, body = _post(
+            server, "/v1/predict", np.zeros(100, "<i2").tobytes()
+        )
+        assert status == 400
+        assert body["error"] == "InputSizeError"
+        # message parity with the reference's InputSize display
+        # (reference: src/error.rs InputSize variant)
+        assert str(v24_classifier.config.sample_count) in body["message"]
+        assert "100" in body["message"]
+
+    def test_predict_min_confidence_filter(self, server, v24_classifier):
+        seg = _segment(v24_classifier, seed=5)
+        status, body = _post(
+            server, "/v1/predict?min_confidence=1.1", seg.astype("<f4").tobytes()
+        )
+        # threshold above 1.0 → everything filtered (but request succeeds)
+        # (query needs dtype=f32; reuse the default i16 misparse? no — set it)
+        status, body = _post(
+            server,
+            "/v1/predict?min_confidence=1.1&dtype=f32",
+            seg.astype("<f4").tobytes(),
+        )
+        assert status == 200
+        assert body["predictions"] == []
+
+    def test_unknown_route_404(self, server):
+        status, body = _get(server, "/v1/nope")
+        assert status == 404
+
+    def test_analyze_wav(self, server, v24_classifier, tmp_path):
+        cfg = v24_classifier.config
+        # 3 segments of audio as a real RIFF WAV in memory
+        n = cfg.sample_count * 3
+        rng = np.random.default_rng(11)
+        pcm = (rng.standard_normal(n) * 3000).astype("<i2")
+        import io
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(cfg.sample_rate)
+            w.writeframes(pcm.tobytes())
+        status, body = _post(server, "/v1/analyze", buf.getvalue())
+        assert status == 200
+        assert body["segments"] == 3
+        assert len(body["detections"]) == 3
+        assert body["detections"][0]["start_time"] == 0.0
+        assert body["detections"][1]["start_time"] == pytest.approx(
+            cfg.segment_duration
+        )
+        # equals the library's own streaming result
+        direct = v24_classifier.analyze_samples(pcm)
+        for det, (t, preds) in zip(body["detections"], direct):
+            assert [p["species"] for p in det["predictions"]] == [
+                p.species for p in preds
+            ]
+
+    def test_analyze_raw_pcm_needs_rate(self, server, v24_classifier):
+        pcm = np.zeros(v24_classifier.config.sample_count, "<i2")
+        status, body = _post(server, "/v1/analyze", pcm.tobytes())
+        assert status == 400
+        assert "rate" in body["message"]
+
+    def test_analyze_raw_pcm_with_rate(self, server, v24_classifier):
+        cfg = v24_classifier.config
+        pcm = np.zeros(cfg.sample_count, "<i2")
+        status, body = _post(
+            server, f"/v1/analyze?rate={cfg.sample_rate}", pcm.tobytes()
+        )
+        assert status == 200
+        assert body["segments"] == 1
+
+    def test_analyze_wrong_rate_is_400(self, server):
+        pcm = np.zeros(1000, "<i2")
+        status, body = _post(server, "/v1/analyze?rate=8000", pcm.tobytes())
+        assert status == 400
+        assert body["error"] == "AudioFormatError"
+
+    def test_metrics_progress(self, server):
+        status, body = _get(server, "/v1/metrics")
+        assert status == 200
+        assert body["requests_total"] >= 1
+        assert body["batches_total"] >= 1
+        assert body["analyses_total"] >= 1
+        assert "latency_p50_ms" in body
+
+    def test_concurrent_http_predicts_coalesce(self, server, v24_classifier):
+        before = _get(server, "/v1/metrics")[1]
+        n = 12
+        segs = [
+            _segment(v24_classifier, seed=100 + i).astype("<f4") for i in range(n)
+        ]
+        results = [None] * n
+        errs = []
+
+        def hit(i):
+            try:
+                results[i] = _post(
+                    server, "/v1/predict?dtype=f32", segs[i].tobytes()
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=hit, args=(i,)) for i in range(n)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errs
+        assert all(r is not None and r[0] == 200 for r in results)
+        after = _get(server, "/v1/metrics")[1]
+        made = after["batches_total"] - before["batches_total"]
+        assert made <= n  # coalescing happened (usually ≪ n)
+
+
+class TestServeCLI:
+    def test_parser_defaults(self):
+        from birdnet_tpu.serve.server import build_parser
+
+        args = build_parser().parse_args(
+            ["--model", "m.onnx", "--labels", "l.txt"]
+        )
+        assert args.port == 8439
+        assert args.max_batch == 32
+        assert args.max_wait_ms == 5.0
+        assert args.provider == "auto"
