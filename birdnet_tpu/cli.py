@@ -512,19 +512,25 @@ def run_with_args(args: argparse.Namespace) -> int:
             f"Embeddings {emb.shape} extracted in {time.monotonic() - t0:.3f}s",
         )
 
-    def _process_file(audio_path: str) -> None:
-        _debug(args.verbose, f"Reading WAV file: {audio_path}")
-        t0 = time.monotonic()
+    def _read_audio(audio_path: str):
+        """Decode one WAV (host-side). Runs either inline or on the
+        prefetch thread — it touches no mutable state beyond the one-shot
+        wav_cache pop (int8 calibration reuse, populated before the loop
+        starts)."""
         # Streaming ships raw int16 PCM to the device (half the transfer
         # bytes; the /32768 scale runs on-device); per-batch wants float32.
         dtype = "int16" if use_stream else "float32"
         cached = wav_cache.pop((audio_path, dtype), None)
         if cached is not None:
-            samples, sample_rate, duration_secs = cached
-        else:
-            samples, sample_rate, duration_secs = read_wav(
-                audio_path, dtype=dtype, downmix=args.downmix
-            )
+            return cached
+        return read_wav(audio_path, dtype=dtype, downmix=args.downmix)
+
+    def _process_file(audio_path: str, decoded=None) -> None:
+        _debug(args.verbose, f"Reading WAV file: {audio_path}")
+        t0 = time.monotonic()
+        samples, sample_rate, duration_secs = (
+            decoded if decoded is not None else _read_audio(audio_path)
+        )
         _debug(args.verbose, f"WAV file read in {time.monotonic() - t0:.3f}s")
 
         if sample_rate != config.sample_rate:
@@ -666,17 +672,36 @@ def run_with_args(args: argparse.Namespace) -> int:
             _export_embeddings(audio_path, samples, make_stream_options())
 
     failures = 0
+    # Multi-file runs prefetch the next file's host-side WAV decode on a
+    # background thread while the current file is on the device, so disk
+    # I/O overlaps inference instead of serializing with it (the reference
+    # CLI is strictly sequential; decode is pure host work the accelerator
+    # never needs to wait for).
+    from concurrent.futures import ThreadPoolExecutor
+
     try:
-        for audio_path in audio_files:
-            if state["cancelled"]:
-                break
-            try:
-                _process_file(audio_path)
-            except BirdnetError as e:
-                if not multi_file:
-                    raise
-                failures += 1
-                print(f"Error analyzing {audio_path}: {e}", file=sys.stderr)
+        with ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="wav-prefetch"
+        ) as prefetch_pool:
+            next_fut = None
+            for i, audio_path in enumerate(audio_files):
+                if state["cancelled"]:
+                    break
+                cur_fut, next_fut = next_fut, None
+                if i + 1 < len(audio_files):
+                    next_fut = prefetch_pool.submit(
+                        _read_audio, audio_files[i + 1]
+                    )
+                try:
+                    decoded = cur_fut.result() if cur_fut is not None else None
+                    _process_file(audio_path, decoded)
+                except BirdnetError as e:
+                    if not multi_file:
+                        raise
+                    failures += 1
+                    print(
+                        f"Error analyzing {audio_path}: {e}", file=sys.stderr
+                    )
     finally:
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)

@@ -237,6 +237,36 @@ def test_cli_multiple_files(cli_fixtures, tmp_path, capsys):
     assert any(str(wav2) in ln for ln in lines[1:])
 
 
+def test_cli_multi_file_prefetch_thread(cli_fixtures, tmp_path, capsys,
+                                        monkeypatch):
+    """Files after the first decode on the wav-prefetch background thread
+    (I/O overlaps inference); output order stays sequential."""
+    import threading
+
+    import birdnet_tpu.utils.audio_io as audio_io
+
+    wav, model, labels = cli_fixtures
+    wav2 = tmp_path / "pf.wav"
+    write_wav(wav2, np.zeros(48_000 * 3, np.float32), 48_000)
+    threads_seen = {}
+    real_read = audio_io.read_wav
+
+    def spy(path, *a, **kw):
+        threads_seen[str(path)] = threading.current_thread().name
+        return real_read(path, *a, **kw)
+
+    # cli.py imports read_wav inside run_with_args, so patching the source
+    # module is picked up by each invocation.
+    monkeypatch.setattr(audio_io, "read_wav", spy)
+    rc = main([wav, str(wav2), "-m", model, "-l", labels, "--provider",
+               "cpu", "--min-confidence", "0.0", "-t", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert threads_seen[str(wav2)].startswith("wav-prefetch")
+    # ordering: file 1's summary precedes file 2's header
+    assert out.index("3 segments of 7s audio") < out.index(str(wav2))
+
+
 def test_cli_multi_file_error_continues(cli_fixtures, tmp_path, capsys):
     wav, model, labels = cli_fixtures
     bad = tmp_path / "bad.wav"
