@@ -29,6 +29,11 @@ Endpoints
     birdnet-analyze.rs:653-704) or raw i16 PCM with ``?rate=``.
     Query: ``overlap`` seconds (default 0), ``min_confidence``,
     ``resample=1`` to accept non-model rates.
+- ``GET  /v1/rangefilter?lat=&lon=[&date=MM-DD]``  meta-model species
+    scores for a site (requires ``--meta-model``). The same
+    ``lat``/``lon``/``date``/``rerank`` params on predict/analyze apply
+    the reference's filter/rerank semantics to results
+    (rangefilter.rs:333-386); per-site scores are cached server-side.
 
 Error mapping: 400 for validation errors (input size, audio format), 404
 unknown route, 413 oversized body, 503 queue-full/overload, 500 anything
@@ -76,6 +81,7 @@ class ServerState:
         max_batch: int = 32,
         max_wait_ms: float = 5.0,
         max_queue: int = 4096,
+        range_filter=None,
     ):
         self.classifier = classifier
         self.batcher = DynamicBatcher(
@@ -84,10 +90,28 @@ class ServerState:
             max_wait_ms=max_wait_ms,
             max_queue=max_queue,
         )
+        self.range_filter = range_filter
+        self._scores_cache: dict = {}  # (lat, lon, month, day) → scores
+        self._scores_lock = threading.Lock()
         self.started_at = time.time()
         self.analyze_lock = threading.Lock()  # one streaming pass at a time
         self.analyses_total = 0
         self.analyze_segments_total = 0
+
+    def location_scores(self, lat: float, lon: float, month: int, day: int):
+        """Meta-model species scores for a location/date, cached — serving
+        traffic from one deployment clusters on a few sites, and the meta
+        model is deterministic per (lat, lon, week)."""
+        key = (round(lat, 4), round(lon, 4), month, day)
+        with self._scores_lock:
+            if key in self._scores_cache:
+                return self._scores_cache[key]
+        scores = self.range_filter.predict(lat, lon, month, day)
+        with self._scores_lock:
+            if len(self._scores_cache) >= 256:
+                self._scores_cache.clear()
+            self._scores_cache[key] = scores
+        return scores
 
     def close(self) -> None:
         self.batcher.close()
@@ -155,6 +179,45 @@ class _Handler(BaseHTTPRequestHandler):
     def _route(self) -> str:
         return urllib.parse.urlparse(self.path).path.rstrip("/")
 
+    def _location_args(self, query: dict):
+        """Parse lat/lon/date query params → (lat, lon, month, day) or
+        None when absent. Errors early when the server has no meta model."""
+        if "lat" not in query and "lon" not in query:
+            return None
+        if "lat" not in query or "lon" not in query:
+            raise _HttpError(400, "range filtering needs both lat and lon")
+        if self.state.range_filter is None:
+            raise _HttpError(
+                400,
+                "server was started without a meta model "
+                "(--meta-model); range filtering unavailable",
+            )
+        lat, lon = float(query["lat"]), float(query["lon"])
+        if "date" in query:
+            parts = query["date"].split("-")
+            if len(parts) != 2:
+                raise _HttpError(400, "date must be MM-DD")
+            month, day = int(parts[0]), int(parts[1])
+        else:
+            now = time.localtime()
+            month, day = now.tm_mon, now.tm_mday
+        return lat, lon, month, day
+
+    def _filtered(self, predictions, query: dict):
+        """Apply optional per-request location filtering + min-confidence."""
+        loc = self._location_args(query)
+        if loc is not None:
+            scores = self.state.location_scores(*loc)
+            predictions = self.state.range_filter.filter_predictions(
+                predictions, scores, rerank=query.get("rerank") in ("1", "true")
+            )
+        min_conf = (
+            float(query["min_confidence"])
+            if "min_confidence" in query
+            else None
+        )
+        return _apply_min_conf(predictions, min_conf)
+
     # -- GET ----------------------------------------------------------------
 
     def do_GET(self):  # noqa: N802 (stdlib casing)
@@ -188,6 +251,25 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             elif route == "/v1/labels":
                 self._send_json({"labels": st.classifier.labels})
+            elif route == "/v1/rangefilter":
+                loc = self._location_args(self._query())
+                if loc is None:
+                    raise _HttpError(400, "rangefilter needs lat and lon")
+                scores = st.location_scores(*loc)
+                self._send_json(
+                    {
+                        "count": len(scores),
+                        "threshold": st.range_filter.threshold,
+                        "scores": [
+                            {
+                                "species": s.species,
+                                "score": float(s.score),
+                                "index": int(s.index),
+                            }
+                            for s in scores
+                        ],
+                    }
+                )
             elif route == "/v1/metrics":
                 m = st.batcher.metrics.snapshot()
                 m["queue_depth"] = st.batcher.queue_depth()
@@ -200,6 +282,12 @@ class _Handler(BaseHTTPRequestHandler):
                     {"error": "NotFound", "message": f"no route {route}"},
                     status=404,
                 )
+        except _HttpError as e:
+            self._send_json(
+                {"error": "BadRequest", "message": e.message}, status=e.status
+            )
+        except BirdnetError as e:
+            self._send_error_json(e, 400)
         except Exception as e:  # pragma: no cover - handler safety net
             self._send_error_json(e, 500)
 
@@ -264,12 +352,7 @@ class _Handler(BaseHTTPRequestHandler):
         fut = st.batcher.submit(segment)
         timeout = float(query.get("timeout_s", 60.0))
         result = fut.result(timeout=timeout)
-        min_conf = (
-            float(query["min_confidence"])
-            if "min_confidence" in query
-            else None
-        )
-        preds = _apply_min_conf(result.predictions, min_conf)
+        preds = self._filtered(result.predictions, query)
         out = {
             "model_type": result.model_type.name,
             "predictions": [_pred_json(p) for p in preds],
@@ -289,11 +372,6 @@ class _Handler(BaseHTTPRequestHandler):
         cfg = st.classifier.config
         overlap = float(query.get("overlap", 0.0))
         resample = query.get("resample") in ("1", "true")
-        min_conf = (
-            float(query["min_confidence"])
-            if "min_confidence" in query
-            else None
-        )
 
         if body[:4] == b"RIFF":
             samples, rate = _read_wav_bytes(body, resample_to=None)
@@ -342,8 +420,7 @@ class _Handler(BaseHTTPRequestHandler):
                 {
                     "start_time": round(t, 3),
                     "predictions": [
-                        _pred_json(p)
-                        for p in _apply_min_conf(preds, min_conf)
+                        _pred_json(p) for p in self._filtered(preds, query)
                     ],
                 }
                 for t, preds in detections
@@ -382,6 +459,7 @@ def make_server(
     max_batch: int = 32,
     max_wait_ms: float = 5.0,
     max_queue: int = 4096,
+    range_filter=None,
     verbose: bool = False,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``server.state`` carries the
@@ -393,6 +471,7 @@ def make_server(
         max_batch=max_batch,
         max_wait_ms=max_wait_ms,
         max_queue=max_queue,
+        range_filter=range_filter,
     )
     server.verbose = verbose  # type: ignore[attr-defined]
     return server
@@ -421,6 +500,12 @@ def build_parser() -> argparse.ArgumentParser:
         "the batch to fill",
     )
     p.add_argument("--max-queue", type=int, default=4096)
+    p.add_argument(
+        "--meta-model",
+        default=None,
+        help="BirdNET meta model for per-request range filtering "
+        "(?lat=&lon=&date=MM-DD on predict/analyze, GET /v1/rangefilter)",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -441,6 +526,16 @@ def main(argv=None) -> int:
     if args.provider not in ("auto", "cpu"):
         builder = builder.with_device(args.provider)
     classifier = builder.build()
+    range_filter = None
+    if args.meta_model:
+        from ..rangefilter import RangeFilter
+
+        range_filter = (
+            RangeFilter.builder()
+            .model_path(args.meta_model)
+            .from_classifier_labels(classifier.labels)
+            .build()
+        )
     server = make_server(
         classifier,
         host=args.host,
@@ -448,6 +543,7 @@ def main(argv=None) -> int:
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         max_queue=args.max_queue,
+        range_filter=range_filter,
         verbose=args.verbose,
     )
     host, port = server.server_address[:2]

@@ -399,6 +399,127 @@ class TestServer:
         assert made <= n  # coalescing happened (usually ≪ n)
 
 
+@pytest.fixture(scope="module")
+def rf_server(v24_classifier, tmp_path_factory):
+    """Server with a tiny meta model for range filtering."""
+    from birdnet_tpu.models import meta
+    from birdnet_tpu.rangefilter import RangeFilter
+
+    p = tmp_path_factory.mktemp("serve_meta") / "meta_tiny.onnx"
+    meta.save_tiny(p, num_species=10)
+    rf = (
+        RangeFilter.builder()
+        .model_path(str(p))
+        .labels(list(v24_classifier.labels))
+        .build()
+    )
+    srv = make_server(
+        v24_classifier, host="127.0.0.1", port=0, max_batch=4, range_filter=rf
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    yield f"http://{host}:{port}", rf
+    srv.shutdown()
+    srv.state.close()
+    srv.server_close()
+    thread.join(timeout=10)
+
+
+class TestRangeFilterServing:
+    def test_rangefilter_endpoint(self, rf_server):
+        base, rf = rf_server
+        status, body = _get(base, "/v1/rangefilter?lat=42.5&lon=-76.4&date=06-15")
+        assert status == 200
+        direct = rf.predict(42.5, -76.4, 6, 15)
+        assert body["count"] == len(direct)
+        assert body["threshold"] == rf.threshold
+        assert [s["species"] for s in body["scores"]] == [
+            s.species for s in direct
+        ]
+
+    def test_rangefilter_needs_lat_lon(self, rf_server):
+        base, _ = rf_server
+        status, body = _get(base, "/v1/rangefilter")
+        assert status == 400
+
+    def test_rangefilter_invalid_coords_400(self, rf_server):
+        base, _ = rf_server
+        status, body = _get(base, "/v1/rangefilter?lat=95&lon=0")
+        assert status == 400
+        assert body["error"] == "InvalidCoordinatesError"
+
+    def test_predict_with_location_filters(self, rf_server, v24_classifier):
+        base, rf = rf_server
+        seg = _segment(v24_classifier, seed=42)
+        status, plain = _post(
+            base, "/v1/predict?dtype=f32", seg.astype("<f4").tobytes()
+        )
+        assert status == 200
+        status, filtered = _post(
+            base,
+            "/v1/predict?dtype=f32&lat=42.5&lon=-76.4&date=06-15",
+            seg.astype("<f4").tobytes(),
+        )
+        assert status == 200
+        # parity with the library's own filter semantics
+        direct = v24_classifier.predict(seg)
+        scores = rf.predict(42.5, -76.4, 6, 15)
+        want = rf.filter_predictions(direct.predictions, scores)
+        assert [p["species"] for p in filtered["predictions"]] == [
+            p.species for p in want
+        ]
+        assert len(filtered["predictions"]) <= len(plain["predictions"])
+
+    def test_predict_with_rerank(self, rf_server, v24_classifier):
+        base, rf = rf_server
+        seg = _segment(v24_classifier, seed=43)
+        status, body = _post(
+            base,
+            "/v1/predict?dtype=f32&lat=10&lon=20&date=03-01&rerank=1",
+            seg.astype("<f4").tobytes(),
+        )
+        assert status == 200
+        direct = v24_classifier.predict(seg)
+        scores = rf.predict(10, 20, 3, 1)
+        want = rf.filter_predictions(direct.predictions, scores, rerank=True)
+        np.testing.assert_allclose(
+            [p["confidence"] for p in body["predictions"]],
+            [p.confidence for p in want],
+            rtol=1e-5,
+        )
+
+    def test_analyze_with_location(self, rf_server, v24_classifier):
+        base, rf = rf_server
+        cfg = v24_classifier.config
+        pcm = (
+            np.random.default_rng(9).standard_normal(cfg.sample_count) * 3000
+        ).astype("<i2")
+        status, body = _post(
+            base,
+            f"/v1/analyze?rate={cfg.sample_rate}&lat=42.5&lon=-76.4&date=06-15",
+            pcm.tobytes(),
+        )
+        assert status == 200
+        direct = v24_classifier.analyze_samples(pcm)
+        scores = rf.predict(42.5, -76.4, 6, 15)
+        want = rf.filter_predictions(direct[0][1], scores)
+        assert [
+            p["species"] for p in body["detections"][0]["predictions"]
+        ] == [p.species for p in want]
+
+    def test_location_without_meta_model_400(self, server, v24_classifier):
+        # `server` fixture has no range filter
+        seg = _segment(v24_classifier, seed=1)
+        status, body = _post(
+            server,
+            "/v1/predict?dtype=f32&lat=1&lon=2",
+            seg.astype("<f4").tobytes(),
+        )
+        assert status == 400
+        assert "meta model" in body["message"]
+
+
 class TestServeCLI:
     def test_parser_defaults(self):
         from birdnet_tpu.serve.server import build_parser
