@@ -9,11 +9,14 @@ device batches (one compiled executable, donated buffers), and
 """
 
 from .batcher import BatcherMetrics, DynamicBatcher
+from .client import ServeClient, ServeError
 from .server import ServerState, make_server
 
 __all__ = [
     "BatcherMetrics",
     "DynamicBatcher",
+    "ServeClient",
+    "ServeError",
     "ServerState",
     "make_server",
 ]

@@ -345,13 +345,20 @@ class _Handler(BaseHTTPRequestHandler):
         raise _HttpError(400, f"unknown dtype {dtype!r} (use i16 or f32)")
 
     def _predict(self) -> None:
+        import concurrent.futures
+
         query = self._query()
         body = self._read_body()
         segment = self._decode_segment(body, query)
         st = self.state
         fut = st.batcher.submit(segment)
         timeout = float(query.get("timeout_s", 60.0))
-        result = fut.result(timeout=timeout)
+        try:
+            result = fut.result(timeout=timeout)
+        except concurrent.futures.TimeoutError:
+            raise _HttpError(
+                504, f"inference did not complete within {timeout}s"
+            ) from None
         preds = self._filtered(result.predictions, query)
         out = {
             "model_type": result.model_type.name,

@@ -520,6 +520,68 @@ class TestRangeFilterServing:
         assert "meta model" in body["message"]
 
 
+class TestServeClient:
+    def test_predict_roundtrip(self, server, v24_classifier):
+        from birdnet_tpu.serve import ServeClient
+
+        c = ServeClient(server)
+        seg = _segment(v24_classifier, seed=21)
+        preds = c.predict(seg)
+        direct = v24_classifier.predict(seg)
+        assert [p.species for p in preds] == [
+            p.species for p in direct.predictions
+        ]
+        np.testing.assert_allclose(
+            [p.confidence for p in preds],
+            [p.confidence for p in direct.predictions],
+            rtol=1e-5,
+        )
+
+    def test_predict_i16_body(self, server, v24_classifier):
+        from birdnet_tpu.serve import ServeClient
+
+        c = ServeClient(server)
+        i16 = (_segment(v24_classifier, seed=22) * 32768).clip(
+            -32768, 32767
+        ).astype(np.int16)
+        preds = c.predict(i16)
+        assert preds and all(0.0 <= p.confidence <= 1.0 for p in preds)
+
+    def test_error_reraises_taxonomy_type(self, server):
+        from birdnet_tpu.serve import ServeClient
+
+        c = ServeClient(server)
+        with pytest.raises(E.InputSizeError) as ei:
+            c.predict(np.zeros(100, np.float32))
+        assert "expected 144000 samples, got 100" in str(ei.value)
+        assert ei.value.http_status == 400
+
+    def test_analyze_and_metadata(self, server, v24_classifier):
+        from birdnet_tpu.serve import ServeClient
+
+        c = ServeClient(server)
+        cfg = v24_classifier.config
+        assert c.labels() == LABELS10
+        assert c.info()["sample_count"] == cfg.sample_count
+        assert c.health()["status"] == "ok"
+        pcm = np.zeros(cfg.sample_count * 2, np.int16)
+        dets = c.analyze(pcm, rate=cfg.sample_rate)
+        assert len(dets) == 2
+        assert dets[1][0] == pytest.approx(cfg.segment_duration)
+        assert c.metrics()["requests_total"] >= 1
+
+    def test_rangefilter_client(self, rf_server):
+        from birdnet_tpu.serve import ServeClient
+
+        base, rf = rf_server
+        c = ServeClient(base)
+        scores = c.rangefilter(42.5, -76.4, date="06-15")
+        direct = rf.predict(42.5, -76.4, 6, 15)
+        assert [(s.species, s.index) for s in scores] == [
+            (s.species, s.index) for s in direct
+        ]
+
+
 class TestServeCLI:
     def test_parser_defaults(self):
         from birdnet_tpu.serve.server import build_parser
