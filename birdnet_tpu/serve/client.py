@@ -205,14 +205,18 @@ class ServeClient:
         ]
 
     def analyze_wav(self, path, **kwargs) -> List[Tuple[float, List[Prediction]]]:
-        """Upload a WAV file for analysis (same validation as the CLI)."""
+        """Upload a WAV file for analysis (same validation as the CLI).
+        Accepts the :meth:`analyze` keyword options (overlap,
+        min_confidence, lat/lon/date, rerank, resample)."""
         with open(path, "rb") as f:
             body = f.read()
-        params = {
-            k: v
-            for k, v in kwargs.items()
-            if v is not None and v is not False
-        }
+        params = {}
+        for k, v in kwargs.items():
+            if v is None or v is False:
+                continue
+            # flags must wire-encode as "1" (the server matches "1"/"true",
+            # not Python's str(True))
+            params[k] = 1 if v is True else v
         out = self._request("/v1/analyze", body=body, params=params or None)
         return [
             (d["start_time"], self._preds(d["predictions"]))

@@ -150,9 +150,16 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _send_json(self, obj, status: int = 200) -> None:
         body = json.dumps(obj).encode()
+        if status >= 400:
+            # Error paths may not have consumed the request body; leftover
+            # bytes on a keep-alive connection would be parsed as the next
+            # request line. Closing is always safe.
+            self.close_connection = True
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if status >= 400:
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -284,10 +291,16 @@ class _Handler(BaseHTTPRequestHandler):
                 )
         except _HttpError as e:
             self._send_json(
-                {"error": "BadRequest", "message": e.message}, status=e.status
+                {"error": _HTTP_ERROR_NAMES.get(e.status, "BadRequest"),
+                 "message": e.message},
+                status=e.status,
             )
         except BirdnetError as e:
             self._send_error_json(e, 400)
+        except ValueError as e:
+            self._send_json(
+                {"error": "BadRequest", "message": str(e)}, status=400
+            )
         except Exception as e:  # pragma: no cover - handler safety net
             self._send_error_json(e, 500)
 
@@ -307,7 +320,9 @@ class _Handler(BaseHTTPRequestHandler):
                 )
         except _HttpError as e:
             self._send_json(
-                {"error": "BadRequest", "message": e.message}, status=e.status
+                {"error": _HTTP_ERROR_NAMES.get(e.status, "BadRequest"),
+                 "message": e.message},
+                status=e.status,
             )
         except (InputSizeError, AudioFormatError, AudioReadError) as e:
             self._send_error_json(e, 400)
@@ -317,6 +332,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_error_json(e, status)
         except BirdnetError as e:
             self._send_error_json(e, 400)
+        except ValueError as e:
+            # malformed query params / JSON bodies are caller errors
+            self._send_json(
+                {"error": "BadRequest", "message": str(e)}, status=400
+            )
         except Exception as e:
             self._send_error_json(e, 500)
 
@@ -381,7 +401,7 @@ class _Handler(BaseHTTPRequestHandler):
         resample = query.get("resample") in ("1", "true")
 
         if body[:4] == b"RIFF":
-            samples, rate = _read_wav_bytes(body, resample_to=None)
+            samples, rate = _read_wav_bytes(body)
         else:
             if "rate" not in query:
                 raise _HttpError(
@@ -404,12 +424,17 @@ class _Handler(BaseHTTPRequestHandler):
                 samples, rate, cfg.sample_rate, out_dtype=np.int16
             )
 
+        if overlap >= cfg.segment_duration or overlap < 0:
+            raise _HttpError(
+                400,
+                f"overlap must be in [0, {cfg.segment_duration}) seconds",
+            )
         t0 = time.monotonic()
         with st.analyze_lock:
             detections = st.classifier.analyze_samples(samples, overlap)
-        dt = time.monotonic() - t0
-        st.analyses_total += 1
-        st.analyze_segments_total += len(detections)
+            dt = time.monotonic() - t0
+            st.analyses_total += 1
+            st.analyze_segments_total += len(detections)
 
         audio_seconds = len(samples) / cfg.sample_rate
         out = {
@@ -436,6 +461,15 @@ class _Handler(BaseHTTPRequestHandler):
         self._send_json(out)
 
 
+_HTTP_ERROR_NAMES = {
+    400: "BadRequest",
+    404: "NotFound",
+    413: "PayloadTooLarge",
+    503: "Overloaded",
+    504: "Timeout",
+}
+
+
 class _HttpError(Exception):
     def __init__(self, status: int, message: str):
         super().__init__(message)
@@ -443,7 +477,7 @@ class _HttpError(Exception):
         self.message = message
 
 
-def _read_wav_bytes(body: bytes, resample_to=None):
+def _read_wav_bytes(body: bytes):
     """Decode an in-memory WAV via the same validated reader the CLI uses
     (native wavio / numpy fallback are path-based, so spool to a temp
     file — the decode itself dominates, not the spool)."""
@@ -519,6 +553,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.provider == "cpu":
+        # Honor an explicit CPU request on accelerator hosts (same as the
+        # CLI): pin the platform before any backend init.
+        from ..runtime import set_platform
+
+        set_platform("cpu")
     init_runtime()
     builder = (
         Classifier.builder()

@@ -8,7 +8,6 @@ docs/serving.md's tuning table.
 Usage:
     python scripts/serve_bench.py [--model PATH] [--seconds 5]
         [--clients 4,16,64] [--batches 8,32] [--waits 0,5]
-        [--http]  # also measure through a real HTTP server + urllib
 
 With no --model, generates the full-size random-weight BirdNET v2.4
 (the bench model). On CPU this measures scheduler overhead; on the real

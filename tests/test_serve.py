@@ -309,6 +309,67 @@ class TestServer:
     def test_unknown_route_404(self, server):
         status, body = _get(server, "/v1/nope")
         assert status == 404
+        assert body["error"] == "NotFound"
+
+    def test_malformed_query_params_are_400_not_500(self, server,
+                                                    v24_classifier):
+        seg = _segment(v24_classifier).astype("<f4")
+        for qs in (
+            "?dtype=f32&min_confidence=abc",
+            "?dtype=f32&timeout_s=xyz",
+        ):
+            status, body = _post(server, "/v1/predict" + qs, seg.tobytes())
+            assert status == 400, qs
+            assert body["error"] == "BadRequest"
+        status, body = _post(
+            server, "/v1/analyze?rate=notanumber",
+            np.zeros(100, "<i2").tobytes(),
+        )
+        assert status == 400
+
+    def test_malformed_json_body_is_400(self, server):
+        status, body = _post(
+            server, "/v1/predict", b"{not json",
+            content_type="application/json",
+        )
+        assert status == 400
+
+    def test_overlap_out_of_range_is_400(self, server, v24_classifier):
+        cfg = v24_classifier.config
+        pcm = np.zeros(cfg.sample_count, "<i2")
+        status, body = _post(
+            server,
+            f"/v1/analyze?rate={cfg.sample_rate}&overlap=99",
+            pcm.tobytes(),
+        )
+        assert status == 400
+        assert "overlap" in body["message"]
+
+    def test_unread_body_does_not_corrupt_keepalive(self, server,
+                                                    v24_classifier):
+        """A POST to an unknown route leaves its body unread; the server
+        must close that connection rather than parse the leftover bytes as
+        the next request."""
+        import http.client
+        import urllib.parse
+
+        host = urllib.parse.urlparse(server).netloc
+        conn = http.client.HTTPConnection(host, timeout=60)
+        body = np.zeros(1000, "<i2").tobytes()
+        conn.request(
+            "POST", "/v1/predictt", body=body,
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+        # same client object: auto-reconnects if the server closed; the
+        # next request must be a clean 200, not garbage parsed from `body`
+        conn.request("GET", "/v1/health")
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        r2.read()
+        conn.close()
 
     def test_analyze_wav(self, server, v24_classifier, tmp_path):
         cfg = v24_classifier.config
@@ -569,6 +630,27 @@ class TestServeClient:
         assert len(dets) == 2
         assert dets[1][0] == pytest.approx(cfg.segment_duration)
         assert c.metrics()["requests_total"] >= 1
+
+    def test_analyze_wav_kwargs_wire_encoding(self, server, v24_classifier,
+                                              tmp_path):
+        """Boolean kwargs must encode as '1' (the server matches '1'/'true',
+        not str(True)); numeric kwargs pass through."""
+        from birdnet_tpu.serve import ServeClient
+
+        cfg = v24_classifier.config
+        rate = 24000  # half the model rate → only works when resample lands
+        pcm = np.zeros(cfg.sample_count // 2, np.int16)
+        wav_path = tmp_path / "half_rate.wav"
+        with wave.open(str(wav_path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        c = ServeClient(server)
+        with pytest.raises(E.AudioFormatError):
+            c.analyze_wav(str(wav_path))  # no resample → 400
+        dets = c.analyze_wav(str(wav_path), resample=True, min_confidence=0.0)
+        assert len(dets) == 1
 
     def test_rangefilter_client(self, rf_server):
         from birdnet_tpu.serve import ServeClient
