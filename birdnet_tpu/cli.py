@@ -39,7 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
         "audio_file",
         nargs="*",
         help="Input WAV file(s) (16-bit mono, matching model sample rate); "
-        "multiple files share one compiled model",
+        "multiple files share one compiled model. '-' reads raw 16-bit "
+        "mono PCM at the model rate from stdin and analyzes it live "
+        "(e.g. arecord -f S16_LE -r 48000 -c 1 | birdnet-analyze - ...)",
     )
     p.add_argument("-m", "--model", help="Path to ONNX model file")
     p.add_argument("-l", "--labels", help="Path to labels file")
@@ -280,6 +282,29 @@ def run_with_args(args: argparse.Namespace) -> int:
             print(f"error: {name.replace('_', ' ')} is required", file=sys.stderr)
             return 2
     audio_files = list(args.audio_file)
+    stdin_mode = "-" in audio_files
+    if stdin_mode:
+        if len(audio_files) > 1:
+            print(
+                "error: stdin input ('-') cannot be combined with file "
+                "inputs",
+                file=sys.stderr,
+            )
+            return 2
+        if args.embeddings:
+            print(
+                "error: --embeddings is not supported with stdin input "
+                "(embeddings need a bounded recording)",
+                file=sys.stderr,
+            )
+            return 2
+        if args.resample:
+            print(
+                "error: --resample is not supported with stdin input; "
+                "pipe PCM at the model sample rate",
+                file=sys.stderr,
+            )
+            return 2
 
     from . import (
         CancellationToken,
@@ -348,8 +373,8 @@ def run_with_args(args: argparse.Namespace) -> int:
     if args.precision:
         builder = builder.precision(args.precision)
     wav_cache = {}  # (path, dtype) → read_wav result, reused by analysis
-    if args.int8 and not audio_files:
-        builder = builder.int8()  # checkpoint-only: synthetic calibration
+    if args.int8 and (not audio_files or stdin_mode):
+        builder = builder.int8()  # no recording up front: synthetic calibration
     elif args.int8:
         # Calibrate on the first recording itself (amplitude statistics are
         # what matter; rate mismatches handled later by --resample don't
@@ -671,6 +696,115 @@ def run_with_args(args: argparse.Namespace) -> int:
         if args.embeddings and not state["cancelled"]:
             _export_embeddings(audio_path, samples, make_stream_options())
 
+    def _process_stdin() -> None:
+        """Live analysis of raw 16-bit mono PCM on stdin (at the model's
+        sample rate). Segments are classified as soon as their samples
+        arrive; when the pipe runs ahead of the device (e.g. piping a
+        file), ready segments batch together up to --batch-size. The
+        overlap/zero-pad-tail semantics match the file chunker
+        (birdnet-analyze.rs:707-743)."""
+        import math
+        import select
+
+        import numpy as np
+
+        sample_rate = config.sample_rate
+        seg_bytes = config.sample_count * 2
+        step = config.sample_count - int(args.overlap * sample_rate)
+        step_bytes = step * 2
+        timeout = args.timeout if args.timeout > 0 else None
+        options = InferenceOptions(
+            timeout=timeout, cancellation_token=cancel_token
+        )
+        stream = sys.stdin.buffer
+        print(f"Analyzing: <stdin> (live, {sample_rate} Hz)")
+        print()
+
+        def _more_ready() -> bool:
+            """True if another read would return data without blocking.
+            Non-selectable streams (tests, some platforms) report ready so
+            fast pipes still batch; EOF also reads without blocking."""
+            try:
+                return bool(select.select([stream], [], [], 0)[0])
+            except (OSError, ValueError, TypeError):
+                return True
+
+        buf = b""
+        pending: list = []  # (segment_index, samples)
+        seg_idx = 0
+        done = 0
+        eof = False
+        t_start = time.monotonic()
+
+        def _flush() -> None:
+            nonlocal done
+            if not pending:
+                return
+            batch = [s for _, s in pending]
+            results = classifier.predict_batch(batch, options)
+            for (idx, _), result in zip(pending, results):
+                _emit(
+                    "-",
+                    idx * step / sample_rate,
+                    result.predictions,
+                    math.inf,
+                )
+            done += len(pending)
+            pending.clear()
+
+        while not state["cancelled"]:
+            if len(buf) >= seg_bytes:
+                seg = (
+                    np.frombuffer(buf[:seg_bytes], dtype="<i2").astype(
+                        np.float32
+                    )
+                    / 32768.0
+                )
+                buf = buf[step_bytes:]
+                pending.append((seg_idx, seg))
+                seg_idx += 1
+                if len(pending) >= batch_size:
+                    _flush()
+                continue
+            if eof:
+                break
+            if pending and not _more_ready():
+                # live source: don't hold finished segments while blocking
+                _flush()
+            chunk = stream.read(seg_bytes - len(buf))
+            if not chunk:
+                eof = True
+                # zero-padded tail, matching the file chunker
+                # (birdnet-analyze.rs:733): buf starts exactly at the next
+                # segment's start position, so any remaining sample means
+                # the chunker would emit one more (padded) segment
+                if len(buf) >= 2:
+                    pcm = np.frombuffer(
+                        buf[: len(buf) - (len(buf) % 2)], dtype="<i2"
+                    )
+                    seg = np.zeros(config.sample_count, np.float32)
+                    seg[: pcm.shape[0]] = pcm.astype(np.float32) / 32768.0
+                    pending.append((seg_idx, seg))
+                continue
+            buf += chunk
+        if state["cancelled"]:
+            print("Processing cancelled by user", file=sys.stderr)
+        else:
+            _flush()
+        elapsed = time.monotonic() - t_start
+        processed_secs = done * step / sample_rate
+        rate_str = (
+            f"{done / elapsed:.1f} segments/s, "
+            f"{processed_secs / elapsed:.1f}x realtime"
+            if elapsed > 0
+            else "n/a"
+        )
+        print()
+        print(
+            f"{done} segments of live audio analyzed in {elapsed:.1f}s "
+            f"({rate_str})"
+        )
+
     failures = 0
     # Multi-file runs prefetch the next file's host-side WAV decode on a
     # background thread while the current file is on the device, so disk
@@ -678,6 +812,16 @@ def run_with_args(args: argparse.Namespace) -> int:
     # CLI is strictly sequential; decode is pure host work the accelerator
     # never needs to wait for).
     from concurrent.futures import ThreadPoolExecutor
+
+    if stdin_mode:
+        try:
+            _process_stdin()
+        finally:
+            if profile_ctx is not None:
+                profile_ctx.__exit__(None, None, None)
+            if csv_file is not None:
+                csv_file.close()
+        return 0
 
     try:
         with ThreadPoolExecutor(

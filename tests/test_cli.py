@@ -267,6 +267,63 @@ def test_cli_multi_file_prefetch_thread(cli_fixtures, tmp_path, capsys,
     assert out.index("3 segments of 7s audio") < out.index(str(wav2))
 
 
+class _FakeStdin:
+    def __init__(self, data: bytes):
+        import io
+
+        self.buffer = io.BytesIO(data)
+
+
+def test_cli_stdin_live_analysis(cli_fixtures, capsys, monkeypatch):
+    """'-' reads raw i16 PCM from stdin; tail is zero-padded like the file
+    chunker; summary reports live-audio totals."""
+    import sys as _sys
+
+    wav, model, labels = cli_fixtures
+    rng = np.random.default_rng(3)
+    # 2.5 segments → 3 segments with zero-padded tail
+    pcm = (rng.standard_normal(int(48_000 * 7.5)) * 3000).astype("<i2")
+    monkeypatch.setattr(_sys, "stdin", _FakeStdin(pcm.tobytes()))
+    rc = main(["-", "-m", model, "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.0", "-t", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Analyzing: <stdin> (live, 48000 Hz)" in out
+    assert "3 segments of live audio" in out
+    # three timestamped detection lines at 3 s steps
+    assert "00:00.0" in out and "00:03.0" in out and "00:06.0" in out
+
+
+def test_cli_stdin_overlap_matches_chunker(cli_fixtures, capsys,
+                                           monkeypatch):
+    import sys as _sys
+
+    from birdnet_tpu.utils.audio_io import chunk_audio
+
+    wav, model, labels = cli_fixtures
+    n = 48_000 * 6
+    pcm = (np.random.default_rng(4).standard_normal(n) * 3000).astype("<i2")
+    segs, _ = chunk_audio(
+        pcm.astype(np.float32) / 32768.0, 144_000, 1.5, 48_000
+    )
+    monkeypatch.setattr(_sys, "stdin", _FakeStdin(pcm.tobytes()))
+    rc = main(["-", "-m", model, "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.0", "-t", "0", "-o", "1.5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert f"{segs.shape[0]} segments of live audio" in out
+
+
+def test_cli_stdin_combination_errors(cli_fixtures, capsys):
+    wav, model, labels = cli_fixtures
+    rc = main(["-", wav, "-m", model, "-l", labels])
+    assert rc == 2
+    assert "cannot be combined" in capsys.readouterr().err
+    rc = main(["-", "-m", model, "-l", labels, "--resample"])
+    assert rc == 2
+    assert "--resample" in capsys.readouterr().err
+
+
 def test_cli_multi_file_error_continues(cli_fixtures, tmp_path, capsys):
     wav, model, labels = cli_fixtures
     bad = tmp_path / "bad.wav"
