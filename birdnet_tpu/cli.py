@@ -119,6 +119,21 @@ def build_parser() -> argparse.ArgumentParser:
         "a leading 'file' column is added when analyzing multiple files)",
     )
     p.add_argument(
+        "--raven",
+        metavar="FILE",
+        default=None,
+        help="Also write detections as a Raven Pro selection table "
+        "(tab-separated; multi-file runs share one table via the "
+        "'Begin Path' column)",
+    )
+    p.add_argument(
+        "--audacity",
+        metavar="FILE",
+        default=None,
+        help="Also write detections as an Audacity label track "
+        "(single input only)",
+    )
+    p.add_argument(
         "--embeddings",
         metavar="FILE",
         default=None,
@@ -495,6 +510,28 @@ def run_with_args(args: argparse.Namespace) -> int:
             header = ["file"] + header
         csv_writer.writerow(header)
 
+    raven_writer = None
+    audacity_writer = None
+    if args.raven or args.audacity:
+        from .utils.export import AudacityWriter, RavenWriter
+
+        if args.raven:
+            raven_writer = RavenWriter(
+                args.raven, config.sample_rate, config.segment_duration
+            )
+        if args.audacity:
+            if multi_file:
+                print(
+                    "error: --audacity supports a single input (label "
+                    "tracks are per-recording); use --raven for "
+                    "multi-file runs",
+                    file=sys.stderr,
+                )
+                return 2
+            audacity_writer = AudacityWriter(
+                args.audacity, config.segment_duration
+            )
+
     def _emit(audio_path: str, offset: float, predictions,
               duration_secs: float) -> None:
         if range_filter is not None and location_scores is not None:
@@ -510,6 +547,10 @@ def run_with_args(args: argparse.Namespace) -> int:
                 if multi_file:
                     row = [audio_path] + row
                 csv_writer.writerow(row)
+        if raven_writer is not None:
+            raven_writer.add(audio_path, offset, predictions, duration_secs)
+        if audacity_writer is not None:
+            audacity_writer.add(audio_path, offset, predictions, duration_secs)
         preds = ", ".join(
             f"{p.species} ({p.confidence * 100.0:.1f}%)" for p in predictions
         )
@@ -813,6 +854,21 @@ def run_with_args(args: argparse.Namespace) -> int:
     # never needs to wait for).
     from concurrent.futures import ThreadPoolExecutor
 
+    def _write_exports() -> None:
+        if raven_writer is not None:
+            n = raven_writer.write()
+            print(
+                f"Raven selection table written to {args.raven} "
+                f"({n} selections)",
+                file=sys.stderr,
+            )
+        if audacity_writer is not None:
+            n = audacity_writer.write()
+            print(
+                f"Audacity labels written to {args.audacity} ({n} labels)",
+                file=sys.stderr,
+            )
+
     if stdin_mode:
         try:
             _process_stdin()
@@ -821,6 +877,7 @@ def run_with_args(args: argparse.Namespace) -> int:
                 profile_ctx.__exit__(None, None, None)
             if csv_file is not None:
                 csv_file.close()
+            _write_exports()
         return 0
 
     try:
@@ -851,6 +908,7 @@ def run_with_args(args: argparse.Namespace) -> int:
             profile_ctx.__exit__(None, None, None)
         if csv_file is not None:
             csv_file.close()
+        _write_exports()
         if args.embeddings and embeddings_out:
             import numpy as np
 

@@ -191,6 +191,65 @@ def test_cli_csv_output(cli_fixtures, tmp_path, capsys):
     assert 0.0 <= float(first[3]) <= 1.0
 
 
+def test_cli_raven_export(cli_fixtures, tmp_path, capsys):
+    wav, model, labels = cli_fixtures
+    out_path = tmp_path / "sel.txt"
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.0", "-t", "0", "-k", "2",
+               "--raven", str(out_path)])
+    assert rc == 0
+    lines = out_path.read_text().splitlines()
+    from birdnet_tpu.utils.export import RAVEN_HEADER
+
+    assert lines[0] == RAVEN_HEADER
+    assert len(lines) == 1 + 3 * 2  # 3 segments × top-2
+    first = lines[1].split("\t")
+    assert first[0] == "1"  # selection number
+    assert float(first[3]) == 0.0  # begin time
+    assert float(first[4]) == 3.0  # end time
+    assert first[10] == wav  # begin path
+    assert 0.0 <= float(first[9]) <= 1.0  # confidence
+    # final segment end time clamps to the 7 s recording
+    assert float(lines[-1].split("\t")[4]) == 7.0
+
+
+def test_cli_audacity_export(cli_fixtures, tmp_path, capsys):
+    wav, model, labels = cli_fixtures
+    out_path = tmp_path / "labels.txt"
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.0", "-t", "0", "-k", "1",
+               "--audacity", str(out_path)])
+    assert rc == 0
+    lines = out_path.read_text().splitlines()
+    assert len(lines) == 3
+    start, end, label = lines[0].split("\t")
+    assert float(start) == 0.0 and float(end) == 3.0
+    # BirdNET label convention Scientific_Common → common half + confidence
+    # (fixture labels "species_N" split to common name "N")
+    common, conf = label.rsplit(" ", 1)
+    assert common in {str(i) for i in range(10)}
+    assert 0.0 <= float(conf) <= 1.0
+
+
+def test_cli_audacity_multi_file_rejected(cli_fixtures, tmp_path, capsys):
+    wav, model, labels = cli_fixtures
+    wav2 = tmp_path / "c.wav"
+    write_wav(wav2, np.zeros(48_000 * 3, np.float32), 48_000)
+    rc = main([wav, str(wav2), "-m", model, "-l", labels, "--provider",
+               "cpu", "--audacity", str(tmp_path / "x.txt")])
+    assert rc == 2
+    assert "single input" in capsys.readouterr().err
+
+
+def test_export_split_label():
+    from birdnet_tpu.utils.export import split_label
+
+    assert split_label("Turdus merula_Common Blackbird") == (
+        "Turdus merula", "Common Blackbird",
+    )
+    assert split_label("nolabel") == ("nolabel", "nolabel")
+
+
 def test_cli_downmix(cli_fixtures, tmp_path, capsys):
     import struct
 
