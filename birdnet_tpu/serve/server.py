@@ -168,6 +168,30 @@ class _Handler(BaseHTTPRequestHandler):
             {"error": type(exc).__name__, "message": str(exc)}, status=status
         )
 
+    def _send_prometheus(self, metrics: dict) -> None:
+        """Render the metrics dict in Prometheus text exposition format
+        (``birdnet_`` prefix; ms percentiles exported as seconds)."""
+        lines = []
+        for key, value in metrics.items():
+            if value is None:
+                continue
+            if key.endswith("_ms"):
+                name = "birdnet_" + key[: -len("_ms")] + "_seconds"
+                value = value / 1000.0
+            elif key.endswith("_s"):
+                name = "birdnet_" + key[: -len("_s")] + "_seconds"
+            else:
+                name = "birdnet_" + key
+            kind = "counter" if key.endswith("_total") else "gauge"
+            lines.append(f"# TYPE {name} {kind}")
+            lines.append(f"{name} {value}")
+        body = ("\n".join(lines) + "\n").encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain; version=0.0.4")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def _read_body(self) -> bytes:
         length = int(self.headers.get("Content-Length", 0))
         if length > MAX_BODY_BYTES:
@@ -283,7 +307,10 @@ class _Handler(BaseHTTPRequestHandler):
                 m["analyses_total"] = st.analyses_total
                 m["analyze_segments_total"] = st.analyze_segments_total
                 m["uptime_s"] = round(time.time() - st.started_at, 1)
-                self._send_json(m)
+                if self._query().get("format") == "prometheus":
+                    self._send_prometheus(m)
+                else:
+                    self._send_json(m)
             else:
                 self._send_json(
                     {"error": "NotFound", "message": f"no route {route}"},
@@ -547,6 +574,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="BirdNET meta model for per-request range filtering "
         "(?lat=&lon=&date=MM-DD on predict/analyze, GET /v1/rangefilter)",
     )
+    p.add_argument(
+        "--warmup",
+        action="store_true",
+        help="pre-compile the predict and analyze programs before "
+        "accepting traffic (first-request latency moves to startup; the "
+        "persistent XLA cache makes warm restarts fast)",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -593,6 +627,18 @@ def main(argv=None) -> int:
         range_filter=range_filter,
         verbose=args.verbose,
     )
+    if args.warmup:
+        # The batcher's fixed-shape executable compiled at construction;
+        # compile the streaming/analyze program too by running one tiny
+        # silent recording through it (smallest tile bucket).
+        print("warming up analyze pipeline...", file=sys.stderr)
+        t0 = time.monotonic()
+        classifier.analyze_samples(
+            np.zeros(classifier.config.sample_count, np.int16)
+        )
+        print(
+            f"warmup done in {time.monotonic() - t0:.1f}s", file=sys.stderr
+        )
     host, port = server.server_address[:2]
     print(
         f"birdnet-serve: {classifier.config.model_type.name} on "

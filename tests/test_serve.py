@@ -429,6 +429,20 @@ class TestServer:
         assert body["analyses_total"] >= 1
         assert "latency_p50_ms" in body
 
+    def test_metrics_prometheus_format(self, server):
+        with urllib.request.urlopen(
+            server + "/v1/metrics?format=prometheus", timeout=120
+        ) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "# TYPE birdnet_requests_total counter" in text
+        assert "birdnet_requests_total " in text
+        assert "# TYPE birdnet_queue_depth gauge" in text
+        # ms percentiles export as seconds
+        assert "birdnet_latency_p50_seconds " in text
+        assert "_ms" not in text
+
     def test_concurrent_http_predicts_coalesce(self, server, v24_classifier):
         before = _get(server, "/v1/metrics")[1]
         n = 12
