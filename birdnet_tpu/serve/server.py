@@ -575,6 +575,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(?lat=&lon=&date=MM-DD on predict/analyze, GET /v1/rangefilter)",
     )
     p.add_argument(
+        "--mesh",
+        action="store_true",
+        help="serve over all local chips as a DP(+TP) mesh (one process "
+        "drives the mesh; alternatively run one birdnet-serve per chip "
+        "behind a load balancer — see docs/serving.md)",
+    )
+    p.add_argument(
         "--warmup",
         action="store_true",
         help="pre-compile the predict and analyze programs before "
@@ -604,7 +611,9 @@ def main(argv=None) -> int:
         builder = builder.min_confidence(args.min_confidence)
     if args.precision:
         builder = builder.precision(args.precision)
-    if args.provider not in ("auto", "cpu"):
+    if args.mesh:
+        builder = builder.with_mesh()
+    elif args.provider not in ("auto", "cpu"):
         builder = builder.with_device(args.provider)
     classifier = builder.build()
     range_filter = None

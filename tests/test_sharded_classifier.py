@@ -96,3 +96,27 @@ def test_embeddings_on_mesh(tmp_path):
     assert r.embeddings.shape == (32,)
     emb, times = clf.embed_samples(np.zeros(160_000 * 2, np.float32))
     assert emb.shape == (2, 32)
+
+
+def test_serving_tier_on_mesh(single, sharded):
+    """The DynamicBatcher (serving scheduler) runs over a mesh classifier
+    unchanged: the batch context compiles a sharded executable and results
+    match the single-device batcher."""
+    from birdnet_tpu.serve import DynamicBatcher
+
+    rng = np.random.default_rng(11)
+    segs = [
+        (0.1 * rng.standard_normal(144_000)).astype(np.float32)
+        for _ in range(6)
+    ]
+    with DynamicBatcher(single, max_batch=4, max_wait_ms=50) as b_single:
+        want = [b_single.submit(s) for s in segs]
+        want = [f.result(timeout=300) for f in want]
+    with DynamicBatcher(sharded, max_batch=4, max_wait_ms=50) as b_mesh:
+        got = [b_mesh.submit(s) for s in segs]
+        got = [f.result(timeout=300) for f in got]
+        assert b_mesh.metrics.snapshot()["batches_total"] <= 6
+    for a, c in zip(want, got):
+        assert [p.index for p in a.predictions] == [
+            p.index for p in c.predictions
+        ]
