@@ -119,6 +119,13 @@ def build_parser() -> argparse.ArgumentParser:
         "a leading 'file' column is added when analyzing multiple files)",
     )
     p.add_argument(
+        "--species-list",
+        metavar="FILE",
+        default=None,
+        help="Restrict output to species listed in FILE (one per line; "
+        "full 'Scientific_Common' labels or either half match)",
+    )
+    p.add_argument(
         "--raven",
         metavar="FILE",
         default=None,
@@ -510,6 +517,31 @@ def run_with_args(args: argparse.Namespace) -> int:
             header = ["file"] + header
         csv_writer.writerow(header)
 
+    species_allow = None
+    if args.species_list:
+        from .utils.export import split_label
+
+        with open(args.species_list, "r", encoding="utf-8") as f:
+            wanted = {ln.strip() for ln in f if ln.strip()}
+        # a model label passes if the full label or either half is listed
+        species_allow = set()
+        for label in classifier.labels:
+            sci, common = split_label(label)
+            if {label, sci, common} & wanted:
+                species_allow.add(label)
+        if not species_allow:
+            print(
+                f"error: no species in {args.species_list} match the "
+                f"model's labels",
+                file=sys.stderr,
+            )
+            return 2
+        _debug(
+            args.verbose,
+            f"Species list: {len(species_allow)} of "
+            f"{len(classifier.labels)} labels retained",
+        )
+
     raven_writer = None
     audacity_writer = None
     if args.raven or args.audacity:
@@ -538,6 +570,10 @@ def run_with_args(args: argparse.Namespace) -> int:
             predictions = range_filter.filter_predictions(
                 predictions, location_scores, rerank=args.rerank
             )
+        if species_allow is not None:
+            predictions = [
+                p for p in predictions if p.species in species_allow
+            ]
         if not predictions:
             return
         if csv_writer is not None:

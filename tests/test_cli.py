@@ -241,6 +241,34 @@ def test_cli_audacity_multi_file_rejected(cli_fixtures, tmp_path, capsys):
     assert "single input" in capsys.readouterr().err
 
 
+def test_cli_species_list_filters_output(cli_fixtures, tmp_path, capsys):
+    wav, model, labels = cli_fixtures
+    slist = tmp_path / "slist.txt"
+    slist.write_text("species_2\nspecies_5\n", encoding="utf-8")
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--min-confidence", "0.0", "-t", "0", "-k", "10",
+               "--species-list", str(slist)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    emitted = {
+        tok.split(" (")[0]
+        for ln in out.splitlines()
+        if ln.startswith("00:")
+        for tok in ln.split("  ", 1)[1].split(", ")
+    }
+    assert emitted == {"species_2", "species_5"}
+
+
+def test_cli_species_list_no_match_errors(cli_fixtures, tmp_path, capsys):
+    wav, model, labels = cli_fixtures
+    slist = tmp_path / "bad.txt"
+    slist.write_text("Nonexistent bird\n", encoding="utf-8")
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu",
+               "--species-list", str(slist)])
+    assert rc == 2
+    assert "no species" in capsys.readouterr().err
+
+
 def test_export_split_label():
     from birdnet_tpu.utils.export import split_label
 
