@@ -655,11 +655,23 @@ def main(argv=None) -> int:
         f"(max_batch={args.max_batch}, window={args.max_wait_ms}ms)",
         file=sys.stderr,
     )
+    # SIGTERM (the orchestrator's stop signal) drains like Ctrl-C: stop
+    # accepting, finish queued work, exit 0.
+    import signal
+
+    def _on_sigterm(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # non-main thread (embedded use)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        print("shutting down", file=sys.stderr)
+        pass
     finally:
+        print("shutting down (draining queued requests)", file=sys.stderr)
         server.state.close()  # type: ignore[attr-defined]
         server.server_close()
     return 0
