@@ -678,6 +678,56 @@ class TestServeClient:
         ]
 
 
+class TestSoak:
+    def test_mixed_concurrent_traffic_no_5xx(self, server, v24_classifier):
+        """16 client threads fire a mix of predicts, analyzes, bad
+        requests, and metrics reads; the server must answer everything
+        with the right class of status (no 5xx) and keep counters
+        consistent."""
+        cfg = v24_classifier.config
+        good_seg = _segment(v24_classifier, seed=77).astype("<f4").tobytes()
+        bad_seg = np.zeros(10, "<f4").tobytes()
+        pcm = np.zeros(cfg.sample_count, "<i2").tobytes()
+        statuses = []
+        lock = threading.Lock()
+
+        def worker(i):
+            for j in range(4):
+                kind = (i + j) % 4
+                if kind == 0:
+                    s, _ = _post(
+                        server, "/v1/predict?dtype=f32", good_seg
+                    )
+                    want = 200
+                elif kind == 1:
+                    s, _ = _post(server, "/v1/predict?dtype=f32", bad_seg)
+                    want = 400
+                elif kind == 2:
+                    s, _ = _post(
+                        server, f"/v1/analyze?rate={cfg.sample_rate}", pcm
+                    )
+                    want = 200
+                else:
+                    s, _ = _get(server, "/v1/metrics")
+                    want = 200
+                with lock:
+                    statuses.append((kind, s, want))
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(16)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert len(statuses) == 64
+        for kind, got, want in statuses:
+            assert got == want, (kind, got, want)
+        m = _get(server, "/v1/metrics")[1]
+        assert m["errors_total"] == 0  # device-side failures only
+        assert m["segments_total"] == m["requests_total"]
+
+
 class TestServeCLI:
     def test_parser_defaults(self):
         from birdnet_tpu.serve.server import build_parser
