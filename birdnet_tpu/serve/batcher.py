@@ -132,9 +132,18 @@ class DynamicBatcher:
         max_batch: int = 32,
         max_wait_ms: float = 5.0,
         max_queue: int = 4096,
+        workers: int = 1,
     ):
+        """``workers`` > 1 runs that many batch pipelines (each with its
+        own buffer context) against the shared queue: while one worker's
+        batch computes on the device, another stages/reads back — host
+        work overlaps device work. The device itself serializes
+        executions, so >2 rarely helps; measure with
+        scripts/serve_bench.py --workers."""
         if max_batch < 1:
             raise InferenceError("max_batch must be >= 1")
+        if workers < 1:
+            raise InferenceError("workers must be >= 1")
         self._classifier = classifier
         self._max_batch = int(max_batch)
         self._max_wait = max(0.0, float(max_wait_ms)) / 1000.0
@@ -144,21 +153,32 @@ class DynamicBatcher:
         # Perch v2 has no BatchInferenceContext (reference quirk preserved,
         # batch_context.rs:107-114); the batcher pads to max_batch itself so
         # the predict_batch path still compiles exactly one shape.
-        self._ctx = None
+        self._contexts: collections.deque = collections.deque()
         if classifier.model_type is not ModelType.PERCH_V2:
-            self._ctx = classifier.create_batch_context(self._max_batch)
+            for _ in range(int(workers)):
+                self._contexts.append(
+                    classifier.create_batch_context(self._max_batch)
+                )
         else:
             self._pad_segment = np.zeros(
                 classifier.config.sample_count, np.float32
             )
+            self._contexts.extend([None] * int(workers))
 
         self._queue: collections.deque[_Pending] = collections.deque()
         self._cond = threading.Condition()
         self._closed = False
-        self._worker = threading.Thread(
-            target=self._run, name="birdnet-batcher", daemon=True
-        )
-        self._worker.start()
+        self._workers = [
+            threading.Thread(
+                target=self._run,
+                args=(self._contexts[i],),
+                name=f"birdnet-batcher-{i}",
+                daemon=True,
+            )
+            for i in range(int(workers))
+        ]
+        for w in self._workers:
+            w.start()
 
     # -- client side --------------------------------------------------------
 
@@ -215,7 +235,8 @@ class DynamicBatcher:
                         InferenceError("batcher closed before execution")
                     )
             self._cond.notify_all()
-        self._worker.join()
+        for w in self._workers:
+            w.join()
 
     def __enter__(self) -> "DynamicBatcher":
         return self
@@ -247,19 +268,19 @@ class DynamicBatcher:
                 self._cond.wait(timeout=remaining)
             return batch
 
-    def _run(self) -> None:
+    def _run(self, ctx) -> None:
         while True:
             batch = self._collect()
             if not batch:
                 return
-            self._execute(batch)
+            self._execute(batch, ctx)
 
-    def _execute(self, batch: List[_Pending]) -> None:
+    def _execute(self, batch: List[_Pending], ctx) -> None:
         segments = [p.segment for p in batch]
         try:
-            if self._ctx is not None:
+            if ctx is not None:
                 results = self._classifier.predict_batch_with_context(
-                    self._ctx, segments
+                    ctx, segments
                 )
             else:
                 # Perch: pad to the compiled shape, slice real results.

@@ -82,6 +82,8 @@ class ServerState:
         max_wait_ms: float = 5.0,
         max_queue: int = 4096,
         range_filter=None,
+        species_allow=None,
+        workers: int = 1,
     ):
         self.classifier = classifier
         self.batcher = DynamicBatcher(
@@ -89,8 +91,12 @@ class ServerState:
             max_batch=max_batch,
             max_wait_ms=max_wait_ms,
             max_queue=max_queue,
+            workers=workers,
         )
         self.range_filter = range_filter
+        self.species_allow = (
+            frozenset(species_allow) if species_allow else None
+        )
         self._scores_cache: dict = {}  # (lat, lon, month, day) → scores
         self._scores_lock = threading.Lock()
         self.started_at = time.time()
@@ -235,7 +241,14 @@ class _Handler(BaseHTTPRequestHandler):
         return lat, lon, month, day
 
     def _filtered(self, predictions, query: dict):
-        """Apply optional per-request location filtering + min-confidence."""
+        """Apply the server species list, optional per-request location
+        filtering, and min-confidence."""
+        if self.state.species_allow is not None:
+            predictions = [
+                p
+                for p in predictions
+                if p.species in self.state.species_allow
+            ]
         loc = self._location_args(query)
         if loc is not None:
             scores = self.state.location_scores(*loc)
@@ -528,6 +541,8 @@ def make_server(
     max_wait_ms: float = 5.0,
     max_queue: int = 4096,
     range_filter=None,
+    species_allow=None,
+    workers: int = 1,
     verbose: bool = False,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``server.state`` carries the
@@ -540,6 +555,8 @@ def make_server(
         max_wait_ms=max_wait_ms,
         max_queue=max_queue,
         range_filter=range_filter,
+        species_allow=species_allow,
+        workers=workers,
     )
     server.verbose = verbose  # type: ignore[attr-defined]
     return server
@@ -568,6 +585,21 @@ def build_parser() -> argparse.ArgumentParser:
         "the batch to fill",
     )
     p.add_argument("--max-queue", type=int, default=4096)
+    p.add_argument(
+        "--workers",
+        type=int,
+        default=1,
+        help="batch pipelines sharing the queue (2 overlaps host "
+        "staging/readback with device compute; measure with "
+        "scripts/serve_bench.py --workers)",
+    )
+    p.add_argument(
+        "--species-list",
+        metavar="FILE",
+        default=None,
+        help="restrict served predictions to species listed in FILE "
+        "(one per line; full Scientific_Common label or either half)",
+    )
     p.add_argument(
         "--meta-model",
         default=None,
@@ -616,6 +648,24 @@ def main(argv=None) -> int:
     elif args.provider not in ("auto", "cpu"):
         builder = builder.with_device(args.provider)
     classifier = builder.build()
+    species_allow = None
+    if args.species_list:
+        from ..utils.export import split_label
+
+        with open(args.species_list, "r", encoding="utf-8") as f:
+            wanted = {ln.strip() for ln in f if ln.strip()}
+        species_allow = {
+            label
+            for label in classifier.labels
+            if {label, *split_label(label)} & wanted
+        }
+        if not species_allow:
+            print(
+                f"error: no species in {args.species_list} match the "
+                f"model's labels",
+                file=sys.stderr,
+            )
+            return 2
     range_filter = None
     if args.meta_model:
         from ..rangefilter import RangeFilter
@@ -634,6 +684,8 @@ def main(argv=None) -> int:
         max_wait_ms=args.max_wait_ms,
         max_queue=args.max_queue,
         range_filter=range_filter,
+        species_allow=species_allow,
+        workers=args.workers,
         verbose=args.verbose,
     )
     if args.warmup:

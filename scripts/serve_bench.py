@@ -78,6 +78,12 @@ def main():
     ap.add_argument("--clients", default="4,16,64")
     ap.add_argument("--batches", default="8,32")
     ap.add_argument("--waits", default="0,5")
+    ap.add_argument(
+        "--workers",
+        default="1",
+        help="comma list of batcher pipeline counts to sweep (2 overlaps "
+        "host staging/readback with device compute)",
+    )
     args = ap.parse_args()
 
     model_path = args.model
@@ -104,12 +110,16 @@ def main():
 
     rows = []
     for max_batch in (int(x) for x in args.batches.split(",")):
-        for wait in (float(x) for x in args.waits.split(",")):
+      for wait in (float(x) for x in args.waits.split(",")):
+        for n_workers in (int(x) for x in args.workers.split(",")):
             for n_clients in (int(x) for x in args.clients.split(",")):
                 # fresh batcher per row so mean_fill reflects this row only
                 # (executable caches make re-creation cheap)
                 with DynamicBatcher(
-                    clf, max_batch=max_batch, max_wait_ms=wait
+                    clf,
+                    max_batch=max_batch,
+                    max_wait_ms=wait,
+                    workers=n_workers,
                 ) as batcher:
                     _closed_loop(  # warmup
                         batcher, segment, 4, min(1.0, args.seconds)
@@ -121,6 +131,7 @@ def main():
                 row = {
                     "max_batch": max_batch,
                     "max_wait_ms": wait,
+                    "workers": n_workers,
                     "clients": n_clients,
                     "req_per_s": round(done / wall, 1),
                     "p50_ms": round(lats[len(lats) // 2] * 1000, 2)

@@ -161,6 +161,23 @@ class TestDynamicBatcher:
         # Perch results carry embeddings through the batcher too
         assert served.embeddings is not None
 
+    def test_two_workers_parity_and_progress(self, v24_classifier):
+        """workers=2: both pipelines share the queue; results match
+        single-worker predictions and every request completes."""
+        n = 12
+        segs = [_segment(v24_classifier, seed=50 + i) for i in range(n)]
+        direct = v24_classifier.predict_batch(segs)
+        with DynamicBatcher(
+            v24_classifier, max_batch=4, max_wait_ms=1, workers=2
+        ) as b:
+            futures = [b.submit(s) for s in segs]
+            results = [f.result(timeout=300) for f in futures]
+            assert b.metrics.snapshot()["segments_total"] == n
+        for got, want in zip(results, direct):
+            assert [p.index for p in got.predictions] == [
+                p.index for p in want.predictions
+            ]
+
     def test_latency_metrics_populated(self, v24_classifier):
         with DynamicBatcher(v24_classifier, max_batch=4, max_wait_ms=1) as b:
             for i in range(3):
