@@ -181,6 +181,31 @@ def main() -> int:
     from birdnet_tpu.detection import detect_model_type
     from birdnet_tpu.runtime import default_device, init_runtime
 
+    # Startup watchdog: if the device link is dead at startup (init/compile/
+    # warmup never completes), exit nonzero after STARTUP_LIMIT instead of
+    # hanging the driver's bench slot forever. Generous bound: a healthy
+    # compile is 50-100 s, a bad-day tunnel compile was measured at 800+ s.
+    STARTUP_LIMIT = float(os.environ.get("BIRDNET_BENCH_STARTUP_LIMIT", 2400.0))
+    startup = {"t0": time.monotonic(), "done": False}
+
+    def _startup_watchdog():
+        import os as _os
+
+        while not startup["done"]:
+            time.sleep(15)
+            if (not startup["done"]
+                    and time.monotonic() - startup["t0"] > STARTUP_LIMIT):
+                print(
+                    f"# WATCHDOG: startup (init/compile/warmup) exceeded "
+                    f"{STARTUP_LIMIT:.0f}s — device link dead; aborting",
+                    file=sys.stderr, flush=True,
+                )
+                _os._exit(3)
+
+    import threading as _threading
+
+    _threading.Thread(target=_startup_watchdog, daemon=True).start()
+
     init_runtime()
     device = default_device()
     print(
@@ -275,6 +300,7 @@ def main() -> int:
     )
     out = fn(engine.params, audio_d)
     np.asarray(out[0])
+    startup["done"] = True  # link alive; main stall watchdog takes over
     guard["t"] = time.monotonic()
     for _ in range(RUNS):
         t0 = time.monotonic()
