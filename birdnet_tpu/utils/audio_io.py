@@ -145,6 +145,17 @@ def _read_wav_python(path: str, downmix: bool = False) -> Tuple[np.ndarray, int]
             if bits != 16:
                 raise AudioFormatError("expected 16-bit samples")
             raw = data[body:body + size]
+            if len(raw) < size:
+                # native decoder parity (wavio.cpp WAV_ERR_TRUNCATED): a
+                # declared-but-missing payload is a corrupt file, not a
+                # short read — and an odd byte count would otherwise
+                # surface as a raw numpy ValueError.
+                raise AudioReadError(
+                    path=path, reason="data shorter than declared"
+                )
+            if len(raw) % 2:
+                # whole samples only (native: n_samples = size / frame_bytes)
+                raw = raw[:-1]
             samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
             if channels != 1:
                 n_frames = samples.shape[0] // channels

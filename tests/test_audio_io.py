@@ -89,6 +89,42 @@ def test_8bit_rejected(tmp_path):
         read_wav(p)
 
 
+def test_truncated_data_chunk(tmp_path):
+    """A data chunk declaring more bytes than the file holds is corrupt
+    (native wavio WAV_ERR_TRUNCATED); both decoders raise AudioReadError,
+    never a raw numpy ValueError."""
+    from birdnet_tpu.utils.audio_io import _read_wav_python
+
+    p = tmp_path / "trunc.wav"
+    _write_raw_wav(p, fmt=1, channels=1, bits=16, frames=100)
+    whole = p.read_bytes()
+    p.write_bytes(whole[:-31])  # drop 31 payload bytes (odd remainder too)
+    with pytest.raises(E.AudioReadError) as ei:
+        read_wav(p)
+    assert "shorter than declared" in str(ei.value)
+    with pytest.raises(E.AudioReadError):
+        _read_wav_python(str(p))
+
+
+def test_odd_data_size_floors_to_whole_samples(tmp_path):
+    """An odd-but-complete data size floors to whole samples (native:
+    n_samples = size / frame_bytes) in both decoders."""
+    from birdnet_tpu.utils.audio_io import _read_wav_python
+
+    p = tmp_path / "odd.wav"
+    frames = 100
+    data = b"\x00" * (frames * 2 + 1)  # odd payload, fully present
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 48_000,
+                                      48_000 * 2, 2, 16))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+    samples, rate, _ = read_wav(p)
+    assert samples.shape[0] == frames
+    py_samples, _ = _read_wav_python(str(p))
+    assert py_samples.shape[0] == frames
+
+
 # --- chunker (matches reference loop semantics exactly) ----------------------
 
 
