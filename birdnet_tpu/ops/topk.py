@@ -10,17 +10,38 @@ when requested for ``PredictionResult.raw_scores`` parity).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
+import jax.numpy as jnp
 from jax import lax
 
 
-def fused_sigmoid_topk(logits: jax.Array, k: int):
+def apply_species_mask(logits: jax.Array, mask: Optional[jax.Array]):
+    """Mask disallowed species out of top-K selection.
+
+    ``mask``: bool [N] (or None for a no-op), broadcast over the batch.
+    Disallowed logits become -inf so they can never enter the top-K
+    (sigmoid(-inf) = 0, so any that still surface when K exceeds the
+    allowed count carry zero confidence and are dropped host-side).
+    This is the BirdNET-ecosystem "species list" semantic: restrict the
+    *candidate set* before selection, not the printed output after it.
+    """
+    if mask is None:
+        return logits
+    return jnp.where(mask, logits, jnp.array(-jnp.inf, dtype=logits.dtype))
+
+
+def fused_sigmoid_topk(
+    logits: jax.Array, k: int, mask: Optional[jax.Array] = None
+):
     """Per-row top-k of raw logits, sigmoid on the winners.
 
     ``logits``: [B, N]. Returns (confidences [B, k], indices [B, k]) sorted
     descending by logit — identical order to the host oracle because sigmoid
     is monotonic. NaN logits sort above +inf (XLA top_k uses a total order
-    consistent with the reference's ``total_cmp``).
+    consistent with the reference's ``total_cmp``). ``mask`` (bool [N])
+    restricts selection to allowed species (see :func:`apply_species_mask`).
     """
-    vals, idx = lax.top_k(logits, k)
+    vals, idx = lax.top_k(apply_species_mask(logits, mask), k)
     return jax.nn.sigmoid(vals), idx
