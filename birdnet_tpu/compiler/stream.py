@@ -320,11 +320,15 @@ def streaming_analyze(
                 chunk = np.concatenate([chunk, pad])
             outs = fn(eng.params, place(chunk_to_device_layout(chunk, step, S)))
             pending.append((outs, n_seg))
-            # Honor cancellation/timeout between dispatches (the reference
+            # Bound in-flight superchunks at two: chunk c+1 uploads while
+            # chunk c computes (full pipeline overlap), and device memory
+            # is capped at two chunk input buffers — an unbounded dispatch
+            # loop would queue ~3.5 GB of int16 per full superchunk until
+            # HBM ran out on a 50 h+ single-call analyze. The same bound
+            # honors cancellation/timeout between dispatches (the reference
             # honors options between batches, birdnet-analyze.rs:562-610):
-            # wait on the oldest outstanding chunk so at most one superchunk
-            # of work is "committed" past a cancellation.
-            if options is not None and options.needs_monitor() and len(pending) > 1:
+            # at most one superchunk of work is "committed" past a cancel.
+            if len(pending) > 1:
                 _wait(list(pending[-2][0]), options)
 
         collected = None

@@ -80,6 +80,35 @@ def test_stream_multiple_superchunks(clf, monkeypatch):
         assert [p.index for p in preds] == [p.index for p in ref.predictions]
 
 
+def test_unmonitored_dispatch_bounds_in_flight(clf, monkeypatch):
+    """Even without a cancel/timeout monitor, the dispatch loop waits on the
+    second-oldest superchunk before dispatching the next — bounding device
+    memory at two in-flight chunk buffers (a 50 h+ single-call analyze would
+    otherwise queue input buffers until HBM ran out)."""
+    import birdnet_tpu.compiler.stream as stream_mod
+
+    eng = clf._streaming_engine()
+    monkeypatch.setattr(stream_mod, "MAX_TILES", 2)
+    monkeypatch.setattr(stream_mod, "_TILE_BUCKETS", (1, 2))
+    eng.tile = 2
+    eng._compiled.clear()
+    dispatch_waits = []
+    real_wait = stream_mod._wait
+
+    def spy(arrays, options):
+        dispatch_waits.append(options)
+        return real_wait(arrays, options)
+
+    monkeypatch.setattr(stream_mod, "_wait", spy)
+    samples = _audio(40.0)  # 14 segments → 4 chunks of 4
+    stream = clf.analyze_samples(samples)  # no options → unmonitored
+    assert len(stream) == 14
+    # 3 dispatch-time waits (chunks 2-4 each wait on the second-oldest)
+    # + 4 collection waits.
+    assert len(dispatch_waits) == 7
+    eng._compiled.clear()
+
+
 def test_stream_empty(clf):
     assert clf.analyze_samples(np.zeros(0, np.float32)) == []
 
