@@ -291,6 +291,11 @@ class _Handler(BaseHTTPRequestHandler):
                         "min_confidence": st.classifier.min_confidence_value,
                         "device": str(st.classifier.device),
                         "max_batch": st.batcher.max_batch,
+                        "species_allowed": (
+                            len(st.species_allow)
+                            if st.species_allow is not None
+                            else None
+                        ),
                     }
                 )
             elif route == "/v1/labels":

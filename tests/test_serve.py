@@ -239,6 +239,24 @@ class TestServer:
         assert body["sample_rate"] == cfg.sample_rate
         assert body["num_species"] == 10
         assert body["max_batch"] == 8
+        assert body["species_allowed"] is None  # no --species-list
+
+    def test_info_reports_species_restriction(self, v24_classifier):
+        srv = make_server(
+            v24_classifier, host="127.0.0.1", port=0,
+            species_allow={"species_1", "species_4"},
+        )
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            host, port = srv.server_address[:2]
+            status, body = _get(f"http://{host}:{port}", "/v1/info")
+            assert status == 200
+            assert body["species_allowed"] == 2
+        finally:
+            srv.shutdown()
+            srv.state.close()
+            srv.server_close()
 
     def test_labels(self, server):
         status, body = _get(server, "/v1/labels")
