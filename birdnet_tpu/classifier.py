@@ -368,27 +368,47 @@ class Classifier:
         self,
         segment,
         options: Optional[InferenceOptions] = None,
+        species_mask: Optional[np.ndarray] = None,
     ) -> PredictionResult:
         """Classify a single audio segment (reference: classifier.rs:610-643).
 
         ``segment`` must have exactly ``config.sample_count`` float samples.
+        ``species_mask``: optional bool [num_species] per-call candidate
+        mask (see :meth:`predict_batch`).
         """
         seg = np.asarray(segment, dtype=np.float32).reshape(-1)
         if seg.shape[0] != self._config.sample_count:
             raise InputSizeError(
                 expected=self._config.sample_count, got=seg.shape[0]
             )
-        conf, idx, logits, emb = self._engine.run_batch(
-            seg[None, :], options=options
+        rows = (
+            None if species_mask is None
+            else self._validate_species_masks(
+                np.asarray(species_mask, dtype=bool).reshape(1, -1), 1
+            )
         )
-        return self._result(conf[0], idx[0], logits[0], emb[0] if emb is not None else None)
+        conf, idx, logits, emb = self._engine.run_batch(
+            seg[None, :], options=options, row_masks=rows
+        )
+        return self._result(
+            conf[0], idx[0], logits[0],
+            emb[0] if emb is not None else None,
+            row_mask=rows[0] if rows is not None else None,
+        )
 
     def predict_batch(
         self,
         segments,
         options: Optional[InferenceOptions] = None,
+        species_masks: Optional[np.ndarray] = None,
     ) -> List[PredictionResult]:
-        """Classify a batch of segments (reference: classifier.rs:676-727)."""
+        """Classify a batch of segments (reference: classifier.rs:676-727).
+
+        ``species_masks``: optional per-segment bool [B, num_species]
+        candidate masks — each row's top-K selects only its allowed
+        species (per-request species lists; composes with the build-time
+        :meth:`ClassifierBuilder.species_list` mask).
+        """
         segs = [np.asarray(s, dtype=np.float32).reshape(-1) for s in segments]
         if not segs:
             return []
@@ -398,13 +418,28 @@ class Classifier:
                     index=i, expected=self._config.sample_count, got=s.shape[0]
                 )
         batch = np.stack(segs, axis=0)
-        conf, idx, logits, emb = self._engine.run_batch(batch, options=options)
+        rows = self._validate_species_masks(species_masks, len(segs))
+        conf, idx, logits, emb = self._engine.run_batch(
+            batch, options=options, row_masks=rows
+        )
         return [
             self._result(
-                conf[i], idx[i], logits[i], emb[i] if emb is not None else None
+                conf[i], idx[i], logits[i],
+                emb[i] if emb is not None else None,
+                row_mask=rows[i] if rows is not None else None,
             )
             for i in range(len(segs))
         ]
+
+    def _validate_species_masks(self, species_masks, b: int):
+        if species_masks is None:
+            return None
+        rows = np.asarray(species_masks, dtype=bool)
+        if rows.shape != (b, self._config.num_species):
+            raise InputSizeError(
+                expected=b * self._config.num_species, got=int(rows.size)
+            )
+        return rows
 
     # -- batch context path -------------------------------------------------
 
@@ -420,20 +455,31 @@ class Classifier:
         context: BatchInferenceContext,
         segments,
         options: Optional[InferenceOptions] = None,
+        species_masks: Optional[np.ndarray] = None,
     ) -> List[PredictionResult]:
         """Batched inference reusing pre-allocated buffers (reference:
-        classifier.rs:826-866)."""
+        classifier.rs:826-866). ``species_masks`` as in
+        :meth:`predict_batch`."""
         batch, b = context.prepare_input(segments)
+        rows = self._validate_species_masks(species_masks, b)
+        engine_rows = rows
+        if rows is not None and rows.shape[0] < batch.shape[0]:
+            # the staging buffer is already padded to max_batch rows
+            engine_rows = np.ones((batch.shape[0], rows.shape[1]), dtype=bool)
+            engine_rows[:b] = rows
         conf, idx, logits, emb = self._engine.run_batch(
             batch,
             options=options,
             with_embeddings=self._config.model_type is not ModelType.BIRDNET_V24,
             bucket=context.max_batch_size,
             donate=context.donate,
+            row_masks=engine_rows,
         )
         return [
             self._result(
-                conf[i], idx[i], logits[i], emb[i] if emb is not None else None
+                conf[i], idx[i], logits[i],
+                emb[i] if emb is not None else None,
+                row_mask=rows[i] if rows is not None else None,
             )
             for i in range(b)
         ]
@@ -607,21 +653,31 @@ class Classifier:
 
     # -- helpers -------------------------------------------------------------
 
-    def _mask_preds(self, predictions):
+    def _mask_preds(self, predictions, row_mask=None):
         """Drop species-mask stragglers: when top-K exceeds the allowed-set
         size, masked (-inf logit) entries surface with confidence 0 — the
-        device mask guarantees allowed species fill the top-K first."""
-        if self._species_mask is None:
+        device mask guarantees allowed species fill the top-K first.
+        ``row_mask`` additionally applies a per-request candidate mask."""
+        if self._species_mask is None and row_mask is None:
             return predictions
-        mask = self._species_mask
-        return [
-            p for p in predictions if p.index < len(mask) and mask[p.index]
-        ]
 
-    def _result(self, conf, idx, logits, emb) -> PredictionResult:
+        def allowed(i: int) -> bool:
+            if self._species_mask is not None and not (
+                i < len(self._species_mask) and self._species_mask[i]
+            ):
+                return False
+            if row_mask is not None and not (
+                i < len(row_mask) and row_mask[i]
+            ):
+                return False
+            return True
+
+        return [p for p in predictions if allowed(p.index)]
+
+    def _result(self, conf, idx, logits, emb, row_mask=None) -> PredictionResult:
         predictions = self._mask_preds(top_k_from_device(
             conf, idx, self._labels, self._min_confidence
-        ))
+        ), row_mask)
         embeddings = None
         if emb is not None and self._config.model_type.has_embeddings:
             embeddings = np.asarray(emb)

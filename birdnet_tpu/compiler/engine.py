@@ -92,8 +92,14 @@ class InferenceEngine:
 
     # -- program construction ------------------------------------------------
 
-    def _program(self, with_embeddings: bool):
-        """The full fused program: model forward → top-k → sigmoid."""
+    def _program(self, with_embeddings: bool, with_row_mask: bool = False):
+        """The full fused program: model forward → top-k → sigmoid.
+
+        ``with_row_mask`` compiles a variant taking a per-row bool
+        ``[B, num_species]`` candidate mask (per-request species lists in
+        the serving tier); it composes with the build-time
+        ``species_mask`` constant.
+        """
         k = self.top_k
         logits_index = self.logits_index
         embed_index = self.embed_index
@@ -102,18 +108,24 @@ class InferenceEngine:
             None if self.species_mask is None else jnp.asarray(self.species_mask)
         )
 
-        def program(params, x):
+        def select(logits, row_mask):
             from ..ops.topk import apply_species_mask
 
-            outs = forward(params, x)
-            logits = outs[logits_index]
+            sel = apply_species_mask(logits, mask)
+            if row_mask is not None:
+                sel = apply_species_mask(sel, row_mask)
             if k > 0:
-                vals, idx = jax.lax.top_k(apply_species_mask(logits, mask), k)
-                conf = jax.nn.sigmoid(vals)
-            else:
-                b = logits.shape[0]
-                conf = jnp.zeros((b, 0), dtype=logits.dtype)
-                idx = jnp.zeros((b, 0), dtype=jnp.int32)
+                vals, idx = jax.lax.top_k(sel, k)
+                return jax.nn.sigmoid(vals), idx
+            b = logits.shape[0]
+            return (
+                jnp.zeros((b, 0), dtype=logits.dtype),
+                jnp.zeros((b, 0), dtype=jnp.int32),
+            )
+
+        def finish(outs, row_mask):
+            logits = outs[logits_index]
+            conf, idx = select(logits, row_mask)
             emb = (
                 outs[embed_index]
                 if (with_embeddings and embed_index is not None)
@@ -121,15 +133,29 @@ class InferenceEngine:
             )
             return conf, idx, logits, emb
 
+        if with_row_mask:
+            def program(params, x, row_mask):
+                return finish(forward(params, x), row_mask)
+        else:
+            def program(params, x):
+                return finish(forward(params, x), None)
+
         return program
 
-    def compiled(self, bucket: int, with_embeddings: bool = True, donate: bool = False):
+    def compiled(
+        self,
+        bucket: int,
+        with_embeddings: bool = True,
+        donate: bool = False,
+        with_row_mask: bool = False,
+    ):
         """AOT-compiled executable for a batch bucket (cached).
 
         ``donate`` hands the input buffer's HBM to XLA for reuse — the
         batch-context/IoBinding path (reference: batch_context.rs:231-270).
+        ``with_row_mask`` compiles the per-row species-mask variant.
         """
-        key = (bucket, with_embeddings, donate)
+        key = (bucket, with_embeddings, donate, with_row_mask)
         fn = self._compiled.get(key)
         if fn is not None:
             return fn
@@ -137,7 +163,7 @@ class InferenceEngine:
             fn = self._compiled.get(key)
             if fn is not None:
                 return fn
-            program = self._program(with_embeddings)
+            program = self._program(with_embeddings, with_row_mask)
             jitted = jax.jit(program, donate_argnums=(1,) if donate else ())
             sharding = jax.sharding.SingleDeviceSharding(self.device)
             x_spec = jax.ShapeDtypeStruct(
@@ -147,6 +173,14 @@ class InferenceEngine:
                 lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype, sharding=sharding),
                 self.params,
             )
+            specs = (params_spec, x_spec)
+            if with_row_mask:
+                specs = specs + (
+                    jax.ShapeDtypeStruct(
+                        (bucket, self.config.num_species), jnp.bool_,
+                        sharding=sharding,
+                    ),
+                )
             try:
                 import warnings
 
@@ -157,7 +191,7 @@ class InferenceEngine:
                     warnings.filterwarnings(
                         "ignore", message="Some donated buffers were not usable"
                     )
-                    fn = jitted.lower(params_spec, x_spec).compile()
+                    fn = jitted.lower(*specs).compile()
             except Exception as e:  # noqa: BLE001
                 raise InferenceError(f"XLA compilation failed: {e}") from e
             self._compiled[key] = fn
@@ -177,22 +211,33 @@ class InferenceEngine:
         with_embeddings: bool = True,
         bucket: Optional[int] = None,
         donate: bool = False,
+        row_masks: Optional[np.ndarray] = None,
     ):
         """Run a [B, S] float32 batch. Returns numpy
         (conf [B,k], idx [B,k], logits [B,N], embeddings [B,E] or None).
 
         Pads B up to the bucket; compilation happens before the timeout
-        clock starts.
+        clock starts. ``row_masks``: optional per-row bool
+        [B, num_species] candidate masks (per-request species lists).
         """
         b = segments.shape[0]
         bkt = bucket if bucket is not None else _bucket(b)
-        fn = self.compiled(bkt, with_embeddings, donate)  # outside timed region
+        fn = self.compiled(  # outside timed region
+            bkt, with_embeddings, donate, with_row_mask=row_masks is not None
+        )
         if b < bkt:
             pad = np.zeros((bkt - b, segments.shape[1]), dtype=np.float32)
             segments = np.concatenate([segments, pad], axis=0)
         try:
             x = jax.device_put(segments, self.device)
-            conf, idx, logits, emb = fn(self.params, x)
+            if row_masks is not None:
+                rows = np.ones((bkt, self.config.num_species), dtype=bool)
+                rows[:b] = row_masks
+                conf, idx, logits, emb = fn(
+                    self.params, x, jax.device_put(rows, self.device)
+                )
+            else:
+                conf, idx, logits, emb = fn(self.params, x)
             results = [r for r in (conf, idx, logits, emb) if r is not None]
             _wait(results, options)
         except (InferenceCancelledError, InferenceTimeoutError):

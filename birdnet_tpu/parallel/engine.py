@@ -99,12 +99,19 @@ class ShardedEngine:
         p2 = 1 << (b - 1).bit_length() if b > 1 else 1
         return max(self.dp, -(-p2 // self.dp) * self.dp)
 
-    def compiled(self, bucket: int, with_embeddings: bool = True, donate: bool = False):
+    def compiled(
+        self,
+        bucket: int,
+        with_embeddings: bool = True,
+        donate: bool = False,
+        with_row_mask: bool = False,
+    ):
         """AOT-compiled mesh executable for a batch bucket (cached; bucket
         is normalized up to a data-axis multiple so warmup/context keys
-        match run_batch's)."""
+        match run_batch's). ``with_row_mask`` compiles the per-request
+        species-mask variant (bool [bucket, num_species] input)."""
         bucket = -(-bucket // self.dp) * self.dp
-        key = ("batch", bucket, with_embeddings, donate)
+        key = ("batch", bucket, with_embeddings, donate, with_row_mask)
         fn = self._compiled.get(key)
         if fn is not None:
             return fn
@@ -122,11 +129,12 @@ class ShardedEngine:
             )
             from ..ops.topk import apply_species_mask
 
-            def program(params, x):
-                outs = forward(params, x)
+            def finish(outs, row_mask):
                 logits = outs[logits_index]
                 if k > 0:
-                    vals, idx = lax.top_k(apply_species_mask(logits, mask), k)
+                    sel = apply_species_mask(logits, mask)
+                    sel = apply_species_mask(sel, row_mask) if row_mask is not None else sel
+                    vals, idx = lax.top_k(sel, k)
                     conf = jax.nn.sigmoid(vals)
                 else:
                     conf = jnp.zeros((logits.shape[0], 0), logits.dtype)
@@ -134,15 +142,25 @@ class ShardedEngine:
                 emb = outs[embed_index] if embed_index is not None else None
                 return conf, idx, logits, emb
 
+            if with_row_mask:
+                def program(params, x, row_mask):
+                    return finish(forward(params, x), row_mask)
+            else:
+                def program(params, x):
+                    return finish(forward(params, x), None)
+
             out_shardings = (
                 self._batch_sharded,
                 self._batch_sharded,
                 self._batch_sharded,
                 self._batch_sharded if embed_index is not None else None,
             )
+            in_shardings = (self._param_shardings, self._batch_sharded)
+            if with_row_mask:
+                in_shardings = in_shardings + (self._batch_sharded,)
             jitted = jax.jit(
                 program,
-                in_shardings=(self._param_shardings, self._batch_sharded),
+                in_shardings=in_shardings,
                 out_shardings=out_shardings,
                 donate_argnums=(1,) if donate else (),
             )
@@ -156,6 +174,14 @@ class ShardedEngine:
                 )
                 for name, p in self.params.items()
             }
+            specs = (params_spec, x_spec)
+            if with_row_mask:
+                specs = specs + (
+                    jax.ShapeDtypeStruct(
+                        (bucket, self.config.num_species), jnp.bool_,
+                        sharding=self._batch_sharded,
+                    ),
+                )
             try:
                 import warnings
 
@@ -163,7 +189,7 @@ class ShardedEngine:
                     warnings.filterwarnings(
                         "ignore", message="Some donated buffers were not usable"
                     )
-                    fn = jitted.lower(params_spec, x_spec).compile()
+                    fn = jitted.lower(*specs).compile()
             except Exception as e:  # noqa: BLE001
                 raise InferenceError(f"XLA compilation failed: {e}") from e
             self._compiled[key] = fn
@@ -176,18 +202,29 @@ class ShardedEngine:
         with_embeddings: bool = True,
         bucket: Optional[int] = None,
         donate: bool = False,
+        row_masks: Optional[np.ndarray] = None,
     ):
         b = segments.shape[0]
         bkt = bucket if bucket is not None else self._batch_bucket(b)
         if bkt % self.dp:
             bkt = -(-bkt // self.dp) * self.dp
-        fn = self.compiled(bkt, with_embeddings, donate)
+        fn = self.compiled(
+            bkt, with_embeddings, donate, with_row_mask=row_masks is not None
+        )
         if b < bkt:
             pad = np.zeros((bkt - b, segments.shape[1]), dtype=np.float32)
             segments = np.concatenate([segments, pad], axis=0)
         try:
             x = jax.device_put(segments, self._batch_sharded)
-            conf, idx, logits, emb = fn(self.params, x)
+            if row_masks is not None:
+                rows = np.ones((bkt, self.config.num_species), dtype=bool)
+                rows[:b] = row_masks
+                conf, idx, logits, emb = fn(
+                    self.params, x,
+                    jax.device_put(rows, self._batch_sharded),
+                )
+            else:
+                conf, idx, logits, emb = fn(self.params, x)
             _wait([r for r in (conf, idx, logits, emb) if r is not None], options)
         except InferenceError:
             raise

@@ -115,12 +115,13 @@ def _ms(v: Optional[float]) -> Optional[float]:
 
 
 class _Pending:
-    __slots__ = ("segment", "future", "t_submit")
+    __slots__ = ("segment", "future", "t_submit", "species_mask")
 
-    def __init__(self, segment: np.ndarray):
+    def __init__(self, segment: np.ndarray, species_mask=None):
         self.segment = segment
         self.future: Future = Future()
         self.t_submit = time.monotonic()
+        self.species_mask = species_mask
 
 
 class DynamicBatcher:
@@ -190,19 +191,31 @@ class DynamicBatcher:
         with self._cond:
             return len(self._queue)
 
-    def submit(self, segment) -> "Future[PredictionResult]":
+    def submit(self, segment, species_mask=None) -> "Future[PredictionResult]":
         """Enqueue one segment; returns a future resolving to its
         :class:`PredictionResult`.
 
         Size validation happens *here*, in the caller's thread, so one
         malformed request fails fast with the reference's ``InputSize``
         error (classifier.rs:612-618) instead of poisoning a whole batch.
+
+        ``species_mask``: optional bool [num_species] per-request
+        candidate mask — requests with different masks still coalesce
+        into one device batch (the compiled program takes a per-row mask
+        input).
         """
         seg = np.asarray(segment, dtype=np.float32).reshape(-1)
         expected = self._classifier.config.sample_count
         if seg.shape[0] != expected:
             raise InputSizeError(expected=expected, got=seg.shape[0])
-        item = _Pending(seg)
+        if species_mask is not None:
+            species_mask = np.asarray(species_mask, dtype=bool).reshape(-1)
+            if species_mask.shape[0] != self._classifier.config.num_species:
+                raise InferenceError(
+                    f"species mask length {species_mask.shape[0]} != "
+                    f"num_species {self._classifier.config.num_species}"
+                )
+        item = _Pending(seg, species_mask)
         with self._cond:
             if self._closed:
                 raise InferenceError("batcher is closed")
@@ -217,9 +230,10 @@ class DynamicBatcher:
         self.metrics.record_request()
         return item.future
 
-    def predict(self, segment, timeout: Optional[float] = None):
+    def predict(self, segment, timeout: Optional[float] = None,
+                species_mask=None):
         """Blocking convenience wrapper: ``submit`` + wait."""
-        return self.submit(segment).result(timeout=timeout)
+        return self.submit(segment, species_mask).result(timeout=timeout)
 
     def close(self, drain: bool = True) -> None:
         """Stop the worker. With ``drain`` (default) queued requests finish
@@ -277,19 +291,30 @@ class DynamicBatcher:
 
     def _execute(self, batch: List[_Pending], ctx) -> None:
         segments = [p.segment for p in batch]
+        rows = None
+        if any(p.species_mask is not None for p in batch):
+            n = self._classifier.config.num_species
+            rows = np.ones((len(batch), n), dtype=bool)
+            for i, p in enumerate(batch):
+                if p.species_mask is not None:
+                    rows[i] = p.species_mask
         try:
             if ctx is not None:
                 results = self._classifier.predict_batch_with_context(
-                    ctx, segments
+                    ctx, segments, species_masks=rows
                 )
             else:
                 # Perch: pad to the compiled shape, slice real results.
                 padded = segments + [self._pad_segment] * (
                     self._max_batch - len(segments)
                 )
-                results = self._classifier.predict_batch(padded)[
-                    : len(segments)
-                ]
+                padded_rows = rows
+                if rows is not None and len(padded) > len(segments):
+                    padded_rows = np.ones((len(padded), rows.shape[1]), bool)
+                    padded_rows[: len(segments)] = rows
+                results = self._classifier.predict_batch(
+                    padded, species_masks=padded_rows
+                )[: len(segments)]
         except Exception as e:  # device/runtime failure → every caller
             self.metrics.record_error()
             for p in batch:

@@ -130,10 +130,15 @@ class ServeClient:
         date: Optional[str] = None,
         rerank: bool = False,
         embeddings: bool = False,
+        species: Optional[Sequence[str]] = None,
     ):
         """Classify one segment. float32 ships as raw f32 PCM, int16 as raw
         i16 (half the bytes). Returns ``[Prediction, ...]`` — or
-        ``(predictions, embeddings)`` when ``embeddings=True``."""
+        ``(predictions, embeddings)`` when ``embeddings=True``.
+
+        ``species``: per-request species list — the server restricts the
+        top-K *candidate set* to these names (full ``Scientific_Common``
+        labels or either half) before selection."""
         seg = np.asarray(segment)
         if seg.dtype == np.int16:
             body, dtype = seg.astype("<i2").tobytes(), "i16"
@@ -149,6 +154,8 @@ class ServeClient:
             "lon": lon,
             "date": date,
         }
+        if species:
+            params["species"] = ",".join(species)
         if rerank:
             params["rerank"] = 1
         if embeddings:

@@ -23,7 +23,10 @@ Endpoints
     (classifier.rs:612-618 semantics; errors map to HTTP 400 with the
     reference's message strings).
     Query: ``min_confidence`` (host-side filter), ``embeddings=1``
-    (base64 float32, v3.0/Perch only).
+    (base64 float32, v3.0/Perch only), ``species=a,b,c`` (per-request
+    candidate restriction: the batch program takes a per-row species
+    mask, so requests with different lists still coalesce into one
+    device batch).
 - ``POST /v1/analyze``  whole recording → timestamped detections
     Body: a WAV file (RIFF; mono/16-bit rules as the CLI,
     birdnet-analyze.rs:653-704) or raw i16 PCM with ``?rate=``.
@@ -99,6 +102,7 @@ class ServerState:
         )
         self._scores_cache: dict = {}  # (lat, lon, month, day) → scores
         self._scores_lock = threading.Lock()
+        self._species_mask_cache: dict = {}  # raw ?species= string → mask
         self.started_at = time.time()
         self.analyze_lock = threading.Lock()  # one streaming pass at a time
         self.analyses_total = 0
@@ -118,6 +122,29 @@ class ServerState:
                 self._scores_cache.clear()
             self._scores_cache[key] = scores
         return scores
+
+    def species_mask_for(self, spec: str):
+        """Per-request candidate mask from a ``?species=a,b,c`` value
+        (names match a full ``Scientific_Common`` label or either half),
+        cached by the raw string — deployments reuse a handful of lists.
+        Raises ``_HttpError(400)`` when nothing matches."""
+        with self._scores_lock:
+            mask = self._species_mask_cache.get(spec)
+        if mask is None:
+            from ..labels import species_mask_from_names
+
+            mask = species_mask_from_names(
+                self.classifier.labels, spec.split(",")
+            )
+            with self._scores_lock:
+                if len(self._species_mask_cache) >= 256:
+                    self._species_mask_cache.clear()
+                self._species_mask_cache[spec] = mask
+        if not mask.any():
+            raise _HttpError(
+                400, "species= matches none of the model's labels"
+            )
+        return mask
 
     def close(self) -> None:
         self.batcher.close()
@@ -416,7 +443,12 @@ class _Handler(BaseHTTPRequestHandler):
         body = self._read_body()
         segment = self._decode_segment(body, query)
         st = self.state
-        fut = st.batcher.submit(segment)
+        mask = (
+            st.species_mask_for(query["species"])
+            if query.get("species")
+            else None
+        )
+        fut = st.batcher.submit(segment, species_mask=mask)
         timeout = float(query.get("timeout_s", 60.0))
         try:
             result = fut.result(timeout=timeout)

@@ -275,6 +275,25 @@ class TestServer:
             p.species for p in direct.predictions
         ]
 
+    def test_predict_per_request_species(self, server, v24_classifier):
+        """?species= restricts the top-K candidate set for that request
+        only (server fixture has no global species list)."""
+        seg = _segment(v24_classifier)
+        i16 = (seg * 32768.0).clip(-32768, 32767).astype("<i2")
+        status, body = _post(
+            server, "/v1/predict?species=species_2,species_6", i16.tobytes()
+        )
+        assert status == 200
+        assert {p["species"] for p in body["predictions"]} == {
+            "species_2", "species_6"
+        }
+        # unknown list → 400, not silently-empty results
+        status, body = _post(
+            server, "/v1/predict?species=not_a_bird", i16.tobytes()
+        )
+        assert status == 400
+        assert "species" in body["message"]
+
     def test_predict_f32(self, server, v24_classifier):
         seg = _segment(v24_classifier, seed=7)
         status, body = _post(

@@ -154,6 +154,86 @@ def test_mesh_engine_restricted(model_path):
     assert {p.index for p in r.predictions} <= ALLOWED_IDX
     for _, preds in clf.analyze_samples(sine_segment()):
         assert {p.index for p in preds} <= ALLOWED_IDX
+    # runtime per-row mask composes with the builder mask on the mesh too
+    m = np.zeros(10, bool); m[[5, 9]] = True
+    preds = clf.predict(sine_segment(), species_mask=m).predictions
+    assert {p.index for p in preds} == {5}
+
+
+# -- per-request (runtime) masks ----------------------------------------------
+
+def test_predict_batch_per_row_masks(unrestricted):
+    """Each row's top-K selects only its own allowed species — different
+    masks coexist in one compiled batch."""
+    seg = sine_segment()
+    full = unrestricted.predict(seg).predictions  # top-10 = full ranking
+    m_a = np.zeros(10, bool); m_a[[1, 3, 8]] = True
+    m_b = np.zeros(10, bool); m_b[[0, 2]] = True
+    results = unrestricted.predict_batch(
+        [seg, seg], species_masks=np.stack([m_a, m_b])
+    )
+    expect_a = [p.index for p in full if m_a[p.index]]
+    expect_b = [p.index for p in full if m_b[p.index]]
+    assert [p.index for p in results[0].predictions] == expect_a
+    assert [p.index for p in results[1].predictions] == expect_b
+
+
+def test_predict_single_species_mask(unrestricted):
+    m = np.zeros(10, bool); m[[4, 6]] = True
+    preds = unrestricted.predict(sine_segment(), species_mask=m).predictions
+    assert {p.index for p in preds} == {4, 6}
+
+
+def test_context_path_per_row_masks(unrestricted):
+    ctx = unrestricted.create_batch_context(4)
+    seg = sine_segment()
+    m = np.zeros((2, 10), bool)
+    m[0, [5]] = True
+    m[1, [2, 9]] = True
+    out = unrestricted.predict_batch_with_context(
+        ctx, [seg, seg], species_masks=m
+    )
+    assert {p.index for p in out[0].predictions} == {5}
+    assert {p.index for p in out[1].predictions} == {2, 9}
+
+
+def test_row_mask_composes_with_builder_mask(restricted):
+    """Runtime mask ANDs with the build-time species_list mask."""
+    m = np.zeros(10, bool); m[[5, 9]] = True  # 9 not in builder list
+    preds = restricted.predict(sine_segment(), species_mask=m).predictions
+    assert {p.index for p in preds} == {5}
+
+
+def test_row_mask_shape_validated(unrestricted):
+    from birdnet_tpu.errors import InputSizeError
+
+    with pytest.raises(InputSizeError):
+        unrestricted.predict_batch(
+            [sine_segment()], species_masks=np.ones((1, 7), bool)
+        )
+
+
+def test_batcher_mixed_masks_coalesce(unrestricted):
+    from birdnet_tpu.serve import DynamicBatcher
+
+    m_a = np.zeros(10, bool); m_a[[1, 3]] = True
+    m_b = np.zeros(10, bool); m_b[[0]] = True
+    seg = sine_segment()
+    full = unrestricted.predict(seg).predictions
+    with DynamicBatcher(unrestricted, max_batch=8, max_wait_ms=50.0) as b:
+        futs = [
+            b.submit(seg, species_mask=m_a),
+            b.submit(seg, species_mask=m_b),
+            b.submit(seg),  # unmasked rides along
+        ]
+        r_a, r_b, r_free = (f.result(timeout=120) for f in futs)
+    assert [p.index for p in r_a.predictions] == [
+        p.index for p in full if m_a[p.index]
+    ]
+    assert [p.index for p in r_b.predictions] == [
+        p.index for p in full if m_b[p.index]
+    ]
+    assert [p.index for p in r_free.predictions] == [p.index for p in full]
 
 
 # -- validation ----------------------------------------------------------------
