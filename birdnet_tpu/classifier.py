@@ -544,6 +544,7 @@ class Classifier:
         samples,
         overlap_seconds: float = 0.0,
         options: Optional[InferenceOptions] = None,
+        species_mask: Optional[np.ndarray] = None,
     ):
         """Classify every (overlapping) segment of a full recording in one
         streaming pass — the TPU-native replacement for the reference CLI's
@@ -555,17 +556,33 @@ class Classifier:
         ``samples``: 1-D float32 in [-1, 1) or raw int16 PCM (scaled
         on-device). Returns ``list[(start_time_seconds, list[Prediction])]``.
         Embeddings/raw scores are not materialized on this path — use
-        ``predict_batch`` when those are needed.
+        ``predict_batch`` when those are needed. ``species_mask``:
+        optional per-call bool [num_species] candidate mask (one species
+        list for the whole recording; composes with the build-time
+        :meth:`ClassifierBuilder.species_list` mask).
         """
+        mask = self._validate_call_mask(species_mask)
         eng = self._streaming_engine()
-        conf, idx, times = eng.analyze(samples, overlap_seconds, options)
+        conf, idx, times = eng.analyze(
+            samples, overlap_seconds, options, species_mask=mask
+        )
         out = []
         for i in range(conf.shape[0]):
             preds = self._mask_preds(top_k_from_device(
                 conf[i], idx[i], self._labels, self._min_confidence
-            ))
+            ), mask)
             out.append((float(times[i]), preds))
         return out
+
+    def _validate_call_mask(self, species_mask):
+        if species_mask is None:
+            return None
+        mask = np.asarray(species_mask, dtype=bool).reshape(-1)
+        if mask.shape[0] != self._config.num_species:
+            raise InputSizeError(
+                expected=self._config.num_species, got=mask.shape[0]
+            )
+        return mask
 
     def analyze_samples_iter(
         self,
@@ -573,6 +590,7 @@ class Classifier:
         overlap_seconds: float = 0.0,
         options: Optional[InferenceOptions] = None,
         chunk_segments: Optional[int] = None,
+        species_mask: Optional[np.ndarray] = None,
     ):
         """Generator variant of :meth:`analyze_samples`: yields
         ``(start_time, predictions)`` chunk by chunk, so callers see partial
@@ -580,6 +598,7 @@ class Classifier:
         chunks loses at most one chunk of output (the CLI uses this)."""
         from .compiler.stream import MAX_TILES
 
+        mask = self._validate_call_mask(species_mask)
         eng = self._streaming_engine()
         samples = np.asarray(samples)
         S = self._config.sample_count
@@ -597,13 +616,14 @@ class Classifier:
             lo = seg0 * step
             hi = (seg1 - 1) * step + S
             conf, idx, times = eng.analyze(
-                samples[lo:hi], overlap_seconds, options, n_segments=seg1 - seg0
+                samples[lo:hi], overlap_seconds, options,
+                n_segments=seg1 - seg0, species_mask=mask,
             )
             t0 = lo / self._config.sample_rate
             for i in range(conf.shape[0]):
                 preds = self._mask_preds(top_k_from_device(
                     conf[i], idx[i], self._labels, self._min_confidence
-                ))
+                ), mask)
                 yield (t0 + float(times[i]), preds)
 
     def analyze_wav(

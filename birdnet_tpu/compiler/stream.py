@@ -160,8 +160,10 @@ class StreamingEngine:
     # -- program ---------------------------------------------------------
 
     def _compile(self, n_tiles: int, step: int, dtype,
-                 with_embeddings: bool = False) -> object:
-        key = (n_tiles, step, np.dtype(dtype).name, with_embeddings)
+                 with_embeddings: bool = False,
+                 with_mask: bool = False) -> object:
+        key = (n_tiles, step, np.dtype(dtype).name, with_embeddings,
+               with_mask)
         fn = self._compiled.get(key)
         if fn is not None:
             return fn
@@ -182,7 +184,7 @@ class StreamingEngine:
             )
             from ..ops.topk import apply_species_mask
 
-            def program(params, audio):
+            def run(params, audio, run_mask):
                 def body(_, tile_idx):
                     # Framing + int16 scale + activation cast INSIDE the tile
                     # body: the chain fuses into one pass instead of
@@ -193,7 +195,10 @@ class StreamingEngine:
                     )
                     outs = forward(params, frames)
                     logits = outs[logits_index]
-                    vals, idx = lax.top_k(apply_species_mask(logits, mask), k)
+                    sel = apply_species_mask(logits, mask)
+                    if run_mask is not None:
+                        sel = apply_species_mask(sel, run_mask)
+                    vals, idx = lax.top_k(sel, k)
                     result = (jax.nn.sigmoid(vals), idx.astype(jnp.int32))
                     if embed_index is not None:
                         result = result + (outs[embed_index],)
@@ -207,6 +212,15 @@ class StreamingEngine:
                     out = out + (emb.reshape((-1,) + emb.shape[2:]),)
                 return out
 
+            if with_mask:
+                # Per-call [num_species] candidate mask (one species list
+                # per analyze request — per-request lists in serving).
+                def program(params, audio, run_mask):
+                    return run(params, audio, run_mask)
+            else:
+                def program(params, audio):
+                    return run(params, audio, None)
+
             jitted = jax.jit(program)
             sharding = jax.sharding.SingleDeviceSharding(self.device)
             params_spec = jax.tree.map(
@@ -217,8 +231,13 @@ class StreamingEngine:
                 audio_device_shape(n_tiles, tile, step, S), dtype,
                 sharding=sharding,
             )
+            specs = (params_spec, audio_spec)
+            if with_mask:
+                specs = specs + (jax.ShapeDtypeStruct(
+                    (self.config.num_species,), jnp.bool_, sharding=sharding
+                ),)
             try:
-                fn = jitted.lower(params_spec, audio_spec).compile()
+                fn = jitted.lower(*specs).compile()
             except Exception as e:  # noqa: BLE001
                 raise InferenceError(f"XLA compilation failed: {e}") from e
             self._compiled[key] = fn
@@ -233,6 +252,7 @@ class StreamingEngine:
         options: Optional[InferenceOptions] = None,
         with_embeddings: bool = False,
         n_segments: Optional[int] = None,
+        species_mask=None,
     ):
         """Classify every (overlapping) segment of ``samples``.
 
@@ -241,7 +261,8 @@ class StreamingEngine:
         start_times [N])`` — plus ``embeddings [N, E]`` appended when
         ``with_embeddings`` (v3.0/Perch only) — with segments in file
         order: the streaming equivalent of the reference CLI's
-        chunk → predict_batch loop.
+        chunk → predict_batch loop. ``species_mask``: optional per-call
+        bool [num_species] candidate mask.
         """
         return streaming_analyze(
             self,
@@ -251,6 +272,7 @@ class StreamingEngine:
             with_embeddings,
             n_segments,
             place=lambda chunk: jax.device_put(chunk, self.device),
+            species_mask=species_mask,
         )
 
     def warmup(self, n_tiles: int = MAX_TILES, overlap_seconds: float = 0.0,
@@ -267,6 +289,7 @@ def streaming_analyze(
     with_embeddings: bool,
     n_segments: Optional[int],
     place,
+    species_mask=None,
 ):
     """The superchunk dispatch loop, shared by the single-device and
     mesh-sharded streaming engines. ``eng`` provides ``config``, ``tile``,
@@ -302,6 +325,9 @@ def streaming_analyze(
         return empty
     monitored = options is not None and options.needs_monitor()
     segs_per_chunk = (MONITORED_MAX_TILES if monitored else MAX_TILES) * eng.tile
+    mask_dev = None
+    if species_mask is not None:
+        mask_dev = place(np.asarray(species_mask, dtype=bool))
 
     # Dispatch superchunks with pipelined uploads: device_put + dispatch are
     # async, so chunk c+1 uploads while chunk c computes.
@@ -311,14 +337,20 @@ def streaming_analyze(
             seg1 = min(seg0 + segs_per_chunk, n_segments)
             n_seg = seg1 - seg0
             n_tiles = _bucket_tiles(-(-n_seg // eng.tile))
-            fn = eng._compile(n_tiles, step, samples.dtype, with_embeddings)
+            fn = eng._compile(n_tiles, step, samples.dtype, with_embeddings,
+                              with_mask=mask_dev is not None)
             audio_len = (n_tiles * eng.tile - 1) * step + S
             lo = seg0 * step
             chunk = samples[lo:lo + audio_len]
             if chunk.shape[0] < audio_len:
                 pad = np.zeros(audio_len - chunk.shape[0], dtype=samples.dtype)
                 chunk = np.concatenate([chunk, pad])
-            outs = fn(eng.params, place(chunk_to_device_layout(chunk, step, S)))
+            audio_dev = place(chunk_to_device_layout(chunk, step, S))
+            outs = (
+                fn(eng.params, audio_dev, mask_dev)
+                if mask_dev is not None
+                else fn(eng.params, audio_dev)
+            )
             pending.append((outs, n_seg))
             # Bound in-flight superchunks at two: chunk c+1 uploads while
             # chunk c computes (full pipeline overlap), and device memory

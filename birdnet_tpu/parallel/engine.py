@@ -242,8 +242,10 @@ class ShardedEngine:
 
     # -- streaming path (StreamingEngine-compatible) -----------------------
 
-    def _compile(self, n_tiles: int, step: int, dtype, with_embeddings: bool = False):
-        key = ("stream", n_tiles, step, np.dtype(dtype).name, with_embeddings)
+    def _compile(self, n_tiles: int, step: int, dtype,
+                 with_embeddings: bool = False, with_mask: bool = False):
+        key = ("stream", n_tiles, step, np.dtype(dtype).name, with_embeddings,
+               with_mask)
         fn = self._compiled.get(key)
         if fn is not None:
             return fn
@@ -267,7 +269,7 @@ class ShardedEngine:
             )
             from ..ops.topk import apply_species_mask
 
-            def program(params, audio):
+            def run(params, audio, run_mask):
                 def body(_, tile_idx):
                     # Framing/scale/cast inside the body (see
                     # compiler/stream.py for the fusion rationale).
@@ -277,7 +279,10 @@ class ShardedEngine:
                     frames = lax.with_sharding_constraint(frames, batch_sharded)
                     outs = forward(params, frames)
                     logits = outs[logits_index]
-                    vals, idx = lax.top_k(apply_species_mask(logits, mask), k)
+                    sel = apply_species_mask(logits, mask)
+                    if run_mask is not None:
+                        sel = apply_species_mask(sel, run_mask)
+                    vals, idx = lax.top_k(sel, k)
                     result = (jax.nn.sigmoid(vals), idx.astype(jnp.int32))
                     if embed_index is not None:
                         result = result + (outs[embed_index],)
@@ -291,10 +296,19 @@ class ShardedEngine:
                     out = out + (emb.reshape((-1,) + emb.shape[2:]),)
                 return out
 
-            fn = jax.jit(
-                program,
-                in_shardings=(self._param_shardings, self._replicated),
-            )
+            if with_mask:
+                def program(params, audio, run_mask):
+                    return run(params, audio, run_mask)
+
+                in_shardings = (self._param_shardings, self._replicated,
+                                self._replicated)
+            else:
+                def program(params, audio):
+                    return run(params, audio, None)
+
+                in_shardings = (self._param_shardings, self._replicated)
+
+            fn = jax.jit(program, in_shardings=in_shardings)
             self._compiled[key] = fn
             return fn
 
@@ -305,6 +319,7 @@ class ShardedEngine:
         options: Optional[InferenceOptions] = None,
         with_embeddings: bool = False,
         n_segments: Optional[int] = None,
+        species_mask=None,
     ):
         from ..compiler.stream import streaming_analyze
 
@@ -316,6 +331,7 @@ class ShardedEngine:
             with_embeddings,
             n_segments,
             place=lambda chunk: jax.device_put(chunk, self._replicated),
+            species_mask=species_mask,
         )
 
     def warmup(self, batch_sizes=(1,)) -> None:

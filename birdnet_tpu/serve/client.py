@@ -182,9 +182,12 @@ class ServeClient:
         date: Optional[str] = None,
         rerank: bool = False,
         resample: bool = False,
+        species: Optional[Sequence[str]] = None,
     ) -> List[Tuple[float, List[Prediction]]]:
         """Analyze a whole recording given as samples (int16 or float in
-        [-1, 1)). Returns ``[(start_time, [Prediction, ...]), ...]``."""
+        [-1, 1)). Returns ``[(start_time, [Prediction, ...]), ...]``.
+        ``species``: per-request candidate restriction (see
+        :meth:`predict`)."""
         arr = np.asarray(samples)
         if arr.dtype != np.int16:
             arr = (
@@ -198,6 +201,7 @@ class ServeClient:
             "lat": lat,
             "lon": lon,
             "date": date,
+            "species": ",".join(species) if species else None,
         }
         if rerank:
             params["rerank"] = 1
@@ -221,6 +225,8 @@ class ServeClient:
         for k, v in kwargs.items():
             if v is None or v is False:
                 continue
+            if k == "species" and not isinstance(v, str):
+                v = ",".join(v)
             # flags must wire-encode as "1" (the server matches "1"/"true",
             # not Python's str(True))
             params[k] = 1 if v is True else v

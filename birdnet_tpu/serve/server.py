@@ -506,9 +506,16 @@ class _Handler(BaseHTTPRequestHandler):
                 400,
                 f"overlap must be in [0, {cfg.segment_duration}) seconds",
             )
+        mask = (
+            st.species_mask_for(query["species"])
+            if query.get("species")
+            else None
+        )
         t0 = time.monotonic()
         with st.analyze_lock:
-            detections = st.classifier.analyze_samples(samples, overlap)
+            detections = st.classifier.analyze_samples(
+                samples, overlap, species_mask=mask
+            )
             dt = time.monotonic() - t0
             st.analyses_total += 1
             st.analyze_segments_total += len(detections)

@@ -454,6 +454,25 @@ class TestServer:
                 p.species for p in preds
             ]
 
+    def test_analyze_per_request_species(self, server, v24_classifier):
+        cfg = v24_classifier.config
+        rng = np.random.default_rng(13)
+        pcm = (rng.standard_normal(cfg.sample_count) * 3000).astype("<i2")
+        status, body = _post(
+            server,
+            f"/v1/analyze?rate={cfg.sample_rate}"
+            f"&species=species_1,species_8",
+            pcm.tobytes(),
+        )
+        assert status == 200
+        emitted = {
+            p["species"]
+            for det in body["detections"]
+            for p in det["predictions"]
+        }
+        assert emitted <= {"species_1", "species_8"}
+        assert emitted  # candidate masking: top-K from the allowed set
+
     def test_analyze_raw_pcm_needs_rate(self, server, v24_classifier):
         pcm = np.zeros(v24_classifier.config.sample_count, "<i2")
         status, body = _post(server, "/v1/analyze", pcm.tobytes())

@@ -236,6 +236,28 @@ def test_batcher_mixed_masks_coalesce(unrestricted):
     assert [p.index for p in r_free.predictions] == [p.index for p in full]
 
 
+def test_analyze_per_call_mask(unrestricted):
+    """One runtime species list for a whole streaming analyze call."""
+    seg = sine_segment()
+    full = unrestricted.predict(seg).predictions
+    m = np.zeros(10, bool); m[[0, 4, 7]] = True
+    samples = np.concatenate([seg, seg])
+    for _, preds in unrestricted.analyze_samples(samples, species_mask=m):
+        assert [p.index for p in preds] == [
+            p.index for p in full if m[p.index]
+        ]
+    # iter variant takes the same kwarg
+    got = list(unrestricted.analyze_samples_iter(samples, species_mask=m))
+    assert all({p.index for p in preds} <= {0, 4, 7} for _, preds in got)
+    # composes with the build-time list on the restricted classifier
+
+
+def test_analyze_mask_composes_with_builder(restricted):
+    m = np.zeros(10, bool); m[[5, 9]] = True  # 9 not in builder list
+    for _, preds in restricted.analyze_samples(sine_segment(), species_mask=m):
+        assert {p.index for p in preds} == {5}
+
+
 # -- validation ----------------------------------------------------------------
 
 def test_no_match_raises(model_path):

@@ -232,7 +232,8 @@ class _StubEngine:
         self.params = {}
         self.dispatched_tiles = []
 
-    def _compile(self, n_tiles, step, dtype, with_embeddings=False):
+    def _compile(self, n_tiles, step, dtype, with_embeddings=False,
+                 with_mask=False):
         tile, k = self.tile, self.top_k
 
         class _Ready:
@@ -299,7 +300,8 @@ def test_cancel_strands_at_most_one_chunk():
     dispatches = []
     orig_compile = eng._compile
 
-    def counting_compile(n_tiles, step, dtype, with_embeddings=False):
+    def counting_compile(n_tiles, step, dtype, with_embeddings=False,
+                         with_mask=False):
         inner = orig_compile(n_tiles, step, dtype, with_embeddings)
 
         def fn(params, audio):
