@@ -33,6 +33,7 @@ from .errors import (  # noqa: F401
     ModelPathRequiredError,
     RangeFilterInferenceError,
     RuntimeInitError,
+    SpeciesListError,
 )
 from .batch_context import BatchInferenceContext  # noqa: F401
 from .classifier import Classifier, ClassifierBuilder  # noqa: F401

@@ -233,12 +233,12 @@ class ClassifierBuilder:
 
         species_mask = None
         if self._species_list is not None:
-            from .errors import InferenceError
+            from .errors import SpeciesListError
             from .labels import species_mask_from_names
 
             species_mask = species_mask_from_names(labels, self._species_list)
             if not species_mask.any():
-                raise InferenceError(
+                raise SpeciesListError(
                     "species list matches none of the model's labels"
                 )
 
@@ -362,6 +362,17 @@ class Classifier:
         :meth:`ClassifierBuilder.species_list`, or None when unrestricted."""
         return self._species_mask
 
+    def allowed_species(self) -> Optional[List[str]]:
+        """Labels retained by the build-time species list (label order),
+        or None when unrestricted."""
+        if self._species_mask is None:
+            return None
+        return [
+            label
+            for label, keep in zip(self._labels, self._species_mask)
+            if keep
+        ]
+
     # -- prediction ---------------------------------------------------------
 
     def predict(
@@ -434,10 +445,18 @@ class Classifier:
     def _validate_species_masks(self, species_masks, b: int):
         if species_masks is None:
             return None
+        from .errors import InferenceError
+
         rows = np.asarray(species_masks, dtype=bool)
-        if rows.shape != (b, self._config.num_species):
+        if rows.ndim != 2 or rows.shape[1] != self._config.num_species:
+            # the species dimension is wrong — a size error on the mask
             raise InputSizeError(
-                expected=b * self._config.num_species, got=int(rows.size)
+                expected=self._config.num_species,
+                got=int(rows.shape[-1]) if rows.ndim else 0,
+            )
+        if rows.shape[0] != b:
+            raise InferenceError(
+                f"species_masks has {rows.shape[0]} rows for a batch of {b}"
             )
         return rows
 
@@ -632,6 +651,7 @@ class Classifier:
         overlap_seconds: float = 0.0,
         options: Optional[InferenceOptions] = None,
         resample: bool = False,
+        species_mask: Optional[np.ndarray] = None,
     ):
         """One-call WAV analysis: read (raw int16), validate the sample rate
         (optionally resampling on device), and stream the whole recording.
@@ -653,7 +673,9 @@ class Classifier:
             samples = resample_audio(
                 samples, rate, self._config.sample_rate, out_dtype=np.int16
             )
-        return self.analyze_samples(samples, overlap_seconds, options)
+        return self.analyze_samples(
+            samples, overlap_seconds, options, species_mask=species_mask
+        )
 
     def embed_samples(
         self,

@@ -24,8 +24,8 @@ from typing import Optional
 from .errors import (
     AudioFormatError,
     BirdnetError,
-    InferenceError,
     ModelDetectionError,
+    SpeciesListError,
 )
 from .types import ModelType
 
@@ -428,15 +428,13 @@ def run_with_args(args: argparse.Namespace) -> int:
         builder = builder.species_list(species_wanted)
     try:
         classifier = builder.build()
-    except InferenceError as e:
-        if species_wanted is not None and "species list" in str(e):
-            print(
-                f"error: no species in {args.species_list} match the "
-                f"model's labels",
-                file=sys.stderr,
-            )
-            return 2
-        raise
+    except SpeciesListError:
+        print(
+            f"error: no species in {args.species_list} match the "
+            f"model's labels",
+            file=sys.stderr,
+        )
+        return 2
     config = classifier.config
     _debug(args.verbose, f"Classifier built in {time.monotonic() - t0:.3f}s")
 
@@ -548,11 +546,7 @@ def run_with_args(args: argparse.Namespace) -> int:
         # The candidate restriction already happened on device (builder
         # mask); this set only backs the host-side straggler guard in
         # _emit and the debug count.
-        mask = classifier.species_mask
-        species_allow = {
-            classifier.labels[i] for i in range(len(classifier.labels))
-            if mask[i]
-        }
+        species_allow = set(classifier.allowed_species())
         _debug(
             args.verbose,
             f"Species list: {len(species_allow)} of "

@@ -109,11 +109,9 @@ class InferenceEngine:
         )
 
         def select(logits, row_mask):
-            from ..ops.topk import apply_species_mask
+            from ..ops.topk import compose_species_masks
 
-            sel = apply_species_mask(logits, mask)
-            if row_mask is not None:
-                sel = apply_species_mask(sel, row_mask)
+            sel = compose_species_masks(logits, mask, row_mask)
             if k > 0:
                 vals, idx = jax.lax.top_k(sel, k)
                 return jax.nn.sigmoid(vals), idx

@@ -100,6 +100,14 @@ class InferenceError(BirdnetError):
         super().__init__(f"inference failed: {reason}")
 
 
+class SpeciesListError(InferenceError):
+    """A species list matched none of the model's labels (no reference
+    counterpart — raised by ``ClassifierBuilder.species_list`` validation
+    at build time). Subclasses :class:`InferenceError` so pre-existing
+    handlers keep working; a distinct type so callers dispatch on it
+    instead of matching message substrings."""
+
+
 class InvalidCoordinatesError(BirdnetError):
     """Invalid geographic coordinates (src/error.rs:73-81)."""
 

@@ -32,6 +32,18 @@ def apply_species_mask(logits: jax.Array, mask: Optional[jax.Array]):
     return jnp.where(mask, logits, jnp.array(-jnp.inf, dtype=logits.dtype))
 
 
+def compose_species_masks(
+    logits: jax.Array,
+    constant_mask: Optional[jax.Array],
+    row_mask: Optional[jax.Array] = None,
+):
+    """Apply the build-time species mask and an optional runtime mask
+    (per-row [B, N] or per-call [N]) to ``logits`` for top-K selection.
+    The single composition point for every engine's top-K epilogue."""
+    sel = apply_species_mask(logits, constant_mask)
+    return apply_species_mask(sel, row_mask)
+
+
 def fused_sigmoid_topk(
     logits: jax.Array, k: int, mask: Optional[jax.Array] = None
 ):

@@ -127,13 +127,12 @@ class ShardedEngine:
                 None if self.species_mask is None
                 else jnp.asarray(self.species_mask)
             )
-            from ..ops.topk import apply_species_mask
+            from ..ops.topk import compose_species_masks
 
             def finish(outs, row_mask):
                 logits = outs[logits_index]
                 if k > 0:
-                    sel = apply_species_mask(logits, mask)
-                    sel = apply_species_mask(sel, row_mask) if row_mask is not None else sel
+                    sel = compose_species_masks(logits, mask, row_mask)
                     vals, idx = lax.top_k(sel, k)
                     conf = jax.nn.sigmoid(vals)
                 else:
@@ -267,7 +266,7 @@ class ShardedEngine:
                 None if self.species_mask is None
                 else jnp.asarray(self.species_mask)
             )
-            from ..ops.topk import apply_species_mask
+            from ..ops.topk import compose_species_masks
 
             def run(params, audio, run_mask):
                 def body(_, tile_idx):
@@ -279,9 +278,7 @@ class ShardedEngine:
                     frames = lax.with_sharding_constraint(frames, batch_sharded)
                     outs = forward(params, frames)
                     logits = outs[logits_index]
-                    sel = apply_species_mask(logits, mask)
-                    if run_mask is not None:
-                        sel = apply_species_mask(sel, run_mask)
+                    sel = compose_species_masks(logits, mask, run_mask)
                     vals, idx = lax.top_k(sel, k)
                     result = (jax.nn.sigmoid(vals), idx.astype(jnp.int32))
                     if embed_index is not None:

@@ -211,9 +211,11 @@ class DynamicBatcher:
         if species_mask is not None:
             species_mask = np.asarray(species_mask, dtype=bool).reshape(-1)
             if species_mask.shape[0] != self._classifier.config.num_species:
-                raise InferenceError(
-                    f"species mask length {species_mask.shape[0]} != "
-                    f"num_species {self._classifier.config.num_species}"
+                # caller error, like the segment-size check above (maps to
+                # HTTP 400, not 500)
+                raise InputSizeError(
+                    expected=self._classifier.config.num_species,
+                    got=int(species_mask.shape[0]),
                 )
         item = _Pending(seg, species_mask)
         with self._cond:

@@ -67,6 +67,7 @@ from ..errors import (
     BirdnetError,
     InferenceError,
     InputSizeError,
+    SpeciesListError,
 )
 from ..runtime import init_runtime
 from ..types import Prediction
@@ -702,22 +703,16 @@ def main(argv=None) -> int:
         builder = builder.species_list(species_wanted)
     try:
         classifier = builder.build()
-    except InferenceError as e:
-        if species_wanted is not None and "species list" in str(e):
-            print(
-                f"error: no species in {args.species_list} match the "
-                f"model's labels",
-                file=sys.stderr,
-            )
-            return 2
-        raise
+    except SpeciesListError:
+        print(
+            f"error: no species in {args.species_list} match the "
+            f"model's labels",
+            file=sys.stderr,
+        )
+        return 2
     species_allow = None
     if species_wanted is not None:
-        mask = classifier.species_mask
-        species_allow = {
-            classifier.labels[i] for i in range(len(classifier.labels))
-            if mask[i]
-        }
+        species_allow = set(classifier.allowed_species())
     range_filter = None
     if args.meta_model:
         from ..rangefilter import RangeFilter
@@ -743,11 +738,19 @@ def main(argv=None) -> int:
     if args.warmup:
         # The batcher's fixed-shape executable compiled at construction;
         # compile the streaming/analyze program too by running one tiny
-        # silent recording through it (smallest tile bucket).
+        # silent recording through it (smallest tile bucket), and the
+        # per-request species-mask variants (?species= compiles separate
+        # executables — without this the first masked request would pay a
+        # full XLA compile inside the batcher worker, stalling every
+        # queued request behind it).
         print("warming up analyze pipeline...", file=sys.stderr)
         t0 = time.monotonic()
-        classifier.analyze_samples(
-            np.zeros(classifier.config.sample_count, np.int16)
+        silent = np.zeros(classifier.config.sample_count, np.int16)
+        all_species = np.ones(classifier.config.num_species, bool)
+        classifier.analyze_samples(silent)
+        classifier.analyze_samples(silent, species_mask=all_species)
+        server.state.batcher.predict(
+            silent.astype(np.float32), species_mask=all_species
         )
         print(
             f"warmup done in {time.monotonic() - t0:.1f}s", file=sys.stderr

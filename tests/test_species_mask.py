@@ -261,12 +261,20 @@ def test_analyze_mask_composes_with_builder(restricted):
 # -- validation ----------------------------------------------------------------
 
 def test_no_match_raises(model_path):
-    with pytest.raises(InferenceError, match="species list"):
+    from birdnet_tpu.errors import SpeciesListError
+
+    with pytest.raises(SpeciesListError, match="species list"):
         (
             Classifier.builder().model_path(model_path)
             .labels(mock_labels(10)).species_list(["Nonexistent bird"])
             .build()
         )
+    assert issubclass(SpeciesListError, InferenceError)  # catch-compat
+
+
+def test_allowed_species(restricted, unrestricted):
+    assert unrestricted.allowed_species() is None
+    assert restricted.allowed_species() == ALLOWED
 
 
 def test_species_mask_property(restricted, unrestricted):
