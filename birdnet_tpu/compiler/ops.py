@@ -231,7 +231,14 @@ op("Or")(_binary(jnp.logical_or))
 op("Xor")(_binary(jnp.logical_xor))
 op("BitwiseAnd")(_binary(jnp.bitwise_and))
 op("BitwiseOr")(_binary(jnp.bitwise_or))
-op("Mod")(_binary(jnp.mod))
+@op("Mod")
+def _mod(ctx, a, b):
+    # fmod=1 selects C fmod semantics (result takes the sign of the
+    # dividend); ONNX mandates fmod=1 for floating-point inputs. fmod=0
+    # is Python-style mod (sign of the divisor).
+    if int(ctx.attr("fmod", 0)):
+        return [jnp.fmod(jnp.asarray(a), jnp.asarray(b))]
+    return [jnp.mod(jnp.asarray(a), jnp.asarray(b))]
 
 
 @op("Min")
@@ -727,6 +734,10 @@ def _pool_common(ctx, x):
 
 @op("MaxPool")
 def _maxpool(ctx, x):
+    if ctx.num_outputs > 1:
+        raise NotImplementedError(
+            "MaxPool with the optional Indices output is not supported"
+        )
     x = jnp.asarray(x)
     window, strides, dil, pads = _pool_common(ctx, x)
     init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
@@ -907,7 +918,9 @@ def _slice(ctx, x, starts=None, ends=None, axes=None, steps=None):
             en = max(en + dim, 0) if en < 0 else min(en, dim)
             slices[ax] = slice(st, en, sp)
         else:
-            st = st + dim if st < 0 else min(st, dim - 1)
+            # Negative step: ONNX clamps start into [0, dim-1] (so an
+            # out-of-range negative start like INT64_MIN means "from 0").
+            st = max(st + dim, 0) if st < 0 else min(st, dim - 1)
             en = en + dim if -dim <= en < 0 else en
             slices[ax] = slice(st, None if en < 0 else en, sp)
     return [x[tuple(slices)]]
@@ -1029,11 +1042,19 @@ def _pad(ctx, x, pads=None, constant_value=None, axes=None):
 
 @op("Range")
 def _range(ctx, start, limit, delta):
-    s = _static_int(start, "Range start")
-    l = _static_int(limit, "Range limit")
-    d = _static_int(delta, "Range delta")
-    dtype = np.asarray(start).dtype
-    return [np.arange(s, l, d, dtype=dtype)]
+    for v, what in ((start, "start"), (limit, "limit"), (delta, "delta")):
+        if not _is_static(v):
+            raise ValueError(f"Range {what} must be a compile-time constant")
+    s = np.asarray(start).reshape(())
+    l = np.asarray(limit).reshape(())
+    d = np.asarray(delta).reshape(())
+    dtype = s.dtype
+    if np.issubdtype(dtype, np.floating):
+        # ONNX defines the length as ceil((limit-start)/delta); computing
+        # k*delta+start avoids np.arange's float accumulation quirks.
+        n = max(0, int(np.ceil((float(l) - float(s)) / float(d))))
+        return [(np.arange(n, dtype=np.float64) * float(d) + float(s)).astype(dtype)]
+    return [np.arange(int(s), int(l), int(d), dtype=dtype)]
 
 
 @op("OneHot")
@@ -1061,7 +1082,10 @@ def _reduce(fn, needs_float=False):
         keepdims = bool(int(ctx.attr("keepdims", 1)))
         noop = bool(int(ctx.attr("noop_with_empty_axes", 0)))
         if ax is None or len(ax) == 0:
-            if noop and (ax is not None and len(ax) == 0):
+            # noop_with_empty_axes applies both to an explicitly-empty axes
+            # tensor and to an absent axes input (exporters use either
+            # encoding for "no axes" at opset 18).
+            if noop:
                 return [x]
             ax = None
         else:
@@ -1083,26 +1107,27 @@ op("ReduceLogSumExp")(_reduce(lambda x, axis, keepdims: jax.scipy.special.logsum
 op("ReduceSumSquare")(_reduce(lambda x, axis, keepdims: jnp.sum(x * x, axis=axis, keepdims=keepdims)))
 
 
-@op("ArgMax")
-def _argmax(ctx, x):
-    x = jnp.asarray(x)
-    axis = int(ctx.attr("axis", 0))
-    keepdims = bool(int(ctx.attr("keepdims", 1)))
-    y = jnp.argmax(x, axis=axis).astype(jnp.int64)
-    if keepdims:
-        y = jnp.expand_dims(y, axis)
-    return [y]
+def _arg_reduce(fn):
+    def impl(ctx, x):
+        x = jnp.asarray(x)
+        axis = int(ctx.attr("axis", 0))
+        keepdims = bool(int(ctx.attr("keepdims", 1)))
+        if int(ctx.attr("select_last_index", 0)):
+            # jnp.arg{max,min} return the FIRST tied index; flip the axis and
+            # mirror the result to get the last occurrence instead.
+            n = x.shape[axis if axis >= 0 else axis + x.ndim]
+            y = (n - 1 - fn(jnp.flip(x, axis), axis=axis)).astype(jnp.int64)
+        else:
+            y = fn(x, axis=axis).astype(jnp.int64)
+        if keepdims:
+            y = jnp.expand_dims(y, axis)
+        return [y]
+
+    return impl
 
 
-@op("ArgMin")
-def _argmin(ctx, x):
-    x = jnp.asarray(x)
-    axis = int(ctx.attr("axis", 0))
-    keepdims = bool(int(ctx.attr("keepdims", 1)))
-    y = jnp.argmin(x, axis=axis).astype(jnp.int64)
-    if keepdims:
-        y = jnp.expand_dims(y, axis)
-    return [y]
+op("ArgMax")(_arg_reduce(jnp.argmax))
+op("ArgMin")(_arg_reduce(jnp.argmin))
 
 
 @op("TopK")
@@ -1146,19 +1171,130 @@ def _cumsum(ctx, x, axis):
 # ---------------------------------------------------------------------------
 
 
+def _resize_src_coords(d_in: int, d_out: int, scale: float, coord_mode: str) -> np.ndarray:
+    """ONNX Resize output→input coordinate mapping (float, unclamped)."""
+    i = np.arange(d_out, dtype=np.float64)
+    if coord_mode == "half_pixel":
+        return (i + 0.5) / scale - 0.5
+    if coord_mode == "pytorch_half_pixel":
+        return (i + 0.5) / scale - 0.5 if d_out > 1 else np.zeros(d_out)
+    if coord_mode == "asymmetric":
+        return i / scale
+    if coord_mode == "align_corners":
+        return i * ((d_in - 1) / (d_out - 1)) if d_out > 1 else np.zeros(d_out)
+    if coord_mode == "half_pixel_symmetric":
+        adjustment = d_out / (scale * d_in)
+        center = d_in / 2.0
+        offset = center * (1.0 - adjustment)
+        return offset + (i + 0.5) / scale - 0.5
+    raise NotImplementedError(
+        f"Resize coordinate_transformation_mode {coord_mode!r} not supported"
+    )
+
+
+def _resize_nearest_idx(src: np.ndarray, d_in: int, nearest_mode: str) -> np.ndarray:
+    if nearest_mode == "round_prefer_floor":
+        idx = np.ceil(src - 0.5)
+    elif nearest_mode == "round_prefer_ceil":
+        idx = np.floor(src + 0.5)
+    elif nearest_mode == "floor":
+        idx = np.floor(src)
+    elif nearest_mode == "ceil":
+        idx = np.ceil(src)
+    else:
+        raise NotImplementedError(f"Resize nearest_mode {nearest_mode!r} not supported")
+    return np.clip(idx.astype(np.int64), 0, d_in - 1)
+
+
+def _resize_axis(x, axis: int, src: np.ndarray, linear: bool, nearest_mode: str):
+    """Resample one axis of ``x`` by gathering at source coordinates ``src``."""
+    d_in = x.shape[axis]
+    if not linear:
+        return jnp.take(x, jnp.asarray(_resize_nearest_idx(src, d_in, nearest_mode)), axis=axis)
+    # Linear: weights use the unclamped fractional offset; taps clamp to the
+    # edge (ONNX Runtime's exclude_outside=0 behavior).
+    lo_f = np.floor(src)
+    frac = (src - lo_f).astype(np.float32)
+    lo = np.clip(lo_f.astype(np.int64), 0, d_in - 1)
+    hi = np.clip(lo_f.astype(np.int64) + 1, 0, d_in - 1)
+    shape = [1] * x.ndim
+    shape[axis] = src.size
+    w = jnp.asarray(frac).reshape(shape).astype(x.dtype)
+    xl = jnp.take(x, jnp.asarray(lo), axis=axis)
+    xh = jnp.take(x, jnp.asarray(hi), axis=axis)
+    return xl + (xh - xl) * w
+
+
 @op("Resize")
 def _resize(ctx, x, roi=None, scales=None, sizes=None):
     x = jnp.asarray(x)
     mode = ctx.attr("mode", "nearest")
     if isinstance(mode, bytes):
         mode = mode.decode()
-    if sizes is not None:
-        out_shape = _static_ints(sizes, "Resize sizes")
+    if ctx.opset < 11:
+        # Opset-10 Resize has inputs (X, scales) and fixed legacy semantics:
+        # asymmetric coordinates with floor-nearest, like Upsample.
+        scales, roi = roi, None
+        coord_mode = "asymmetric"
+        nearest_mode = "floor"
     else:
-        sc = np.asarray(scales, dtype=np.float64).reshape(-1)
+        coord_mode = ctx.attr("coordinate_transformation_mode", "half_pixel")
+        if isinstance(coord_mode, bytes):
+            coord_mode = coord_mode.decode()
+        nearest_mode = ctx.attr("nearest_mode", "round_prefer_floor")
+        if isinstance(nearest_mode, bytes):
+            nearest_mode = nearest_mode.decode()
+    if coord_mode == "tf_crop_and_resize":
+        raise NotImplementedError("Resize with tf_crop_and_resize is not supported")
+    if int(ctx.attr("antialias", 0)):
+        raise NotImplementedError("Resize with antialias=1 is not supported")
+    if int(ctx.attr("exclude_outside", 0)):
+        raise NotImplementedError("Resize with exclude_outside=1 is not supported")
+
+    policy = ctx.attr("keep_aspect_ratio_policy", "stretch")
+    if isinstance(policy, bytes):
+        policy = policy.decode()
+    if policy != "stretch":
+        raise NotImplementedError(f"Resize keep_aspect_ratio_policy {policy!r} not supported")
+
+    # Opset-18 axes attribute: scales/sizes apply only to the listed axes.
+    axes_attr = ctx.attr("axes")
+    if axes_attr is not None:
+        axes_l = [int(a) + (x.ndim if int(a) < 0 else 0) for a in axes_attr]
+    else:
+        axes_l = list(range(x.ndim))
+
+    if sizes is not None:
+        sz = _static_ints(sizes, "Resize sizes")
+        out_shape = list(x.shape)
+        for ax, o in zip(axes_l, sz):
+            out_shape[ax] = o
+        # When sizes are given, the coordinate transform uses the effective
+        # scale d_out/d_in per axis (keep_aspect_ratio_policy 'stretch').
+        sc = [o / d for o, d in zip(out_shape, x.shape)]
+    else:
+        sc_sub = list(np.asarray(scales, dtype=np.float64).reshape(-1))
+        sc = [1.0] * x.ndim
+        for ax, s in zip(axes_l, sc_sub):
+            sc[ax] = s
         out_shape = [int(math.floor(d * s)) for d, s in zip(x.shape, sc)]
-    method = {"nearest": "nearest", "linear": "linear", "cubic": "cubic"}[mode]
-    return [jax.image.resize(x, out_shape, method=method).astype(x.dtype)]
+
+    if mode == "cubic":
+        if coord_mode != "half_pixel":
+            raise NotImplementedError(
+                f"Resize mode=cubic only supports half_pixel coordinates, got {coord_mode!r}"
+            )
+        return [jax.image.resize(x, out_shape, method="cubic").astype(x.dtype)]
+    if mode not in ("nearest", "linear"):
+        raise NotImplementedError(f"Resize mode {mode!r} not supported")
+
+    linear = mode == "linear"
+    for axis, (d_out, s) in enumerate(zip(out_shape, sc)):
+        if d_out == x.shape[axis] and abs(s - 1.0) < 1e-12:
+            continue
+        src = _resize_src_coords(x.shape[axis], d_out, float(s), coord_mode)
+        x = _resize_axis(x, axis, src, linear, nearest_mode)
+    return [x]
 
 
 @op("Upsample")

@@ -93,7 +93,18 @@ def fold_batchnorm(graph: GraphProto, tensors: Dict[str, np.ndarray]) -> int:
             kept.append(node)
             continue
         names = node.input[1:5]
-        if not all(n in tensors for n in names) or prod.input[1] not in tensors:
+        w_name = prod.input[1]
+        # A bias that is produced dynamically (non-initializer) can't be folded:
+        # the producer node would overwrite our corrected value at run time.
+        bias_dynamic = len(prod.input) > 2 and prod.input[2] and prod.input[2] not in tensors
+        if (
+            not all(n in tensors for n in names)
+            or w_name not in tensors
+            # Weight-tied graphs: scaling a shared initializer in place would
+            # corrupt the other consumers, so fold only single-consumer weights.
+            or usage.get(w_name, 0) != 1
+            or bias_dynamic
+        ):
             kept.append(node)
             continue
         scale, bias, mean, var = (tensors[n].astype(np.float64) for n in names)
@@ -120,9 +131,12 @@ def fold_batchnorm(graph: GraphProto, tensors: Dict[str, np.ndarray]) -> int:
             b_old = np.zeros(inv.shape[0], dtype=np.float64)
         b_new = (b_old - mean) * inv + bias
 
-        dtype = tensors[prod.input[1]].dtype
-        tensors[prod.input[1]] = w_new.astype(dtype)
-        bias_name = prod.input[2] if len(prod.input) > 2 and prod.input[2] else f"{prod.input[1]}_bn_bias"
+        dtype = tensors[w_name].dtype
+        tensors[w_name] = w_new.astype(dtype)
+        # Always write the corrected bias under a fresh name: the old bias
+        # initializer may be shared with other nodes (w_name is unique here
+        # thanks to the single-consumer check above, so this can't collide).
+        bias_name = f"{w_name}_bn_bias"
         tensors[bias_name] = b_new.astype(dtype)
         if len(prod.input) > 2:
             prod.input[2] = bias_name
@@ -514,6 +528,37 @@ def eliminate_dead_nodes(graph: GraphProto) -> int:
         graph.node[:] = kept
 
 
+def _collect_used_names(graph: GraphProto, used: set) -> None:
+    """All value names referenced by nodes/outputs, recursing into subgraph
+    attributes (If/Loop/Scan bodies and fused-op bodies reference outer-scope
+    tensors by name)."""
+    for node in graph.node:
+        used.update(i for i in node.input if i)
+        for a in node.attribute:
+            g = getattr(a, "g", None)
+            if g is not None:
+                _collect_used_names(g, used)
+            for sg in getattr(a, "graphs", []) or []:
+                _collect_used_names(sg, used)
+    for o in graph.output:
+        used.add(o.name)
+
+
+def prune_dead_initializers(graph: GraphProto, tensors: Dict[str, np.ndarray]) -> int:
+    """Drop tensors no kept node or graph output references. Rewrites like
+    BN folding and frontend fusion orphan their source initializers (scale/
+    bias/mean/var, window/mel); without this sweep split_params would promote
+    the dead floats into jit params and carry them through every donation,
+    shard, and checkpoint."""
+    used: set = set()
+    _collect_used_names(graph, used)
+    used.update(i.name for i in graph.input)
+    dead = [k for k in tensors if k not in used]
+    for k in dead:
+        del tensors[k]
+    return len(dead)
+
+
 def optimize_graph(graph: GraphProto, tensors: Dict[str, np.ndarray]) -> Dict[str, int]:
     """Run all passes; mutates graph/tensors. Returns per-pass counts."""
     stats = {}
@@ -532,4 +577,5 @@ def optimize_graph(graph: GraphProto, tensors: Dict[str, np.ndarray]) -> Dict[st
     stats["stage_prefix_blocks"] = fuse_stage_prefix(graph, tensors)
     stats["frontend_fused"] = fuse_frontend(graph, tensors)
     stats["stft_frontend_fused"] = fuse_stft_frontend(graph, tensors)
+    stats["dead_initializers"] = prune_dead_initializers(graph, tensors)
     return stats
