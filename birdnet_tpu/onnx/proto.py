@@ -276,6 +276,7 @@ class AttributeProto:
     ints: List[int] = field(default_factory=list)
     strings: List[bytes] = field(default_factory=list)
     tensors: List["TensorProto"] = field(default_factory=list)
+    graphs: List["GraphProto"] = field(default_factory=list)
 
     @property
     def value(self):
@@ -299,6 +300,8 @@ class AttributeProto:
             return [s.decode("utf-8", errors="replace") for s in self.strings]
         if t == AttrType.TENSORS:
             return list(self.tensors)
+        if t == AttrType.GRAPHS:
+            return list(self.graphs)
         return None
 
 
@@ -497,6 +500,9 @@ def decode_attribute(buf: memoryview, pos: int, end: int) -> AttributeProto:
         elif fnum == 10:
             b, p, e = _submsg(buf, vpos)
             a.tensors.append(decode_tensor(b, p, e))
+        elif fnum == 11:
+            b, p, e = _submsg(buf, vpos)
+            a.graphs.append(decode_graph(b, p, e))
         elif fnum == 20:
             a.type, _ = _read_varint(buf, vpos)
     if a.type == AttrType.UNDEFINED:
@@ -514,6 +520,8 @@ def _infer_attr_type(a: AttributeProto) -> int:
         return AttrType.STRINGS
     if a.tensors:
         return AttrType.TENSORS
+    if a.graphs:
+        return AttrType.GRAPHS
     if a.t is not None:
         return AttrType.TENSOR
     if a.g is not None:
@@ -703,6 +711,9 @@ def encode_attribute(a: AttributeProto) -> bytes:
     elif a.type == AttrType.TENSORS:
         for t in a.tensors:
             _write_len_field(out, 10, encode_tensor(t))
+    elif a.type == AttrType.GRAPHS:
+        for g in a.graphs:
+            _write_len_field(out, 11, encode_graph(g))
     _write_int_field(out, 20, a.type)
     return bytes(out)
 

@@ -75,6 +75,26 @@ def test_attribute_roundtrip():
     assert attrs["coeffs"] == [1.5, 2.5]
 
 
+def test_graphs_attribute_roundtrip():
+    # Repeated-graph attributes (AttributeProto field 11, type GRAPHS) are
+    # legal wire content even though no standard op uses them; a decoder
+    # that drops them would silently corrupt such a model.
+    sub = P.GraphProto(
+        name="branch",
+        node=[P.make_node("Relu", ["a"], ["b"])],
+        output=[P.make_value_info("b", P.DataType.FLOAT, [1])],
+    )
+    attr = P.AttributeProto(name="bodies", type=P.AttrType.GRAPHS, graphs=[sub, sub])
+    node = P.NodeProto(op_type="_Custom", input=["x"], output=["y"], attribute=[attr])
+    decoded = P.decode_model(P.encode_model(P.make_model(P.GraphProto(node=[node]))))
+    got = decoded.graph.node[0].attribute[0]
+    assert got.type == P.AttrType.GRAPHS
+    assert len(got.graphs) == 2
+    assert got.graphs[0].name == "branch"
+    assert got.graphs[1].node[0].op_type == "Relu"
+    assert got.graphs[0].output[0].name == "b"
+
+
 def test_tensor_attribute_roundtrip():
     t = np.float32(3.5) * np.ones((2, 2), dtype=np.float32)
     node = P.make_node("ConstantOfShape", ["s"], ["y"], value=t)
