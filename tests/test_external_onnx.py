@@ -198,6 +198,33 @@ def test_resize_nearest_and_bilinear():
     assert_parity(Up(), (torch.randn(2, 3, 4, 5),), atol=1e-4)
 
 
+def test_resize_align_corners_and_nearest_exact_coords():
+    # align_corners=True exports Resize with
+    # coordinate_transformation_mode=align_corners; fractional upsampling
+    # exercises the coordinate mapping away from integer-multiple shortcuts.
+    class Up(nn.Module):
+        def forward(self, x):
+            a = F.interpolate(x, size=(7, 11), mode="bilinear", align_corners=True)
+            b = F.interpolate(x, scale_factor=1.7, mode="nearest")
+            return a, b
+
+    assert_parity(Up(), (torch.randn(1, 2, 5, 6),), atol=1e-4)
+
+
+def test_fmod_argmax_arange_zoo():
+    # torch.fmod exports Mod(fmod=1); float arange exports Range with float
+    # inputs; argmax/argmin export their attribute forms.
+    class Zoo(nn.Module):
+        def forward(self, x):
+            m = torch.fmod(x * 3.0, 1.7)
+            r = torch.arange(0.0, 4.0, 0.5, dtype=x.dtype)
+            am = torch.argmax(x, dim=1)
+            an = torch.argmin(x, dim=1, keepdim=True)
+            return m, r, am.to(x.dtype), an.to(x.dtype)
+
+    assert_parity(Zoo(), (torch.randn(3, 9),))
+
+
 def test_elementwise_and_reduce_zoo():
     class Zoo(nn.Module):
         def forward(self, x):
