@@ -109,12 +109,10 @@ class InferenceEngine:
         )
 
         def select(logits, row_mask):
-            from ..ops.topk import compose_species_masks
+            from ..ops.topk import fused_sigmoid_topk
 
-            sel = compose_species_masks(logits, mask, row_mask)
             if k > 0:
-                vals, idx = jax.lax.top_k(sel, k)
-                return jax.nn.sigmoid(vals), idx
+                return fused_sigmoid_topk(logits, k, mask, row_mask)
             b = logits.shape[0]
             return (
                 jnp.zeros((b, 0), dtype=logits.dtype),

@@ -182,7 +182,7 @@ class StreamingEngine:
                 None if self.species_mask is None
                 else jnp.asarray(self.species_mask)
             )
-            from ..ops.topk import compose_species_masks
+            from ..ops.topk import fused_sigmoid_topk
 
             def run(params, audio, run_mask):
                 def body(_, tile_idx):
@@ -195,9 +195,9 @@ class StreamingEngine:
                     )
                     outs = forward(params, frames)
                     logits = outs[logits_index]
-                    sel = compose_species_masks(logits, mask, run_mask)
-                    vals, idx = lax.top_k(sel, k)
-                    result = (jax.nn.sigmoid(vals), idx.astype(jnp.int32))
+                    result = fused_sigmoid_topk(
+                        logits, k, mask, run_mask, idx_dtype=jnp.int32
+                    )
                     if embed_index is not None:
                         result = result + (outs[embed_index],)
                     return None, result

@@ -45,7 +45,11 @@ def compose_species_masks(
 
 
 def fused_sigmoid_topk(
-    logits: jax.Array, k: int, mask: Optional[jax.Array] = None
+    logits: jax.Array,
+    k: int,
+    mask: Optional[jax.Array] = None,
+    row_mask: Optional[jax.Array] = None,
+    idx_dtype=None,
 ):
     """Per-row top-k of raw logits, sigmoid on the winners.
 
@@ -53,7 +57,13 @@ def fused_sigmoid_topk(
     descending by logit — identical order to the host oracle because sigmoid
     is monotonic. NaN logits sort above +inf (XLA top_k uses a total order
     consistent with the reference's ``total_cmp``). ``mask`` (bool [N])
-    restricts selection to allowed species (see :func:`apply_species_mask`).
+    restricts selection to allowed species (see :func:`apply_species_mask`);
+    ``row_mask`` (bool [B, N] or [N]) additionally applies a runtime
+    per-request mask. This is THE top-K epilogue — every engine/program
+    builder (batched, streaming, sharded) must call it rather than inlining
+    the select→top_k→sigmoid chain, so mask semantics can never diverge.
     """
-    vals, idx = lax.top_k(apply_species_mask(logits, mask), k)
+    vals, idx = lax.top_k(compose_species_masks(logits, mask, row_mask), k)
+    if idx_dtype is not None:
+        idx = idx.astype(idx_dtype)
     return jax.nn.sigmoid(vals), idx

@@ -127,14 +127,12 @@ class ShardedEngine:
                 None if self.species_mask is None
                 else jnp.asarray(self.species_mask)
             )
-            from ..ops.topk import compose_species_masks
+            from ..ops.topk import fused_sigmoid_topk
 
             def finish(outs, row_mask):
                 logits = outs[logits_index]
                 if k > 0:
-                    sel = compose_species_masks(logits, mask, row_mask)
-                    vals, idx = lax.top_k(sel, k)
-                    conf = jax.nn.sigmoid(vals)
+                    conf, idx = fused_sigmoid_topk(logits, k, mask, row_mask)
                 else:
                     conf = jnp.zeros((logits.shape[0], 0), logits.dtype)
                     idx = jnp.zeros((logits.shape[0], 0), jnp.int32)
@@ -266,7 +264,7 @@ class ShardedEngine:
                 None if self.species_mask is None
                 else jnp.asarray(self.species_mask)
             )
-            from ..ops.topk import compose_species_masks
+            from ..ops.topk import fused_sigmoid_topk
 
             def run(params, audio, run_mask):
                 def body(_, tile_idx):
@@ -278,9 +276,9 @@ class ShardedEngine:
                     frames = lax.with_sharding_constraint(frames, batch_sharded)
                     outs = forward(params, frames)
                     logits = outs[logits_index]
-                    sel = compose_species_masks(logits, mask, run_mask)
-                    vals, idx = lax.top_k(sel, k)
-                    result = (jax.nn.sigmoid(vals), idx.astype(jnp.int32))
+                    result = fused_sigmoid_topk(
+                        logits, k, mask, run_mask, idx_dtype=jnp.int32
+                    )
                     if embed_index is not None:
                         result = result + (outs[embed_index],)
                     return None, result

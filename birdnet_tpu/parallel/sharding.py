@@ -132,12 +132,12 @@ def make_sharded_program(
     mask = None if species_mask is None else jnp.asarray(species_mask, bool)
 
     def program(params, x):
-        from ..ops.topk import apply_species_mask
+        from ..ops.topk import fused_sigmoid_topk
 
         outs = forward(params, x)
         logits = outs[logits_index]
-        vals, idx = jax.lax.top_k(apply_species_mask(logits, mask), k)
-        return jax.nn.sigmoid(vals), idx, logits
+        conf, idx = fused_sigmoid_topk(logits, k, mask)
+        return conf, idx, logits
 
     fn = jax.jit(
         program,
@@ -204,7 +204,7 @@ def make_sharded_stream_program(
 
     def program(params, audio):
         from ..compiler.stream import frame_tile, prepare_frames
-        from ..ops.topk import apply_species_mask
+        from ..ops.topk import fused_sigmoid_topk
 
         def body(_, tile_idx):
             # Framing/scale/cast inside the body (see compiler/stream.py
@@ -214,8 +214,7 @@ def make_sharded_stream_program(
             )
             frames = jax.lax.with_sharding_constraint(frames, batch_sharded)
             logits = forward(params, frames)[logits_index]
-            vals, idx = jax.lax.top_k(apply_species_mask(logits, mask), k)
-            return None, (jax.nn.sigmoid(vals), idx.astype(jnp.int32))
+            return None, fused_sigmoid_topk(logits, k, mask, idx_dtype=jnp.int32)
 
         _, (conf, idx) = jax.lax.scan(body, None, jnp.arange(n_tiles))
         return conf.reshape(-1, k), idx.reshape(-1, k)

@@ -110,6 +110,27 @@ class BatcherMetrics:
             }
 
 
+def _resolve_future(fut: Future, result=None, exception=None) -> None:
+    """Resolve a caller-visible Future without racing its cancel().
+
+    ``submit`` hands callers a bare Future, so ``fut.cancel()`` succeeds any
+    time before resolution. Transitioning PENDING→RUNNING first makes the
+    subsequent set_result/set_exception race-free; the InvalidStateError
+    guard covers a cancel that wins the transition itself. Without this, a
+    caller cancelling between the cancelled() check and set_result() would
+    raise out of the worker loop and kill the batcher thread for good.
+    """
+    try:
+        if not fut.set_running_or_notify_cancel():
+            return  # caller cancelled; nothing to deliver
+        if exception is not None:
+            fut.set_exception(exception)
+        else:
+            fut.set_result(result)
+    except Exception:  # InvalidStateError under any remaining interleaving
+        pass
+
+
 def _ms(v: Optional[float]) -> Optional[float]:
     return None if v is None else round(v * 1000.0, 3)
 
@@ -320,12 +341,10 @@ class DynamicBatcher:
         except Exception as e:  # device/runtime failure → every caller
             self.metrics.record_error()
             for p in batch:
-                if not p.future.cancelled():
-                    p.future.set_exception(e)
+                _resolve_future(p.future, exception=e)
             return
         self.metrics.record_batch(len(batch))
         now = time.monotonic()
         for p, r in zip(batch, results):
             self.metrics.record_latency(now - p.t_submit)
-            if not p.future.cancelled():
-                p.future.set_result(r)
+            _resolve_future(p.future, result=r)

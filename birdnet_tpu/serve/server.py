@@ -67,6 +67,7 @@ from ..errors import (
     BirdnetError,
     InferenceError,
     InputSizeError,
+    RangeFilterInferenceError,
     SpeciesListError,
 )
 from ..runtime import init_runtime
@@ -88,6 +89,7 @@ class ServerState:
         range_filter=None,
         species_allow=None,
         workers: int = 1,
+        max_analyze_inflight: int = 4,
     ):
         self.classifier = classifier
         self.batcher = DynamicBatcher(
@@ -106,6 +108,10 @@ class ServerState:
         self._species_mask_cache: dict = {}  # raw ?species= string → mask
         self.started_at = time.time()
         self.analyze_lock = threading.Lock()  # one streaming pass at a time
+        # Bounds concurrently-admitted /v1/analyze requests (each holds its
+        # body + decoded samples in RAM while queued on analyze_lock).
+        self.analyze_slots = threading.BoundedSemaphore(max_analyze_inflight)
+        self.analyze_admission_timeout = 120.0  # s to wait for a slot → 503
         self.analyses_total = 0
         self.analyze_segments_total = 0
 
@@ -268,27 +274,39 @@ class _Handler(BaseHTTPRequestHandler):
             month, day = now.tm_mon, now.tm_mday
         return lat, lon, month, day
 
-    def _filtered(self, predictions, query: dict):
+    def _filter_ctx(self, query: dict):
+        """Resolve everything ``_apply_filters`` needs from the query ONCE:
+        (location scores or None, rerank flag, min_confidence or None).
+        Parsing/meta-model work happens here so per-segment filtering on the
+        analyze path is just list work, not thousands of re-parses."""
+        loc = self._location_args(query)
+        scores = self.state.location_scores(*loc) if loc is not None else None
+        rerank = query.get("rerank") in ("1", "true")
+        min_conf = (
+            float(query["min_confidence"])
+            if "min_confidence" in query
+            else None
+        )
+        return scores, rerank, min_conf
+
+    def _apply_filters(self, predictions, fctx):
         """Apply the server species list, optional per-request location
         filtering, and min-confidence."""
+        scores, rerank, min_conf = fctx
         if self.state.species_allow is not None:
             predictions = [
                 p
                 for p in predictions
                 if p.species in self.state.species_allow
             ]
-        loc = self._location_args(query)
-        if loc is not None:
-            scores = self.state.location_scores(*loc)
+        if scores is not None:
             predictions = self.state.range_filter.filter_predictions(
-                predictions, scores, rerank=query.get("rerank") in ("1", "true")
+                predictions, scores, rerank=rerank
             )
-        min_conf = (
-            float(query["min_confidence"])
-            if "min_confidence" in query
-            else None
-        )
         return _apply_min_conf(predictions, min_conf)
+
+    def _filtered(self, predictions, query: dict):
+        return self._apply_filters(predictions, self._filter_ctx(query))
 
     # -- GET ----------------------------------------------------------------
 
@@ -368,6 +386,10 @@ class _Handler(BaseHTTPRequestHandler):
                  "message": e.message},
                 status=e.status,
             )
+        except RangeFilterInferenceError as e:
+            # meta-model device/runtime fault — a server-side failure, not
+            # a malformed request; 5xx so clients/load balancers retry
+            self._send_error_json(e, 500)
         except BirdnetError as e:
             self._send_error_json(e, 400)
         except ValueError as e:
@@ -403,6 +425,8 @@ class _Handler(BaseHTTPRequestHandler):
             # queue-full/overload surfaces as 503 so load balancers back off
             status = 503 if "overloaded" in str(e) else 500
             self._send_error_json(e, status)
+        except RangeFilterInferenceError as e:
+            self._send_error_json(e, 500)  # server-side meta-model fault
         except BirdnetError as e:
             self._send_error_json(e, 400)
         except ValueError as e:
@@ -449,15 +473,18 @@ class _Handler(BaseHTTPRequestHandler):
             if query.get("species")
             else None
         )
-        fut = st.batcher.submit(segment, species_mask=mask)
+        # Parse everything fallible BEFORE submitting: a 400 after submit
+        # would leave the segment running on device for a dead request.
         timeout = float(query.get("timeout_s", 60.0))
+        fctx = self._filter_ctx(query)
+        fut = st.batcher.submit(segment, species_mask=mask)
         try:
             result = fut.result(timeout=timeout)
         except concurrent.futures.TimeoutError:
             raise _HttpError(
                 504, f"inference did not complete within {timeout}s"
             ) from None
-        preds = self._filtered(result.predictions, query)
+        preds = self._apply_filters(result.predictions, fctx)
         out = {
             "model_type": result.model_type.name,
             "predictions": [_pred_json(p) for p in preds],
@@ -471,13 +498,46 @@ class _Handler(BaseHTTPRequestHandler):
         self._send_json(out)
 
     def _analyze(self) -> None:
-        query = self._query()
-        body = self._read_body()
+        st = self.state
+        # Admission control: ThreadingHTTPServer spawns a thread per request
+        # and each analyze holds its full body + decoded samples in RAM while
+        # waiting on analyze_lock. Bound the ADMITTED count BEFORE reading
+        # the (up to 1 GiB) body — unadmitted requests wait with the bytes
+        # still in the socket (TCP flow control), so bursts queue without
+        # memory growth and only sustained overload answers 503.
+        if not st.analyze_slots.acquire(timeout=st.analyze_admission_timeout):
+            raise _HttpError(
+                503,
+                "too many concurrent analyze requests; retry later",
+            )
+        try:
+            self._analyze_admitted()
+        finally:
+            st.analyze_slots.release()
+
+    def _analyze_admitted(self) -> None:
         st = self.state
         cfg = st.classifier.config
-        overlap = float(query.get("overlap", 0.0))
-        resample = query.get("resample") in ("1", "true")
+        query = self._query()
 
+        # Everything fallible that the query string alone determines is
+        # checked BEFORE decoding/resampling the recording — a malformed
+        # overlap/species/location must not cost a full device resample.
+        overlap = float(query.get("overlap", 0.0))
+        if overlap >= cfg.segment_duration or overlap < 0:
+            raise _HttpError(
+                400,
+                f"overlap must be in [0, {cfg.segment_duration}) seconds",
+            )
+        resample = query.get("resample") in ("1", "true")
+        mask = (
+            st.species_mask_for(query["species"])
+            if query.get("species")
+            else None
+        )
+        fctx = self._filter_ctx(query)
+
+        body = self._read_body()
         if body[:4] == b"RIFF":
             samples, rate = _read_wav_bytes(body)
         else:
@@ -502,18 +562,11 @@ class _Handler(BaseHTTPRequestHandler):
                 samples, rate, cfg.sample_rate, out_dtype=np.int16
             )
 
-        if overlap >= cfg.segment_duration or overlap < 0:
-            raise _HttpError(
-                400,
-                f"overlap must be in [0, {cfg.segment_duration}) seconds",
-            )
-        mask = (
-            st.species_mask_for(query["species"])
-            if query.get("species")
-            else None
-        )
-        t0 = time.monotonic()
         with st.analyze_lock:
+            # t0 starts inside the lock: wall_seconds/segments_per_second
+            # report THIS request's device pass, not time spent queued
+            # behind other analyses.
+            t0 = time.monotonic()
             detections = st.classifier.analyze_samples(
                 samples, overlap, species_mask=mask
             )
@@ -537,7 +590,7 @@ class _Handler(BaseHTTPRequestHandler):
                 {
                     "start_time": round(t, 3),
                     "predictions": [
-                        _pred_json(p) for p in self._filtered(preds, query)
+                        _pred_json(p) for p in self._apply_filters(preds, fctx)
                     ],
                 }
                 for t, preds in detections
@@ -749,6 +802,11 @@ def main(argv=None) -> int:
         all_species = np.ones(classifier.config.num_species, bool)
         classifier.analyze_samples(silent)
         classifier.analyze_samples(silent, species_mask=all_species)
+        # Both batcher variants: for Perch v2 no BatchInferenceContext is
+        # pre-compiled at construction, so the plain (unmasked) predict
+        # executable would otherwise first compile inside the worker on the
+        # first real request.
+        server.state.batcher.predict(silent.astype(np.float32))
         server.state.batcher.predict(
             silent.astype(np.float32), species_mask=all_species
         )

@@ -801,6 +801,118 @@ class TestSoak:
         assert m["segments_total"] == m["requests_total"]
 
 
+class TestReviewHardening:
+    """Regression tests for the round-2 serving-tier review findings."""
+
+    def test_resolve_future_tolerates_cancelled_future(self):
+        # A caller cancelling between batch collection and result delivery
+        # must not raise InvalidStateError out of the worker loop.
+        from concurrent.futures import Future
+
+        from birdnet_tpu.serve.batcher import _resolve_future
+
+        f = Future()
+        assert f.cancel()
+        _resolve_future(f, result=1)  # no raise
+        f2 = Future()
+        _resolve_future(f2, result=42)
+        assert f2.result(timeout=0) == 42
+        f3 = Future()
+        _resolve_future(f3, exception=RuntimeError("boom"))
+        with pytest.raises(RuntimeError):
+            f3.result(timeout=0)
+
+    def test_resolve_future_blocks_late_cancel(self):
+        # Once resolution has begun (PENDING→RUNNING), cancel() must fail,
+        # closing the check-then-set race window.
+        from concurrent.futures import Future
+
+        f = Future()
+        assert f.set_running_or_notify_cancel()
+        assert not f.cancel()
+
+    def test_analyze_admission_503_when_saturated(self, v24_classifier):
+        srv = make_server(v24_classifier, host="127.0.0.1", port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            host, port = srv.server_address[:2]
+            base = f"http://{host}:{port}"
+            # Exhaust the admission slots and make the wait immediate.
+            st = srv.state
+            st.analyze_admission_timeout = 0.05
+            for _ in range(4):
+                st.analyze_slots.acquire()
+            cfg = v24_classifier.config
+            pcm = np.zeros(cfg.sample_count, "<i2").tobytes()
+            status, body = _post(base, f"/v1/analyze?rate={cfg.sample_rate}", pcm)
+            assert status == 503
+            assert body["error"] == "Overloaded"
+            for _ in range(4):
+                st.analyze_slots.release()
+            # and a slot being free again admits normally
+            status, _ = _post(base, f"/v1/analyze?rate={cfg.sample_rate}", pcm)
+            assert status == 200
+        finally:
+            srv.shutdown()
+            srv.state.close()
+            srv.server_close()
+            t.join(timeout=10)
+
+    def test_predict_malformed_timeout_rejected_before_submit(
+        self, server, v24_classifier
+    ):
+        seg = _segment(v24_classifier, seed=5).astype("<f4").tobytes()
+        before = _get(server, "/v1/metrics")[1]["requests_total"]
+        status, body = _post(server, "/v1/predict?dtype=f32&timeout_s=abc", seg)
+        assert status == 400
+        # the segment must not have been queued for device work
+        after = _get(server, "/v1/metrics")[1]["requests_total"]
+        assert after == before
+
+    def test_rangefilter_device_fault_maps_to_500(self, v24_classifier):
+        from birdnet_tpu.errors import RangeFilterInferenceError
+
+        class _BrokenRF:
+            threshold = 0.01
+
+            def predict(self, lat, lon, month, day):
+                raise RangeFilterInferenceError("device fault")
+
+        srv = make_server(
+            v24_classifier, host="127.0.0.1", port=0, range_filter=_BrokenRF()
+        )
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            host, port = srv.server_address[:2]
+            base = f"http://{host}:{port}"
+            status, body = _get(base, "/v1/rangefilter?lat=10.0&lon=20.0")
+            assert status == 500
+            assert body["error"] == "RangeFilterInferenceError"
+            # POST path: a filtered predict hits the same fault class
+            seg = _segment(v24_classifier, seed=6).astype("<f4").tobytes()
+            status, body = _post(
+                base, "/v1/predict?dtype=f32&lat=10.0&lon=20.5", seg
+            )
+            assert status == 500
+            assert body["error"] == "RangeFilterInferenceError"
+        finally:
+            srv.shutdown()
+            srv.state.close()
+            srv.server_close()
+            t.join(timeout=10)
+
+    def test_analyze_validates_overlap_before_decode(self, server, v24_classifier):
+        cfg = v24_classifier.config
+        # Body is junk: validation must reject on the query string alone.
+        status, body = _post(
+            server, f"/v1/analyze?rate={cfg.sample_rate}&overlap=99", b"\0\0"
+        )
+        assert status == 400
+        assert "overlap" in body["message"]
+
+
 class TestServeCLI:
     def test_parser_defaults(self):
         from birdnet_tpu.serve.server import build_parser
