@@ -23,7 +23,7 @@ TPU-native differences (by design, not omission):
 from __future__ import annotations
 
 import threading
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -55,7 +55,7 @@ class ClassifierBuilder:
         self._min_confidence: Optional[float] = None
         self._model_type: Optional[ModelType] = None
         self._requested_device: Optional[str] = None  # first non-CPU wins
-        self._device_config: Optional[TPUConfig] = None
+        self._device_config: Optional[Union[TPUConfig, CPUConfig]] = None
         self._precision: Optional[str] = None
         self._warmup_batches: Sequence[int] = ()
         self._mesh = None
@@ -153,9 +153,12 @@ class ClassifierBuilder:
 
     def with_cpu(self, config: Optional[CPUConfig] = None) -> "ClassifierBuilder":
         # CPU never overrides a previously requested accelerator (parity with
-        # "first non-CPU provider wins", classifier.rs:25-31).
+        # "first non-CPU provider wins", classifier.rs:25-31); its config is
+        # honored only when CPU actually is the selected device.
         if self._requested_device is None:
             self._requested_device = "cpu"
+        if self._requested_device == "cpu" and config is not None:
+            self._device_config = config
         return self
 
     def with_device(self, platform: str) -> "ClassifierBuilder":
@@ -243,18 +246,23 @@ class ClassifierBuilder:
                 )
 
         requested = self._requested_device
+        did = (
+            self._device_config.device_id
+            if self._device_config is not None
+            else 0
+        )
         device = None
         if requested and requested != "cpu":
             # "tpu" resolves to the axon platform when tunneled.
             try:
-                device = default_device(requested)
+                device = default_device(requested, device_id=did)
             except Exception:
                 if requested == "tpu":
-                    device = default_device("axon")
+                    device = default_device("axon", device_id=did)
                 else:
                     raise
         elif requested == "cpu":
-            device = default_device("cpu")
+            device = default_device("cpu", device_id=did)
 
         precision = self._precision
         if precision is None and self._device_config is not None:
@@ -448,11 +456,20 @@ class Classifier:
         from .errors import InferenceError
 
         rows = np.asarray(species_masks, dtype=bool)
-        if rows.ndim != 2 or rows.shape[1] != self._config.num_species:
+        if rows.ndim != 2:
+            # A single [N] mask is predict()'s shape — batch calls need one
+            # row per segment; say so instead of a self-contradictory
+            # "expected N, got N" size error.
+            raise InferenceError(
+                "species_masks must be a 2-D [batch, num_species] bool "
+                f"array, got {rows.ndim}-D; broadcast a shared mask with "
+                "np.tile(mask, (batch, 1)) if all segments use one list"
+            )
+        if rows.shape[1] != self._config.num_species:
             # the species dimension is wrong — a size error on the mask
             raise InputSizeError(
                 expected=self._config.num_species,
-                got=int(rows.shape[-1]) if rows.ndim else 0,
+                got=int(rows.shape[1]),
             )
         if rows.shape[0] != b:
             raise InferenceError(

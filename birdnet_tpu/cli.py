@@ -24,6 +24,7 @@ from typing import Optional
 from .errors import (
     AudioFormatError,
     BirdnetError,
+    InvalidDateError,
     ModelDetectionError,
     SpeciesListError,
 )
@@ -370,10 +371,17 @@ def run_with_args(args: argparse.Namespace) -> int:
             f"file(s) of this shard",
             file=sys.stderr,
         )
+        # Every file-writing export gets a per-process shard suffix —
+        # otherwise the N processes would all open the same path with 'w'
+        # and the last writer would silently clobber the others.
         if args.csv:
-            args.csv = f"{args.csv}.{rank}"  # per-process CSV shard
+            args.csv = f"{args.csv}.{rank}"
         if args.embeddings:
             args.embeddings = f"{args.embeddings}.{rank}"
+        if args.raven:
+            args.raven = f"{args.raven}.{rank}"
+        if args.audacity:
+            args.audacity = f"{args.audacity}.{rank}"
         if not audio_files:
             print("No files in this process's shard", file=sys.stderr)
             return 0
@@ -458,6 +466,10 @@ def run_with_args(args: argparse.Namespace) -> int:
             f"overlap ({args.overlap:.1f}s) must be less than segment duration "
             f"({config.segment_duration:.1f}s)"
         )
+    if args.overlap < 0:
+        raise ModelDetectionError(
+            f"overlap ({args.overlap:.1f}s) must not be negative"
+        )
 
     # Batch context for accelerators, fallback like the reference
     # (birdnet-analyze.rs:469-499). Not needed on the streaming path.
@@ -493,7 +505,13 @@ def run_with_args(args: argparse.Namespace) -> int:
         from .rangefilter import RangeFilter
 
         if args.date:
-            month, day = (int(x) for x in args.date.split("-"))
+            try:
+                month_s, day_s = args.date.split("-")
+                month, day = int(month_s), int(day_s)
+            except ValueError:
+                raise InvalidDateError(
+                    0, 0, f"--date must be MM-DD, got {args.date!r}"
+                ) from None
         else:
             now = datetime.now()
             month, day = now.month, now.day
@@ -745,6 +763,7 @@ def run_with_args(args: argparse.Namespace) -> int:
         )
         segment_count = segments.shape[0]
         total_batches = -(-segment_count // batch_size) if segment_count else 0
+        processed = 0
         for batch_num in range(total_batches):
             if state["cancelled"]:
                 print("Processing cancelled by user", file=sys.stderr)
@@ -771,13 +790,19 @@ def run_with_args(args: argparse.Namespace) -> int:
             )
             for offset, result in zip(start_times[lo:hi], results):
                 _emit(audio_path, float(offset), result.predictions, duration_secs)
+            processed += hi - lo
 
+        # Like the streaming path, the summary reports what actually ran —
+        # a Ctrl-C after batch 1 must not claim the full file was analyzed.
         elapsed = time.monotonic() - start_time
-        segments_per_sec = segment_count / elapsed if elapsed > 0 else 0.0
-        x_realtime = duration_secs / elapsed if elapsed > 0 else 0.0
+        segments_per_sec = processed / elapsed if elapsed > 0 else 0.0
+        processed_secs = (
+            duration_secs * (processed / segment_count) if segment_count else 0.0
+        )
+        x_realtime = processed_secs / elapsed if elapsed > 0 else 0.0
         print()
         print(
-            f"{segment_count} segments of {format_duration(duration_secs)} audio "
+            f"{processed} segments of {format_duration(duration_secs)} audio "
             f"analyzed in {elapsed:.1f}s ({segments_per_sec:.1f} segments/s, "
             f"{x_realtime:.1f}x realtime)"
         )
@@ -816,6 +841,27 @@ def run_with_args(args: argparse.Namespace) -> int:
                 return bool(select.select([stream], [], [], 0)[0])
             except (OSError, ValueError, TypeError):
                 return True
+
+        def _read_interruptible(n: int):
+            """Read up to ``n`` bytes; b"" at EOF, None if cancelled while
+            waiting. A blocking ``read(n)`` would swallow the first Ctrl-C
+            on a stalled pipe (PEP 475 retries the syscall after the
+            handler returns), so selectable streams wait in short select
+            slices that re-check the cancel flag; ``read1`` after
+            select-ready cannot block (one raw read of available data)."""
+            try:
+                stream.fileno()
+            except Exception:
+                return stream.read(n)  # tests / non-file streams
+            while not state["cancelled"]:
+                try:
+                    ready = select.select([stream], [], [], 0.25)[0]
+                except (OSError, ValueError):
+                    return stream.read(n)
+                if ready:
+                    read1 = getattr(stream, "read1", None)
+                    return read1(n) if read1 is not None else stream.read(n)
+            return None
 
         buf = b""
         pending: list = []  # (segment_index, samples)
@@ -859,7 +905,9 @@ def run_with_args(args: argparse.Namespace) -> int:
             if pending and not _more_ready():
                 # live source: don't hold finished segments while blocking
                 _flush()
-            chunk = stream.read(seg_bytes - len(buf))
+            chunk = _read_interruptible(seg_bytes - len(buf))
+            if chunk is None:
+                break  # cancelled while waiting for input
             if not chunk:
                 eof = True
                 # zero-padded tail, matching the file chunker

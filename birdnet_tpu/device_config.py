@@ -57,3 +57,7 @@ class CPUConfig:
     donate_buffers: bool = True
     compilation_cache_dir: Optional[str] = None
     device_id: int = 0
+
+    def apply(self) -> None:
+        """Nothing process-level to set for host execution (kept for
+        interface symmetry with :class:`TPUConfig`)."""

@@ -150,8 +150,18 @@ class RangeFilterBuilder:
             raise RangeFilterInferenceError(
                 f"meta model must have exactly 1 output, got {imported.num_outputs}"
             )
+        out_shape = list(imported.output_shapes[0])
+        if out_shape and out_shape[-1] is None:
+            # Only the batch dim may be dynamic: substituting 1 for a
+            # dynamic SPECIES dim would yield num_species=1 and a
+            # nonsensical "model expects 1 label" error downstream.
+            raise RangeFilterInferenceError(
+                "meta model has a dynamic species dimension "
+                f"(output shape {imported.output_shapes[0]}); the species "
+                "count must be static"
+            )
         num_species = _extract_last_dim(
-            [d if d is not None else 1 for d in imported.output_shapes[0]]
+            [d if d is not None else 1 for d in out_shape]
         )
 
         if self._labels is not None:

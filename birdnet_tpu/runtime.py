@@ -115,24 +115,41 @@ def available_devices() -> List[DeviceInfo]:
     return infos
 
 
-def default_device(prefer: Optional[str] = None):
+def default_device(prefer: Optional[str] = None, device_id: int = 0):
     """Pick the default jax.Device: requested platform, else accelerator,
     else CPU. Only process-local devices qualify — under ``jax.distributed``
     the global device list includes other hosts' chips, which this process
     cannot execute on directly (the multi-host tier shards *files*, not
-    arrays; see parallel/multihost.py)."""
+    arrays; see parallel/multihost.py).
+
+    ``device_id`` selects the chip ordinal among the matching local devices
+    (reference: cuda_config.rs:179-182) — only meaningful with ``prefer``.
+    """
     import jax
 
     init_runtime()
     local = jax.local_devices()
+
+    def _pick(matches, what):
+        if device_id >= len(matches) or device_id < 0:
+            raise RuntimeInitError(
+                f"device_id {device_id} out of range: "
+                f"{len(matches)} local {what} device(s)"
+            )
+        return matches[device_id]
+
     if prefer:
-        for d in local:
-            if d.platform.lower() == prefer.lower():
-                return d
+        matches = [d for d in local if d.platform.lower() == prefer.lower()]
+        if matches:
+            return _pick(matches, prefer)
         try:
-            for d in jax.devices(prefer):
-                if d.process_index == jax.process_index():
-                    return d
+            matches = [
+                d
+                for d in jax.devices(prefer)
+                if d.process_index == jax.process_index()
+            ]
+            if matches:
+                return _pick(matches, prefer)
             raise RuntimeInitError(
                 f"no process-local {prefer!r} devices available"
             )

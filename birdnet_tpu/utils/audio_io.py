@@ -123,6 +123,9 @@ def _read_wav_python(path: str, downmix: bool = False) -> Tuple[np.ndarray, int]
         if cid == b"fmt ":
             if size < 16:
                 raise AudioReadError(path=path, reason="missing fmt chunk")
+            if len(data) < body + 16:
+                # Declared size runs past the file: truncated mid-chunk.
+                raise AudioReadError(path=path, reason="truncated fmt chunk")
             audio_format, channels, rate = struct.unpack_from("<HHI", data, body)
             bits = struct.unpack_from("<H", data, body + 14)[0]
             if audio_format == 0xFFFE and size >= 40:
@@ -275,6 +278,10 @@ def chunk_audio(
     overlap·rate``; overlap must be smaller than the segment duration.
     """
     samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+    if overlap_seconds < 0:
+        # A negative overlap would make step > sample_count, leaving the
+        # padded buffer shorter than the input (raw broadcast crash).
+        raise AudioFormatError("overlap must not be negative")
     overlap_samples = int(overlap_seconds * sample_rate)
     step = sample_count - overlap_samples
     if step <= 0:

@@ -33,7 +33,13 @@ def sync(tree) -> None:
 
     for leaf in jax.tree.leaves(tree):
         if hasattr(leaf, "addressable_shards") or hasattr(leaf, "device"):
-            np.asarray(leaf)
+            # One element only: a full np.asarray(leaf) would add the whole
+            # output's device→host transfer into the measured time, which
+            # the real inference path never pays.
+            if getattr(leaf, "size", 0):
+                np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+            else:
+                np.asarray(leaf)
 
 
 @dataclass

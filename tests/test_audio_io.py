@@ -174,6 +174,27 @@ def test_chunker_overlap_too_large():
         chunk_audio(np.zeros(100, np.float32), 144_000, 3.0, 48_000)
 
 
+def test_chunker_negative_overlap_rejected():
+    # step > sample_count would make the padded buffer shorter than the
+    # input and crash with a raw numpy broadcast error.
+    with pytest.raises(E.AudioFormatError, match="negative"):
+        chunk_audio(np.zeros(28_800_000, np.float32), 144_000, -5.0, 48_000)
+
+
+def test_fallback_truncated_fmt_chunk_clean_error(tmp_path, monkeypatch):
+    # Valid RIFF/WAVE header, fmt chunk declares 16 bytes but the file is
+    # cut before the body: must raise AudioReadError, not struct.error.
+    p = tmp_path / "trunc.wav"
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", 16) + b"\x01\x00")  # 2 of 16 bytes
+    import birdnet_tpu.utils.audio_io as aio
+
+    monkeypatch.setattr(aio, "_native", None)
+    with pytest.raises(E.AudioReadError):
+        read_wav(p)
+
+
 def _write_extensible_wav(path, samples_i16, rate):
     """WAVE_FORMAT_EXTENSIBLE container with a PCM SubFormat GUID."""
     data = samples_i16.astype("<i2").tobytes()

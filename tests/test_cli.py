@@ -102,6 +102,30 @@ def test_cli_overlap_too_large(cli_fixtures, capsys):
     assert "overlap (3.0s) must be less than segment duration (3.0s)" in err
 
 
+def test_cli_negative_overlap_clean_error(cli_fixtures, capsys):
+    wav, model, labels = cli_fixtures
+    rc = main([wav, "-m", model, "-l", labels, "--provider", "cpu", "-o", "-5.0"])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "must not be negative" in err
+
+
+def test_cli_malformed_date_clean_error(cli_fixtures, tmp_path, capsys):
+    wav, model, labels = cli_fixtures
+    from birdnet_tpu.models import meta
+
+    mm = tmp_path / "meta.onnx"
+    meta.save_tiny(mm, num_species=10)
+    rc = main([
+        wav, "-m", model, "-l", labels, "--provider", "cpu",
+        "--meta-model", str(mm), "--lat", "50", "--lon", "8",
+        "--date", "2026-08-17",
+    ])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "MM-DD" in err  # clean CLI error, not a traceback
+
+
 def test_cli_wrong_sample_rate(cli_fixtures, tmp_path, capsys):
     _, model, labels = cli_fixtures
     wav = tmp_path / "32k.wav"

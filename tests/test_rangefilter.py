@@ -214,6 +214,27 @@ def test_wrong_output_count_rejected(tmp_path):
         RangeFilter.builder().model_path(p).labels(LABELS).build()
 
 
+def test_dynamic_species_dim_rejected(tmp_path):
+    """A meta model whose SPECIES output dim is dynamic must fail with a
+    clear error, not num_species=1 and a baffling label-count mismatch."""
+    import numpy as np
+
+    from birdnet_tpu.onnx import proto as P
+
+    w = np.zeros((3, 10), np.float32)
+    graph = P.GraphProto(
+        name="meta_dyn",
+        node=[P.make_node("MatMul", ["input", "w"], ["output"])],
+        initializer=[P.TensorProto.from_numpy(w, name="w")],
+        input=[P.make_value_info("input", P.DataType.FLOAT, [1, 3])],
+        output=[P.make_value_info("output", P.DataType.FLOAT, ["batch", "species"])],
+    )
+    p = tmp_path / "meta_dyn.onnx"
+    p.write_bytes(P.encode_model(P.make_model(graph)))
+    with pytest.raises(E.RangeFilterInferenceError, match="dynamic species"):
+        RangeFilter.builder().model_path(p).labels(LABELS).build()
+
+
 def test_from_classifier_labels_integration(meta_model, tmp_path):
     """Labels copied from a live classifier stay in sync (reference:
     rangefilter.rs:186-193)."""

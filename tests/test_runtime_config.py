@@ -3,6 +3,8 @@ tensorrt_config.rs:363-459 config-default matrices; runtime.rs:239-256)."""
 
 import os
 
+import pytest
+
 from birdnet_tpu import (
     CPUConfig,
     TPUConfig,
@@ -57,6 +59,48 @@ def test_available_devices_cpu_present():
 def test_is_device_available():
     assert is_device_available("cpu")
     assert not is_device_available("quantum")
+
+
+def test_default_device_honors_device_id():
+    # conftest forces 8 virtual CPU devices; TPUConfig.device_id's contract
+    # ("chip ordinal to run on", reference: cuda_config.rs:179-182) must
+    # actually select that ordinal, not silently return device 0.
+    from birdnet_tpu.runtime import default_device
+
+    d0 = default_device("cpu", device_id=0)
+    d3 = default_device("cpu", device_id=3)
+    assert d0 != d3
+    assert d3 == [d for d in __import__("jax").local_devices() if d.platform == "cpu"][3]
+
+
+def test_default_device_id_out_of_range():
+    from birdnet_tpu.errors import RuntimeInitError
+    from birdnet_tpu.runtime import default_device
+
+    with pytest.raises(RuntimeInitError, match="device_id"):
+        default_device("cpu", device_id=99)
+
+
+def test_with_cpu_config_is_honored(tmp_path):
+    # with_cpu(CPUConfig(...)) must store the config: precision and
+    # device_id flow into the built classifier.
+    from birdnet_tpu import Classifier
+    from birdnet_tpu.device_config import CPUConfig
+    from birdnet_tpu.models import birdnet_v24
+
+    p = tmp_path / "tiny.onnx"
+    birdnet_v24.save_tiny(p, num_species=5)
+    clf = (
+        Classifier.builder()
+        .model_path(str(p))
+        .labels([f"s{i}" for i in range(5)])
+        .with_cpu(CPUConfig(precision="fp32", device_id=2))
+        .build()
+    )
+    import jax
+
+    cpus = [d for d in jax.local_devices() if d.platform == "cpu"]
+    assert clf.device == cpus[2]
 
 
 def test_gpu_provider_errors_cleanly_when_absent():

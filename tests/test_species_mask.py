@@ -260,6 +260,16 @@ def test_analyze_mask_composes_with_builder(restricted):
 
 # -- validation ----------------------------------------------------------------
 
+def test_batch_1d_mask_gets_actionable_error(unrestricted):
+    # Passing predict()'s [N] mask shape to predict_batch must explain the
+    # [B, N] requirement, not emit "expected 10 samples, got 10".
+    from birdnet_tpu.errors import InferenceError
+
+    m = np.ones(10, bool)
+    with pytest.raises(InferenceError, match="2-D"):
+        unrestricted.predict_batch([sine_segment()], species_masks=m)
+
+
 def test_no_match_raises(model_path):
     from birdnet_tpu.errors import SpeciesListError
 
