@@ -35,7 +35,13 @@ from .types import ModelConfig, ModelType
 class BatchInferenceContext:
     """Pre-allocated buffers for repeated batched inference."""
 
-    def __init__(self, engine, config: ModelConfig, max_batch_size: int):
+    def __init__(
+        self,
+        engine,
+        config: ModelConfig,
+        max_batch_size: int,
+        precompile_row_mask: bool = False,
+    ):
         if config.model_type is ModelType.PERCH_V2:
             raise InferenceError(
                 "BatchInferenceContext does not yet support PerchV2 models. "
@@ -64,6 +70,17 @@ class BatchInferenceContext:
             with_embeddings=config.model_type is not ModelType.BIRDNET_V24,
             donate=True,
         )
+        if precompile_row_mask:
+            # Serving passes per-request species masks, which use a second
+            # executable (extra [B, N] bool input). Without this, the first
+            # masked request compiles inside the batcher worker, stalling
+            # everything queued behind it.
+            engine.compiled(
+                self._max_batch_size,
+                with_embeddings=config.model_type is not ModelType.BIRDNET_V24,
+                donate=True,
+                with_row_mask=True,
+            )
 
     # -- introspection (batch_context.rs:147-159 analog) -------------------
 

@@ -45,7 +45,17 @@ def save_checkpoint(model: ImportedModel, path) -> None:
         "params": _tensor_meta(model.params),
         "consts": _tensor_meta(model.consts),
     }
-    graph_bytes = onnx_proto.encode_graph(model.graph)
+    # The flat p/ and c/ entries are the authoritative weights; the graph's
+    # initializer list still holds the PRE-optimization tensors (BN-fold
+    # etc. mutate the tensors dict, not the protos), so persisting it would
+    # double the checkpoint size AND record stale weights. Strip it for
+    # serialization only.
+    initializers = model.graph.initializer
+    model.graph.initializer = []
+    try:
+        graph_bytes = onnx_proto.encode_graph(model.graph)
+    finally:
+        model.graph.initializer = initializers
     with zipfile.ZipFile(str(path), "w", zipfile.ZIP_STORED) as zf:
         zf.writestr("manifest.json", json.dumps(manifest))
         zf.writestr("graph.pb", graph_bytes)
@@ -83,7 +93,15 @@ def load_checkpoint(path) -> ImportedModel:
             json.JSONDecodeError) as e:
         raise ModelLoadError(f"invalid checkpoint: {e}") from e
 
-    graph = onnx_proto.decode_graph(memoryview(graph_bytes), 0, len(graph_bytes))
+    try:
+        graph = onnx_proto.decode_graph(
+            memoryview(graph_bytes), 0, len(graph_bytes)
+        )
+    except Exception as e:
+        # Same mapping as the ONNX import path (importer.py): corrupt
+        # graph bytes inside a valid zip must surface as ModelLoadError,
+        # not a raw IndexError/ValueError traceback.
+        raise ModelLoadError(f"invalid checkpoint graph: {e}") from e
     return ImportedModel(
         graph=graph,
         opset=manifest["opset"],

@@ -479,11 +479,20 @@ class Classifier:
 
     # -- batch context path -------------------------------------------------
 
-    def create_batch_context(self, max_batch_size: int) -> BatchInferenceContext:
+    def create_batch_context(
+        self, max_batch_size: int, precompile_row_mask: bool = False
+    ) -> BatchInferenceContext:
         """Create a buffer-reusing batch context (reference:
-        classifier.rs:757-784 → batch_context.rs:69-122)."""
+        classifier.rs:757-784 → batch_context.rs:69-122).
+
+        ``precompile_row_mask``: also pre-compile the per-request
+        species-mask executable (serving sets this so the first masked
+        request doesn't compile inside the batch worker)."""
         return BatchInferenceContext(
-            engine=self._engine, config=self._config, max_batch_size=max_batch_size
+            engine=self._engine,
+            config=self._config,
+            max_batch_size=max_batch_size,
+            precompile_row_mask=precompile_row_mask,
         )
 
     def predict_batch_with_context(

@@ -91,8 +91,6 @@ def build_model(
     gb.gemm("embedding", embedding_dim, num_species, name="logits")
 
     # Static frame counts for output value_info
-    t2 = -(-96 // 2)  # frontend freq bins after stem/downsampling not needed for T
-    # time frames after stem (stride 2) and three stride-2 stages + one more
     t_out = t_frames
     for _ in range(5):  # stem + 4 strided stages
         t_out = (t_out + 1) // 2

@@ -179,6 +179,7 @@ class TensorProto:
     int32_data: List[int] = field(default_factory=list)
     int64_data: List[int] = field(default_factory=list)
     double_data: List[float] = field(default_factory=list)
+    uint64_data: List[int] = field(default_factory=list)
     data_location: int = 0
     external_data: Dict[str, str] = field(default_factory=dict)
 
@@ -221,6 +222,10 @@ class TensorProto:
             arr = np.asarray(self.float_data, dtype=np.float32)
         elif self.int64_data and self.data_type == DataType.INT64:
             arr = np.asarray(self.int64_data, dtype=np.int64)
+        elif self.int32_data and self.data_type == DataType.FLOAT16:
+            # The ONNX spec stores fp16 payloads in int32_data as uint16
+            # bit patterns; reinterpret, don't value-convert.
+            arr = np.asarray(self.int32_data, dtype=np.uint16).view(np.float16)
         elif self.int32_data and self.data_type in (
             DataType.INT32,
             DataType.INT16,
@@ -232,8 +237,22 @@ class TensorProto:
             arr = np.asarray(self.int32_data, dtype=np.int32).astype(dtype)
         elif self.double_data and self.data_type == DataType.DOUBLE:
             arr = np.asarray(self.double_data, dtype=np.float64)
+        elif self.uint64_data and self.data_type in (
+            DataType.UINT32,
+            DataType.UINT64,
+        ):
+            arr = np.asarray(self.uint64_data, dtype=np.uint64).astype(dtype)
         else:
-            arr = np.zeros(int(np.prod(shape)) if shape else 0, dtype=dtype)
+            n_expected = int(np.prod(shape)) if shape else 0
+            if n_expected:
+                # An initializer with a non-empty shape but no payload is
+                # corrupt (or uses a field this codec doesn't know);
+                # returning zeros here would silently poison the weights.
+                raise ValueError(
+                    f"tensor {self.name!r} (dtype {self.data_type}, shape "
+                    f"{shape}) carries no data in any supported field"
+                )
+            arr = np.zeros(0, dtype=dtype)
         return arr.reshape(shape)
 
     @staticmethod
@@ -432,8 +451,16 @@ def _get_str(buf: memoryview, pos: int) -> str:
     return _get_bytes(buf, pos).decode("utf-8")
 
 
-def _submsg(buf: memoryview, pos: int) -> Tuple[memoryview, int, int]:
+def _submsg(buf: memoryview, pos: int, end: int) -> Tuple[memoryview, int, int]:
+    """Bounds of a nested LEN-delimited message. The declared length must
+    stay inside the parent message — silently accepting an overrun would
+    parse sibling/parent bytes as the child's fields (a conformant protobuf
+    parser rejects this)."""
     n, p = _read_varint(buf, pos)
+    if p + n > end:
+        raise ValueError(
+            f"nested message length {n} overruns enclosing message at {pos}"
+        )
     return buf, p, p + n
 
 
@@ -459,8 +486,18 @@ def decode_tensor(buf: memoryview, pos: int, end: int) -> TensorProto:
             t.double_data.extend(
                 np.frombuffer(bytes(buf[p:p + n]), dtype="<f8").tolist()
             )
+        elif fnum == 11:  # uint64_data (UINT32/UINT64 payloads)
+            if wt == _WIRE_LEN:
+                n, p = _read_varint(buf, vpos)
+                e11 = p + n
+                while p < e11:
+                    v, p = _read_varint(buf, p)
+                    t.uint64_data.append(v)
+            else:
+                v, _ = _read_varint(buf, vpos)
+                t.uint64_data.append(v)
         elif fnum == 13:  # external_data: StringStringEntryProto
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             key = value = ""
             for f2, w2, v2 in _iter_fields(b, p, e):
                 if f2 == 1:
@@ -486,10 +523,10 @@ def decode_attribute(buf: memoryview, pos: int, end: int) -> AttributeProto:
         elif fnum == 4:
             a.s = _get_bytes(buf, vpos)
         elif fnum == 5:
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             a.t = decode_tensor(b, p, e)
         elif fnum == 6:
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             a.g = decode_graph(b, p, e)
         elif fnum == 7:
             _decode_repeated_float(buf, vpos, wt, a.floats)
@@ -498,10 +535,10 @@ def decode_attribute(buf: memoryview, pos: int, end: int) -> AttributeProto:
         elif fnum == 9:
             a.strings.append(_get_bytes(buf, vpos))
         elif fnum == 10:
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             a.tensors.append(decode_tensor(b, p, e))
         elif fnum == 11:
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             a.graphs.append(decode_graph(b, p, e))
         elif fnum == 20:
             a.type, _ = _read_varint(buf, vpos)
@@ -545,7 +582,7 @@ def decode_node(buf: memoryview, pos: int, end: int) -> NodeProto:
         elif fnum == 4:
             n.op_type = _get_str(buf, vpos)
         elif fnum == 5:
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             n.attribute.append(decode_attribute(b, p, e))
         elif fnum == 7:
             n.domain = _get_str(buf, vpos)
@@ -566,7 +603,7 @@ def decode_shape(buf: memoryview, pos: int, end: int) -> TensorShapeProto:
     s = TensorShapeProto()
     for fnum, wt, vpos in _iter_fields(buf, pos, end):
         if fnum == 1:
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             s.dim.append(decode_dimension(b, p, e))
     return s
 
@@ -576,12 +613,12 @@ def decode_type(buf: memoryview, pos: int, end: int) -> TypeProto:
     for fnum, wt, vpos in _iter_fields(buf, pos, end):
         if fnum == 1:
             tt = TensorTypeProto()
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             for f2, w2, v2 in _iter_fields(b, p, e):
                 if f2 == 1:
                     tt.elem_type, _ = _read_varint(b, v2)
                 elif f2 == 2:
-                    b2, p2, e2 = _submsg(b, v2)
+                    b2, p2, e2 = _submsg(b, v2, e)
                     tt.shape = decode_shape(b2, p2, e2)
             t.tensor_type = tt
     return t
@@ -593,7 +630,7 @@ def decode_value_info(buf: memoryview, pos: int, end: int) -> ValueInfoProto:
         if fnum == 1:
             v.name = _get_str(buf, vpos)
         elif fnum == 2:
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             v.type = decode_type(b, p, e)
     return v
 
@@ -602,21 +639,21 @@ def decode_graph(buf: memoryview, pos: int, end: int) -> GraphProto:
     g = GraphProto()
     for fnum, wt, vpos in _iter_fields(buf, pos, end):
         if fnum == 1:
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             g.node.append(decode_node(b, p, e))
         elif fnum == 2:
             g.name = _get_str(buf, vpos)
         elif fnum == 5:
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             g.initializer.append(decode_tensor(b, p, e))
         elif fnum == 11:
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             g.input.append(decode_value_info(b, p, e))
         elif fnum == 12:
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             g.output.append(decode_value_info(b, p, e))
         elif fnum == 13:
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             g.value_info.append(decode_value_info(b, p, e))
     return g
 
@@ -625,7 +662,8 @@ def decode_model(data: Union[bytes, bytearray, memoryview]) -> ModelProto:
     """Decode a serialized ONNX ModelProto."""
     buf = memoryview(bytes(data))
     m = ModelProto()
-    for fnum, wt, vpos in _iter_fields(buf, 0, len(buf)):
+    end = len(buf)
+    for fnum, wt, vpos in _iter_fields(buf, 0, end):
         if fnum == 1:
             m.ir_version, _ = _read_varint(buf, vpos)
         elif fnum == 2:
@@ -637,11 +675,11 @@ def decode_model(data: Union[bytes, bytearray, memoryview]) -> ModelProto:
         elif fnum == 5:
             m.model_version, _ = _read_varint(buf, vpos)
         elif fnum == 7:
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             m.graph = decode_graph(b, p, e)
         elif fnum == 8:
             opset = OperatorSetId()
-            b, p, e = _submsg(buf, vpos)
+            b, p, e = _submsg(buf, vpos, end)
             for f2, w2, v2 in _iter_fields(b, p, e):
                 if f2 == 1:
                     opset.domain = _get_str(b, v2)
@@ -678,6 +716,12 @@ def encode_tensor(t: TensorProto) -> bytes:
         _write_string(out, 8, t.name)
     if t.raw_data:
         _write_len_field(out, 9, t.raw_data)
+    if t.double_data:
+        _write_len_field(
+            out, 10, np.asarray(t.double_data, dtype="<f8").tobytes()
+        )
+    if t.uint64_data:
+        _write_packed_int64(out, 11, t.uint64_data)
     for key, value in t.external_data.items():
         entry = bytearray()
         _write_string(entry, 1, key)

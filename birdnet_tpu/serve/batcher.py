@@ -179,7 +179,13 @@ class DynamicBatcher:
         if classifier.model_type is not ModelType.PERCH_V2:
             for _ in range(int(workers)):
                 self._contexts.append(
-                    classifier.create_batch_context(self._max_batch)
+                    classifier.create_batch_context(
+                        # Serving accepts ?species= on any request, so both
+                        # executables (masked + unmasked) must be warm before
+                        # traffic: a compile inside _execute stalls the queue.
+                        self._max_batch,
+                        precompile_row_mask=True,
+                    )
                 )
         else:
             self._pad_segment = np.zeros(

@@ -50,12 +50,44 @@ class _WavInfo(ctypes.Structure):
     ]
 
 
+def _maybe_build_native(lib_path: str) -> None:
+    """Build (or rebuild) libwavio.so from source when it is missing or
+    older than wavio.cpp. The binary is a build output, not a tracked file —
+    loading a stale .so after a source edit would silently run old code."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    src = os.path.join(pkg_root, "native", "wavio.cpp")
+    if not os.path.exists(src):
+        return
+    if os.path.exists(lib_path) and os.path.getmtime(lib_path) >= os.path.getmtime(src):
+        return
+    import shutil
+    import subprocess
+
+    cxx = shutil.which("g++") or shutil.which("c++") or shutil.which("clang++")
+    if cxx is None:
+        return
+    os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+    try:
+        subprocess.run(
+            [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", "-o", lib_path, src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass  # fall back to the pure-Python decoder
+
+
 def _load_native():
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "_native",
         "libwavio.so",
     )
+    try:
+        _maybe_build_native(path)
+    except Exception:
+        pass
     if not os.path.exists(path):
         return None
     try:

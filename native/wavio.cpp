@@ -91,6 +91,15 @@ int wav_info(const char* path, WavInfo* info) {
       if (off < 0) return WAV_ERR_NO_DATA;
       int bytes_per_frame = info->channels * (info->bits_per_sample / 8);
       if (bytes_per_frame <= 0) return WAV_ERR_NO_FMT;
+      // Validate the declared chunk size against the bytes actually
+      // present BEFORE reporting n_samples: the caller allocates
+      // n_samples up front, so a corrupt header declaring ~4 GB must not
+      // drive a giant allocation — and a short file is rejected here with
+      // the same error the read path would eventually produce.
+      if (fseek(f, 0, SEEK_END) != 0) return WAV_ERR_NO_DATA;
+      long fend = ftell(f);
+      if (fend < 0) return WAV_ERR_NO_DATA;
+      if ((uint64_t)size > (uint64_t)(fend - off)) return WAV_ERR_TRUNCATED;
       info->data_offset = off;
       info->n_samples = (int64_t)size / bytes_per_frame;
       return WAV_OK;

@@ -181,6 +181,28 @@ def test_chunker_negative_overlap_rejected():
         chunk_audio(np.zeros(28_800_000, np.float32), 144_000, -5.0, 48_000)
 
 
+def test_native_rejects_overstated_data_size(tmp_path):
+    # A header declaring ~4 GB of data in a tiny file must fail cleanly
+    # BEFORE the caller allocates n_samples (memory-exhaustion guard).
+    p = tmp_path / "huge_decl.wav"
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", 16))
+        f.write(struct.pack("<HHIIHH", 1, 1, 48_000, 96_000, 2, 16))
+        f.write(b"data" + struct.pack("<I", 0xFFFFFFF0))
+        f.write(b"\0" * 8)  # only 8 real bytes
+    import birdnet_tpu.utils.audio_io as aio
+
+    if aio._native is not None:  # native path
+        with pytest.raises(E.AudioReadError):
+            read_wav(p)
+    with pytest.raises(E.AudioReadError):  # python fallback agrees
+        import unittest.mock as mock
+
+        with mock.patch.object(aio, "_native", None):
+            read_wav(p)
+
+
 def test_fallback_truncated_fmt_chunk_clean_error(tmp_path, monkeypatch):
     # Valid RIFF/WAVE header, fmt chunk declares 16 bytes but the file is
     # cut before the body: must raise AudioReadError, not struct.error.

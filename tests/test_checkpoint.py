@@ -37,6 +37,48 @@ def test_roundtrip(tiny_model_path, tmp_path):
     ]
 
 
+def test_checkpoint_strips_stale_initializers(tiny_model_path, tmp_path):
+    """graph.pb must not persist the pre-optimization initializer list:
+    it doubles the checkpoint size and records weights that contradict the
+    authoritative flat params (BN-fold mutates tensors, not protos)."""
+    import os
+    import zipfile
+
+    imp = import_onnx(tiny_model_path)
+    ck = tmp_path / "model.btck"
+    save_checkpoint(imp, ck)
+    # the in-memory model keeps its initializers (save must not mutate)
+    assert imp.graph.initializer
+    back = load_checkpoint(ck)
+    assert back.graph.initializer == []
+    with zipfile.ZipFile(ck) as zf:
+        graph_pb_size = zf.getinfo("graph.pb").file_size
+        flat = sum(
+            i.file_size for i in zf.infolist() if i.filename.startswith(("p/", "c/"))
+        )
+    # the graph proto is now structure-only — far smaller than the weights
+    assert graph_pb_size < flat / 4
+    assert os.path.getsize(ck) < os.path.getsize(tiny_model_path) * 1.5
+
+
+def test_corrupt_graph_pb_raises_model_load_error(tiny_model_path, tmp_path):
+    import zipfile
+
+    imp = import_onnx(tiny_model_path)
+    ck = tmp_path / "model.btck"
+    save_checkpoint(imp, ck)
+    # rewrite the zip with corrupted graph bytes
+    ck2 = tmp_path / "corrupt.btck"
+    with zipfile.ZipFile(ck) as zin, zipfile.ZipFile(ck2, "w") as zout:
+        for item in zin.infolist():
+            data = zin.read(item.filename)
+            if item.filename == "graph.pb":
+                data = data[: len(data) // 2] + b"\xff\xff\xff\xff"
+            zout.writestr(item, data)
+    with pytest.raises(ModelLoadError):
+        load_checkpoint(ck2)
+
+
 def test_classifier_from_checkpoint_matches_onnx(tiny_model_path, tmp_path):
     labels = mock_labels(10)
     clf = Classifier.builder().model_path(tiny_model_path).labels(labels).build()

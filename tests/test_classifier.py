@@ -245,6 +245,18 @@ def test_batch_context_roundtrip(v24_classifier):
     assert len(v24_classifier.predict_batch_with_context(ctx, segs * 2)) == 4
 
 
+def test_batch_context_precompile_row_mask(v24_classifier):
+    """precompile_row_mask=True must warm the species-mask executable so
+    serving's first masked request doesn't compile inside the worker."""
+    ctx = v24_classifier.create_batch_context(2, precompile_row_mask=True)
+    eng = v24_classifier._engine
+    assert any(key[3] for key in eng._compiled), "row-mask variant compiled"
+    segs = [sine_segment(freq=500.0)]
+    masks = np.ones((1, 10), bool)
+    res = v24_classifier.predict_batch_with_context(ctx, segs, species_masks=masks)
+    assert len(res) == 1
+
+
 def test_batch_context_zero_allocation(v24_classifier):
     """prepare_input hands out the pre-allocated staging buffers themselves,
     alternating between exactly two identities — no per-call host allocation

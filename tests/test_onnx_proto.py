@@ -1,6 +1,7 @@
 """ONNX protobuf codec tests: encode → decode roundtrips."""
 
 import numpy as np
+import pytest
 
 from birdnet_tpu.onnx import proto as P
 
@@ -73,6 +74,67 @@ def test_attribute_roundtrip():
     assert attrs["auto_pad"] == "SAME_UPPER"
     assert attrs["names"] == ["a", "b"]
     assert attrs["coeffs"] == [1.5, 2.5]
+
+
+def test_fp16_in_int32_data():
+    # The ONNX spec stores fp16 payloads in int32_data as uint16 bit
+    # patterns (0x3C00=1.0, 0x4000=2.0); they must be reinterpreted, not
+    # value-cast (and certainly not silently zeroed).
+    t = P.TensorProto(
+        name="h", data_type=P.DataType.FLOAT16, dims=[2], int32_data=[15360, 16384]
+    )
+    np.testing.assert_array_equal(t.to_numpy(), np.array([1.0, 2.0], np.float16))
+
+
+def test_double_data_roundtrip():
+    t = P.TensorProto(
+        name="d", data_type=P.DataType.DOUBLE, dims=[2], double_data=[1.5, 2.5]
+    )
+    node = P.NodeProto(
+        op_type="Constant",
+        output=["y"],
+        attribute=[P.AttributeProto(name="value", type=P.AttrType.TENSOR, t=t)],
+    )
+    decoded = P.decode_model(P.encode_model(P.make_model(P.GraphProto(node=[node]))))
+    got = decoded.graph.node[0].attribute[0].t.to_numpy()
+    np.testing.assert_array_equal(got, np.array([1.5, 2.5], np.float64))
+
+
+def test_uint64_data_roundtrip():
+    big = (1 << 63) + 7  # above int64 range: must survive unsigned
+    t = P.TensorProto(
+        name="u", data_type=P.DataType.UINT64, dims=[2], uint64_data=[big, 3]
+    )
+    node = P.NodeProto(
+        op_type="Constant",
+        output=["y"],
+        attribute=[P.AttributeProto(name="value", type=P.AttrType.TENSOR, t=t)],
+    )
+    decoded = P.decode_model(P.encode_model(P.make_model(P.GraphProto(node=[node]))))
+    got = decoded.graph.node[0].attribute[0].t.to_numpy()
+    np.testing.assert_array_equal(got, np.array([big, 3], np.uint64))
+
+
+def test_missing_payload_raises_not_zeros():
+    t = P.TensorProto(name="w", data_type=P.DataType.FLOAT, dims=[2, 2])
+    with pytest.raises(ValueError, match="no data"):
+        t.to_numpy()
+
+
+def test_nested_length_overrun_rejected():
+    # A nested LEN that overruns its enclosing message must error, not
+    # silently parse sibling/parent bytes as the child's fields (a
+    # conformant protobuf parser rejects this).
+    inner = P.encode_tensor(
+        P.TensorProto(name="t", data_type=P.DataType.FLOAT, dims=[1], float_data=[1.0])
+    )
+    attr = bytearray()
+    P._write_string(attr, 1, "value")
+    P._write_tag(attr, 5, 2)  # field 5 (tensor), wire type LEN
+    P._write_varint(attr, len(inner) + 50)  # overstated length
+    attr += inner
+    with pytest.raises(ValueError, match="overrun"):
+        P.decode_attribute(memoryview(bytes(attr)), 0, len(attr))
 
 
 def test_graphs_attribute_roundtrip():
