@@ -264,10 +264,13 @@ def _sole_consumer_query(graph: P.GraphProto):
     """Build a ``sole(name, op_type)`` closure: the single consumer node
     of a tensor name (which may be referenced in several of that node's
     inputs), or None. Graph outputs have no sole consumer."""
+    from .optimize import _usage_counts
+
     nodes = graph.node
-    uses = Counter(i for n in nodes for i in n.input if i)
-    for o in graph.output:
-        uses[o.name] += 1
+    # Deep counts: a tensor also read inside an If/Loop/Scan body must not
+    # look sole-consumed by its top-level reader (the producer would move
+    # into the fused body and the subgraph's reference would dangle).
+    uses = _usage_counts(graph)
     consumers: Dict[str, List[P.NodeProto]] = {}
     for n in nodes:
         for i in n.input:
@@ -283,7 +286,7 @@ def _sole_consumer_query(graph: P.GraphProto):
         if len(distinct) != 1:
             return None
         c = cs[0]
-        if uses[name] != sum(1 for i in c.input if i == name):
+        if uses.get(name, 0) != sum(1 for i in c.input if i == name):
             return None
         return c if c.op_type == op_type else None
 

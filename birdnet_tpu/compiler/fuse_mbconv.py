@@ -120,9 +120,10 @@ def fuse_mbconv(graph: P.GraphProto, tensors: Dict) -> int:
         for o in n.output:
             if o:
                 prod[o] = n
-    uses = Counter(i for n in nodes for i in n.input if i)
-    for o in graph.output:
-        uses[o.name] += 1
+    from .optimize import _usage_counts
+
+    # Deep counts (subgraph-body references included) — see optimize.py.
+    uses = Counter(_usage_counts(graph))
 
     def swish_parts(mul_node) -> Optional[str]:
         """If ``mul_node`` is Mul(a, Sigmoid(a)), return a's name."""

@@ -78,9 +78,10 @@ def fuse_stage_prefix(graph: P.GraphProto, tensors: Dict,
         for o in n.output:
             if o:
                 prod[o] = n
-    uses = Counter(i for n in nodes for i in n.input if i)
-    for o in graph.output:
-        uses[o.name] += 1
+    from .optimize import _usage_counts
+
+    # Deep counts (subgraph-body references included) — see optimize.py.
+    uses = Counter(_usage_counts(graph))
     consumers: Dict[str, List[P.NodeProto]] = {}
     for n in nodes:
         for i in n.input:

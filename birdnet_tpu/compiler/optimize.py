@@ -34,13 +34,35 @@ from ..onnx.proto import GraphProto, NodeProto, make_attr
 
 
 def _usage_counts(graph: GraphProto) -> Dict[str, int]:
+    """Value-name use counts, INCLUDING references from If/Loop/Scan (and
+    fused-op) subgraph bodies — those reference outer-scope tensors by
+    name, so a rewrite that trusts top-level counts alone could fold or
+    fuse away a tensor a subgraph still reads. Subgraph-local shadowing
+    names inflate outer counts, which only makes rewrites more
+    conservative, never wrong."""
     counts: Dict[str, int] = {}
-    for node in graph.node:
-        for i in node.input:
-            if i:
-                counts[i] = counts.get(i, 0) + 1
-    for out in graph.output:
-        counts[out.name] = counts.get(out.name, 0) + 1
+
+    def add(g: GraphProto) -> None:
+        for node in g.node:
+            for i in node.input:
+                if i:
+                    counts[i] = counts.get(i, 0) + 1
+            # Internal fused ops ("_Fused*" etc.) are exempt: their body is
+            # an exact capture of already-removed top-level members, so its
+            # references duplicate the fused node's own consumption rather
+            # than representing an additional consumer.
+            if node.op_type.startswith("_"):
+                continue
+            for a in node.attribute:
+                sub = getattr(a, "g", None)
+                if sub is not None:
+                    add(sub)
+                for sg in getattr(a, "graphs", []) or []:
+                    add(sg)
+        for out in g.output:
+            counts[out.name] = counts.get(out.name, 0) + 1
+
+    add(graph)
     return counts
 
 

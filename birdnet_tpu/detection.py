@@ -125,7 +125,9 @@ def _build_config_with_override(
 
 def _extract_sample_count(shape: Sequence[int]) -> int:
     """Sample count from ``[batch, samples]`` or ``[batch, 1, samples]``
-    (reference: detection.rs:149-163)."""
+    (reference: detection.rs:149-163). Deliberate parity note: like the
+    reference, a 3-D shape's MIDDLE dim is not validated — ``[B, 2, S]``
+    reads S, and any channel mismatch surfaces later at the conv shapes."""
     if len(shape) == 2:
         value = shape[1]
     elif len(shape) == 3:

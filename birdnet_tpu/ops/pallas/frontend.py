@@ -205,10 +205,12 @@ def frame_filterbank_logpower(
 ) -> jax.Array:
     """Fused frontend over ``n_segments`` overlapping segments of ``audio``.
 
-    ``audio``: 1-D float32 (pre-scaled) or int16 (dequantized in-kernel by
-    ``scale``). ``weights``: [F, K] filterbank (Conv1d weight layout
-    ``[F, 1, K]`` squeezed). Returns ``[n_segments, T, F]`` log-power,
-    where ``T = (sample_count - kernel_size) // hop + 1``.
+    ``audio``: 1-D float32 or int16; ``scale`` is applied in-kernel to
+    EVERY input dtype (the default dequantizes int16 — pass ``scale=1.0``
+    for audio that is already in [-1, 1)). ``weights``: [F, K] filterbank
+    (Conv1d weight layout ``[F, 1, K]`` squeezed). Returns
+    ``[n_segments, T, F]`` log-power, where
+    ``T = (sample_count - kernel_size) // hop + 1``.
 
     On TPU (``interpret=False``) the config must be row-aligned:
     ``hop % 128 == 0`` and ``step % hop == 0``.
@@ -617,9 +619,12 @@ def frontend_reference(
         weights = weights[:, 0, :]
     n_filters, kernel_size = weights.shape
     n_frames = (sample_count - kernel_size) // hop + 1
-    audio = np.asarray(audio)
-    if audio.dtype != np.float32:
-        audio = audio.astype(np.float32) * scale
+    audio = np.asarray(audio).astype(np.float32)
+    # Matches the kernel (_assemble_patch): scale applies to EVERY input
+    # dtype — its effect must not depend on whether audio arrived as int16
+    # or as an already-converted float32 of the same values.
+    if scale != 1.0:
+        audio = audio * np.float32(scale)
     out = np.empty((n_segments, n_frames, n_filters), np.float32)
     for i in range(n_segments):
         seg = audio[i * step: i * step + sample_count]

@@ -70,15 +70,13 @@ def top_k_predictions(
         predictions.append(Prediction(species=species, confidence=confidence, index=idx))
 
     # Already ordered by logit desc; sigmoid is monotonic, but re-sort to
-    # guarantee the documented confidence-descending contract even with NaN
-    # (NaN compares "equal" under the reference's partial_cmp fallback, so
-    # stable sort keeps its position).
+    # guarantee the documented confidence-descending contract. NaN sorts
+    # FIRST (total_cmp: NaN above +inf), matching the device path exactly —
+    # lax.top_k uses the same total order, and top_k_from_device preserves
+    # device order — so both paths agree element-for-element on NaN inputs.
     predictions.sort(
-        key=lambda p: (-p.confidence if not math.isnan(p.confidence) else math.inf)
+        key=lambda p: (-p.confidence if not math.isnan(p.confidence) else -math.inf)
     )
-    # NaN entries keep their logit-order positions at the end under the key
-    # above; this matches the reference's unwrap_or(Equal) tie behavior closely
-    # enough for all non-pathological inputs.
     return predictions
 
 

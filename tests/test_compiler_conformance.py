@@ -419,6 +419,65 @@ def test_orphaned_bn_initializers_pruned(rng):
     assert "w_bn_bias" in tensors
 
 
+def test_usage_counts_include_subgraph_references(rng):
+    # A tensor read only inside an If/Loop body must count as used —
+    # BN folding and the fusion matchers all key off these counts.
+    from birdnet_tpu.compiler.optimize import _usage_counts
+
+    body = P.GraphProto(
+        name="then",
+        node=[P.make_node("Add", ["c", "c"], ["t"])],
+        output=[P.make_value_info("t", P.DataType.FLOAT, [])],
+    )
+    graph = P.GraphProto(
+        name="g",
+        node=[
+            P.make_node("Relu", ["x"], ["c"]),
+            P.make_node("Loop", ["x"], ["y"], body=body),
+        ],
+        output=[P.make_value_info("y", P.DataType.FLOAT, [])],
+    )
+    counts = _usage_counts(graph)
+    assert counts.get("c", 0) == 2  # two reads inside the body
+    assert counts.get("x", 0) == 2
+
+
+def test_fold_batchnorm_skips_subgraph_referenced_intermediate(rng):
+    # Conv output feeding BN is ALSO read by an If-style body: folding
+    # would delete the Conv's original output name while the body still
+    # references it.
+    x = rng.normal(size=(1, 3, 8, 8)).astype(np.float32)
+    w = rng.normal(size=(4, 3, 3, 3)).astype(np.float32)
+    inits = [
+        P.TensorProto.from_numpy(v, name=k)
+        for k, v in {"w": w, **_bn_inits(4, rng)}.items()
+    ]
+    body = P.GraphProto(
+        name="b",
+        node=[P.make_node("Relu", ["c"], ["t"])],
+        output=[P.make_value_info("t", P.DataType.FLOAT, [])],
+    )
+    graph = P.GraphProto(
+        name="g",
+        node=[
+            P.make_node("Conv", ["x", "w"], ["c"], pads=[1, 1, 1, 1]),
+            P.make_node("BatchNormalization", ["c", "scale", "bias", "mean", "var"], ["y"]),
+            P.make_node("Loop", ["x"], ["y2"], body=body),
+        ],
+        initializer=inits,
+        input=[P.make_value_info("x", P.DataType.FLOAT, [1, 3, 8, 8])],
+        output=[
+            P.make_value_info("y", P.DataType.FLOAT, []),
+            P.make_value_info("y2", P.DataType.FLOAT, []),
+        ],
+    )
+    tensors = {t.name: t.to_numpy() for t in graph.initializer}
+    from birdnet_tpu.compiler.optimize import fold_batchnorm
+
+    assert fold_batchnorm(graph, tensors) == 0  # must skip
+    assert any(n.op_type == "BatchNormalization" for n in graph.node)
+
+
 def test_prune_keeps_subgraph_references(rng):
     # A tensor referenced only inside a fused-op body subgraph must survive.
     w = rng.normal(size=(4,)).astype(np.float32)

@@ -116,6 +116,25 @@ def test_phased_segments_kernel_matches_oracle(rng, S, hop, K, F, n_seg, dtype):
     np.testing.assert_allclose(out, ref, rtol=tol, atol=tol)
 
 
+def test_oracle_scale_matches_kernel_on_float32(rng):
+    """frontend_reference must apply ``scale`` to float32 audio exactly
+    like the kernel does (scale acts by value, not by input dtype)."""
+    S, hop, K, F, step, n_seg = 1024, 128, 256, 16, 512, 3
+    total = (n_seg - 1) * step + S
+    audio_i16 = (rng.normal(size=total) * 3000).astype(np.int16)
+    ref_i16 = frontend_reference(
+        audio_i16, (rng.normal(size=(F, K)) * 0.0).astype(np.float32) + 0.02,
+        n_segments=n_seg, step=step, sample_count=S, hop=hop,
+    )
+    # identical values presented as float32 with the same scale arg
+    ref_f32 = frontend_reference(
+        audio_i16.astype(np.float32),
+        np.full((F, K), 0.02, np.float32),
+        n_segments=n_seg, step=step, sample_count=S, hop=hop,
+    )
+    np.testing.assert_allclose(ref_f32, ref_i16, rtol=1e-5, atol=1e-5)
+
+
 def test_segments_kernel_scale_applies_to_float32(rng):
     """``scale`` must act by value for every input dtype: f32 segments
     with scale=1/32768 equal the pre-scaled f32 segments with scale=1."""

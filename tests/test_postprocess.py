@@ -81,6 +81,16 @@ def test_nan_logit_kept_without_min_confidence():
     assert any(math.isnan(p.confidence) for p in preds)
 
 
+def test_nan_sorts_first_matching_device_total_order():
+    # total_cmp: NaN orders above +inf, so in the descending result NaN
+    # comes FIRST — same element order as the device path (lax.top_k's
+    # total order preserved by top_k_from_device).
+    logits = [1.0, float("nan"), 0.5]
+    preds = top_k_predictions(logits, LABELS, 3)
+    assert math.isnan(preds[0].confidence)
+    assert [p.index for p in preds[1:]] == [0, 2]
+
+
 def test_infinities():
     logits = [float("-inf"), 0.0, float("inf")]
     preds = top_k_predictions(logits, LABELS, 3)
