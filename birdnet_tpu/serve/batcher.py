@@ -61,6 +61,18 @@ class BatcherMetrics:
         self.errors_total = 0
         self._batch_fill_sum = 0
 
+    def reset(self) -> None:
+        """Zero all counters/latencies — e.g. after warmup traffic, so a
+        measurement window reflects only its own requests."""
+        with self._lock:
+            self._latencies.clear()
+            self.requests_total = 0
+            self.segments_total = 0
+            self.batches_total = 0
+            self.rejected_total = 0
+            self.errors_total = 0
+            self._batch_fill_sum = 0
+
     def record_batch(self, fill: int) -> None:
         with self._lock:
             self.batches_total += 1

@@ -8,7 +8,6 @@ Usage: python scripts/bench_models.py [--nseg 2048]
 
 import argparse
 import os
-import statistics
 import sys
 import time
 
@@ -56,8 +55,8 @@ def main():
         compile_s = time.monotonic() - t0
         rng = np.random.default_rng(0)
         audio = jax.device_put(
-            (rng.normal(size=(n_tiles * args.tile, S)) * 3000
-             ).astype(np.int16), device)
+            (rng.standard_normal((n_tiles * args.tile, S), dtype=np.float32)
+             * 3000).astype(np.int16), device)
         out = fn(eng.params, audio)
         np.asarray(out[0])
         dts = []
@@ -67,7 +66,11 @@ def main():
             np.asarray(out[0])
             np.asarray(out[1])
             dts.append(time.monotonic() - t0)
-        med = statistics.median(dts)
+        # Same stall-rejecting median + provenance line as the headline
+        # bench (tunnel stalls would otherwise dominate a plain median).
+        from bench import _robust_median
+
+        med = _robust_median(dts, label=f"{name} runs")
         n_run = n_tiles * args.tile  # actually dispatched segments
         seg_s = n_run / med
         xrt = seg_s * config.segment_duration

@@ -28,8 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _build_classifier(model_path, precision):
     from birdnet_tpu import Classifier
+    from birdnet_tpu.checkpoint import import_any
+    from birdnet_tpu.detection import detect_model_type
 
-    labels = [f"species_{i}" for i in range(6522)]
+    # Generate exactly as many labels as the model expects — a v2.4
+    # constant would LabelCountError on v3.0 / Perch v2 / custom models.
+    cfg = detect_model_type(*import_any(model_path).detection_shapes())
+    labels = [f"species_{i}" for i in range(cfg.num_species)]
     b = (
         Classifier.builder()
         .model_path(model_path)
@@ -46,6 +51,7 @@ def _closed_loop(batcher, segment, n_clients, seconds):
     (requests_done, wall, latencies)."""
     stop_at = time.monotonic() + seconds
     counts = [0] * n_clients
+    errors = [0] * n_clients
     lats = [[] for _ in range(n_clients)]
 
     def client(i):
@@ -53,7 +59,14 @@ def _closed_loop(batcher, segment, n_clients, seconds):
         while time.monotonic() < stop_at:
             seg = segment + rng.standard_normal(1).astype(np.float32) * 1e-6
             t0 = time.monotonic()
-            batcher.predict(seg, timeout=120)
+            try:
+                batcher.predict(seg, timeout=120)
+            except Exception:
+                # Overload/timeout must not silently kill the client: a row
+                # with dead clients would report a healthy-looking number
+                # for fewer clients than its label claims.
+                errors[i] += 1
+                continue
             lats[i].append(time.monotonic() - t0)
             counts[i] += 1
 
@@ -67,7 +80,7 @@ def _closed_loop(batcher, segment, n_clients, seconds):
         t.join()
     wall = time.monotonic() - t0
     all_lats = sorted(x for l in lats for x in l)
-    return sum(counts), wall, all_lats
+    return sum(counts), wall, all_lats, sum(errors)
 
 
 def main():
@@ -84,7 +97,18 @@ def main():
         help="comma list of batcher pipeline counts to sweep (2 overlaps "
         "host staging/readback with device compute)",
     )
+    ap.add_argument(
+        "--provider",
+        default=None,
+        help="pin the device platform (e.g. cpu); the axon plugin "
+        "overrides JAX_PLATFORMS, so an env var alone cannot force CPU",
+    )
     args = ap.parse_args()
+
+    if args.provider:
+        import jax
+
+        jax.config.update("jax_platforms", args.provider)
 
     model_path = args.model
     if model_path is None:
@@ -124,7 +148,10 @@ def main():
                     _closed_loop(  # warmup
                         batcher, segment, 4, min(1.0, args.seconds)
                     )
-                    done, wall, lats = _closed_loop(
+                    # Metrics are cumulative: zero out the warmup's small
+                    # batches so mean_fill reflects this row only.
+                    batcher.metrics.reset()
+                    done, wall, lats, errs = _closed_loop(
                         batcher, segment, n_clients, args.seconds
                     )
                     snap = batcher.metrics.snapshot()
@@ -145,6 +172,7 @@ def main():
                     if lats
                     else None,
                     "mean_fill": snap["mean_batch_fill"],
+                    "client_errors": errs,
                 }
                 rows.append(row)
                 print(json.dumps(row))
