@@ -734,17 +734,58 @@ def _pool_common(ctx, x):
 
 @op("MaxPool")
 def _maxpool(ctx, x):
-    if ctx.num_outputs > 1:
-        raise NotImplementedError(
-            "MaxPool with the optional Indices output is not supported"
-        )
     x = jnp.asarray(x)
     window, strides, dil, pads = _pool_common(ctx, x)
     init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     y = lax.reduce_window(
         x, jnp.asarray(init, x.dtype), lax.max, window, strides, pads, window_dilation=dil
     )
-    return [y]
+    if ctx.num_outputs == 1:
+        return [y]
+    if int(ctx.attr("storage_order", 0)):
+        raise NotImplementedError(
+            "MaxPool Indices with storage_order=1 (column-major) not supported"
+        )
+    # Indices output: int64 positions into the WHOLE input tensor flattened
+    # row-major (N and C included); ties take the first kernel position in
+    # row-major scan order — ONNX Runtime's behavior. Strategy: pad with
+    # -inf, extract each window as a patch vector, argmax over the kernel
+    # axis, then rebuild the absolute coordinate per spatial dim.
+    nd = x.ndim - 2
+    kernel, strid, dils = window[2:], strides[2:], dil[2:]
+    spads = pads[2:]
+    # Pad with the FINITE dtype minimum, not -inf: patches are extracted by
+    # a one-hot convolution, and 0 * -inf = NaN would poison every window
+    # that touches padding (argmax then returns 0 — the padded corner).
+    pad_val = (
+        jnp.finfo(x.dtype).min
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.iinfo(x.dtype).min
+    )
+    xp = jnp.pad(x, pads, constant_values=pad_val)
+    patches = lax.conv_general_dilated_patches(
+        xp, tuple(kernel), tuple(strid), "VALID", rhs_dilation=tuple(dils)
+    )
+    n_b, n_c = x.shape[0], x.shape[1]
+    k_total = int(np.prod(kernel))
+    out_sp = patches.shape[2:]
+    # feature dim is (C, *kernel) with kernel positions row-major
+    pr = patches.reshape((n_b, n_c, k_total) + out_sp)
+    k_best = jnp.argmax(pr, axis=2)  # [N, C, *out]; first max wins
+
+    flat = (
+        jnp.arange(n_b, dtype=jnp.int32).reshape((n_b,) + (1,) * (1 + nd)) * n_c
+        + jnp.arange(n_c, dtype=jnp.int32).reshape((1, n_c) + (1,) * nd)
+    ).astype(jnp.int64)
+    for d in range(nd):
+        k_stride = int(np.prod(kernel[d + 1:]))
+        off = (k_best // k_stride) % kernel[d]
+        pos = jnp.arange(out_sp[d], dtype=jnp.int32) * strid[d] - spads[d][0]
+        pos = pos.reshape(
+            (1, 1) + tuple(out_sp[d] if i == d else 1 for i in range(nd))
+        )
+        flat = flat * x.shape[2 + d] + (pos + off * dils[d])
+    return [y, flat.astype(jnp.int64)]
 
 
 @op("AveragePool")

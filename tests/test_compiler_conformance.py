@@ -284,17 +284,83 @@ def test_resize_unsupported_modes_raise():
 
 
 # ---------------------------------------------------------------------------
-# MaxPool: Indices output rejected with a clear message
+# MaxPool: Indices output (whole-tensor row-major flat positions)
 # ---------------------------------------------------------------------------
 
 
-def test_maxpool_indices_output_clear_error():
+def _onnx_indices_from_torch(tidx, n, c, h, w):
+    # torch returns per-(n,c)-plane indices into H*W; ONNX flattens over
+    # the whole tensor including N and C.
+    plane = tidx.numpy().astype(np.int64)
+    n_idx = np.arange(n).reshape(n, 1, 1, 1)
+    c_idx = np.arange(c).reshape(1, c, 1, 1)
+    return (n_idx * c + c_idx) * (h * w) + plane
+
+
+def test_maxpool_indices_vs_torch(rng):
+    x = rng.normal(size=(2, 3, 8, 10)).astype(np.float32)
+    y, idx = run_graph(
+        [P.make_node("MaxPool", ["x"], ["y", "i"], kernel_shape=[2, 2], strides=[2, 2])],
+        {"x": x},
+        outputs=["y", "i"],
+    )
+    ty, tidx = torch.nn.functional.max_pool2d(
+        torch.from_numpy(x), 2, 2, return_indices=True
+    )
+    np.testing.assert_allclose(y, ty.numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(idx, _onnx_indices_from_torch(tidx, 2, 3, 8, 10))
+
+
+def test_maxpool_indices_padded_dilated_vs_torch(rng):
+    x = rng.normal(size=(1, 2, 9, 9)).astype(np.float32)
+    y, idx = run_graph(
+        [
+            P.make_node(
+                "MaxPool",
+                ["x"],
+                ["y", "i"],
+                kernel_shape=[3, 3],
+                strides=[2, 2],
+                pads=[1, 1, 1, 1],
+                dilations=[1, 1],
+            )
+        ],
+        {"x": x},
+        outputs=["y", "i"],
+    )
+    ty, tidx = torch.nn.functional.max_pool2d(
+        torch.from_numpy(x), 3, 2, padding=1, return_indices=True
+    )
+    np.testing.assert_allclose(y, ty.numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(idx, _onnx_indices_from_torch(tidx, 1, 2, 9, 9))
+
+
+def test_maxpool_indices_1d(rng):
+    x = rng.normal(size=(1, 1, 12)).astype(np.float32)
+    y, idx = run_graph(
+        [P.make_node("MaxPool", ["x"], ["y", "i"], kernel_shape=[3], strides=[3])],
+        {"x": x},
+        outputs=["y", "i"],
+    )
+    ty, tidx = torch.nn.functional.max_pool1d(
+        torch.from_numpy(x), 3, 3, return_indices=True
+    )
+    np.testing.assert_allclose(y, ty.numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(idx, tidx.numpy().astype(np.int64))
+
+
+def test_maxpool_indices_column_major_clear_error():
     x = np.zeros((1, 1, 4, 4), dtype=np.float32)
-    with pytest.raises(Exception, match="Indices"):
+    with pytest.raises(Exception, match="storage_order"):
         run_graph(
-            [P.make_node("MaxPool", ["x"], ["y", "idx"], kernel_shape=[2, 2], strides=[2, 2])],
+            [
+                P.make_node(
+                    "MaxPool", ["x"], ["y", "i"],
+                    kernel_shape=[2, 2], strides=[2, 2], storage_order=1,
+                )
+            ],
             {"x": x},
-            outputs=["y", "idx"],
+            outputs=["y", "i"],
         )
 
 

@@ -211,6 +211,17 @@ def test_resize_align_corners_and_nearest_exact_coords():
     assert_parity(Up(), (torch.randn(1, 2, 5, 6),), atol=1e-4)
 
 
+def test_maxpool_with_indices_export():
+    # return_indices=True exports a two-output MaxPool (plus torch's
+    # index-convention conversion chain) — exercises the Indices output.
+    class MP(nn.Module):
+        def forward(self, x):
+            y, idx = F.max_pool2d(x, 2, 2, return_indices=True)
+            return y, idx.to(x.dtype)
+
+    assert_parity(MP(), (torch.randn(1, 3, 8, 8),))
+
+
 def test_fmod_argmax_arange_zoo():
     # torch.fmod exports Mod(fmod=1); float arange exports Range with float
     # inputs; argmax/argmin export their attribute forms.
