@@ -585,8 +585,6 @@ def _conv_transpose(ctx, x, w, b=None):
     dilations = [int(d) for d in ctx.attr("dilations", [1] * nd)]
     group = int(ctx.attr("group", 1))
     output_padding = [int(p) for p in ctx.attr("output_padding", [0] * nd)]
-    if group != 1:
-        raise NotImplementedError("grouped ConvTranspose not supported yet")
     pads = _resolve_pads(ctx, x.shape[2:], kernel, strides, dilations)
 
     # lax.conv_transpose with transpose_kernel=True expects IOHW kernels,
@@ -600,16 +598,36 @@ def _conv_transpose(ctx, x, w, b=None):
         lo = eff_k - 1 - pads[i][0]
         hi = eff_k - 1 - pads[i][1] + output_padding[i]
         tpads.append((lo, hi))
-    y = lax.conv_general_dilated(
-        x,
-        jnp.flip(w, axis=tuple(range(2, 2 + nd))).swapaxes(0, 1),
-        window_strides=[1] * nd,
-        padding=tpads,
-        lhs_dilation=strides,
-        rhs_dilation=dilations,
-        dimension_numbers=dn,
-        preferred_element_type=_acc_dtype(ctx),
-    )
+
+    def one_group(xg, wg):
+        return lax.conv_general_dilated(
+            xg,
+            jnp.flip(wg, axis=tuple(range(2, 2 + nd))).swapaxes(0, 1),
+            window_strides=[1] * nd,
+            padding=tpads,
+            lhs_dilation=strides,
+            rhs_dilation=dilations,
+            dimension_numbers=dn,
+            preferred_element_type=_acc_dtype(ctx),
+        )
+
+    if group == 1:
+        y = one_group(x, w)
+    else:
+        # ONNX weight layout (C_in, C_out/group, *k): C_in splits evenly
+        # over groups; each group is an independent transpose conv whose
+        # outputs concatenate along channels.
+        cin_g = x.shape[1] // group
+        y = jnp.concatenate(
+            [
+                one_group(
+                    x[:, g * cin_g:(g + 1) * cin_g],
+                    w[g * cin_g:(g + 1) * cin_g],
+                )
+                for g in range(group)
+            ],
+            axis=1,
+        )
     y = _out_cast(ctx, y, x.dtype)
     if b is not None:
         y = y + jnp.asarray(b).reshape((1, -1) + (1,) * nd).astype(y.dtype)
@@ -786,6 +804,33 @@ def _maxpool(ctx, x):
         )
         flat = flat * x.shape[2 + d] + (pos + off * dils[d])
     return [y, flat.astype(jnp.int64)]
+
+
+@op("MaxUnpool")
+def _max_unpool(ctx, x, indices, output_shape=None):
+    """Inverse of MaxPool: scatter pooled values back to their recorded
+    positions (zeros elsewhere). ``indices`` use the whole-tensor
+    row-major flat convention — the same one our MaxPool Indices output
+    produces."""
+    x = jnp.asarray(x)
+    idx = jnp.asarray(indices)
+    nd = x.ndim - 2
+    kernel = [int(k) for k in ctx.attr("kernel_shape")]
+    strides = [int(s) for s in ctx.attr("strides", [1] * nd)]
+    pads_attr = [int(p) for p in ctx.attr("pads", [0] * (2 * nd))]
+    if output_shape is not None:
+        out_shape = _static_ints(output_shape, "MaxUnpool output_shape")
+    else:
+        out_shape = list(x.shape[:2]) + [
+            (x.shape[2 + i] - 1) * strides[i]
+            + kernel[i]
+            - pads_attr[i]
+            - pads_attr[nd + i]
+            for i in range(nd)
+        ]
+    total = int(np.prod(out_shape))
+    flat = jnp.zeros(total, x.dtype).at[idx.reshape(-1)].set(x.reshape(-1))
+    return [flat.reshape(out_shape)]
 
 
 @op("AveragePool")
@@ -1012,6 +1057,10 @@ def _scatter_elements(ctx, x, indices, updates):
         return [x.at[idx].add(updates)]
     if reduction == "mul":
         return [x.at[idx].multiply(updates)]
+    if reduction == "min":
+        return [x.at[idx].min(updates)]
+    if reduction == "max":
+        return [x.at[idx].max(updates)]
     if reduction in ("none", None):
         return [x.at[idx].set(updates)]
     raise NotImplementedError(f"ScatterElements reduction {reduction!r}")
@@ -1032,6 +1081,10 @@ def _scatter_nd(ctx, x, indices, updates):
         return [x.at[idx].add(flat_upd)]
     if reduction == "mul":
         return [x.at[idx].multiply(flat_upd)]
+    if reduction == "min":
+        return [x.at[idx].min(flat_upd)]
+    if reduction == "max":
+        return [x.at[idx].max(flat_upd)]
     if reduction in ("none", None):
         return [x.at[idx].set(flat_upd)]
     raise NotImplementedError(f"ScatterND reduction {reduction!r}")

@@ -349,6 +349,58 @@ def test_maxpool_indices_1d(rng):
     np.testing.assert_array_equal(idx, tidx.numpy().astype(np.int64))
 
 
+def test_maxunpool_roundtrip_vs_torch(rng):
+    x = rng.normal(size=(1, 2, 8, 8)).astype(np.float32)
+    (y,) = run_graph(
+        [
+            P.make_node("MaxPool", ["x"], ["p", "i"], kernel_shape=[2, 2], strides=[2, 2]),
+            P.make_node("MaxUnpool", ["p", "i"], ["y"], kernel_shape=[2, 2], strides=[2, 2]),
+        ],
+        {"x": x},
+    )
+    tp, ti = torch.nn.functional.max_pool2d(torch.from_numpy(x), 2, 2, return_indices=True)
+    expected = torch.nn.functional.max_unpool2d(tp, ti, 2, 2).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-6)
+
+
+def test_scatter_min_max_reductions(rng):
+    x = rng.normal(size=(4, 5)).astype(np.float32)
+    upd = rng.normal(size=(2, 5)).astype(np.float32)
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 3]], dtype=np.int64)
+    for red in ("min", "max"):
+        (y,) = run_graph(
+            [P.make_node("ScatterElements", ["x", "i", "u"], ["y"], axis=0, reduction=red)],
+            {"x": x},
+            {"i": idx, "u": upd},
+            opset=18,
+        )
+        expected = torch.from_numpy(x.copy())
+        expected = torch.scatter_reduce(
+            expected, 0, torch.from_numpy(idx), torch.from_numpy(upd),
+            reduce=("amin" if red == "min" else "amax"), include_self=True,
+        ).numpy()
+        np.testing.assert_allclose(y, expected, rtol=1e-6)
+
+
+def test_grouped_conv_transpose_vs_torch(rng):
+    x = rng.normal(size=(1, 4, 6, 6)).astype(np.float32)
+    w = rng.normal(size=(4, 2, 3, 3)).astype(np.float32)  # (C_in, C_out/g, k, k)
+    (y,) = run_graph(
+        [
+            P.make_node(
+                "ConvTranspose", ["x", "w"], ["y"],
+                strides=[2, 2], pads=[1, 1, 1, 1], group=2,
+            )
+        ],
+        {"x": x},
+        {"w": w},
+    )
+    expected = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x), torch.from_numpy(w), stride=2, padding=1, groups=2
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+
 def test_maxpool_indices_column_major_clear_error():
     x = np.zeros((1, 1, 4, 4), dtype=np.float32)
     with pytest.raises(Exception, match="storage_order"):

@@ -187,6 +187,14 @@ def test_convtranspose_decoder():
     assert_parity(m, (torch.randn(1, 8, 5, 5),))
 
 
+def test_grouped_convtranspose_decoder():
+    m = nn.Sequential(
+        nn.Conv2d(2, 4, 3, padding=1), nn.ReLU(),
+        nn.ConvTranspose2d(4, 4, 4, stride=2, padding=1, groups=2),
+    )
+    assert_parity(m, (torch.randn(1, 2, 6, 6),))
+
+
 def test_resize_nearest_and_bilinear():
     class Up(nn.Module):
         def forward(self, x):
