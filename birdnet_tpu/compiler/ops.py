@@ -1031,13 +1031,18 @@ def _gather_nd(ctx, x, indices):
     x = jnp.asarray(x)
     indices = jnp.asarray(indices)
     batch_dims = int(ctx.attr("batch_dims", 0))
-    if batch_dims:
-        raise NotImplementedError("GatherND with batch_dims > 0")
-    k = indices.shape[-1]
-    flat_idx = indices.reshape(-1, k)
-    gathered = x[tuple(flat_idx[:, i] for i in range(k))]
-    out_shape = indices.shape[:-1] + x.shape[k:]
-    return [gathered.reshape(out_shape)]
+
+    def gather0(data, idx):
+        k = idx.shape[-1]
+        flat_idx = idx.reshape(-1, k)
+        gathered = data[tuple(flat_idx[:, i] for i in range(k))]
+        return gathered.reshape(idx.shape[:-1] + data.shape[k:])
+
+    fn = gather0
+    # batch_dims leading axes are shared: vmap the plain gather over each.
+    for _ in range(batch_dims):
+        fn = jax.vmap(fn)
+    return [fn(x, indices)]
 
 
 @op("ScatterElements")

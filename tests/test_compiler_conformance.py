@@ -401,6 +401,40 @@ def test_grouped_conv_transpose_vs_torch(rng):
     np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
 
 
+def test_gather_nd_batch_dims(rng):
+    x = rng.normal(size=(2, 3, 4, 5)).astype(np.float32)
+    idx = rng.integers(0, 4, size=(2, 3, 2, 1)).astype(np.int64)
+    (y,) = run_graph(
+        [P.make_node("GatherND", ["x", "i"], ["y"], batch_dims=2)],
+        {"x": x},
+        {"i": idx},
+    )
+    expected = np.empty((2, 3, 2, 5), np.float32)
+    for b0 in range(2):
+        for b1 in range(3):
+            for j in range(2):
+                expected[b0, b1, j] = x[b0, b1, idx[b0, b1, j, 0]]
+    np.testing.assert_allclose(y, expected)
+
+
+def test_gather_nd_batch_dims_k2(rng):
+    x = rng.normal(size=(2, 4, 5, 6)).astype(np.float32)
+    idx = np.stack(
+        [rng.integers(0, 4, size=(2, 3)), rng.integers(0, 5, size=(2, 3))],
+        axis=-1,
+    ).astype(np.int64)  # [2, 3, 2]; batch_dims=1
+    (y,) = run_graph(
+        [P.make_node("GatherND", ["x", "i"], ["y"], batch_dims=1)],
+        {"x": x},
+        {"i": idx},
+    )
+    expected = np.empty((2, 3, 6), np.float32)
+    for b in range(2):
+        for j in range(3):
+            expected[b, j] = x[b, idx[b, j, 0], idx[b, j, 1]]
+    np.testing.assert_allclose(y, expected)
+
+
 def test_maxpool_indices_column_major_clear_error():
     x = np.zeros((1, 1, 4, 4), dtype=np.float32)
     with pytest.raises(Exception, match="storage_order"):
