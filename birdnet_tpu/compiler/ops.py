@@ -2423,7 +2423,7 @@ def _rnn_scan(xw, step_gates, h0, extra_carry, seq_lens):
 
 
 def _rnn_family(ctx, kind, x, w, r, b=None, seq_lens=None,
-                initial_h=None, initial_c=None):
+                initial_h=None, initial_c=None, p=None):
     n_gates = {"RNN": 1, "GRU": 3, "LSTM": 4}[kind]
     w = jnp.asarray(w)
     r = jnp.asarray(r)
@@ -2459,12 +2459,24 @@ def _rnn_family(ctx, kind, x, w, r, b=None, seq_lens=None,
                 jax.nn.sigmoid, jnp.tanh, jnp.tanh
             )
             c0 = init_state(initial_c, d)
+            if p is not None:
+                # Peepholes: P[d] = [Pi, Po, Pf] (3*hidden), elementwise
+                # against the cell state INSIDE the activation (and clip).
+                pd = jnp.asarray(p)[d].astype(x.dtype)
+                p_i, p_o, p_f = (
+                    pd[:hidden], pd[hidden:2 * hidden], pd[2 * hidden:]
+                )
+            else:
+                p_i = p_o = p_f = jnp.zeros(hidden, x.dtype)
 
             def lstm_gates(xw_t, h, ex):
                 (c,) = ex
-                gi, go, gf, gc = split(pre(xw_t + h @ r_t + rbias))
-                i_g, o_g, f_g = f_act(gi), f_act(go), f_act(gf)
-                c_new = f_g * c + i_g * g_act(gc)
+                gi, go, gf, gc = split(xw_t + h @ r_t + rbias)
+                i_g = f_act(pre(gi + p_i * c))
+                f_g = f_act(pre(gf + p_f * c))
+                c_new = f_g * c + i_g * g_act(pre(gc))
+                # Po couples against the NEW cell state (ONNX equations).
+                o_g = f_act(pre(go + p_o * c_new))
                 return o_g * h_act(c_new), (c_new,)
 
             ys, h_f, (c_f,) = _rnn_scan(xw, lstm_gates, h0, (c0,), seq_lens)
@@ -2525,10 +2537,10 @@ def _rnn_family(ctx, kind, x, w, r, b=None, seq_lens=None,
 @op("LSTM")
 def _lstm(ctx, x, w, r, b=None, seq_lens=None, initial_h=None,
           initial_c=None, p=None):
-    """ONNX LSTM (gate order i,o,f,c) via lax.scan. Peepholes unsupported."""
-    if p is not None:
-        raise NotImplementedError("LSTM peephole weights (P) not supported")
-    return _rnn_family(ctx, "LSTM", x, w, r, b, seq_lens, initial_h, initial_c)
+    """ONNX LSTM (gate order i,o,f,c) via lax.scan, incl. peepholes (P)."""
+    return _rnn_family(
+        ctx, "LSTM", x, w, r, b, seq_lens, initial_h, initial_c, p
+    )
 
 
 @op("GRU")

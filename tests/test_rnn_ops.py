@@ -246,3 +246,70 @@ def test_rnn_relu_activation():
     np.testing.assert_allclose(
         y[:, 0], y_ref.detach().numpy(), rtol=1e-4, atol=1e-5
     )
+
+
+def _numpy_lstm_peephole(x, w, r, b, p, h0, c0):
+    """Independent oracle: ONNX LSTM equations with peepholes (spec order
+    i,o,f,c; P = [Pi, Po, Pf]). Forward, single direction, batch-first
+    loops — deliberately naive."""
+    T, B, _ = x.shape
+    H = r.shape[-1]
+    wd, rd, bd, pd = w[0], r[0], b[0], p[0]
+    wb, rb = bd[: 4 * H], bd[4 * H:]
+    p_i, p_o, p_f = pd[:H], pd[H:2 * H], pd[2 * H:]
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+    h, c = h0.copy(), c0.copy()
+    ys = np.zeros((T, B, H), np.float64)
+    for t in range(T):
+        g = x[t] @ wd.T + h @ rd.T + wb + rb  # [B, 4H], order i,o,f,c
+        gi, go, gf, gc = g[:, :H], g[:, H:2*H], g[:, 2*H:3*H], g[:, 3*H:]
+        i_g = sig(gi + p_i * c)
+        f_g = sig(gf + p_f * c)
+        c = f_g * c + i_g * np.tanh(gc)
+        o_g = sig(go + p_o * c)
+        h = o_g * np.tanh(c)
+        ys[t] = h
+    return ys, h, c
+
+
+def test_lstm_peepholes_vs_numpy_oracle():
+    rng = np.random.default_rng(7)
+    T, B, I, H = 6, 2, 3, 4
+    x = rng.normal(size=(T, B, I)).astype(np.float32)
+    w = rng.normal(size=(1, 4 * H, I)).astype(np.float32) * 0.5
+    r = rng.normal(size=(1, 4 * H, H)).astype(np.float32) * 0.5
+    b = rng.normal(size=(1, 8 * H)).astype(np.float32) * 0.1
+    p = rng.normal(size=(1, 3 * H)).astype(np.float32) * 0.5
+    y, y_h, y_c = run_graph(
+        [P.make_node(
+            "LSTM", ["x", "w", "r", "b", "", "", "", "p"],
+            ["y", "y_h", "y_c"], hidden_size=H,
+        )],
+        {"x": x},
+        {"w": w, "r": r, "b": b, "p": p},
+        outputs=["y", "y_h", "y_c"],
+    )
+    ys, h_f, c_f = _numpy_lstm_peephole(
+        x.astype(np.float64), w, r, b, p,
+        np.zeros((B, H)), np.zeros((B, H)),
+    )
+    np.testing.assert_allclose(y[:, 0], ys, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(y_h[0], h_f, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(y_c[0], c_f, rtol=1e-4, atol=1e-5)
+    # zero peepholes must equal the no-P path exactly
+    y0, _, _ = run_graph(
+        [P.make_node(
+            "LSTM", ["x", "w", "r", "b", "", "", "", "p"],
+            ["y", "y_h", "y_c"], hidden_size=H,
+        )],
+        {"x": x},
+        {"w": w, "r": r, "b": b, "p": np.zeros((1, 3 * H), np.float32)},
+        outputs=["y", "y_h", "y_c"],
+    )
+    yn, _, _ = run_graph(
+        [P.make_node("LSTM", ["x", "w", "r", "b"], ["y", "y_h", "y_c"], hidden_size=H)],
+        {"x": x},
+        {"w": w, "r": r, "b": b},
+        outputs=["y", "y_h", "y_c"],
+    )
+    np.testing.assert_allclose(y0, yn, rtol=1e-6)
