@@ -507,18 +507,14 @@ class Classifier:
         :meth:`predict_batch`."""
         batch, b = context.prepare_input(segments)
         rows = self._validate_species_masks(species_masks, b)
-        engine_rows = rows
-        if rows is not None and rows.shape[0] < batch.shape[0]:
-            # the staging buffer is already padded to max_batch rows
-            engine_rows = np.ones((batch.shape[0], rows.shape[1]), dtype=bool)
-            engine_rows[:b] = rows
         conf, idx, logits, emb = self._engine.run_batch(
             batch,
             options=options,
             with_embeddings=self._config.model_type is not ModelType.BIRDNET_V24,
             bucket=context.max_batch_size,
             donate=context.donate,
-            row_masks=engine_rows,
+            row_masks=rows,
+            n_valid=b,
         )
         return [
             self._result(

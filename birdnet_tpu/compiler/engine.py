@@ -81,13 +81,19 @@ class InferenceEngine:
         )
         self._forward = make_forward(imported, precision=precision)
         self.params = jax.device_put(imported.params, self.device)
-        self._compiled: Dict[Tuple[int, bool], object] = {}
+        # key: (bucket, with_embeddings, donate, with_row_mask)
+        self._compiled: Dict[Tuple[int, bool, bool, bool], object] = {}
         self._lock = threading.Lock()
         self.logits_index, self.embed_index = demux_indices(config.model_type)
         if self.logits_index >= imported.num_outputs:
             raise InferenceError(
                 f"model has {imported.num_outputs} outputs; expected logits at "
                 f"index {self.logits_index}"
+            )
+        if self.embed_index is not None and self.embed_index >= imported.num_outputs:
+            raise InferenceError(
+                f"model has {imported.num_outputs} outputs; expected "
+                f"embeddings at index {self.embed_index}"
             )
 
     # -- program construction ------------------------------------------------
@@ -208,21 +214,28 @@ class InferenceEngine:
         bucket: Optional[int] = None,
         donate: bool = False,
         row_masks: Optional[np.ndarray] = None,
+        n_valid: Optional[int] = None,
     ):
         """Run a [B, S] float32 batch. Returns numpy
         (conf [B,k], idx [B,k], logits [B,N], embeddings [B,E] or None).
 
         Pads B up to the bucket; compilation happens before the timeout
         clock starts. ``row_masks``: optional per-row bool
-        [B, num_species] candidate masks (per-request species lists).
+        [n_valid, num_species] candidate masks (per-request species
+        lists). ``n_valid``: true row count when ``segments`` arrives
+        already padded (batch-context staging buffers) — this method is
+        the single owner of pad-row mask semantics (padded rows get
+        all-True masks) and of slicing results back to real rows.
         """
-        b = segments.shape[0]
+        b = n_valid if n_valid is not None else segments.shape[0]
         bkt = bucket if bucket is not None else _bucket(b)
         fn = self.compiled(  # outside timed region
             bkt, with_embeddings, donate, with_row_mask=row_masks is not None
         )
-        if b < bkt:
-            pad = np.zeros((bkt - b, segments.shape[1]), dtype=np.float32)
+        if segments.shape[0] < bkt:
+            pad = np.zeros(
+                (bkt - segments.shape[0], segments.shape[1]), dtype=np.float32
+            )
             segments = np.concatenate([segments, pad], axis=0)
         try:
             x = jax.device_put(segments, self.device)
@@ -261,13 +274,17 @@ def _wait(arrays, options: Optional[InferenceOptions]) -> None:
         return
 
     token = options.cancellation_token
+    # A non-positive timeout is an already-expired deadline → immediate
+    # timeout below (never "no deadline").
     deadline = (
         time.monotonic() + options.timeout
-        if options.timeout is not None and options.timeout > 0
+        if options.timeout is not None
         else None
     )
     if token is not None and token.is_cancelled():
         raise InferenceCancelledError()
+    if deadline is not None and options.timeout <= 0:
+        raise InferenceTimeoutError(options.timeout)
     while True:
         if all(a.is_ready() for a in arrays):
             for a in arrays:

@@ -230,6 +230,12 @@ def interpret_graph(
     """
     import jax
 
+    def _trailing_trimmed_len(outputs):
+        n = len(outputs)
+        while n and not outputs[n - 1]:
+            n -= 1
+        return n
+
     for node in graph.node:
         fn = op_registry.get_lowering(node.op_type)
         ctx = op_registry.OpContext(
@@ -238,7 +244,11 @@ def interpret_graph(
             opset=opset,
             precision=precision,
             node_name=node.name,
-            num_outputs=len([o for o in node.output if o]),
+            # Outputs are POSITIONAL; an empty name means "omitted" but
+            # later positions still count (e.g. LayerNorm ["y","","inv"]).
+            # Count up to the last non-empty position so lowerings return
+            # the full prefix and the zip below binds the right names.
+            num_outputs=_trailing_trimmed_len(node.output),
             env=env,
         )
         try:

@@ -29,7 +29,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..errors import ModelLoadError
-from ..onnx.proto import GraphProto, NodeProto, make_node
+from ..onnx.proto import GraphProto, NodeProto, TensorProto, make_node
 from .importer import ImportedModel, interpret_graph, split_params
 from .optimize import follow_activation, optimize_graph
 
@@ -325,10 +325,19 @@ def quantize_model(
         new_nodes.append(n)
         new_nodes.extend(insert_after.get(id(n), []))
     graph.node[:] = new_nodes
-    # Drop replaced float weights from the serialized initializer list.
-    graph.initializer[:] = [t for t in graph.initializer if t.name in tensors]
-
     optimize_graph(graph, tensors)
+
+    # Rebuild the serialized initializer list from the FINAL tensors dict:
+    # this drops replaced float weights AND adds the new __q8/__qs/__qzp
+    # entries, so the rewritten graph proto is self-contained (a node must
+    # never reference a tensor that exists in no initializer).
+    kept = {t.name: t for t in graph.initializer}
+    graph.initializer[:] = [
+        kept[name] if name in kept else TensorProto.from_numpy(
+            np.asarray(arr), name=name
+        )
+        for name, arr in tensors.items()
+    ]
 
     params, consts = split_params(tensors)
     return ImportedModel(

@@ -140,7 +140,9 @@ class StreamingEngine:
             precision = "fast" if on_tpu else "fp32"
         self.precision = precision
         self.config = config
-        self.top_k = max(1, min(top_k, config.num_species))
+        # max(0, …) like InferenceEngine: top_k=0 must behave identically
+        # on the predict and analyze paths (lax.top_k handles k=0).
+        self.top_k = max(0, min(top_k, config.num_species))
         self.species_mask = (
             None if species_mask is None else np.asarray(species_mask, bool)
         )
@@ -276,6 +278,12 @@ class StreamingEngine:
     def warmup(self, n_tiles: int = MAX_TILES, overlap_seconds: float = 0.0,
                dtype=np.float32) -> None:
         step = self.config.sample_count - int(overlap_seconds * self.config.sample_rate)
+        if step <= 0 or overlap_seconds < 0:
+            # Same guard as streaming_analyze: warming a never-usable
+            # variant would be an expensive compile (or an opaque crash).
+            raise InferenceError(
+                "overlap must be in [0, segment duration) seconds"
+            )
         self._compile(n_tiles, step, dtype)
 
 
@@ -359,12 +367,24 @@ def streaming_analyze(
             # honors options between batches, birdnet-analyze.rs:562-610):
             # at most one superchunk of work is "committed" past a cancel.
             if len(pending) > 1:
-                _wait(list(pending[-2][0]), options)
+                outs_prev, n_prev = pending[-2]
+                _wait(list(outs_prev), options)
+                # Drain the waited chunk to host NOW: keeping every
+                # superchunk's outputs alive on device until the loop ends
+                # would grow HBM O(n_segments) (embeddings especially) —
+                # this caps retained device outputs at the two in-flight
+                # chunks, and overlaps readback with the next compute.
+                pending[-2] = (
+                    [np.asarray(o)[:n_prev] for o in outs_prev], n_prev
+                )
 
         collected = None
         for outs, n_seg in pending:
-            _wait(list(outs), options)
-            arrays = [np.asarray(o)[:n_seg] for o in outs]
+            if isinstance(outs, list):  # already drained to host above
+                arrays = outs
+            else:
+                _wait(list(outs), options)
+                arrays = [np.asarray(o)[:n_seg] for o in outs]
             if collected is None:
                 collected = [[a] for a in arrays]
             else:

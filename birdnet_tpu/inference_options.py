@@ -59,10 +59,14 @@ class InferenceOptions:
 
     def needs_monitor(self) -> bool:
         """Whether a monitor is required for this call
-        (reference: inference_options.rs:111-113)."""
-        return (self.timeout is not None and self.timeout > 0) or (
-            self.cancellation_token is not None
-        )
+        (reference: inference_options.rs:111-113).
+
+        A non-positive timeout means the deadline has ALREADY passed (e.g.
+        a computed remaining-budget gone negative): it must monitor and
+        time out immediately, not silently disable the deadline — the
+        reference's Duration type makes negative timeouts unrepresentable.
+        """
+        return self.timeout is not None or self.cancellation_token is not None
 
     @staticmethod
     def with_timeout(seconds: float) -> "InferenceOptions":

@@ -200,16 +200,22 @@ class ShardedEngine:
         bucket: Optional[int] = None,
         donate: bool = False,
         row_masks: Optional[np.ndarray] = None,
+        n_valid: Optional[int] = None,
     ):
-        b = segments.shape[0]
+        # n_valid: true row count when segments arrive pre-padded (batch
+        # context) — row masks are [n_valid, N]; padded rows get all-True
+        # (same contract as compiler.engine.InferenceEngine.run_batch).
+        b = n_valid if n_valid is not None else segments.shape[0]
         bkt = bucket if bucket is not None else self._batch_bucket(b)
         if bkt % self.dp:
             bkt = -(-bkt // self.dp) * self.dp
         fn = self.compiled(
             bkt, with_embeddings, donate, with_row_mask=row_masks is not None
         )
-        if b < bkt:
-            pad = np.zeros((bkt - b, segments.shape[1]), dtype=np.float32)
+        if segments.shape[0] < bkt:
+            pad = np.zeros(
+                (bkt - segments.shape[0], segments.shape[1]), dtype=np.float32
+            )
             segments = np.concatenate([segments, pad], axis=0)
         try:
             x = jax.device_put(segments, self._batch_sharded)

@@ -435,6 +435,71 @@ def test_gather_nd_batch_dims_k2(rng):
     np.testing.assert_allclose(y, expected)
 
 
+def test_non_trailing_empty_output_binds_later_names(rng):
+    # ONNX outputs are positional; an empty middle name means "omitted"
+    # but LATER positions still bind (LayerNorm Y, <omitted Mean>,
+    # InvStdDev is the canonical case).
+    x = rng.normal(size=(2, 6)).astype(np.float32)
+    scale = np.ones(6, np.float32)
+    y, inv = run_graph(
+        [P.make_node("LayerNormalization", ["x", "scale"], ["y", "", "inv"])],
+        {"x": x},
+        {"scale": scale},
+        outputs=["y", "inv"],
+    )
+    expected_inv = 1.0 / np.sqrt(x.var(axis=-1, keepdims=True) + 1e-5)
+    np.testing.assert_allclose(inv, expected_inv, rtol=1e-4)
+    np.testing.assert_allclose(
+        y, (x - x.mean(-1, keepdims=True)) * expected_inv, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_negative_timeout_times_out_immediately():
+    # A computed remaining-budget gone negative must time out, not
+    # silently disable the deadline.
+    from birdnet_tpu.errors import InferenceTimeoutError
+    from birdnet_tpu.inference_options import InferenceOptions
+
+    opts = InferenceOptions.with_timeout(-0.01)
+    assert opts.needs_monitor()
+    import jax.numpy as jnp
+
+    from birdnet_tpu.compiler.engine import _wait
+
+    with pytest.raises(InferenceTimeoutError):
+        _wait([jnp.zeros(4)], opts)
+
+
+def test_quantized_graph_proto_is_self_contained(rng):
+    # Every tensor a node references must exist in graph.initializer (or
+    # be a graph input / another node's output) after quantization.
+    from birdnet_tpu.compiler.quantize import quantize_model
+
+    x_vi = P.make_value_info("x", P.DataType.FLOAT, [1, 8])
+    w = rng.normal(size=(8, 8)).astype(np.float32)
+    graph = P.GraphProto(
+        name="q",
+        node=[
+            P.make_node("MatMul", ["x", "w"], ["m"]),
+            P.make_node("Relu", ["m"], ["y"]),
+        ],
+        initializer=[P.TensorProto.from_numpy(w, name="w")],
+        input=[x_vi],
+        output=[P.make_value_info("y", P.DataType.FLOAT, [1, 8])],
+    )
+    model = import_onnx(P.make_model(graph, opset_version=17))
+    calib = [rng.normal(size=(1, 8)).astype(np.float32) for _ in range(4)]
+    qm = quantize_model(model, calib, quantize_first_layer=True)
+    available = {t.name for t in qm.graph.initializer}
+    available.update(i.name for i in qm.graph.input)
+    for node in qm.graph.node:
+        for o in node.output:
+            available.add(o)
+    for node in qm.graph.node:
+        for i in node.input:
+            assert not i or i in available, (node.op_type, i)
+
+
 def test_maxpool_indices_column_major_clear_error():
     x = np.zeros((1, 1, 4, 4), dtype=np.float32)
     with pytest.raises(Exception, match="storage_order"):

@@ -103,9 +103,10 @@ def test_unmonitored_dispatch_bounds_in_flight(clf, monkeypatch):
     samples = _audio(40.0)  # 14 segments → 4 chunks of 4
     stream = clf.analyze_samples(samples)  # no options → unmonitored
     assert len(stream) == 14
-    # 3 dispatch-time waits (chunks 2-4 each wait on the second-oldest)
-    # + 4 collection waits.
-    assert len(dispatch_waits) == 7
+    # 3 dispatch-time waits (chunks 2-4 each wait on the second-oldest,
+    # which is then drained to host — no re-wait at collection) + 1
+    # collection wait for the final chunk.
+    assert len(dispatch_waits) == 4
     eng._compiled.clear()
 
 
