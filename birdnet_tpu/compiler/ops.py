@@ -1129,6 +1129,18 @@ def _pad(ctx, x, pads=None, constant_value=None, axes=None):
         if a < 0:
             a += x.ndim
         width[a] = (pads_l[i], pads_l[i + n])
+    if any(lo < 0 or hi < 0 for lo, hi in width):
+        # Negative pad values CROP the corresponding edge (ONNX permits
+        # mixing: crop one edge, pad the other).
+        slices = tuple(
+            slice(
+                -lo if lo < 0 else 0,
+                x.shape[d] + hi if hi < 0 else None,
+            )
+            for d, (lo, hi) in enumerate(width)
+        )
+        x = x[slices]
+        width = [(max(lo, 0), max(hi, 0)) for lo, hi in width]
     if mode == "constant":
         cv = 0
         if constant_value is not None:

@@ -435,6 +435,27 @@ def test_gather_nd_batch_dims_k2(rng):
     np.testing.assert_allclose(y, expected)
 
 
+def test_pad_negative_values_crop(rng):
+    # ONNX Pad permits negative values: they crop the edge. Mixed
+    # pad-one-edge / crop-the-other must work too.
+    x = rng.normal(size=(2, 3, 6)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Pad", ["x", "pads"], ["y"])],
+        {"x": x},
+        {"pads": np.array([0, 0, -1, 0, 0, 2], dtype=np.int64)},
+    )
+    expected = np.pad(x[:, :, 1:], [(0, 0), (0, 0), (0, 2)])
+    np.testing.assert_array_equal(y, expected)
+    # crop both ends of one axis under reflect mode on another
+    (y2,) = run_graph(
+        [P.make_node("Pad", ["x", "pads"], ["y"], mode="reflect")],
+        {"x": x},
+        {"pads": np.array([0, 1, -1, 0, 1, -2], dtype=np.int64)},
+    )
+    expected2 = np.pad(x[:, :, 1:-2], [(0, 0), (1, 1), (0, 0)], mode="reflect")
+    np.testing.assert_array_equal(y2, expected2)
+
+
 def test_non_trailing_empty_output_binds_later_names(rng):
     # ONNX outputs are positional; an empty middle name means "omitted"
     # but LATER positions still bind (LayerNorm Y, <omitted Mean>,
