@@ -107,6 +107,13 @@ class SpeciesListError(InferenceError):
     handlers keep working; a distinct type so callers dispatch on it
     instead of matching message substrings."""
 
+    def __init__(self, reason: str):
+        self.reason = reason
+        # Bypass InferenceError's "inference failed:" prefix: this is a
+        # build-time validation failure, and that message would point a
+        # log reader at the wrong phase.
+        BirdnetError.__init__(self, reason)
+
 
 class InvalidCoordinatesError(BirdnetError):
     """Invalid geographic coordinates (src/error.rs:73-81)."""

@@ -26,6 +26,10 @@ def is_device_available(platform: str) -> bool:
         "axon": (DeviceBackend.AXON,),
         "cpu": (DeviceBackend.CPU,),
         "gpu": (DeviceBackend.GPU,),
+        # GPU spellings — the selection path (runtime._PLATFORM_ALIASES)
+        # accepts these, so the availability probe must agree.
+        "cuda": (DeviceBackend.GPU,),
+        "rocm": (DeviceBackend.GPU,),
     }.get(p)
     if wanted is None:
         return False

@@ -28,12 +28,31 @@ _DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/birdnet_tpu/xla")
 
 _ACCEL_PLATFORMS = ("tpu", "axon", "gpu", "cuda", "rocm")
 
+# Requested name → acceptable JAX platform names, in preference order.
+_PLATFORM_ALIASES = {
+    "tpu": ("tpu", "axon"),
+    "axon": ("axon", "tpu"),
+    "gpu": ("gpu", "cuda", "rocm"),
+    "cuda": ("cuda", "gpu"),
+    "rocm": ("rocm", "gpu"),
+}
+
 
 def init_runtime(compilation_cache_dir: Optional[str] = None) -> None:
     """Initialize JAX + the persistent compilation cache. Idempotent."""
     global _initialized
     with _init_lock:
         if _initialized:
+            if compilation_cache_dir:
+                # An explicitly requested cache dir must not be silently
+                # discarded just because something touched the runtime
+                # earlier; the cache dir is updatable post-init.
+                import jax
+
+                os.makedirs(compilation_cache_dir, exist_ok=True)
+                jax.config.update(
+                    "jax_compilation_cache_dir", compilation_cache_dir
+                )
             return
         try:
             import jax
@@ -46,7 +65,8 @@ def init_runtime(compilation_cache_dir: Optional[str] = None) -> None:
             if cache_dir:
                 os.makedirs(cache_dir, exist_ok=True)
                 jax.config.update("jax_compilation_cache_dir", cache_dir)
-                # Cache every compile, even fast ones — model shapes recur.
+                # Persist every compile over 0.1 s — model shapes recur;
+                # sub-0.1 s compiles aren't worth the cache-entry churn.
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
             try:
                 jax.devices()  # force backend init; raises if nothing usable
@@ -95,7 +115,10 @@ def available_devices() -> List[DeviceInfo]:
     init_runtime()
     infos: List[DeviceInfo] = []
     try:
-        devs = jax.devices()
+        # Local devices only: under jax.distributed the global list shows
+        # other hosts' chips, which this process cannot execute on —
+        # default_device restricts to local for the same reason.
+        devs = jax.local_devices()
     except RuntimeError:
         devs = []
     for d in devs:
@@ -139,23 +162,32 @@ def default_device(prefer: Optional[str] = None, device_id: int = 0):
         return matches[device_id]
 
     if prefer:
-        matches = [d for d in local if d.platform.lower() == prefer.lower()]
+        # Platform aliases: 'tpu' must find the axon-tunneled chip, and
+        # cuda/rocm are GPU spellings (mirrors execution_providers.py).
+        aliases = _PLATFORM_ALIASES.get(prefer.lower(), (prefer.lower(),))
+        matches = [d for d in local if d.platform.lower() in aliases]
         if matches:
             return _pick(matches, prefer)
-        try:
-            matches = [
-                d
-                for d in jax.devices(prefer)
-                if d.process_index == jax.process_index()
-            ]
-            if matches:
-                return _pick(matches, prefer)
+        last_err = None
+        for name in aliases:
+            try:
+                matches = [
+                    d
+                    for d in jax.devices(name)
+                    if d.process_index == jax.process_index()
+                ]
+                if matches:
+                    return _pick(matches, prefer)
+            except RuntimeError as e:
+                last_err = e
+        if last_err is not None:
             raise RuntimeInitError(
-                f"no process-local {prefer!r} devices available"
-            )
-        except RuntimeError as e:
-            raise RuntimeInitError(f"no {prefer!r} devices available: {e}") from e
-    for d in local:
-        if d.platform.lower() in _ACCEL_PLATFORMS:
-            return d
-    return local[0]
+                f"no {prefer!r} devices available: {last_err}"
+            ) from last_err
+        raise RuntimeInitError(f"no process-local {prefer!r} devices available")
+    accels = [d for d in local if d.platform.lower() in _ACCEL_PLATFORMS]
+    if accels:
+        # Honor device_id on auto-selection too (TPUConfig.device_id with
+        # no explicit platform request must not silently run on chip 0).
+        return _pick(accels, "accelerator")
+    return _pick(local, "local")

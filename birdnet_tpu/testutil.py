@@ -78,20 +78,27 @@ def mock_prediction_result(
 def random_logits(n: int, seed: int = 12345) -> np.ndarray:
     """Deterministic LCG-style pseudo-random logits in [-5, 5)
     (testutil.rs:110-121 uses the same trick for cross-run stability)."""
-    state = np.uint64(seed)
+    # Python ints masked to 64 bits: numpy uint64 scalar arithmetic emits
+    # RuntimeWarning('overflow') on (intended) wraparound, which breaks
+    # downstream suites running with warnings-as-errors.
+    mask = (1 << 64) - 1
+    state = int(seed) & mask
     out = np.empty(n, dtype=np.float32)
-    a = np.uint64(6364136223846793005)
-    c = np.uint64(1442695040888963407)
+    a, c = 6364136223846793005, 1442695040888963407
     for i in range(n):
-        state = a * state + c
-        out[i] = (float(state >> np.uint64(33)) / float(1 << 31)) * 10.0 - 5.0
+        state = (a * state + c) & mask
+        out[i] = (float(state >> 33) / float(1 << 31)) * 10.0 - 5.0
     return out
 
 
 def mock_logits_with_top_k(n: int, top_indices: Sequence[int]) -> np.ndarray:
     """Logits where ``top_indices`` are the strictly-descending winners
     (testutil.rs:125-133)."""
-    logits = np.full(n, -10.0, dtype=np.float32)
+    # Background sits strictly below the LAST winner regardless of how
+    # many winners there are (10.0 - rank with a fixed -10.0 fill broke
+    # the contract past 20 indices).
+    fill = min(-10.0, 10.0 - len(top_indices) - 1.0)
+    logits = np.full(n, fill, dtype=np.float32)
     for rank, idx in enumerate(top_indices):
         logits[idx] = 10.0 - rank
     return logits

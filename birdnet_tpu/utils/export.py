@@ -57,6 +57,11 @@ class RavenWriter:
             min(15_000.0 if max_freq is None else max_freq, sample_rate / 2)
         )
         self._rows: List[str] = []
+        # Combined-table stream positions: in a multi-file Raven table,
+        # Begin/End Time are CUMULATIVE across the preceding files'
+        # durations; only 'File Offset (s)' is within-file.
+        self._file_starts: dict = {}
+        self._next_start = 0.0
 
     def add(
         self,
@@ -65,12 +70,16 @@ class RavenWriter:
         predictions: List[Prediction],
         duration_secs: float,
     ) -> None:
+        if audio_path not in self._file_starts:
+            self._file_starts[audio_path] = self._next_start
+            self._next_start += float(duration_secs)
+        base = self._file_starts[audio_path]
         end = min(offset + self._segment_duration, duration_secs)
         for p in predictions:
             sci, common = split_label(p.species)
             n = len(self._rows) + 1
             self._rows.append(
-                f"{n}\tSpectrogram 1\t1\t{offset:.3f}\t{end:.3f}\t"
+                f"{n}\tSpectrogram 1\t1\t{base + offset:.3f}\t{base + end:.3f}\t"
                 f"{self._low_freq}\t{self._high_freq}\t{common}\t{sci}\t"
                 f"{p.confidence:.4f}\t{audio_path}\t{offset:.3f}"
             )

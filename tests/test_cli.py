@@ -237,6 +237,27 @@ def test_cli_raven_export(cli_fixtures, tmp_path, capsys):
     assert float(lines[-1].split("\t")[4]) == 7.0
 
 
+def test_raven_multifile_cumulative_times(tmp_path):
+    """Combined Raven tables use CUMULATIVE Begin/End Times across files;
+    File Offset stays within-file."""
+    from birdnet_tpu.types import Prediction
+    from birdnet_tpu.utils.export import RavenWriter
+
+    w = RavenWriter(tmp_path / "sel.txt", 48_000, 3.0)
+    pred = [Prediction(species="Sci_Com", confidence=0.9, index=0)]
+    w.add("a.wav", 0.0, pred, 9.0)
+    w.add("a.wav", 3.0, pred, 9.0)
+    w.add("b.wav", 0.0, pred, 6.0)  # second file: stream position 9.0
+    w.add("b.wav", 3.0, pred, 6.0)
+    w.write()
+    rows = [l.split("\t") for l in (tmp_path / "sel.txt").read_text().splitlines()[1:]]
+    begins = [float(r[3]) for r in rows]
+    offsets = [float(r[11]) for r in rows]
+    assert begins == [0.0, 3.0, 9.0, 12.0]
+    assert offsets == [0.0, 3.0, 0.0, 3.0]
+    assert [r[10] for r in rows] == ["a.wav", "a.wav", "b.wav", "b.wav"]
+
+
 def test_cli_audacity_export(cli_fixtures, tmp_path, capsys):
     wav, model, labels = cli_fixtures
     out_path = tmp_path / "labels.txt"

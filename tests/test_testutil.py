@@ -62,3 +62,24 @@ def test_mock_embeddings():
     e = mock_embeddings(64)
     assert e.shape == (64,)
     np.testing.assert_array_equal(e, mock_embeddings(64))
+
+
+def test_random_logits_no_overflow_warnings():
+    import warnings
+
+    from birdnet_tpu.testutil import random_logits
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # downstream suites use -W error
+        v = random_logits(100)
+    assert v.shape == (100,)
+    assert np.isfinite(v).all()
+
+
+def test_mock_logits_top_k_contract_beyond_20():
+    from birdnet_tpu.testutil import mock_logits_with_top_k
+
+    idx = list(range(25))
+    logits = mock_logits_with_top_k(100, idx)
+    order = np.argsort(logits)[::-1][:25]
+    assert list(order) == idx  # strictly-descending winners, all 25
