@@ -252,17 +252,10 @@ class ClassifierBuilder:
             else 0
         )
         device = None
-        if requested and requested != "cpu":
-            # "tpu" resolves to the axon platform when tunneled.
-            try:
-                device = default_device(requested, device_id=did)
-            except Exception:
-                if requested == "tpu":
-                    device = default_device("axon", device_id=did)
-                else:
-                    raise
-        elif requested == "cpu":
-            device = default_device("cpu", device_id=did)
+        if requested:
+            # Platform aliasing ("tpu" resolves to the axon platform when
+            # tunneled, cuda/rocm to gpu) lives in default_device.
+            device = default_device(requested, device_id=did)
 
         precision = self._precision
         if precision is None and self._device_config is not None:

@@ -1431,20 +1431,9 @@ def _upsample(ctx, x, scales=None):
         # Asymmetric mapping uses the ORIGINAL scale (x_src = x_out / s),
         # not the d_in/d_out ratio — for fractional scales where d_in*s is
         # non-integer the two pick different source indices (ORT legacy
-        # semantics use x/scale).
-        src = np.arange(d_out) / s if d_out else np.zeros(0)
-        lo = np.clip(np.floor(src).astype(np.int64), 0, d_in - 1)
-        if not linear:
-            x = jnp.take(x, jnp.asarray(lo), axis=axis)
-            continue
-        hi = np.minimum(lo + 1, d_in - 1)
-        frac = (src - lo).astype(np.float32)
-        shape = [1] * x.ndim
-        shape[axis] = d_out
-        w = jnp.asarray(frac).reshape(shape).astype(x.dtype)
-        xl = jnp.take(x, jnp.asarray(lo), axis=axis)
-        xh = jnp.take(x, jnp.asarray(hi), axis=axis)
-        x = xl + (xh - xl) * w
+        # semantics use x/scale). Shares the Resize per-axis machinery.
+        src = _resize_src_coords(d_in, d_out, float(s), "asymmetric")
+        x = _resize_axis(x, axis, src, linear, "floor")
     return [x]
 
 

@@ -146,7 +146,8 @@ def default_device(prefer: Optional[str] = None, device_id: int = 0):
     arrays; see parallel/multihost.py).
 
     ``device_id`` selects the chip ordinal among the matching local devices
-    (reference: cuda_config.rs:179-182) — only meaningful with ``prefer``.
+    (reference: cuda_config.rs:179-182); with no ``prefer`` it indexes the
+    local accelerators (or CPU devices when none exist).
     """
     import jax
 
