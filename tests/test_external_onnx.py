@@ -187,6 +187,74 @@ def test_convtranspose_decoder():
     assert_parity(m, (torch.randn(1, 8, 5, 5),))
 
 
+def test_resnet_style_network():
+    # Full residual CNN through a real exporter: stem conv + BN + maxpool,
+    # two residual blocks (one with a downsampling projection), global
+    # pool, fc — exercises BN folding at scale plus skip connections.
+    class Block(nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.c1 = nn.Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False)
+            self.b1 = nn.BatchNorm2d(cout)
+            self.c2 = nn.Conv2d(cout, cout, 3, padding=1, bias=False)
+            self.b2 = nn.BatchNorm2d(cout)
+            self.proj = (
+                nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                    nn.BatchNorm2d(cout),
+                )
+                if stride != 1 or cin != cout
+                else nn.Identity()
+            )
+
+        def forward(self, x):
+            y = F.relu(self.b1(self.c1(x)))
+            y = self.b2(self.c2(y))
+            return F.relu(y + self.proj(x))
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Conv2d(3, 16, 7, stride=2, padding=3, bias=False)
+            self.bn = nn.BatchNorm2d(16)
+            self.b1 = Block(16, 16)
+            self.b2 = Block(16, 32, stride=2)
+            self.fc = nn.Linear(32, 11)
+
+        def forward(self, x):
+            x = F.max_pool2d(F.relu(self.bn(self.stem(x))), 3, 2, 1)
+            x = self.b2(self.b1(x))
+            x = x.mean(dim=(2, 3))
+            return self.fc(x)
+
+    net = Net()
+    net.eval()
+    with torch.no_grad():  # populate BN running stats away from init
+        net.bn.running_mean.normal_(0, 0.5)
+        net.bn.running_var.uniform_(0.5, 2.0)
+    assert_parity(net, (torch.randn(2, 3, 64, 64),), atol=5e-4)
+
+
+def test_dilated_causal_tcn():
+    # Audio-style temporal conv net: exponentially dilated causal 1-D
+    # convs with residuals — the WaveNet/TCN export shape.
+    class TCN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layers = nn.ModuleList(
+                [nn.Conv1d(8, 8, 3, dilation=2**i, padding=2 * 2**i) for i in range(4)]
+            )
+            self.head = nn.Conv1d(8, 4, 1)
+
+        def forward(self, x):
+            for c in self.layers:
+                y = torch.tanh(c(x))[:, :, : x.shape[2]]  # causal trim
+                x = x + y
+            return self.head(x)
+
+    assert_parity(TCN(), (torch.randn(1, 8, 200),))
+
+
 def test_grouped_convtranspose_decoder():
     m = nn.Sequential(
         nn.Conv2d(2, 4, 3, padding=1), nn.ReLU(),
