@@ -153,6 +153,31 @@ def test_embed_samples_v30(tmp_path):
         np.testing.assert_allclose(emb[0], ref, rtol=5e-2, atol=5e-3)
 
 
+def test_embed_samples_multichunk_drain(tmp_path, monkeypatch):
+    """Embeddings across MULTIPLE superchunks: the dispatch loop drains
+    each waited chunk's outputs (incl. [tiles, E] embeddings) to host —
+    the concatenated result must match the single-chunk answer."""
+    import birdnet_tpu.compiler.stream as stream_mod
+    from birdnet_tpu.models import birdnet_v30
+
+    p = tmp_path / "v30.onnx"
+    birdnet_v30.save_tiny(p, num_species=10, embedding_dim=16)
+    clf = Classifier.builder().model_path(p).labels(LABELS).build()
+    audio = np.linspace(-0.4, 0.4, 160_000 * 6, dtype=np.float32)
+    ref_emb, ref_times = clf.embed_samples(audio)  # one chunk
+
+    eng = clf._streaming_engine()
+    monkeypatch.setattr(stream_mod, "MAX_TILES", 2)
+    monkeypatch.setattr(stream_mod, "_TILE_BUCKETS", (1, 2))
+    eng.tile = 2
+    eng._compiled.clear()
+    emb, times = clf.embed_samples(audio)  # 3 chunks of 2 segments
+    eng._compiled.clear()
+    assert emb.shape == ref_emb.shape == (6, 16)
+    np.testing.assert_array_equal(times, ref_times)
+    np.testing.assert_allclose(emb, ref_emb, rtol=5e-2, atol=5e-3)
+
+
 def test_embed_samples_v24_rejected(clf):
     with pytest.raises(E.InferenceError) as ei:
         clf.embed_samples(np.zeros(144_000, np.float32))
