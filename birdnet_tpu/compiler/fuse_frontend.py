@@ -26,7 +26,6 @@ the native equivalent.
 
 from __future__ import annotations
 
-from collections import Counter
 from typing import Dict, List
 
 import numpy as np
