@@ -2700,3 +2700,300 @@ def _space_to_depth(ctx, x):
     y = x.reshape(n, c, h // bs, bs, w // bs, bs)
     y = y.transpose(0, 3, 5, 1, 2, 4)
     return [y.reshape(n, c * bs * bs, h // bs, w // bs)]
+
+
+# ---------------------------------------------------------------------------
+# bitwise / sequence / norm extensions
+# ---------------------------------------------------------------------------
+
+op("BitwiseNot")(_unary(jnp.bitwise_not))
+op("BitwiseXor")(_binary(jnp.bitwise_xor))
+
+
+@op("BitShift")
+def _bitshift(ctx, x, y):
+    direction = ctx.attr("direction")
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if direction == "LEFT":
+        return [jnp.left_shift(x, y)]
+    if direction == "RIGHT":
+        return [jnp.right_shift(x, y)]
+    raise ValueError(f"BitShift direction must be LEFT or RIGHT, got {direction!r}")
+
+
+@op("Hardmax")
+def _hardmax(ctx, x):
+    # One-hot of the FIRST maximum along the axis (argmax tie rule).
+    x = jnp.asarray(x)
+    if ctx.opset >= 13:
+        axis = int(ctx.attr("axis", -1))
+        if axis < 0:
+            axis += x.ndim
+        idx = jnp.argmax(x, axis=axis)
+        return [jax.nn.one_hot(idx, x.shape[axis], axis=axis, dtype=x.dtype)]
+    # opset < 13: coerce to 2D from axis (like legacy Softmax), one-hot over
+    # the flattened tail, reshape back.
+    axis = int(ctx.attr("axis", 1))
+    if axis < 0:
+        axis += x.ndim
+    shape = x.shape
+    lead = int(np.prod(shape[:axis])) if axis > 0 else 1
+    flat = x.reshape(lead, -1)
+    idx = jnp.argmax(flat, axis=1)
+    return [jax.nn.one_hot(idx, flat.shape[1], dtype=x.dtype).reshape(shape)]
+
+
+@op("LpNormalization")
+def _lp_normalization(ctx, x):
+    x = jnp.asarray(x)
+    axis = int(ctx.attr("axis", -1))
+    p = int(ctx.attr("p", 2))
+    if p == 1:
+        norm = jnp.sum(jnp.abs(x), axis=axis, keepdims=True)
+    elif p == 2:
+        norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    else:
+        raise NotImplementedError("LpNormalization requires p in {1, 2}")
+    return [x / norm]
+
+
+@op("LpPool")
+def _lppool(ctx, x):
+    x = jnp.asarray(x)
+    window, strides, dil, pads = _pool_common(ctx, x)
+    p = int(ctx.attr("p", 2))
+    xp = x * x if p == 2 else jnp.power(jnp.abs(x), float(p))
+    s = lax.reduce_window(
+        xp, jnp.asarray(0, x.dtype), lax.add, window, strides, pads,
+        window_dilation=dil,
+    )
+    return [jnp.sqrt(s) if p == 2 else jnp.power(s, 1.0 / p)]
+
+
+@op("GlobalLpPool")
+def _global_lppool(ctx, x):
+    x = jnp.asarray(x)
+    p = int(ctx.attr("p", 2))
+    axes = tuple(range(2, x.ndim))
+    xp = x * x if p == 2 else jnp.power(jnp.abs(x), float(p))
+    s = jnp.sum(xp, axis=axes, keepdims=True)
+    return [jnp.sqrt(s) if p == 2 else jnp.power(s, 1.0 / p)]
+
+
+@op("ReverseSequence")
+def _reverse_sequence(ctx, x, seq_lens):
+    # Reverse the first seq_lens[b] elements along time_axis for each batch
+    # row; elements past the length pass through unchanged. sequence_lens is
+    # runtime data, so indices are computed with traced jnp ops.
+    x = jnp.asarray(x)
+    batch_axis = int(ctx.attr("batch_axis", 1))
+    time_axis = int(ctx.attr("time_axis", 0))
+    lens = jnp.asarray(seq_lens).astype(jnp.int32)
+    t = jnp.arange(x.shape[time_axis], dtype=jnp.int32)
+    src = jnp.where(
+        t[None, :] < lens[:, None], lens[:, None] - 1 - t[None, :], t[None, :]
+    )  # [batch, time]
+    xb = jnp.moveaxis(x, (batch_axis, time_axis), (0, 1))
+    idx = src.reshape(src.shape + (1,) * (xb.ndim - 2))
+    yb = jnp.take_along_axis(xb, idx, axis=1)
+    return [jnp.moveaxis(yb, (0, 1), (batch_axis, time_axis))]
+
+
+@op("DFT")
+def _dft(ctx, x, dft_length=None, axis=None):
+    """ONNX DFT (opset 17 attribute-axis form and opset 20 input-axis form).
+
+    Input: [batch, d1, ..., dn, c] with c=1 (real) or c=2 (real/imag).
+    Output: same rank, last dim 2. ``onesided`` halves the transformed axis
+    to ``n//2 + 1`` (real input only, forward only).
+    """
+    x = jnp.asarray(x)
+    inverse = int(ctx.attr("inverse", 0))
+    onesided = int(ctx.attr("onesided", 0))
+    if axis is not None:
+        ax = _static_int(axis, "DFT axis")
+    elif ctx.opset >= 20:
+        ax = -2
+    else:
+        ax = int(ctx.attr("axis", 1))
+    if ax < 0:
+        ax += x.ndim
+    if ax == x.ndim - 1:
+        raise ValueError("DFT axis cannot be the component (last) dimension")
+    comp = x.shape[-1]
+    if comp not in (1, 2):
+        raise ValueError(f"DFT input last dim must be 1 or 2, got {comp}")
+    n = (
+        _static_int(dft_length, "DFT dft_length")
+        if dft_length is not None
+        else x.shape[ax]
+    )
+    out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    if onesided:
+        if inverse:
+            raise ValueError("DFT onesided=1 with inverse=1 is invalid")
+        if comp == 2:
+            raise NotImplementedError("DFT onesided=1 requires real input")
+        spec = jnp.fft.rfft(x[..., 0].astype(jnp.float32), n=n, axis=ax)
+    else:
+        sig = (
+            x[..., 0].astype(jnp.float32)
+            if comp == 1
+            else lax.complex(x[..., 0].astype(jnp.float32), x[..., 1].astype(jnp.float32))
+        )
+        fft = jnp.fft.ifft if inverse else jnp.fft.fft
+        spec = fft(sig, n=n, axis=ax)
+    return [jnp.stack([spec.real, spec.imag], axis=-1).astype(out_dtype)]
+
+
+# ---------------------------------------------------------------------------
+# attention family (opset 23)
+# ---------------------------------------------------------------------------
+
+
+@op("Attention")
+def _attention(ctx, q, k, v, attn_mask=None, past_key=None, past_value=None):
+    """ONNX Attention (opset 23): scaled dot-product attention with optional
+    mask, causality, GQA, KV cache, and softcap.
+
+    Q/K/V are 4D [B, heads, seq, head] or 3D [B, seq, heads*head] (the 3D
+    form requires the q_num_heads/kv_num_heads attributes). Computation
+    order per the ONNX reference: QK*scale → (+ causal/mask bias) →
+    softcap → softmax; qk_matmul_output_mode 0-3 taps the chain after each
+    step. present_key/present_value are the post-cache-concat K/V (before
+    any GQA head repetition).
+    """
+    q = jnp.asarray(q)
+    k = jnp.asarray(k)
+    v = jnp.asarray(v)
+    three_d = q.ndim == 3
+    if three_d:
+        qh = ctx.attr("q_num_heads")
+        kvh = ctx.attr("kv_num_heads")
+        if qh is None or kvh is None:
+            raise ValueError(
+                "Attention with 3D inputs requires q_num_heads/kv_num_heads"
+            )
+        qh, kvh = int(qh), int(kvh)
+        b, qs = q.shape[0], q.shape[1]
+        q = q.reshape(b, qs, qh, q.shape[2] // qh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, k.shape[1], kvh, k.shape[2] // kvh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, v.shape[1], kvh, v.shape[2] // kvh).transpose(0, 2, 1, 3)
+    if past_key is not None:
+        k = jnp.concatenate([jnp.asarray(past_key).astype(k.dtype), k], axis=2)
+    if past_value is not None:
+        v = jnp.concatenate([jnp.asarray(past_value).astype(v.dtype), v], axis=2)
+    present_k, present_v = k, v
+    n_q_heads, n_kv_heads = q.shape[1], k.shape[1]
+    if n_q_heads != n_kv_heads:
+        if n_q_heads % n_kv_heads:
+            raise ValueError(
+                f"Attention GQA requires q heads ({n_q_heads}) to be a "
+                f"multiple of kv heads ({n_kv_heads})"
+            )
+        rep = n_q_heads // n_kv_heads
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    scale = ctx.attr("scale")
+    scale = float(scale) if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    softcap = float(ctx.attr("softcap", 0.0))
+    qk_mode = int(ctx.attr("qk_matmul_output_mode", 0))
+
+    orig = q.dtype
+    q2, k2 = _mxu_operands(ctx, q, k)
+    scores = (
+        jnp.matmul(q2, jnp.swapaxes(k2, -1, -2), preferred_element_type=_acc_dtype(ctx))
+        * scale
+    )
+    qk_out = scores
+    bias = None
+    if int(ctx.attr("is_causal", 0)):
+        # Upper-left alignment: query row i may attend key columns j <= i.
+        qs, ts = q.shape[2], k.shape[2]
+        tri = np.tril(np.ones((qs, ts), dtype=bool))
+        bias = jnp.where(tri, 0.0, -jnp.inf).astype(scores.dtype)
+    if attn_mask is not None:
+        m = jnp.asarray(attn_mask)
+        m = (
+            jnp.where(m, 0.0, -jnp.inf).astype(scores.dtype)
+            if m.dtype == jnp.bool_
+            else m.astype(scores.dtype)
+        )
+        bias = m if bias is None else bias + m
+    if bias is not None:
+        scores = scores + bias
+        if qk_mode == 1:
+            qk_out = scores
+    if softcap > 0.0:
+        scores = softcap * jnp.tanh(scores / softcap)
+        if qk_mode == 2:
+            qk_out = scores
+    sp = ctx.attr("softmax_precision")
+    sm_dtype = _ONNX_TO_NP[int(sp)] if sp is not None else np.float32
+    probs = jax.nn.softmax(scores.astype(sm_dtype), axis=-1)
+    if qk_mode == 3:
+        qk_out = probs
+    p2, v2 = _mxu_operands(ctx, probs.astype(orig), v)
+    y = jnp.matmul(p2, v2, preferred_element_type=_acc_dtype(ctx))
+    y = _out_cast(ctx, y, orig)
+    if three_d:
+        b, h, s, d = y.shape
+        y = y.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    outs = [y]
+    if ctx.num_outputs > 1:
+        outs.append(present_k)
+    if ctx.num_outputs > 2:
+        outs.append(present_v)
+    if ctx.num_outputs > 3:
+        outs.append(_out_cast(ctx, qk_out, orig))
+    return outs
+
+
+@op("RotaryEmbedding")
+def _rotary_embedding(ctx, x, cos_cache, sin_cache, position_ids=None):
+    """ONNX RotaryEmbedding (opset 23).
+
+    X: [B, heads, seq, head] (4D) or [B, seq, hidden] (3D, needs the
+    num_heads attribute). Caches are [max_pos, rotary_dim/2] when
+    position_ids is given, else [B, seq, rotary_dim/2]. The first
+    rotary_dim components of each head are rotated; the tail passes
+    through.
+    """
+    x = jnp.asarray(x)
+    three_d = x.ndim == 3
+    if three_d:
+        nh = ctx.attr("num_heads")
+        if nh is None:
+            raise ValueError("RotaryEmbedding with 3D input requires num_heads")
+        nh = int(nh)
+        b, s, hidden = x.shape
+        x = x.reshape(b, s, nh, hidden // nh).transpose(0, 2, 1, 3)
+    cos = jnp.asarray(cos_cache)
+    sin = jnp.asarray(sin_cache)
+    if position_ids is not None:
+        pos = jnp.asarray(position_ids)  # [B, S]
+        cos = cos[pos]  # [B, S, rd/2]
+        sin = sin[pos]
+    # → broadcast over heads: [B, 1, S, rd/2]
+    cos = cos[:, None, :, :].astype(x.dtype)
+    sin = sin[:, None, :, :].astype(x.dtype)
+    head = x.shape[-1]
+    rd = int(ctx.attr("rotary_embedding_dim", 0)) or 2 * cos.shape[-1]
+    rot, tail = x[..., :rd], x[..., rd:]
+    if int(ctx.attr("interleaved", 0)):
+        x1, x2 = rot[..., 0::2], rot[..., 1::2]
+    else:
+        x1, x2 = rot[..., : rd // 2], rot[..., rd // 2:]
+    r1 = x1 * cos - x2 * sin
+    r2 = x1 * sin + x2 * cos
+    if int(ctx.attr("interleaved", 0)):
+        rot_out = jnp.stack([r1, r2], axis=-1).reshape(rot.shape)
+    else:
+        rot_out = jnp.concatenate([r1, r2], axis=-1)
+    y = jnp.concatenate([rot_out, tail], axis=-1) if rd < head else rot_out
+    if three_d:
+        b, h, s, d = y.shape
+        y = y.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    return [y]
