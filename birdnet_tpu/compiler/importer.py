@@ -116,6 +116,16 @@ def import_onnx(
     if model.graph is None:
         raise ModelLoadError("model has no graph")
     graph = model.graph
+    if model.functions:
+        from .functions import inline_functions
+
+        try:
+            inline_functions(graph, model.functions)
+        except ModelLoadError:
+            raise
+        except Exception as e:  # noqa: BLE001 - malformed function defs in
+            # untrusted bytes surface as load errors, not internal crashes
+            raise ModelLoadError(f"function inlining failed: {e}") from e
     opset = 17
     for imp in model.opset_import:
         if imp.domain in ("", "ai.onnx"):

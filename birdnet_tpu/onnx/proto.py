@@ -285,6 +285,10 @@ class AttrType:
 @dataclass
 class AttributeProto:
     name: str = ""
+    # Function-body attribute reference: when set, this attribute takes the
+    # value of the call-site attribute named ref_attr_name (ONNX
+    # FunctionProto semantics); resolved during function inlining.
+    ref_attr_name: str = ""
     type: int = AttrType.UNDEFINED
     f: float = 0.0
     i: int = 0
@@ -395,6 +399,23 @@ class OperatorSetId:
 
 
 @dataclass
+class FunctionProto:
+    """Model-local function (ONNX IR ≥ 8): a named subgraph template whose
+    call sites are nodes with matching (domain, op_type); inlined at import
+    time (compiler/functions.py)."""
+
+    name: str = ""
+    domain: str = ""
+    overload: str = ""
+    input: List[str] = field(default_factory=list)
+    output: List[str] = field(default_factory=list)
+    attribute: List[str] = field(default_factory=list)
+    attribute_proto: List["AttributeProto"] = field(default_factory=list)
+    node: List["NodeProto"] = field(default_factory=list)
+    opset_import: List["OperatorSetId"] = field(default_factory=list)
+
+
+@dataclass
 class ModelProto:
     ir_version: int = 8
     producer_name: str = ""
@@ -403,6 +424,7 @@ class ModelProto:
     model_version: int = 0
     graph: Optional[GraphProto] = None
     opset_import: List[OperatorSetId] = field(default_factory=list)
+    functions: List[FunctionProto] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -542,7 +564,9 @@ def decode_attribute(buf: memoryview, pos: int, end: int) -> AttributeProto:
             a.graphs.append(decode_graph(b, p, e))
         elif fnum == 20:
             a.type, _ = _read_varint(buf, vpos)
-    if a.type == AttrType.UNDEFINED:
+        elif fnum == 21:
+            a.ref_attr_name = _get_str(buf, vpos)
+    if a.type == AttrType.UNDEFINED and not a.ref_attr_name:
         a.type = _infer_attr_type(a)
     return a
 
@@ -658,6 +682,43 @@ def decode_graph(buf: memoryview, pos: int, end: int) -> GraphProto:
     return g
 
 
+def _decode_opset(buf: memoryview, pos: int, end: int) -> OperatorSetId:
+    opset = OperatorSetId()
+    for fnum, wt, vpos in _iter_fields(buf, pos, end):
+        if fnum == 1:
+            opset.domain = _get_str(buf, vpos)
+        elif fnum == 2:
+            opset.version, _ = _read_varint(buf, vpos)
+    return opset
+
+
+def decode_function(buf: memoryview, pos: int, end: int) -> FunctionProto:
+    f = FunctionProto()
+    for fnum, wt, vpos in _iter_fields(buf, pos, end):
+        if fnum == 1:
+            f.name = _get_str(buf, vpos)
+        elif fnum == 4:
+            f.input.append(_get_str(buf, vpos))
+        elif fnum == 5:
+            f.output.append(_get_str(buf, vpos))
+        elif fnum == 6:
+            f.attribute.append(_get_str(buf, vpos))
+        elif fnum == 7:
+            b, p, e = _submsg(buf, vpos, end)
+            f.node.append(decode_node(b, p, e))
+        elif fnum == 9:
+            b, p, e = _submsg(buf, vpos, end)
+            f.opset_import.append(_decode_opset(b, p, e))
+        elif fnum == 10:
+            f.domain = _get_str(buf, vpos)
+        elif fnum == 11:
+            b, p, e = _submsg(buf, vpos, end)
+            f.attribute_proto.append(decode_attribute(b, p, e))
+        elif fnum == 13:
+            f.overload = _get_str(buf, vpos)
+    return f
+
+
 def decode_model(data: Union[bytes, bytearray, memoryview]) -> ModelProto:
     """Decode a serialized ONNX ModelProto."""
     buf = memoryview(bytes(data))
@@ -678,14 +739,11 @@ def decode_model(data: Union[bytes, bytearray, memoryview]) -> ModelProto:
             b, p, e = _submsg(buf, vpos, end)
             m.graph = decode_graph(b, p, e)
         elif fnum == 8:
-            opset = OperatorSetId()
             b, p, e = _submsg(buf, vpos, end)
-            for f2, w2, v2 in _iter_fields(b, p, e):
-                if f2 == 1:
-                    opset.domain = _get_str(b, v2)
-                elif f2 == 2:
-                    opset.version, _ = _read_varint(b, v2)
-            m.opset_import.append(opset)
+            m.opset_import.append(_decode_opset(b, p, e))
+        elif fnum == 25:
+            b, p, e = _submsg(buf, vpos, end)
+            m.functions.append(decode_function(b, p, e))
     return m
 
 
@@ -758,7 +816,10 @@ def encode_attribute(a: AttributeProto) -> bytes:
     elif a.type == AttrType.GRAPHS:
         for g in a.graphs:
             _write_len_field(out, 11, encode_graph(g))
-    _write_int_field(out, 20, a.type)
+    if a.type != AttrType.UNDEFINED:
+        _write_int_field(out, 20, a.type)
+    if a.ref_attr_name:
+        _write_string(out, 21, a.ref_attr_name)
     return bytes(out)
 
 
@@ -832,11 +893,40 @@ def encode_model(m: ModelProto) -> bytes:
     if m.graph is not None:
         _write_len_field(out, 7, encode_graph(m.graph))
     for opset in m.opset_import:
-        o = bytearray()
-        if opset.domain:
-            _write_string(o, 1, opset.domain)
-        _write_int_field(o, 2, opset.version)
-        _write_len_field(out, 8, bytes(o))
+        _write_len_field(out, 8, _encode_opset(opset))
+    for fn in m.functions:
+        _write_len_field(out, 25, encode_function(fn))
+    return bytes(out)
+
+
+def _encode_opset(opset: OperatorSetId) -> bytes:
+    o = bytearray()
+    if opset.domain:
+        _write_string(o, 1, opset.domain)
+    _write_int_field(o, 2, opset.version)
+    return bytes(o)
+
+
+def encode_function(f: FunctionProto) -> bytes:
+    out = bytearray()
+    if f.name:
+        _write_string(out, 1, f.name)
+    for s in f.input:
+        _write_string(out, 4, s)
+    for s in f.output:
+        _write_string(out, 5, s)
+    for s in f.attribute:
+        _write_string(out, 6, s)
+    for n in f.node:
+        _write_len_field(out, 7, encode_node(n))
+    for opset in f.opset_import:
+        _write_len_field(out, 9, _encode_opset(opset))
+    if f.domain:
+        _write_string(out, 10, f.domain)
+    for a in f.attribute_proto:
+        _write_len_field(out, 11, encode_attribute(a))
+    if f.overload:
+        _write_string(out, 13, f.overload)
     return bytes(out)
 
 
