@@ -211,7 +211,7 @@ def _validate_ops(model: ImportedModel) -> None:
 # constants ... pass them as inputs"). QLinearConv routes to the Pallas
 # qconv kernel on TPU.
 _NO_FOLD_OPS = frozenset(
-    {"If", "Loop", "Scan", "QLinearConv", "_FusedMBConv",
+    {"If", "Loop", "Scan", "SequenceMap", "QLinearConv", "_FusedMBConv",
      "_FusedStagePrefix", "_FusedFrontend", "_FusedStftFrontend"}
 )
 

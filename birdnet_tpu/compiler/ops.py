@@ -2997,3 +2997,9 @@ def _rotary_embedding(ctx, x, cos_cache, sin_cache, position_ids=None):
         b, h, s, d = y.shape
         y = y.transpose(0, 2, 1, 3).reshape(b, s, h * d)
     return [y]
+
+
+# Long-tail core-domain operators (sequences, optionals, random, spatial
+# sampling, losses, trace-time dynamic-shape ops) register themselves on
+# import; keep this at module tail so they can import helpers from here.
+from . import ops_extended  # noqa: E402,F401  (registration side effect)

@@ -257,7 +257,12 @@ class TensorProto:
 
     @staticmethod
     def from_numpy(arr: np.ndarray, name: str = "") -> "TensorProto":
-        arr = np.ascontiguousarray(arr)
+        # NB: np.ascontiguousarray promotes 0-d arrays to 1-d, which would
+        # silently corrupt scalar tensor shapes (Loop trip counts, scalar
+        # thresholds) — only invoke it on non-contiguous data.
+        arr = np.asarray(arr)
+        if not arr.flags.c_contiguous:
+            arr = np.ascontiguousarray(arr)
         if arr.dtype not in _NUMPY_TO_DTYPE:
             raise ValueError(f"unsupported numpy dtype {arr.dtype}")
         return TensorProto(

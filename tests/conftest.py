@@ -45,6 +45,7 @@ _CPU_ORACLE_MODULES = {
     "test_stage123",  # interpret-mode f32 oracle; on TPU BOTH sides run
     #                   f32-via-bf16 with different op orders (flaky ~4e-4)
     "test_external_onnx",  # fp32 parity ≤1e-4 vs torch-CPU
+    "test_ops_extended",  # fp32 torch-oracle tolerances (grid_sample etc.)
     "test_qdq_fusion",  # exact fused-vs-unfused equality (fusion groupings
     #                     compile differently under TPU bf16 passes)
     "test_fuse_stft_frontend",  # bit-identical fallback + f64 oracle, CPU

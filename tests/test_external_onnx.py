@@ -682,3 +682,52 @@ def test_tf2onnx_dynamic_batch_shape_chain():
     )
     (got,) = _run_graph(mp, x)
     np.testing.assert_allclose(got, x.reshape(3, 20), atol=0, rtol=0)
+
+
+def test_grid_sample_export():
+    class M(nn.Module):
+        def forward(self, x, grid):
+            a = F.grid_sample(x, grid, mode="bilinear",
+                              padding_mode="zeros", align_corners=False)
+            b = F.grid_sample(x, grid, mode="nearest",
+                              padding_mode="border", align_corners=True)
+            return a + b
+
+    x = torch.randn(2, 3, 8, 9)
+    grid = torch.rand(2, 5, 6, 2) * 2.4 - 1.2
+    assert_parity(M().eval(), (x, grid), opset=16)
+
+
+def test_nll_and_cross_entropy_export():
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = nn.Linear(10, 5)
+
+        def forward(self, x, target):
+            logits = self.fc(x)
+            return F.cross_entropy(logits, target)
+
+    x = torch.randn(8, 10)
+    target = torch.randint(0, 5, (8,))
+    assert_parity(M().eval(), (x, target), opset=17)
+
+
+def test_fold_col2im_export():
+    class M(nn.Module):
+        def forward(self, cols):
+            return F.fold(cols, output_size=(6, 6), kernel_size=(2, 2),
+                          stride=(2, 2))
+
+    cols = torch.randn(2, 3 * 4, 9)
+    assert_parity(M().eval(), (cols,), opset=18)
+
+
+def test_mvn_layernorm_like_export():
+    class M(nn.Module):
+        def forward(self, x):
+            mean = x.mean(dim=1, keepdim=True)
+            var = (x * x).mean(dim=1, keepdim=True) - mean * mean
+            return (x - mean) / torch.sqrt(var + 1e-5)
+
+    assert_parity(M().eval(), (torch.randn(4, 16),), opset=17)

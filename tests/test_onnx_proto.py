@@ -294,3 +294,14 @@ def test_decoder_robust_to_corruption():
             outcomes["raised"] += 1
     # No hangs, no segfaults, every mutation either parsed or raised.
     assert outcomes["ok"] + outcomes["raised"] == 150
+
+
+def test_scalar_tensor_roundtrip_keeps_0d_shape():
+    """Regression: np.ascontiguousarray promotes 0-d to 1-d; from_numpy must
+    not — scalar initializers (Loop trip counts, thresholds) are 0-d."""
+    t = P.TensorProto.from_numpy(np.array(3, np.int64), name="s")
+    assert t.dims == []
+    g = P.GraphProto(name="t", node=[], initializer=[t], input=[], output=[])
+    m = P.decode_model(P.encode_model(P.make_model(g)))
+    back = m.graph.initializer[0].to_numpy()
+    assert back.shape == () and back == 3
