@@ -127,7 +127,8 @@ def _compress(ctx, x, condition):
     cond = np.asarray(condition).astype(bool).reshape(-1)
     axis = ctx.attr("axis")
     if axis is None:
-        idx = np.flatnonzero(cond)
+        size = int(np.prod(x.shape))
+        idx = np.flatnonzero(cond[:size])
         return [jnp.take(jnp.reshape(x, (-1,)), idx)]
     axis = int(axis)
     n = x.shape[axis]
@@ -970,3 +971,22 @@ def _max_roi_pool(ctx, x, rois):
         return jnp.where(empty[None], 0.0, out)
 
     return [jax.vmap(one_roi)(rois).astype(jnp.asarray(x).dtype)]
+
+
+@op("RMSNormalization")
+def _rms_norm(ctx, x, scale):
+    """Opset-23 RMS normalization: x / sqrt(mean(x^2 over [axis:]) + eps)
+    * scale, computed in ``stash_type`` (float32 default) like the ORT
+    kernel, then cast back."""
+    axis = int(ctx.attr("axis", -1))
+    eps = float(ctx.attr("epsilon", 1e-5))
+    x = jnp.asarray(x)
+    orig = x.dtype
+    stash = _ONNX_TO_NP[int(ctx.attr("stash_type", 1))]
+    xs = x.astype(stash)
+    if axis < 0:
+        axis += x.ndim
+    axes = tuple(range(axis, x.ndim))
+    ms = jnp.mean(jnp.square(xs), axis=axes, keepdims=True)
+    y = xs * jax.lax.rsqrt(ms + eps)
+    return [(y * jnp.asarray(scale).astype(stash)).astype(orig)]

@@ -787,3 +787,32 @@ def test_max_roi_pool_spatial_scale(rng):
     )
     expected = _ref_max_roi_pool(x, rois, 2, 2, 0.5)
     np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_rms_normalization_vs_torch(rng):
+    x = rng.normal(size=(3, 5, 8)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, size=(8,)).astype(np.float32)
+    (y,) = jit_run(
+        [P.make_node("RMSNormalization", ["x", "s"], ["y"], epsilon=1e-5)],
+        {"x": x},
+        {"s": scale},
+        opset=23,
+    )
+    expected = torch.nn.functional.rms_norm(
+        torch.from_numpy(x), (8,), torch.from_numpy(scale), eps=1e-5
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_rms_normalization_multi_axis(rng):
+    x = rng.normal(size=(2, 4, 6)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, size=(4, 6)).astype(np.float32)
+    (y,) = jit_run(
+        [P.make_node("RMSNormalization", ["x", "s"], ["y"], axis=1)],
+        {"x": x},
+        {"s": scale},
+        opset=23,
+    )
+    ms = np.mean(x**2, axis=(1, 2), keepdims=True)
+    expected = x / np.sqrt(ms + 1e-5) * scale
+    np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
