@@ -75,8 +75,10 @@ def _swish(ctx, x):
 def _mvn(ctx, x):
     axes = tuple(ctx.attr("axes", (0, 2, 3)))
     mean = jnp.mean(x, axis=axes, keepdims=True)
-    # Spec formula: (X - EX) / sqrt(E(X^2) - (EX)^2), no epsilon.
-    var = jnp.mean(jnp.square(x), axis=axes, keepdims=True) - jnp.square(mean)
+    # Spec formula is E(X^2) - (EX)^2, but that cancels to small NEGATIVE
+    # values for near-constant inputs with large means (sqrt → NaN); the
+    # two-pass form is mathematically identical and non-negative.
+    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
     return [(x - mean) / jnp.sqrt(var)]
 
 
@@ -194,7 +196,6 @@ def _unique(ctx, x):
 def _nll_core(ctx, logp, target, weight, ignore_index, reduction):
     """Shared NLL: ``logp`` is [N, C, d...] log-probabilities (or raw values
     for NegativeLogLikelihoodLoss), ``target`` [N, d...] int class ids."""
-    n_classes = logp.shape[1]
     tgt = jnp.asarray(target).astype(jnp.int32)
     if ignore_index is not None:
         ignore = tgt == jnp.int32(ignore_index)
@@ -212,7 +213,6 @@ def _nll_core(ctx, logp, target, weight, ignore_index, reduction):
     w = jnp.where(ignore, 0, w).astype(picked.dtype)
     loss = -picked * w
     loss = jnp.where(ignore, 0, loss)
-    del n_classes
     if reduction == "none":
         return loss
     if reduction == "sum":
@@ -248,14 +248,24 @@ def _softmax_xent(ctx, scores, labels, weights=None):
 # ---------------------------------------------------------------------------
 
 
+# Trace-order draw counter stashed in the interpreter environment under a
+# sentinel name no graph value can use. A mutable list survives the
+# dict-copy into control-flow subgraphs, so every seedless random node —
+# including the same node re-executed across unrolled Loop/SequenceMap
+# iterations, and unnamed duplicate nodes — gets an independent stream,
+# while retraces replay the same order and stay deterministic.
+_RAND_COUNTER = "\x00rand_draws"
+
+
 def _rand_key(ctx: OpContext):
     seed = ctx.attr("seed")
     if seed is not None:
         raw = int.from_bytes(np.float32(seed).tobytes(), "little")
     else:
-        # Stable per-node derivation: deterministic per compiled program
-        # (exporters name nodes uniquely).
-        raw = zlib.crc32(f"{ctx.node_name}:{ctx.op_type}".encode())
+        counter = ctx.env.setdefault(_RAND_COUNTER, [0])
+        n = counter[0]
+        counter[0] += 1
+        raw = zlib.crc32(f"{ctx.node_name}:{ctx.op_type}:{n}".encode())
     return jax.random.PRNGKey(raw & 0x7FFFFFFF)
 
 
@@ -327,6 +337,8 @@ def _multinomial(ctx, x):
 def _reflect(coord, lo, hi):
     """Reflect ``coord`` into [lo, hi] (torch grid_sampler semantics)."""
     span = hi - lo
+    if span <= 0:  # size-1 axis under align_corners: the one valid coord
+        return jnp.full_like(coord, lo)
     c = jnp.mod(coord - lo, 2 * span)
     c = span - jnp.abs(c - span)
     return c + lo
@@ -512,6 +524,7 @@ def _roi_bilinear(img, y, x):
 
 @op("RoiAlign")
 def _roi_align(ctx, x, rois, batch_indices):
+    orig_dtype = jnp.asarray(x).dtype
     x = jnp.asarray(x).astype(jnp.float32)
     out_h = int(ctx.attr("output_height", 1))
     out_w = int(ctx.attr("output_width", 1))
@@ -575,7 +588,7 @@ def _roi_align(ctx, x, rois, batch_indices):
             gh = max(int(np.ceil(rh / out_h)), 1)
             gw = max(int(np.ceil(rw / out_w)), 1)
         outs.append(one_roi(x[b], jnp.asarray(roi, jnp.float32), gh, gw))
-    return [jnp.stack(outs).astype(jnp.asarray(x).dtype)]
+    return [jnp.stack(outs).astype(orig_dtype)]
 
 
 @op("Col2Im")
@@ -648,9 +661,13 @@ def _nms(ctx, boxes, scores, max_out=None, iou_thr=None, score_thr=None):
             )
     boxes = np.asarray(boxes, np.float32)  # [B, nb, 4]
     scores = np.asarray(scores, np.float32)  # [B, nc, nb]
+    # Spec: max_output_boxes_per_class defaults to 0, which means NO output.
     max_per_class = (
-        int(np.asarray(max_out).reshape(-1)[0]) if max_out is not None else 0
+        int(np.asarray(max_out).reshape(-1)[0])
+        if max_out is not None and np.asarray(max_out).size else 0
     )
+    if max_per_class <= 0:
+        return [np.zeros((0, 3), np.int64)]
     iou_t = float(np.asarray(iou_thr).reshape(-1)[0]) if iou_thr is not None else 0.0
     score_t = (
         float(np.asarray(score_thr).reshape(-1)[0]) if score_thr is not None else None
@@ -875,19 +892,15 @@ def _deform_conv(ctx, x, w, offset, b=None, mask=None):
     sx = bx.T[None, None, :, None, :] + off[:, :, :, 1]
 
     def bilin_sample(img, yy, xx):
-        """img [Cg,H,W]; yy/xx [...]; zero padding outside."""
+        """img [Cg,H,W]; yy/xx [...]; zero padding outside (same corner
+        masking as GridSample's zeros mode — reuse _gs_gather)."""
         y0 = jnp.floor(yy)
         x0 = jnp.floor(xx)
         wy = yy - y0
         wx = xx - x0
         y0 = y0.astype(jnp.int32)
         x0 = x0.astype(jnp.int32)
-
-        def g(iy, ix):
-            valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-            v = img[:, jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1)]
-            return jnp.where(valid[None], v, 0.0)
-
+        g = lambda iy, ix: _gs_gather(img, iy, ix, zeros_mask=True)  # noqa: E731
         return (g(y0, x0) * ((1 - wy) * (1 - wx))[None]
                 + g(y0, x0 + 1) * ((1 - wy) * wx)[None]
                 + g(y0 + 1, x0) * (wy * (1 - wx))[None]
@@ -936,6 +949,7 @@ def _max_roi_pool(ctx, x, rois):
     """Legacy ROI max pooling. Bin boundaries are data-dependent, so each
     output cell reduces a boundary mask over the full feature map — fully
     traceable (no dynamic slicing), fine at typical detector sizes."""
+    orig_dtype = jnp.asarray(x).dtype
     x = jnp.asarray(x).astype(jnp.float32)
     ph, pw = (int(v) for v in ctx.attr("pooled_shape"))
     scale = float(ctx.attr("spatial_scale", 1.0))
@@ -970,7 +984,7 @@ def _max_roi_pool(ctx, x, rois):
         out = jnp.max(vals, axis=(3, 4))  # [C, ph, pw]
         return jnp.where(empty[None], 0.0, out)
 
-    return [jax.vmap(one_roi)(rois).astype(jnp.asarray(x).dtype)]
+    return [jax.vmap(one_roi)(rois).astype(orig_dtype)]
 
 
 @op("RMSNormalization")

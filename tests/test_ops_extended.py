@@ -816,3 +816,73 @@ def test_rms_normalization_multi_axis(rng):
     ms = np.mean(x**2, axis=(1, 2), keepdims=True)
     expected = x / np.sqrt(ms + 1e-5) * scale
     np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_nms_default_max_boxes_means_no_output():
+    # Spec: max_output_boxes_per_class defaults to 0 == "no output".
+    boxes = np.array([[[0.0, 0.0, 1.0, 1.0], [0.0, 10.0, 1.0, 11.0]]], np.float32)
+    scores = np.array([[[0.9, 0.8]]], np.float32)
+    (y,) = run_graph(
+        [P.make_node("NonMaxSuppression", ["b", "s"], ["y"])],
+        {"b": boxes}, {"s": scores},
+    )
+    assert y.shape == (0, 3)
+
+
+def test_grid_sample_reflection_size1_axis(rng):
+    # Regression: reflection over a size-1 axis with align_corners divides
+    # by a zero span (NaN coordinates).
+    x = rng.normal(size=(1, 2, 1, 5)).astype(np.float32)
+    grid = rng.uniform(-1.5, 1.5, size=(1, 2, 3, 2)).astype(np.float32)
+    (y,) = jit_run(
+        [P.make_node("GridSample", ["x", "g"], ["y"], mode="bilinear",
+                     padding_mode="reflection", align_corners=1)],
+        {"x": x, "g": grid}, opset=16,
+    )
+    expected = torch.nn.functional.grid_sample(
+        torch.from_numpy(x), torch.from_numpy(grid), mode="bilinear",
+        padding_mode="reflection", align_corners=True,
+    ).numpy()
+    assert np.isfinite(y).all()
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_preserves_dtype(rng):
+    x = rng.normal(size=(1, 2, 6, 6)).astype(np.float16)
+    rois = np.array([[0.0, 0.0, 5.0, 5.0]], np.float32)
+    bidx = np.array([0], np.int64)
+    (y,) = jit_run(
+        [P.make_node("RoiAlign", ["x", "r", "b"], ["y"], output_height=2,
+                     output_width=2, sampling_ratio=1)],
+        {"x": x}, {"r": rois, "b": bidx},
+    )
+    assert y.dtype == np.float16
+
+
+def test_unnamed_random_nodes_draw_independently():
+    # Regression: two seedless unnamed RandomNormal nodes must not share a
+    # PRNG key (trace-order counter dedups them).
+    nodes = [
+        P.make_node("RandomNormal", [], ["a"], shape=[64]),
+        P.make_node("RandomNormal", [], ["b"], shape=[64]),
+        P.make_node("Sub", ["a", "b"], ["y"]),
+    ]
+    (y,) = run_graph(nodes, {"x": np.zeros(1, np.float32)})
+    assert np.abs(y).max() > 1e-6  # identical keys would give exact zeros
+
+
+def test_mvn_near_constant_large_mean_no_nan():
+    x = np.full((2, 3, 4, 4), 1000.0, np.float32)
+    x[0, 0, 0, 0] += 0.01
+    (y,) = run_graph(
+        [P.make_node("MeanVarianceNormalization", ["x"], ["y"], axes=[2, 3])],
+        {"x": x},
+    )
+    # E[x^2]-E[x]^2 cancels negative here; two-pass variance must not NaN
+    # on the perturbed channel.
+    assert np.isfinite(y[0, 0]).all()
