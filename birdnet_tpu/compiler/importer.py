@@ -191,13 +191,16 @@ def _static_shape(vi) -> List[Optional[int]]:
 
 
 def _validate_ops(model: ImportedModel) -> None:
-    unsupported = sorted(
-        {n.op_type for n in model.graph.node}
-        - set(op_registry.supported_ops())
-    )
+    unsupported = set()
+    for n in model.graph.node:
+        try:
+            op_registry.get_lowering(n.op_type, n.domain)
+        except NotImplementedError:
+            name = f"{n.domain}.{n.op_type}" if n.domain else n.op_type
+            unsupported.add(name)
     if unsupported:
         raise ModelLoadError(
-            f"model uses unsupported ops: {', '.join(unsupported)}"
+            f"model uses unsupported ops: {', '.join(sorted(unsupported))}"
         )
 
 
@@ -247,7 +250,7 @@ def interpret_graph(
         return n
 
     for node in graph.node:
-        fn = op_registry.get_lowering(node.op_type)
+        fn = op_registry.get_lowering(node.op_type, node.domain)
         ctx = op_registry.OpContext(
             op_type=node.op_type,
             attrs=node.attrs,

@@ -31,6 +31,13 @@ from ..onnx.proto import DataType as _DT
 
 _REGISTRY: Dict[str, Callable] = {}
 
+# Non-default-domain ops (ONNX Runtime contrib ops etc.), keyed by
+# (domain, op_type). Populated by ops_contrib.py. Real-world "ORT-optimized"
+# model files (onnxruntime's offline graph optimizer, the reference's engine
+# at /root/reference src/classifier.rs:348-350 accepts them transparently)
+# carry fused nodes in the `com.microsoft` domain.
+_CONTRIB_REGISTRY: Dict[tuple, Callable] = {}
+
 
 def op(*names):
     def deco(fn):
@@ -41,7 +48,30 @@ def op(*names):
     return deco
 
 
-def get_lowering(op_type: str) -> Callable:
+def contrib_op(domain, *names):
+    def deco(fn):
+        for n in names:
+            _CONTRIB_REGISTRY[(domain, n)] = fn
+        return fn
+
+    return deco
+
+
+def get_lowering(op_type: str, domain: str = "") -> Callable:
+    if domain not in ("", "ai.onnx"):
+        fn = _CONTRIB_REGISTRY.get((domain, op_type))
+        if fn is None:
+            # Several contrib ops later graduated into the core opset with
+            # identical signatures (Gelu, LayerNormalization, Trilu, Range,
+            # Attention...); exporters/optimizers emitted them under
+            # com.microsoft for years. Fall back to the core lowering.
+            fn = _REGISTRY.get(op_type)
+        if fn is None:
+            raise NotImplementedError(
+                f"ONNX op '{domain}.{op_type}' is not supported by the "
+                f"birdnet_tpu compiler"
+            )
+        return fn
     fn = _REGISTRY.get(op_type)
     if fn is None:
         raise NotImplementedError(
@@ -52,6 +82,10 @@ def get_lowering(op_type: str) -> Callable:
 
 def supported_ops() -> List[str]:
     return sorted(_REGISTRY)
+
+
+def supported_contrib_ops() -> List[str]:
+    return sorted(f"{d}.{n}" for d, n in _CONTRIB_REGISTRY)
 
 
 class OpContext:
@@ -3003,3 +3037,4 @@ def _rotary_embedding(ctx, x, cos_cache, sin_cache, position_ids=None):
 # sampling, losses, trace-time dynamic-shape ops) register themselves on
 # import; keep this at module tail so they can import helpers from here.
 from . import ops_extended  # noqa: E402,F401  (registration side effect)
+from . import ops_contrib  # noqa: E402,F401  (com.microsoft contrib ops)

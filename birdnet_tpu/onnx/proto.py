@@ -980,10 +980,12 @@ def make_attr(name: str, value) -> AttributeProto:
     return a
 
 
-def make_node(op_type: str, inputs, outputs, name: str = "", **attrs) -> NodeProto:
+def make_node(op_type: str, inputs, outputs, name: str = "", domain: str = "",
+              **attrs) -> NodeProto:
     return NodeProto(
         op_type=op_type,
         name=name or f"{op_type}_{outputs[0]}",
+        domain=domain,
         input=list(inputs),
         output=list(outputs),
         attribute=[make_attr(k, v) for k, v in attrs.items()],
