@@ -57,14 +57,22 @@ def contrib_op(domain, *names):
     return deco
 
 
+# com.microsoft contrib ops that later graduated into the core opset with
+# IDENTICAL signatures — only these may fall back to the core table. A
+# blanket name-based fallback would silently mis-dispatch contrib ops whose
+# name collides with a core op but whose contract differs (com.microsoft
+# Attention/Unique vs their core namesakes).
+_GRADUATED_MS_OPS = frozenset(
+    {"Gelu", "LayerNormalization", "Trilu", "Range", "GridSample"}
+)
+
+
 def get_lowering(op_type: str, domain: str = "") -> Callable:
     if domain not in ("", "ai.onnx"):
         fn = _CONTRIB_REGISTRY.get((domain, op_type))
-        if fn is None:
-            # Several contrib ops later graduated into the core opset with
-            # identical signatures (Gelu, LayerNormalization, Trilu, Range,
-            # Attention...); exporters/optimizers emitted them under
-            # com.microsoft for years. Fall back to the core lowering.
+        if fn is None and domain == "com.microsoft" and (
+            op_type in _GRADUATED_MS_OPS
+        ):
             fn = _REGISTRY.get(op_type)
         if fn is None:
             raise NotImplementedError(

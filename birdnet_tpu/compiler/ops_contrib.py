@@ -10,11 +10,13 @@ birdnet_tpu importer the same reach for the contrib ops that appear in
 CNN/audio/transformer inference graphs.
 
 Dispatch: ``ops.get_lowering(op_type, domain)`` tries the contrib registry
-first for non-default domains, then falls back to the core table — many
-contrib ops later graduated into the core opset with identical signatures
-(Gelu, LayerNormalization, Trilu, ...). Ops whose *name* collides with a
-core op but whose semantics differ (``Attention``) are registered here
-explicitly so the fallback can never mis-dispatch them.
+first for non-default domains; for ``com.microsoft`` only, an explicit
+allowlist of ops that later graduated into the core opset with identical
+signatures (Gelu, LayerNormalization, Trilu, Range, GridSample) falls back
+to the core table. Everything else — including name collisions with
+different contracts (``Attention``, ``Unique``) and arbitrary vendor
+domains — either has an explicit lowering here or fails at load time with
+the domain-qualified name.
 
 Everything lowers to the same XLA-friendly primitives as the core table:
 matmuls/convs ride the MXU via the shared precision policy, the QLinear*
@@ -190,13 +192,21 @@ def _bias_add(ctx, x, bias, skip):
 
 @ms_op("BiasSoftmax")
 def _bias_softmax(ctx, x, bias):
+    """softmax(x + bias) with the contrib op's coerce-to-2D semantics:
+    softmax runs over ALL dims >= axis (default 1), like pre-opset-13
+    Softmax. ``is_inner_broadcast=1`` means the bias spans the leading
+    dims and broadcasts along the inner (softmax) dims — trailing size-1
+    axes are appended; =0 is standard trailing-aligned broadcasting."""
     x = jnp.asarray(x)
     bias = jnp.asarray(bias).astype(x.dtype)
-    axis = int(ctx.attr("axis", -1))
+    axis = int(ctx.attr("axis", 1))
+    if axis < 0:
+        axis += x.ndim
     if int(ctx.attr("is_inner_broadcast", 0)):
-        # bias shape matches x on the trailing dims; broadcast over leading
-        bias = bias.reshape((1,) * (x.ndim - bias.ndim) + bias.shape)
-    return [jax.nn.softmax(x + bias, axis=axis)]
+        bias = bias.reshape(bias.shape + (1,) * (x.ndim - bias.ndim))
+    s = x + bias
+    flat = s.reshape(s.shape[:axis] + (-1,))
+    return [jax.nn.softmax(flat, axis=-1).reshape(s.shape)]
 
 
 def _ln_stats(s, eps):
@@ -289,7 +299,6 @@ def _nhwc_conv(ctx, x, w, b=None):
     layout assignment erases the transposes on TPU."""
     x = jnp.asarray(x)
     w = jnp.asarray(w)
-    nd = x.ndim - 2
     x_cf = jnp.moveaxis(x, -1, 1)
     w_cf = jnp.moveaxis(w, -1, 1)
     y = _REGISTRY["Conv"](ctx, x_cf, w_cf, b)[0]
@@ -308,26 +317,41 @@ def _dq(x, scale, zp):
     return xf * jnp.asarray(scale).astype(jnp.float32)
 
 
+def _default_zp(y_zp, like):
+    """ORT contrib QLinear* default when the output zero point is omitted:
+    zp = 0 with the output dtype following the INPUT dtype (ops.py's
+    ``_requantize`` would otherwise default to uint8, flipping int8
+    graphs' signedness)."""
+    if y_zp is not None:
+        return y_zp
+    # dtype only — ``like`` may be a tracer, so no value conversion here
+    return np.zeros((), dtype=np.dtype(jnp.asarray(like).dtype))
+
+
 @ms_op("QLinearAdd")
 def _qlinear_add(ctx, a, a_s, a_zp, b, b_s, b_zp, c_s, c_zp=None):
-    return [_requantize(ctx, _dq(a, a_s, a_zp) + _dq(b, b_s, b_zp), c_s, c_zp)]
+    return [_requantize(ctx, _dq(a, a_s, a_zp) + _dq(b, b_s, b_zp), c_s,
+                        _default_zp(c_zp, a))]
 
 
 @ms_op("QLinearMul")
 def _qlinear_mul(ctx, a, a_s, a_zp, b, b_s, b_zp, c_s, c_zp=None):
-    return [_requantize(ctx, _dq(a, a_s, a_zp) * _dq(b, b_s, b_zp), c_s, c_zp)]
+    return [_requantize(ctx, _dq(a, a_s, a_zp) * _dq(b, b_s, b_zp), c_s,
+                        _default_zp(c_zp, a))]
 
 
 @ms_op("QLinearSigmoid")
 def _qlinear_sigmoid(ctx, x, x_s, x_zp, y_s, y_zp=None):
-    return [_requantize(ctx, jax.nn.sigmoid(_dq(x, x_s, x_zp)), y_s, y_zp)]
+    return [_requantize(ctx, jax.nn.sigmoid(_dq(x, x_s, x_zp)), y_s,
+                        _default_zp(y_zp, x))]
 
 
 @ms_op("QLinearLeakyRelu")
 def _qlinear_leaky_relu(ctx, x, x_s, x_zp, y_s, y_zp=None):
     alpha = float(ctx.attr("alpha", 0.01))
     xf = _dq(x, x_s, x_zp)
-    return [_requantize(ctx, jnp.where(xf >= 0, xf, alpha * xf), y_s, y_zp)]
+    return [_requantize(ctx, jnp.where(xf >= 0, xf, alpha * xf), y_s,
+                        _default_zp(y_zp, x))]
 
 
 def _maybe_channels_last(ctx, xf):
@@ -343,7 +367,7 @@ def _qlinear_average_pool(ctx, x, x_s, x_zp, y_s, y_zp=None):
     y = _REGISTRY["AveragePool"](ctx, xf)[0]
     if was_cl:
         y = jnp.moveaxis(y, 1, -1)
-    return [_requantize(ctx, y, y_s, y_zp)]
+    return [_requantize(ctx, y, y_s, _default_zp(y_zp, x))]
 
 
 @ms_op("QLinearGlobalAveragePool")
@@ -353,7 +377,7 @@ def _qlinear_global_average_pool(ctx, x, x_s, x_zp, y_s, y_zp=None):
     y = jnp.mean(xf, axis=tuple(range(2, xf.ndim)), keepdims=True)
     if was_cl:
         y = jnp.moveaxis(y, 1, -1)
-    return [_requantize(ctx, y, y_s, y_zp)]
+    return [_requantize(ctx, y, y_s, _default_zp(y_zp, x))]
 
 
 @ms_op("QLinearConcat")
@@ -374,10 +398,12 @@ def _qlinear_concat(ctx, y_s, y_zp, *parts):
 def _matmul_integer_to_float(ctx, a, b, a_s, b_s, a_zp=None, b_zp=None,
                              bias=None):
     acc = _int_matmul_acc(jnp.asarray(a), jnp.asarray(b), a_zp, b_zp)
-    scale = jnp.asarray(a_s).astype(jnp.float32) * jnp.asarray(b_s).astype(
-        jnp.float32
-    )  # 1-D b scale broadcasts along the output's column axis
-    y = acc.astype(jnp.float32) * scale
+    a_scale = jnp.asarray(a_s).astype(jnp.float32)
+    if a_scale.ndim == 1 and a_scale.shape[0] > 1:
+        a_scale = a_scale[:, None]  # per-ROW a scale: broadcast along rows
+    b_scale = jnp.asarray(b_s).astype(jnp.float32)
+    # 1-D b scale broadcasts along the output's column axis
+    y = acc.astype(jnp.float32) * (a_scale * b_scale)
     if bias is not None:
         y = y + jnp.asarray(bias).astype(jnp.float32)
     return [y]
@@ -407,12 +433,17 @@ def _ms_attention(ctx, x, weights, bias=None, mask_index=None, past=None,
     """Self-attention over input [B,S,H_in] with packed QKV projection
     weights [H_in, q+k+v] (qkv_hidden_sizes attr when unequal; no output
     projection — ORT keeps that as a separate MatMul). Supported mask
-    forms: [B] right-padding lengths and [B,S]/[B,1,.,S] raw key masks
-    (1 = attend), masked logits get ``mask_filter_value`` added, matching
-    onnxruntime. KV cache (``past``) never appears in the one-shot
-    inference graphs this framework targets."""
+    forms: [B] right-padding lengths, [B,S] raw key masks, [B,S,S]
+    per-query masks, and [B,1,M,M] per-query masks (sliced to the live
+    S×S window); 1 = attend, masked logits get ``mask_filter_value``
+    added, matching onnxruntime. The packed 1-D (2B,)/(3B+2,) begin/end
+    forms raise. KV cache (``past``) and rotary embedding (``do_rotary``)
+    never appear in the one-shot inference graphs this framework
+    targets and raise explicitly."""
     if past is not None or past_sequence_length is not None:
         raise NotImplementedError("com.microsoft.Attention: past/KV-cache")
+    if int(ctx.attr("do_rotary", 0)):
+        raise NotImplementedError("com.microsoft.Attention: do_rotary")
     num_heads = int(ctx.attr("num_heads"))
     unidirectional = int(ctx.attr("unidirectional", 0))
     mask_filter = float(ctx.attr("mask_filter_value", -10000.0))
@@ -453,11 +484,25 @@ def _ms_attention(ctx, x, weights, bias=None, mask_index=None, past=None,
 
     if mask_index is not None:
         m = jnp.asarray(mask_index)
-        if m.ndim == 1:  # [B] right-padding key lengths
-            keep = jnp.arange(s_len)[None, :] < m[:, None]
+        if m.ndim == 1:
+            if m.shape[0] != b_sz:
+                raise NotImplementedError(
+                    "com.microsoft.Attention: packed 1-D (2B,)/(3B+2,) "
+                    "begin/end mask forms"
+                )
+            # [B] right-padding key lengths
+            keep = (jnp.arange(s_len)[None, :] < m[:, None])[:, None, None, :]
+        elif m.ndim == 2:  # [B,S] raw key mask
+            keep = (m[:, -s_len:] != 0)[:, None, None, :]
+        elif m.ndim == 3:  # [B,S,T] per-query mask
+            keep = (m[:, :, -s_len:] != 0)[:, None, :, :]
+        elif m.ndim == 4:  # [B,1,M,M] per-query mask over max_seq
+            keep = m[:, :, :s_len, :s_len] != 0
         else:
-            keep = m.reshape(b_sz, -1)[:, -s_len:] != 0  # [B,S] raw key mask
-        logits = jnp.where(keep[:, None, None, :], logits, logits + mask_filter)
+            raise NotImplementedError(
+                f"com.microsoft.Attention: mask_index rank {m.ndim}"
+            )
+        logits = jnp.where(keep, logits, logits + mask_filter)
     if attention_bias is not None:
         logits = logits + jnp.asarray(attention_bias).astype(logits.dtype)
     if unidirectional:

@@ -221,6 +221,39 @@ def test_bias_add_and_bias_softmax():
     np.testing.assert_allclose(got, e / e.sum(-1, keepdims=True), atol=ATOL)
 
 
+def test_bias_softmax_default_axis_flattens_like_legacy_softmax():
+    """The contrib op's default axis is 1 with coerce-to-2D semantics:
+    softmax over ALL dims >= axis, not a single axis."""
+    r = _rng(30)
+    x = r.standard_normal((2, 3, 4), dtype=np.float32)
+    bias = r.standard_normal((2, 3, 4)).astype(np.float32)
+    node = P.make_node("BiasSoftmax", ["x", "b"], ["y"], domain=MS)
+    m = _model([node], [_vi("x", x.shape), _vi("b", bias.shape)],
+               [_vi("y", x.shape)], [])
+    (got,) = _run(m, x, bias)
+    s = (x + bias).reshape(2, 12)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    want = (e / e.sum(-1, keepdims=True)).reshape(2, 3, 4)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_bias_softmax_inner_broadcast():
+    """is_inner_broadcast=1: bias spans the LEADING dims and broadcasts
+    along the inner (softmax) dims."""
+    r = _rng(31)
+    x = r.standard_normal((2, 3, 4), dtype=np.float32)
+    bias = r.standard_normal((2,)).astype(np.float32)
+    node = P.make_node("BiasSoftmax", ["x", "b"], ["y"], domain=MS,
+                       axis=1, is_inner_broadcast=1)
+    m = _model([node], [_vi("x", x.shape), _vi("b", bias.shape)],
+               [_vi("y", x.shape)], [])
+    (got,) = _run(m, x, bias)
+    s = (x + bias[:, None, None]).reshape(2, 12)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    want = (e / e.sum(-1, keepdims=True)).reshape(2, 3, 4)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
 # ---------------------------------------------------------------------------
 # skip/simplified layer norms
 # ---------------------------------------------------------------------------
@@ -431,6 +464,50 @@ def test_qlinear_concat():
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
 
+def test_qlinear_add_int8_output_dtype_when_zp_omitted():
+    """Omitted output zero point: zp=0 with the INPUT's dtype (an int8
+    graph must not flip to uint8 and clamp negatives to zero)."""
+    r = _rng(32)
+    a = r.integers(-128, 127, (3, 5), dtype=np.int8)
+    b = r.integers(-128, 127, (3, 5), dtype=np.int8)
+    a_s, a_zp = np.float32(0.02), np.int8(0)
+    b_s, b_zp = np.float32(0.02), np.int8(0)
+    c_s = np.float32(0.05)
+    node = P.make_node(
+        "QLinearAdd", ["a", "a_s", "a_zp", "b", "b_s", "b_zp", "c_s"], ["y"],
+        domain=MS,
+    )
+    m = _model([node],
+               [_vi("a", a.shape, P.DataType.INT8),
+                _vi("b", b.shape, P.DataType.INT8)],
+               [_vi("y", a.shape, P.DataType.INT8)],
+               [_tensor("a_s", a_s), _tensor("a_zp", a_zp),
+                _tensor("b_s", b_s), _tensor("b_zp", b_zp),
+                _tensor("c_s", c_s)])
+    (got,) = _run(m, a, b)
+    assert got.dtype == np.int8
+    want = _q(_dq(a, a_s, a_zp) + _dq(b, b_s, b_zp), c_s, np.int8(0))
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    assert got.min() < 0  # negatives survive (uint8 would have clamped)
+
+
+def test_matmul_integer_to_float_per_row_a_scale():
+    r = _rng(33)
+    a = r.integers(-100, 100, (3, 6), dtype=np.int8)
+    b = r.integers(-100, 100, (6, 4), dtype=np.int8)
+    a_s = np.array([0.01, 0.02, 0.03], dtype=np.float32)  # per-row [M]
+    b_s = np.float32(0.05)
+    node = P.make_node("MatMulIntegerToFloat", ["a", "b", "a_s", "b_s"],
+                       ["y"], domain=MS)
+    m = _model([node], [_vi("a", a.shape, P.DataType.INT8)],
+               [_vi("y", (3, 4))],
+               [_tensor("b", b), _tensor("a_s", a_s), _tensor("b_s", b_s)])
+    (got,) = _run(m, a)
+    want = (a.astype(np.int32) @ b.astype(np.int32)).astype(np.float32) \
+        * (a_s[:, None] * b_s)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
 def test_matmul_integer_to_float_with_bias():
     r = _rng(16)
     a = r.integers(-100, 100, (3, 6), dtype=np.int8)
@@ -575,9 +652,90 @@ def test_ms_attention_raw_mask_and_causal():
     np.testing.assert_allclose(got, want, atol=ATOL)
 
 
+def test_ms_attention_per_query_masks():
+    """3-D [B,S,T] and 4-D [B,1,M,M] per-query masks apply per query row,
+    not collapsed to the last row's key mask."""
+    r = _rng(34)
+    b_sz, s, hidden, heads = 2, 4, 8, 2
+    x = r.standard_normal((b_sz, s, hidden), dtype=np.float32)
+    w = (r.standard_normal((hidden, 3 * hidden)) * 0.2).astype(np.float32)
+    bias = np.zeros(3 * hidden, dtype=np.float32)
+    mask3 = r.integers(0, 2, (b_sz, s, s), dtype=np.int32)
+    mask3[..., 0] = 1  # keep at least one key per query
+
+    def oracle_perquery(keep):
+        h = hidden
+        qkv = x @ w + bias
+        q, k, v = qkv[..., :h], qkv[..., h:2 * h], qkv[..., 2 * h:]
+        d = h // heads
+
+        def split(t):
+            return t.reshape(b_sz, s, heads, d).transpose(0, 2, 1, 3)
+
+        q_, k_, v_ = split(q), split(k), split(v)
+        logits = q_ @ k_.transpose(0, 1, 3, 2) / np.sqrt(d)
+        logits = np.where(keep, logits, logits - 10000.0)
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+        return (probs @ v_).transpose(0, 2, 1, 3).reshape(b_sz, s, h)
+
+    m = _attention_model(x.shape, w, bias, mask_dims=[b_sz, s, s],
+                         num_heads=heads)
+    (got,) = _run(m, x, mask3)
+    np.testing.assert_allclose(
+        got, oracle_perquery((mask3 != 0)[:, None, :, :]), atol=ATOL
+    )
+
+    max_seq = s + 3  # 4-D form is sized to max_seq; live window is s×s
+    mask4 = r.integers(0, 2, (b_sz, 1, max_seq, max_seq), dtype=np.int32)
+    mask4[..., 0] = 1
+    m = _attention_model(x.shape, w, bias,
+                         mask_dims=[b_sz, 1, max_seq, max_seq],
+                         num_heads=heads)
+    (got,) = _run(m, x, mask4)
+    np.testing.assert_allclose(
+        got, oracle_perquery(mask4[:, :, :s, :s] != 0), atol=ATOL
+    )
+
+
+def test_ms_attention_packed_1d_mask_raises():
+    r = _rng(35)
+    b_sz, s, hidden = 2, 4, 8
+    x = r.standard_normal((b_sz, s, hidden), dtype=np.float32)
+    w = (r.standard_normal((hidden, 3 * hidden)) * 0.2).astype(np.float32)
+    bias = np.zeros(3 * hidden, dtype=np.float32)
+    m = _attention_model(x.shape, w, bias, mask_dims=[2 * b_sz], num_heads=2)
+    packed = np.zeros(2 * b_sz, dtype=np.int32)
+    with pytest.raises(NotImplementedError, match="begin/end"):
+        _run(m, x, packed)
+
+
 # ---------------------------------------------------------------------------
 # dispatch behavior
 # ---------------------------------------------------------------------------
+
+
+def test_name_colliding_contrib_op_is_not_misdispatched():
+    """com.microsoft.Unique has a different output contract than core
+    Unique; the core-table fallback must not silently run it."""
+    from birdnet_tpu.errors import ModelLoadError
+
+    node = P.make_node("Unique", ["x"], ["y", "idx", "counts"], domain=MS)
+    m = _model([node], [_vi("x", (4,))],
+               [_vi("y", (4,)), _vi("idx", (4,), P.DataType.INT64),
+                _vi("counts", (4,), P.DataType.INT64)], [])
+    with pytest.raises(ModelLoadError, match="com.microsoft.Unique"):
+        _run(m, np.zeros(4, np.float32))
+
+
+def test_graduated_contrib_ops_fall_back_to_core():
+    from birdnet_tpu.compiler.ops import get_lowering
+
+    for name in ("Gelu", "LayerNormalization", "Trilu", "Range",
+                 "GridSample"):
+        assert get_lowering(name, MS) is get_lowering(name)
+    with pytest.raises(NotImplementedError, match="vendor.Add"):
+        get_lowering("Add", "vendor")
 
 
 def test_unknown_contrib_op_names_the_domain():
