@@ -152,6 +152,10 @@ _ONNX_TO_NP = {
     _DT.UINT32: jnp.uint32,
     _DT.UINT64: jnp.uint64,
     _DT.BFLOAT16: jnp.bfloat16,
+    _DT.FLOAT8E4M3FN: jnp.float8_e4m3fn,
+    _DT.FLOAT8E4M3FNUZ: jnp.float8_e4m3fnuz,
+    _DT.FLOAT8E5M2: jnp.float8_e5m2,
+    _DT.FLOAT8E5M2FNUZ: jnp.float8_e5m2fnuz,
 }
 
 
@@ -208,8 +212,18 @@ def _dropout(ctx, x, ratio=None, training_mode=None):
 
 @op("Cast")
 def _cast(ctx, x):
-    to = ctx.attr("to")
-    return [jnp.asarray(x).astype(_ONNX_TO_NP[int(to)])]
+    to = int(ctx.attr("to"))
+    x = jnp.asarray(x)
+    if to in (_DT.INT4, _DT.UINT4):
+        # 4-bit targets saturate per the ONNX spec; values live in their
+        # 8-bit containers at runtime (the codec decodes packed int4 the
+        # same way), so clamp to the 4-bit range in the container dtype.
+        lo, hi = (-8, 7) if to == _DT.INT4 else (0, 15)
+        container = jnp.int8 if to == _DT.INT4 else jnp.uint8
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            x = jnp.round(x)
+        return [jnp.clip(x, lo, hi).astype(container)]
+    return [x.astype(_ONNX_TO_NP[to])]
 
 
 @op("CastLike")
@@ -1558,7 +1572,13 @@ def _quantize_linear(ctx, x, scale, zero_point=None):
         q = q + zp.astype(jnp.float32)
         out_dtype = jnp.asarray(zero_point).dtype
     else:
-        out_dtype = jnp.uint8
+        out_dtype = jnp.dtype(jnp.uint8)
+    if jnp.issubdtype(out_dtype, jnp.floating):
+        # float8 targets (opset 19+): saturate to the format's finite range
+        # (astype alone would produce inf/nan on overflow for e5m2).
+        info = jnp.finfo(out_dtype)
+        return [jnp.clip(x / scale, float(info.min), float(info.max))
+                .astype(out_dtype)]
     info = jnp.iinfo(out_dtype)
     return [jnp.clip(q, info.min, info.max).astype(out_dtype)]
 

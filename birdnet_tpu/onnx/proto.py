@@ -133,7 +133,18 @@ class DataType:
     UINT32 = 12
     UINT64 = 13
     BFLOAT16 = 16
+    FLOAT8E4M3FN = 17
+    FLOAT8E4M3FNUZ = 18
+    FLOAT8E5M2 = 19
+    FLOAT8E5M2FNUZ = 20
+    UINT4 = 21
+    INT4 = 22
 
+
+# ml_dtypes ships with jax and provides numpy-registered bfloat16/float8
+# scalar types; jax arrays support them natively, so decoded weights flow
+# straight into the params pytree.
+import ml_dtypes as _mld  # noqa: E402
 
 _DTYPE_TO_NUMPY = {
     DataType.FLOAT: np.dtype(np.float32),
@@ -148,6 +159,17 @@ _DTYPE_TO_NUMPY = {
     DataType.DOUBLE: np.dtype(np.float64),
     DataType.UINT32: np.dtype(np.uint32),
     DataType.UINT64: np.dtype(np.uint64),
+    DataType.BFLOAT16: np.dtype(_mld.bfloat16),
+    DataType.FLOAT8E4M3FN: np.dtype(_mld.float8_e4m3fn),
+    DataType.FLOAT8E4M3FNUZ: np.dtype(_mld.float8_e4m3fnuz),
+    DataType.FLOAT8E5M2: np.dtype(_mld.float8_e5m2),
+    DataType.FLOAT8E5M2FNUZ: np.dtype(_mld.float8_e5m2fnuz),
+    # Packed 4-bit tensors decode to their 8-bit value-equivalent — see
+    # ``to_numpy`` (two nibbles per byte on the wire; numpy/jax compute on
+    # sub-byte dtypes is not worth the compatibility risk for weight-only-
+    # quantized graphs whose int4 tensors feed DequantizeLinear anyway).
+    DataType.INT4: np.dtype(np.int8),
+    DataType.UINT4: np.dtype(np.uint8),
 }
 
 _NUMPY_TO_DTYPE = {
@@ -163,6 +185,11 @@ _NUMPY_TO_DTYPE = {
     np.dtype(np.float64): DataType.DOUBLE,
     np.dtype(np.uint32): DataType.UINT32,
     np.dtype(np.uint64): DataType.UINT64,
+    np.dtype(_mld.bfloat16): DataType.BFLOAT16,
+    np.dtype(_mld.float8_e4m3fn): DataType.FLOAT8E4M3FN,
+    np.dtype(_mld.float8_e4m3fnuz): DataType.FLOAT8E4M3FNUZ,
+    np.dtype(_mld.float8_e5m2): DataType.FLOAT8E5M2,
+    np.dtype(_mld.float8_e5m2fnuz): DataType.FLOAT8E5M2FNUZ,
 }
 
 
@@ -216,6 +243,8 @@ class TensorProto:
             raise ValueError(f"unsupported tensor data_type {self.data_type}")
         dtype = _DTYPE_TO_NUMPY[self.data_type]
         shape = tuple(self.dims)
+        if self.data_type in (DataType.INT4, DataType.UINT4):
+            return self._unpack_int4(shape)
         if self.raw_data:
             arr = np.frombuffer(self.raw_data, dtype=dtype)
         elif self.float_data and self.data_type == DataType.FLOAT:
@@ -226,6 +255,17 @@ class TensorProto:
             # The ONNX spec stores fp16 payloads in int32_data as uint16
             # bit patterns; reinterpret, don't value-convert.
             arr = np.asarray(self.int32_data, dtype=np.uint16).view(np.float16)
+        elif self.int32_data and self.data_type in (
+            DataType.BFLOAT16,
+            DataType.FLOAT8E4M3FN,
+            DataType.FLOAT8E4M3FNUZ,
+            DataType.FLOAT8E5M2,
+            DataType.FLOAT8E5M2FNUZ,
+        ):
+            # Same spec rule as fp16: bit patterns in int32_data (uint16
+            # for bf16, uint8 for the float8 family); reinterpret.
+            carrier = np.uint16 if self.data_type == DataType.BFLOAT16 else np.uint8
+            arr = np.asarray(self.int32_data, dtype=carrier).view(dtype)
         elif self.int32_data and self.data_type in (
             DataType.INT32,
             DataType.INT16,
@@ -253,6 +293,43 @@ class TensorProto:
                     f"{shape}) carries no data in any supported field"
                 )
             arr = np.zeros(0, dtype=dtype)
+        return arr.reshape(shape)
+
+    def _unpack_int4(self, shape) -> np.ndarray:
+        """Decode a packed 4-bit tensor (opset 21): two elements per byte,
+        low nibble first, odd element counts padded with a trailing nibble.
+        Values widen to int8/uint8 (sign-extended for INT4) — the 8-bit
+        representation is exact, and weight-only-quantized graphs feed
+        these tensors straight into DequantizeLinear."""
+        n = int(np.prod(shape)) if shape else 1
+        if self.raw_data:
+            packed = np.frombuffer(self.raw_data, dtype=np.uint8)
+            if packed.size < (n + 1) // 2:
+                raise ValueError(
+                    f"tensor {self.name!r}: int4 payload holds "
+                    f"{packed.size * 2} nibbles, shape needs {n}"
+                )
+            nib = np.empty(packed.size * 2, dtype=np.uint8)
+            nib[0::2] = packed & 0x0F
+            nib[1::2] = packed >> 4
+            nib = nib[:n]
+        elif self.int32_data:
+            # int32_data storage keeps one (already unpacked) value per entry
+            nib = (np.asarray(self.int32_data, dtype=np.int32) & 0x0F).astype(
+                np.uint8
+            )[:n]
+        else:
+            if n:
+                raise ValueError(
+                    f"tensor {self.name!r} (int4, shape {tuple(shape)}) "
+                    f"carries no data in any supported field"
+                )
+            nib = np.zeros(0, dtype=np.uint8)
+        if self.data_type == DataType.INT4:
+            arr = nib.astype(np.int8)
+            arr = np.where(arr > 7, arr - 16, arr).astype(np.int8)
+        else:
+            arr = nib.astype(np.uint8)
         return arr.reshape(shape)
 
     @staticmethod
