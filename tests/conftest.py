@@ -50,6 +50,9 @@ _CPU_ORACLE_MODULES = {
     #                     compile differently under TPU bf16 passes)
     "test_fuse_stft_frontend",  # bit-identical fallback + f64 oracle, CPU
     #                             semantics by design (docstrings say so)
+    "test_contrib_ops",  # numpy/torch fp32 oracles ≤1e-4
+    "test_modern_dtypes",  # fp32/fp8 exact-value oracles
+    "test_external_full_models",  # fp32 parity vs torch-CPU
 }
 # Modules that need the 8-device virtual mesh.
 _MESH_MODULES = {"test_sharding", "test_sharded_classifier"}
