@@ -622,6 +622,41 @@ def test_ms_attention_matches_torch_sdpa():
     np.testing.assert_allclose(got, want, atol=ATOL)
 
 
+def test_ms_attention_qkv_hidden_sizes_and_scale():
+    """Unequal Q/K vs V widths via qkv_hidden_sizes, plus an explicit
+    scale attribute (overrides 1/sqrt(head_dim))."""
+    r = _rng(36)
+    b_sz, s, hidden, heads = 2, 5, 8, 2
+    q_h = k_h = hidden
+    v_h = 12  # different value width
+    x = r.standard_normal((b_sz, s, hidden), dtype=np.float32)
+    w = (r.standard_normal((hidden, q_h + k_h + v_h)) * 0.2).astype(
+        np.float32
+    )
+    bias = r.standard_normal(q_h + k_h + v_h).astype(np.float32)
+    scale = 0.25
+    node = P.make_node("Attention", ["x", "w", "bias"], ["y"], domain=MS,
+                       num_heads=heads, qkv_hidden_sizes=[q_h, k_h, v_h],
+                       scale=scale)
+    m = _model([node], [_vi("x", x.shape)], [_vi("y", (b_sz, s, v_h))],
+               [_tensor("w", w), _tensor("bias", bias)])
+    (got,) = _run(m, x)
+
+    qkv = x @ w + bias
+    q, k, v = qkv[..., :q_h], qkv[..., q_h:q_h + k_h], qkv[..., q_h + k_h:]
+
+    def split(t, h_dim):
+        return t.reshape(b_sz, s, heads, h_dim // heads).transpose(0, 2, 1, 3)
+
+    q, k, v = split(q, q_h), split(k, k_h), split(v, v_h)
+    logits = q @ k.transpose(0, 1, 3, 2) * scale
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    want = (probs @ v).transpose(0, 2, 1, 3).reshape(b_sz, s, v_h)
+    assert got.shape == (b_sz, s, v_h)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
 def test_ms_attention_padding_mask_lengths():
     r = _rng(20)
     b_sz, s, hidden, heads = 2, 5, 8, 2
