@@ -289,7 +289,10 @@ def inspect_model_and_exit(model_path: str) -> int:
         f"  params: {imported.param_bytes() / (1024 * 1024):.1f} MB "
         f"({len(imported.params)} tensors), consts: {len(imported.consts)}"
     )
-    hist = Counter(n.op_type for n in imported.graph.node)
+    hist = Counter(
+        f"{n.domain}.{n.op_type}" if n.domain else n.op_type
+        for n in imported.graph.node
+    )
     ops = ", ".join(f"{op}×{c}" for op, c in hist.most_common())
     print(f"  graph: {len(imported.graph.node)} nodes ({ops})")
     return 0

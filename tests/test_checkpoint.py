@@ -104,3 +104,72 @@ def test_bad_checkpoint(tmp_path):
     p.write_bytes(b"PK\x03\x04 but not a zip really")
     with pytest.raises(ModelLoadError):
         import_any(p)
+
+
+def test_checkpoint_preserves_contrib_domains(tmp_path):
+    """A .btck of an ORT-optimized (com.microsoft) model must keep node
+    domains through the graph re-encode, or reload would dispatch the
+    fused ops against the wrong (core) table."""
+    import jax
+
+    from birdnet_tpu.compiler.importer import make_forward
+    from birdnet_tpu.onnx import proto as P
+
+    r = np.random.default_rng(0)
+    x = r.standard_normal((2, 6), dtype=np.float32)
+    w = r.standard_normal((6, 4), dtype=np.float32)
+    node = P.make_node("FusedGemm", ["x", "w"], ["y"],
+                       domain="com.microsoft", activation="Relu")
+    graph = P.GraphProto(
+        name="g", node=[node],
+        input=[P.make_value_info("x", P.DataType.FLOAT, [2, 6])],
+        output=[P.make_value_info("y", P.DataType.FLOAT, [2, 4])],
+        initializer=[P.TensorProto.from_numpy(w, "w")],
+    )
+    m = P.ModelProto(ir_version=8, producer_name="onnxruntime", graph=graph,
+                     opset_import=[P.OperatorSetId(domain="", version=17),
+                                   P.OperatorSetId(domain="com.microsoft",
+                                                   version=1)])
+    imp = import_onnx(P.encode_model(m))
+    ck = tmp_path / "contrib.btck"
+    save_checkpoint(imp, ck)
+    reloaded = load_checkpoint(ck)
+    assert reloaded.graph.node[0].domain == "com.microsoft"
+    got = np.asarray(
+        jax.jit(make_forward(reloaded, precision="fp32"))(reloaded.params, x)[0]
+    )
+    np.testing.assert_allclose(got, np.maximum(x @ w, 0.0), atol=1e-5)
+
+
+def test_checkpoint_roundtrips_bf16_params(tmp_path):
+    """bfloat16 weights (≥16 elements → params) must survive the manifest's
+    dtype-string round trip (np.dtype('bfloat16') via ml_dtypes)."""
+    import jax
+    import ml_dtypes
+
+    from birdnet_tpu.compiler.importer import make_forward
+    from birdnet_tpu.onnx import proto as P
+
+    r = np.random.default_rng(1)
+    w = r.standard_normal((8, 4)).astype(ml_dtypes.bfloat16)
+    x = r.standard_normal((3, 8), dtype=np.float32)
+    nodes = [
+        P.make_node("Cast", ["w16"], ["w"], to=P.DataType.FLOAT),
+        P.make_node("MatMul", ["x", "w"], ["y"]),
+    ]
+    graph = P.GraphProto(
+        name="g", node=nodes,
+        input=[P.make_value_info("x", P.DataType.FLOAT, [3, 8])],
+        output=[P.make_value_info("y", P.DataType.FLOAT, [3, 4])],
+        initializer=[P.TensorProto.from_numpy(w, "w16")],
+    )
+    m = P.ModelProto(ir_version=10, producer_name="tf2onnx", graph=graph,
+                     opset_import=[P.OperatorSetId(domain="", version=17)])
+    imp = import_onnx(P.encode_model(m))
+    ck = tmp_path / "bf16.btck"
+    save_checkpoint(imp, ck)
+    reloaded = load_checkpoint(ck)
+    got = np.asarray(
+        jax.jit(make_forward(reloaded, precision="fp32"))(reloaded.params, x)[0]
+    )
+    np.testing.assert_allclose(got, x @ w.astype(np.float32), atol=1e-5)
