@@ -783,11 +783,17 @@ def _lrn(ctx, x):
 
 
 def _pool_common(ctx, x):
+    """Window geometry for Max/AveragePool. Returns the explicit
+    (attribute/auto_pad) padding separately from the total padding with
+    any ceil-mode extension — AveragePool's count_include_pad=1 divisor
+    must count explicit pad cells but NOT the ceil overhang (torch and
+    onnxruntime both clip edge-window divisors to real coverage)."""
     nd = x.ndim - 2
     kernel = [int(k) for k in ctx.attr("kernel_shape")]
     strides = [int(s) for s in ctx.attr("strides", [1] * nd)]
     dilations = [int(d) for d in ctx.attr("dilations", [1] * nd)]
     pads = _resolve_pads(ctx, x.shape[2:], kernel, strides, dilations)
+    explicit_pads = pads
     if int(ctx.attr("ceil_mode", 0)):
         # Extend end padding so the window count matches ceil division.
         new_pads = []
@@ -803,13 +809,14 @@ def _pool_common(ctx, x):
     win_strides = [1, 1] + strides
     win_dil = [1, 1] + dilations
     full_pads = [(0, 0), (0, 0)] + pads
-    return window, win_strides, win_dil, full_pads
+    full_explicit = [(0, 0), (0, 0)] + explicit_pads
+    return window, win_strides, win_dil, full_pads, full_explicit
 
 
 @op("MaxPool")
 def _maxpool(ctx, x):
     x = jnp.asarray(x)
-    window, strides, dil, pads = _pool_common(ctx, x)
+    window, strides, dil, pads, _ = _pool_common(ctx, x)
     init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     y = lax.reduce_window(
         x, jnp.asarray(init, x.dtype), lax.max, window, strides, pads, window_dilation=dil
@@ -892,12 +899,28 @@ def _max_unpool(ctx, x, indices, output_shape=None):
 @op("AveragePool")
 def _avgpool(ctx, x):
     x = jnp.asarray(x)
-    window, strides, dil, pads = _pool_common(ctx, x)
+    window, strides, dil, pads, explicit_pads = _pool_common(ctx, x)
     count_include_pad = int(ctx.attr("count_include_pad", 0))
     ssum = lax.reduce_window(x, jnp.asarray(0, x.dtype), lax.add, window, strides, pads, window_dilation=dil)
+    if count_include_pad and pads == explicit_pads:
+        # No ceil-mode overhang: every window covers exactly the kernel.
+        return [ssum / float(np.prod(window))]
     if count_include_pad:
-        denom = float(np.prod(window))
-        return [ssum / denom]
+        # count_include_pad counts the EXPLICIT padding but not the
+        # ceil-mode overhang (torch/onnxruntime clip edge-window divisors
+        # to real coverage): pre-pad ones over the explicit region, then
+        # reduce with only the remaining (overhang) padding zero-counted.
+        ones = jnp.pad(jnp.ones(x.shape, dtype=x.dtype), explicit_pads,
+                       constant_values=1)
+        extra = [
+            (lo_t - lo_e, hi_t - hi_e)
+            for (lo_t, hi_t), (lo_e, hi_e) in zip(pads, explicit_pads)
+        ]
+        counts = lax.reduce_window(
+            ones, jnp.asarray(0, x.dtype), lax.add, window, strides, extra,
+            window_dilation=dil,
+        )
+        return [ssum / counts]
     ones = jnp.ones(x.shape, dtype=x.dtype)
     counts = lax.reduce_window(
         ones, jnp.asarray(0, x.dtype), lax.add, window, strides, pads, window_dilation=dil
@@ -2823,7 +2846,7 @@ def _lp_normalization(ctx, x):
 @op("LpPool")
 def _lppool(ctx, x):
     x = jnp.asarray(x)
-    window, strides, dil, pads = _pool_common(ctx, x)
+    window, strides, dil, pads, _ = _pool_common(ctx, x)
     p = int(ctx.attr("p", 2))
     xp = x * x if p == 2 else jnp.power(jnp.abs(x), float(p))
     s = lax.reduce_window(

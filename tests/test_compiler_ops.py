@@ -229,6 +229,41 @@ def test_avgpool_padded_count_exclude_vs_torch(rng):
     np.testing.assert_allclose(y, expected, rtol=1e-5)
 
 
+def test_avgpool_ceil_mode_count_include_pad_vs_torch(rng):
+    """Regression (found by the random-graph differential suite): with
+    ceil_mode=1 AND count_include_pad=1, the divisor counts explicit pad
+    cells but NOT the ceil overhang — torch and onnxruntime clip edge
+    windows to their real coverage."""
+    x = rng.normal(size=(2, 3, 14, 19)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("AveragePool", ["x"], ["y"], kernel_shape=[2, 2],
+                     strides=[2, 2], ceil_mode=1, count_include_pad=1)],
+        {"x": x},
+    )
+    expected = torch.nn.functional.avg_pool2d(
+        torch.from_numpy(x), 2, 2, ceil_mode=True, count_include_pad=True
+    ).numpy()
+    assert y.shape == expected.shape == (2, 3, 7, 10)
+    np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_avgpool_ceil_mode_with_explicit_pads_vs_torch(rng):
+    """Explicit padding + ceil overhang together: pad cells count when
+    count_include_pad=1, the overhang never does."""
+    x = rng.normal(size=(1, 2, 9, 11)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("AveragePool", ["x"], ["y"], kernel_shape=[3, 3],
+                     strides=[2, 2], pads=[1, 1, 1, 1], ceil_mode=1,
+                     count_include_pad=1)],
+        {"x": x},
+    )
+    expected = torch.nn.functional.avg_pool2d(
+        torch.from_numpy(x), 3, 2, padding=1, ceil_mode=True,
+        count_include_pad=True
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
+
+
 def test_gemm_transb_vs_torch(rng):
     a = rng.normal(size=(4, 8)).astype(np.float32)
     b = rng.normal(size=(6, 8)).astype(np.float32)

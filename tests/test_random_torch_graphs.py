@@ -1,0 +1,217 @@
+"""Differential testing on randomly composed torch architectures.
+
+The hand-written external-ONNX cases each exercise one idiom; real
+exporter output composes them in unforeseen ways. This suite samples
+small CNN/MLP architectures from a grammar (seeded — deterministic per
+test run), exports each through libtorch's ONNX serializer, and asserts
+fp32 parity between torch eval and the birdnet_tpu import → jit path.
+Composition bugs (dtype propagation, padding interactions, residual
+shape bookkeeping, flatten boundaries) surface here long before a real
+model file would hit them. Reference analog: ``commit_from_file``
+accepting arbitrary exporter output (src/classifier.rs:348-350).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+from _torch_export import export_onnx_bytes, torch_outputs  # noqa: E402
+
+from birdnet_tpu.compiler.importer import import_onnx, make_forward  # noqa: E402
+
+ATOL = 5e-4  # deep random stacks accumulate a little more than 1e-4
+
+
+_ACTIVATIONS = [
+    nn.ReLU, nn.GELU, nn.SiLU, nn.Hardswish, nn.ELU, nn.Tanh, nn.LeakyReLU,
+    nn.Sigmoid, nn.Softplus, nn.Mish,
+]
+
+
+class _Residual(nn.Module):
+    def __init__(self, inner):
+        super().__init__()
+        self.inner = inner
+
+    def forward(self, x):
+        return x + self.inner(x)
+
+
+def _random_conv_net(rng: np.random.Generator):
+    """Sample a small 2-D CNN: conv/norm/act/pool blocks with occasional
+    residuals, closed by GAP + linear head."""
+    c = int(rng.choice([1, 3]))
+    h = int(rng.choice([17, 24, 32]))
+    w = int(rng.choice([19, 24, 33]))
+    layers = []
+    ch = c
+    spatial = (h, w)
+    for _ in range(int(rng.integers(2, 5))):
+        out_ch = int(rng.choice([4, 8, 12, 16]))
+        k = int(rng.choice([1, 3, 5]))
+        stride = int(rng.choice([1, 1, 2]))
+        pad = int(rng.integers(0, (k + 1) // 2 + 1))
+        groups = 1
+        if ch == out_ch and rng.random() < 0.3:
+            groups = ch  # depthwise
+        dil = int(rng.choice([1, 1, 2])) if stride == 1 else 1
+        eff_k = (k - 1) * dil + 1
+        if spatial[0] + 2 * pad < eff_k or spatial[1] + 2 * pad < eff_k:
+            continue
+        layers.append(nn.Conv2d(ch, out_ch, k, stride=stride, padding=pad,
+                                dilation=dil, groups=groups,
+                                bias=bool(rng.random() < 0.7)))
+        spatial = tuple(
+            (s + 2 * pad - eff_k) // stride + 1 for s in spatial
+        )
+        ch = out_ch
+        norm_pick = rng.random()
+        if norm_pick < 0.4:
+            bn = nn.BatchNorm2d(ch)
+            # randomize the running stats so folding is non-trivial
+            bn.running_mean.data = torch.randn(ch) * 0.2
+            bn.running_var.data = torch.rand(ch) + 0.5
+            layers.append(bn)
+        elif norm_pick < 0.55 and ch % 4 == 0:
+            layers.append(nn.GroupNorm(4, ch))
+        layers.append(_ACTIVATIONS[int(rng.integers(len(_ACTIVATIONS)))]())
+        if rng.random() < 0.3 and min(spatial) >= 4:
+            pool = nn.MaxPool2d if rng.random() < 0.5 else nn.AvgPool2d
+            layers.append(pool(2, ceil_mode=bool(rng.random() < 0.5)))
+            s0 = spatial
+            up = 1 if layers[-1].ceil_mode else 0
+            spatial = tuple((s - 2 + (1 if up else 0)) // 2 + 1 for s in s0)
+        if rng.random() < 0.25:
+            inner = nn.Sequential(
+                nn.Conv2d(ch, ch, 3, padding=1),
+                _ACTIVATIONS[int(rng.integers(len(_ACTIVATIONS)))](),
+            )
+            layers.append(_Residual(inner))
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.body = nn.Sequential(*layers)
+            self.head = nn.Linear(ch, int(rng.integers(3, 9)))
+
+        def forward(self, x):
+            z = self.body(x)
+            return self.head(z.mean(dim=(2, 3)))
+
+    b = int(rng.choice([1, 2, 3]))
+    return Net(), (torch.randn(b, c, h, w),)
+
+
+def _random_mlp(rng: np.random.Generator):
+    """Sample an MLP with norm layers, dropout (eval no-op), and splits."""
+    d = int(rng.choice([7, 16, 33]))
+    layers = []
+    width = d
+    for _ in range(int(rng.integers(2, 6))):
+        out = int(rng.choice([8, 16, 24]))
+        layers.append(nn.Linear(width, out))
+        width = out
+        if rng.random() < 0.4:
+            layers.append(nn.LayerNorm(width))
+        layers.append(_ACTIVATIONS[int(rng.integers(len(_ACTIVATIONS)))]())
+        if rng.random() < 0.3:
+            layers.append(nn.Dropout(0.5))  # identity in eval
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.body = nn.Sequential(*layers)
+
+        def forward(self, x):
+            z = self.body(x)
+            a, b = z.chunk(2, dim=-1)
+            return torch.cat([torch.softmax(a, dim=-1), torch.tanh(b)], -1)
+
+    b = int(rng.choice([1, 4]))
+    return Net(), (torch.randn(b, d),)
+
+
+def _random_conv1d_net(rng: np.random.Generator):
+    """Audio-shaped 1-D stacks (the BirdNET frontend family), including
+    large-stride single-channel convs that trigger the polyphase lowering."""
+    t = int(rng.choice([2000, 4096]))
+    layers = []
+    ch = 1
+    length = t
+    first = True
+    for _ in range(int(rng.integers(2, 4))):
+        out_ch = int(rng.choice([4, 8, 16]))
+        if first and rng.random() < 0.5:
+            k, stride = 64, 32  # polyphase-eligible frontend shape
+        else:
+            k = int(rng.choice([3, 5, 9]))
+            stride = int(rng.choice([1, 2]))
+        pad = int(rng.integers(0, k // 2 + 1))
+        if length + 2 * pad < k:
+            continue
+        layers.append(nn.Conv1d(ch, out_ch, k, stride=stride, padding=pad,
+                                bias=bool(rng.random() < 0.7)))
+        length = (length + 2 * pad - k) // stride + 1
+        ch = out_ch
+        layers.append(_ACTIVATIONS[int(rng.integers(len(_ACTIVATIONS)))]())
+        first = False
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.body = nn.Sequential(*layers)
+
+        def forward(self, x):
+            z = self.body(x.unsqueeze(1))
+            return torch.log1p(z * z).mean(dim=2)
+
+    b = int(rng.choice([1, 2]))
+    return Net(), (torch.randn(b, t),)
+
+
+def _check_parity(module, args, seed):
+    module.eval()
+    try:
+        data = export_onnx_bytes(module, args)
+    except Exception as e:  # pragma: no cover - exporter limitation
+        pytest.skip(f"torch exporter refused this sample (seed {seed}): {e}")
+    import jax
+
+    model = import_onnx(data)
+    fwd = jax.jit(make_forward(model, precision="fp32"))
+    got = [np.asarray(o) for o in fwd(
+        model.params, *[a.numpy() for a in args]
+    )]
+    want = torch_outputs(module, args)
+    assert len(got) == len(want)
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(g, w_, atol=ATOL, rtol=1e-3,
+                                   err_msg=f"seed {seed}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_cnn_parity(seed):
+    rng = np.random.default_rng(1000 + seed)
+    torch.manual_seed(1000 + seed)
+    module, args = _random_conv_net(rng)
+    _check_parity(module, args, seed)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_mlp_parity(seed):
+    rng = np.random.default_rng(2000 + seed)
+    torch.manual_seed(2000 + seed)
+    module, args = _random_mlp(rng)
+    _check_parity(module, args, seed)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_conv1d_parity(seed):
+    rng = np.random.default_rng(3000 + seed)
+    torch.manual_seed(3000 + seed)
+    module, args = _random_conv1d_net(rng)
+    _check_parity(module, args, seed)
