@@ -1,0 +1,196 @@
+"""Differential bug hunt: sweep many random torch-exported architectures.
+
+Runs the generators from tests/test_random_torch_graphs.py (plus a richer
+grammar with ConvTranspose / Resize / pixel-shuffle / pad / slice-concat
+constructs) over a seed range and reports any fp32 parity failure vs
+torch eval. CI keeps a small fixed seed set; this script is the
+wide-net version for bug hunting.
+
+Usage: python scripts/graph_hunt.py [--start 0] [--count 100] [--kind all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "tests")
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import torch  # noqa: E402
+import torch.nn as nn  # noqa: E402
+
+from _torch_export import export_onnx_bytes, torch_outputs  # noqa: E402
+
+from birdnet_tpu.compiler.importer import import_onnx, make_forward  # noqa: E402
+
+import test_random_torch_graphs as G  # noqa: E402
+
+ATOL, RTOL = 5e-4, 1e-3
+
+
+class _Lambda(nn.Module):
+    def __init__(self, fn):
+        super().__init__()
+        self.fn = fn
+
+    def forward(self, x):
+        return self.fn(x)
+
+
+def _rich_net(rng: np.random.Generator):
+    """Wider grammar: everything in the CI CNN grammar plus upsampling,
+    transposed convs, pixel shuffle, functional pads, slice+concat."""
+    c = int(rng.choice([1, 3, 4]))
+    h = int(rng.choice([12, 17, 24]))
+    w = int(rng.choice([13, 19, 24]))
+    layers = []
+    ch = c
+    for _ in range(int(rng.integers(2, 6))):
+        pick = rng.random()
+        if pick < 0.35:
+            out_ch = int(rng.choice([4, 8, 12]))
+            k = int(rng.choice([1, 3, 5]))
+            pad = int(rng.integers(0, (k + 1) // 2 + 1))
+            layers.append(nn.Conv2d(ch, out_ch, k,
+                                    stride=int(rng.choice([1, 2])),
+                                    padding=pad,
+                                    bias=bool(rng.random() < 0.7)))
+            ch = out_ch
+        elif pick < 0.45:
+            out_ch = int(rng.choice([4, 8]))
+            layers.append(nn.ConvTranspose2d(
+                ch, out_ch, int(rng.choice([2, 3, 4])),
+                stride=int(rng.choice([1, 2])),
+                padding=int(rng.integers(0, 2)),
+                output_padding=0,
+            ))
+            ch = out_ch
+        elif pick < 0.55:
+            mode = str(rng.choice(["nearest", "bilinear"]))
+            sf = float(rng.choice([1.5, 2.0]))
+            align = bool(rng.random() < 0.5) if mode == "bilinear" else None
+            layers.append(nn.Upsample(scale_factor=sf, mode=mode,
+                                      align_corners=align))
+        elif pick < 0.62 and ch % 4 == 0:
+            layers.append(nn.PixelShuffle(2)) if ch % 16 == 0 else layers.append(
+                nn.GroupNorm(4, ch)
+            )
+            if isinstance(layers[-1], nn.PixelShuffle):
+                ch //= 4
+        elif pick < 0.72:
+            pmode = str(rng.choice(["constant", "reflect", "replicate"]))
+            p = int(rng.integers(1, 3))
+            layers.append(_Lambda(
+                lambda z, p=p, m=pmode: torch.nn.functional.pad(
+                    z, (p, p, p, p), mode=m
+                )
+            ))
+        elif pick < 0.82:
+            pool = nn.MaxPool2d if rng.random() < 0.5 else nn.AvgPool2d
+            layers.append(pool(int(rng.choice([2, 3])),
+                               stride=int(rng.choice([1, 2])),
+                               ceil_mode=bool(rng.random() < 0.5)))
+        elif pick < 0.9:
+            layers.append(_Lambda(
+                lambda z: torch.cat(
+                    [z[..., : z.shape[-1] // 2],
+                     torch.flip(z[..., z.shape[-1] // 2:], dims=[-1])], -1
+                )
+            ))
+        else:
+            layers.append(
+                G._ACTIVATIONS[int(rng.integers(len(G._ACTIVATIONS)))]()
+            )
+        if rng.random() < 0.4:
+            layers.append(
+                G._ACTIVATIONS[int(rng.integers(len(G._ACTIVATIONS)))]()
+            )
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.body = nn.Sequential(*layers)
+
+        def forward(self, x):
+            z = self.body(x)
+            return z.float().mean(dim=(2, 3))
+
+    b = int(rng.choice([1, 2]))
+    return Net(), (torch.randn(b, c, h, w),)
+
+
+KINDS = {
+    "cnn": G._random_conv_net,
+    "mlp": G._random_mlp,
+    "conv1d": G._random_conv1d_net,
+    "rich": _rich_net,
+}
+
+
+def run_one(kind, seed):
+    rng = np.random.default_rng(seed)
+    torch.manual_seed(seed)
+    module, args = KINDS[kind](rng)
+    module.eval()
+    try:
+        with torch.no_grad():
+            module(*args)  # reject shape-invalid samples before export
+    except Exception:
+        return "invalid"
+    try:
+        data = export_onnx_bytes(module, args)
+    except Exception:
+        return "export-refused"
+    try:
+        model = import_onnx(data)
+        fwd = jax.jit(make_forward(model, precision="fp32"))
+        got = [np.asarray(o) for o in fwd(
+            model.params, *[a.numpy() for a in args]
+        )]
+    except Exception as e:
+        print(f"\nIMPORT/RUN FAILURE kind={kind} seed={seed}: {e}")
+        traceback.print_exc()
+        print(module)
+        return "import-fail"
+    want = torch_outputs(module, args)
+    for g, w_ in zip(got, want):
+        if not np.allclose(g, w_, atol=ATOL, rtol=RTOL):
+            d = np.abs(np.asarray(g) - np.asarray(w_)).max()
+            print(f"\nPARITY FAILURE kind={kind} seed={seed} max_diff={d:.3e}")
+            print(module)
+            return "parity-fail"
+    return "ok"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--count", type=int, default=100)
+    ap.add_argument("--kind", default="all", choices=["all"] + list(KINDS))
+    args = ap.parse_args()
+
+    kinds = list(KINDS) if args.kind == "all" else [args.kind]
+    tally = {}
+    for seed in range(args.start, args.start + args.count):
+        for kind in kinds:
+            res = run_one(kind, 10_000 + seed)
+            tally[res] = tally.get(res, 0) + 1
+            sys.stderr.write(".")
+            sys.stderr.flush()
+    print(f"\ntally: {tally}")
+    return 1 if tally.get("parity-fail") or tally.get("import-fail") else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
