@@ -84,3 +84,58 @@ def test_missing_file_is_model_load_error():
 
     with pytest.raises(ModelLoadError):
         import_model("/nonexistent/path/model.onnx")
+
+
+@pytest.fixture(scope="module")
+def modern_dtype_bytes():
+    """A model carrying int4-packed + fp8 + bf16 initializers, so the
+    mutation sweep reaches the new decode branches (nibble unpack,
+    ml_dtypes views, bit-pattern int32_data storage)."""
+    import ml_dtypes
+
+    from birdnet_tpu.onnx import proto as P
+
+    def pack(vals):
+        nib = [v & 0xF for v in vals]
+        if len(nib) % 2:
+            nib.append(0)
+        return bytes(nib[i] | (nib[i + 1] << 4) for i in range(0, len(nib), 2))
+
+    w4 = P.TensorProto(name="w4", data_type=P.DataType.INT4, dims=[4, 4],
+                       raw_data=pack(list(range(-8, 8))))
+    s = P.TensorProto.from_numpy(np.float32(0.1), "s")
+    f8 = P.TensorProto.from_numpy(
+        np.array([0.5, -1.0, 2.0, 4.0] * 5, dtype=ml_dtypes.float8_e4m3fn), "f8"
+    )
+    b16 = P.TensorProto.from_numpy(
+        np.ones((4, 4), dtype=ml_dtypes.bfloat16), "b16"
+    )
+    nodes = [
+        P.make_node("DequantizeLinear", ["w4", "s"], ["w"]),
+        P.make_node("MatMul", ["x", "w"], ["m"]),
+        P.make_node("Cast", ["b16"], ["bf"], to=P.DataType.FLOAT),
+        P.make_node("Add", ["m", "bf"], ["y"]),
+    ]
+    graph = P.GraphProto(
+        name="g", node=nodes,
+        input=[P.make_value_info("x", P.DataType.FLOAT, [2, 4])],
+        output=[P.make_value_info("y", P.DataType.FLOAT, [2, 4])],
+        initializer=[w4, s, f8, b16],
+    )
+    m = P.ModelProto(ir_version=10, producer_name="fuzz", graph=graph,
+                     opset_import=[P.OperatorSetId(domain="", version=21)])
+    return P.encode_model(m)
+
+
+def test_modern_dtype_decode_never_leaks_on_corrupt_bytes(modern_dtype_bytes):
+    from birdnet_tpu.compiler.importer import import_onnx as import_model
+
+    outcomes = {"ok": 0, "model_load_error": 0}
+    for mutated in _mutations(modern_dtype_bytes, 120):
+        try:
+            import_model(bytes(mutated))
+            outcomes["ok"] += 1
+        except ModelLoadError:
+            outcomes["model_load_error"] += 1
+    assert sum(outcomes.values()) == 120
+    assert outcomes["model_load_error"] > 0
