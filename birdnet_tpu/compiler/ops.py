@@ -1396,6 +1396,63 @@ def _resize_nearest_idx(src: np.ndarray, d_in: int, nearest_mode: str) -> np.nda
     return np.clip(idx.astype(np.int64), 0, d_in - 1)
 
 
+def _keys_cubic(t: np.ndarray, a: float) -> np.ndarray:
+    """Keys cubic convolution kernel (ONNX cubic_coeff_a, default -0.75)."""
+    at = np.abs(t)
+    w = np.zeros_like(at)
+    m1 = at <= 1.0
+    w[m1] = ((a + 2.0) * at[m1] - (a + 3.0)) * at[m1] * at[m1] + 1.0
+    m2 = (at > 1.0) & (at < 2.0)
+    w[m2] = (((at[m2] - 5.0) * at[m2] + 8.0) * at[m2] - 4.0) * a
+    return w
+
+
+def _resize_weight_matrix(d_in: int, src: np.ndarray, scale: float,
+                          mode: str, *, antialias: bool,
+                          exclude_outside: bool, cubic_a: float) -> np.ndarray:
+    """Trace-time [d_out, d_in] resampling weights for one axis.
+
+    Covers the spec's full linear/cubic space: ``antialias=1`` stretches
+    the kernel by 1/scale on downscale (PIL/torch-style, normalized);
+    ``exclude_outside=1`` zeroes taps outside the input and renormalizes;
+    otherwise out-of-range taps clamp to the edge (onnxruntime's
+    exclude_outside=0 behavior). Applied as one MXU matmul per axis."""
+    support = 1.0 if mode == "linear" else 2.0
+    kscale = max(1.0, 1.0 / scale) if antialias and scale < 1.0 else 1.0
+    if kscale > 1.0:
+        # Antialias border handling follows PIL/torch (the producers of
+        # antialias=1 models): the stretched window CLIPS to in-bounds taps
+        # and renormalizes, rather than folding its tail onto the edge
+        # pixel. Interior outputs are unaffected either way.
+        exclude_outside = True
+    W = np.zeros((src.size, d_in), np.float64)
+    for i, c in enumerate(src):
+        j0 = int(np.ceil(c - support * kscale))
+        j1 = int(np.floor(c + support * kscale))
+        js = np.arange(j0, j1 + 1)
+        t = (js - c) / kscale
+        if mode == "linear":
+            w = np.maximum(0.0, 1.0 - np.abs(t))
+        else:
+            w = _keys_cubic(t, cubic_a)
+        if exclude_outside:
+            w = w * ((js >= 0) & (js < d_in))
+        total = w.sum()
+        if total != 0.0:
+            w = w / total
+        np.add.at(W[i], np.clip(js, 0, d_in - 1), w)
+    return W.astype(np.float32)
+
+
+def _apply_axis_weights(x, axis: int, W: np.ndarray):
+    """y[..., i, ...] = sum_j W[i, j] * x[..., j, ...] along ``axis``
+    (f32 accumulation, original dtype restored)."""
+    orig = x.dtype
+    moved = jnp.moveaxis(x, axis, -1).astype(jnp.float32)
+    y = jnp.matmul(moved, jnp.asarray(W.T, dtype=jnp.float32))
+    return jnp.moveaxis(y, -1, axis).astype(orig)
+
+
 def _resize_axis(x, axis: int, src: np.ndarray, linear: bool, nearest_mode: str):
     """Resample one axis of ``x`` by gathering at source coordinates ``src``."""
     d_in = x.shape[axis]
@@ -1436,10 +1493,10 @@ def _resize(ctx, x, roi=None, scales=None, sizes=None):
             nearest_mode = nearest_mode.decode()
     if coord_mode == "tf_crop_and_resize":
         raise NotImplementedError("Resize with tf_crop_and_resize is not supported")
-    if int(ctx.attr("antialias", 0)):
-        raise NotImplementedError("Resize with antialias=1 is not supported")
-    if int(ctx.attr("exclude_outside", 0)):
-        raise NotImplementedError("Resize with exclude_outside=1 is not supported")
+    # Per spec both attributes only affect linear/cubic interpolation.
+    antialias = bool(int(ctx.attr("antialias", 0)))
+    exclude_outside = bool(int(ctx.attr("exclude_outside", 0)))
+    cubic_a = float(ctx.attr("cubic_coeff_a", -0.75))
 
     policy = ctx.attr("keep_aspect_ratio_policy", "stretch")
     if isinstance(policy, bytes):
@@ -1469,13 +1526,7 @@ def _resize(ctx, x, roi=None, scales=None, sizes=None):
             sc[ax] = s
         out_shape = [int(math.floor(d * s)) for d, s in zip(x.shape, sc)]
 
-    if mode == "cubic":
-        if coord_mode != "half_pixel":
-            raise NotImplementedError(
-                f"Resize mode=cubic only supports half_pixel coordinates, got {coord_mode!r}"
-            )
-        return [jax.image.resize(x, out_shape, method="cubic").astype(x.dtype)]
-    if mode not in ("nearest", "linear"):
+    if mode not in ("nearest", "linear", "cubic"):
         raise NotImplementedError(f"Resize mode {mode!r} not supported")
 
     linear = mode == "linear"
@@ -1483,7 +1534,19 @@ def _resize(ctx, x, roi=None, scales=None, sizes=None):
         if d_out == x.shape[axis] and abs(s - 1.0) < 1e-12:
             continue
         src = _resize_src_coords(x.shape[axis], d_out, float(s), coord_mode)
-        x = _resize_axis(x, axis, src, linear, nearest_mode)
+        if mode == "cubic" or (
+            linear and (exclude_outside or (antialias and s < 1.0))
+        ):
+            # General path: per-axis weight matrix (spec-exact Keys cubic
+            # with cubic_coeff_a, antialias stretch, exclude_outside).
+            W = _resize_weight_matrix(
+                x.shape[axis], src, float(s), "linear" if linear else "cubic",
+                antialias=antialias, exclude_outside=exclude_outside,
+                cubic_a=cubic_a,
+            )
+            x = _apply_axis_weights(x, axis, W)
+        else:
+            x = _resize_axis(x, axis, src, linear, nearest_mode)
     return [x]
 
 

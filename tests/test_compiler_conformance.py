@@ -279,8 +279,6 @@ def test_resize_unsupported_modes_raise():
     x = np.zeros((1, 1, 4, 4), dtype=np.float32)
     with pytest.raises(Exception, match="tf_crop_and_resize"):
         _resize_graph(x, "nearest", "tf_crop_and_resize", scales=[1, 1, 2, 2])
-    with pytest.raises(Exception, match="antialias"):
-        _resize_graph(x, "linear", None, scales=[1, 1, 0.5, 0.5], antialias=1)
 
 
 # ---------------------------------------------------------------------------

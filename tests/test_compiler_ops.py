@@ -264,6 +264,146 @@ def test_avgpool_ceil_mode_with_explicit_pads_vs_torch(rng):
     np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
 
 
+def test_resize_linear_antialias_downscale_vs_torch(rng):
+    """antialias=1 linear downscale (opset 18): PIL/torch triangle filter
+    stretched by 1/scale, normalized."""
+    x = rng.normal(size=(2, 3, 16, 20)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Resize", ["x", "", "", "sizes"], ["y"], mode="linear",
+                     coordinate_transformation_mode="pytorch_half_pixel",
+                     antialias=1)],
+        {"x": x},
+        initializers={"sizes": np.array([2, 3, 7, 9], np.int64)},
+        opset=18,
+    )
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(7, 9), mode="bilinear",
+        align_corners=False, antialias=True,
+    ).numpy()
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_cubic_vs_torch_bicubic(rng):
+    """Spec-exact Keys cubic (cubic_coeff_a=-0.75, torch's kernel), both
+    half-pixel and the previously unsupported align_corners coords."""
+    x = rng.normal(size=(1, 2, 8, 9)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Resize", ["x", "", "", "sizes"], ["y"], mode="cubic",
+                     coordinate_transformation_mode="pytorch_half_pixel")],
+        {"x": x},
+        initializers={"sizes": np.array([1, 2, 13, 17], np.int64)},
+        opset=18,
+    )
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(13, 17), mode="bicubic",
+        align_corners=False,
+    ).numpy()
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+    (y,) = run_graph(
+        [P.make_node("Resize", ["x", "", "", "sizes"], ["y"], mode="cubic",
+                     coordinate_transformation_mode="align_corners")],
+        {"x": x},
+        initializers={"sizes": np.array([1, 2, 13, 17], np.int64)},
+        opset=18,
+    )
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(13, 17), mode="bicubic",
+        align_corners=True,
+    ).numpy()
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_cubic_antialias_downscale_vs_torch(rng):
+    """antialias bicubic downscale; torch's antialiased path is
+    PIL-consistent (Keys a=-0.5), exported with cubic_coeff_a=-0.5."""
+    x = rng.normal(size=(1, 2, 17, 19)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Resize", ["x", "", "", "sizes"], ["y"], mode="cubic",
+                     coordinate_transformation_mode="pytorch_half_pixel",
+                     antialias=1, cubic_coeff_a=-0.5)],
+        {"x": x},
+        initializers={"sizes": np.array([1, 2, 7, 8], np.int64)},
+        opset=18,
+    )
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(7, 8), mode="bicubic",
+        align_corners=False, antialias=True,
+    ).numpy()
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+
+def _resize_1d_spec_oracle(row, d_out, scale, coord, mode, a, exclude):
+    """Independent direct-convolution implementation of the ONNX Resize
+    formula for one axis (loop form, no shared code with the lowering)."""
+    d_in = row.shape[0]
+    out = np.zeros(d_out, np.float64)
+    for i in range(d_out):
+        if coord == "half_pixel":
+            c = (i + 0.5) / scale - 0.5
+        elif coord == "asymmetric":
+            c = i / scale
+        else:
+            raise AssertionError(coord)
+        support = 1.0 if mode == "linear" else 2.0
+        acc = 0.0
+        wsum = 0.0
+        for j in range(int(np.ceil(c - support)), int(np.floor(c + support)) + 1):
+            t = abs(j - c)
+            if mode == "linear":
+                w = max(0.0, 1.0 - t)
+            elif t <= 1.0:
+                w = ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0
+            elif t < 2.0:
+                w = (((t - 5.0) * t + 8.0) * t - 4.0) * a
+            else:
+                w = 0.0
+            if 0 <= j < d_in:
+                acc += w * row[j]
+                wsum += w
+            elif not exclude:
+                acc += w * row[min(max(j, 0), d_in - 1)]
+                wsum += w
+        out[i] = acc / wsum if wsum else 0.0
+    return out.astype(np.float32)
+
+
+def test_resize_cubic_exclude_outside_vs_spec_oracle(rng):
+    """exclude_outside=1: edge taps outside the input are zeroed and the
+    kernel renormalized — differs from the clamp default at the borders."""
+    row = rng.normal(size=6).astype(np.float32)
+    x = row.reshape(1, 1, 6)
+    for exclude in (0, 1):
+        (y,) = run_graph(
+            [P.make_node("Resize", ["x", "", "scales"], ["y"], mode="cubic",
+                         coordinate_transformation_mode="half_pixel",
+                         exclude_outside=exclude)],
+            {"x": x},
+            initializers={"scales": np.array([1, 1, 2.0], np.float32)},
+            opset=18,
+        )
+        want = _resize_1d_spec_oracle(row, 12, 2.0, "half_pixel", "cubic",
+                                      -0.75, bool(exclude))
+        np.testing.assert_allclose(
+            y.reshape(-1), want, rtol=1e-4, atol=1e-5,
+            err_msg=f"exclude_outside={exclude}",
+        )
+    # sanity: the two settings genuinely differ at the borders
+    (y0,) = run_graph(
+        [P.make_node("Resize", ["x", "", "scales"], ["y"], mode="cubic",
+                     coordinate_transformation_mode="half_pixel",
+                     exclude_outside=0)],
+        {"x": x}, initializers={"scales": np.array([1, 1, 2.0], np.float32)},
+        opset=18)
+    (y1,) = run_graph(
+        [P.make_node("Resize", ["x", "", "scales"], ["y"], mode="cubic",
+                     coordinate_transformation_mode="half_pixel",
+                     exclude_outside=1)],
+        {"x": x}, initializers={"scales": np.array([1, 1, 2.0], np.float32)},
+        opset=18)
+    assert np.abs(y0 - y1).max() > 1e-6
+
+
 def test_gemm_transb_vs_torch(rng):
     a = rng.normal(size=(4, 8)).astype(np.float32)
     b = rng.normal(size=(6, 8)).astype(np.float32)

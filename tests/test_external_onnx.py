@@ -287,6 +287,23 @@ def test_resize_align_corners_and_nearest_exact_coords():
     assert_parity(Up(), (torch.randn(1, 2, 5, 6),), atol=1e-4)
 
 
+def test_resize_antialias_export():
+    """torch interpolate(antialias=True) exports as Resize antialias=1
+    (opset 18); border handling must match torch/PIL."""
+    class Spec(nn.Module):
+        def forward(self, x):
+            a = F.interpolate(x, size=(6, 7), mode="bilinear",
+                              align_corners=False, antialias=True)
+            b = F.interpolate(x, size=(5, 6), mode="bicubic",
+                              align_corners=False, antialias=True)
+            return a, b
+
+    try:
+        assert_parity(Spec(), (torch.randn(2, 3, 14, 17),), opset=18)
+    except (torch.onnx.errors.SymbolicValueError, RuntimeError) as e:
+        pytest.skip(f"this torch exporter cannot emit antialias: {e}")
+
+
 def test_maxpool_with_indices_export():
     # return_indices=True exports a two-output MaxPool (plus torch's
     # index-convention conversion chain) — exercises the Indices output.
