@@ -1472,6 +1472,52 @@ def _resize_axis(x, axis: int, src: np.ndarray, linear: bool, nearest_mode: str)
     return xl + (xh - xl) * w
 
 
+def _resize_tf_crop(ctx, x, roi, axes_l, out_shape, mode, nearest_mode):
+    """``tf_crop_and_resize``: the TF detection-export idiom. Normalized
+    per-axis ROI [start..., end...] selects the crop; outputs whose source
+    coordinate falls outside the input get ``extrapolation_value``
+    (reference semantics: onnxruntime's TF-compatible crop-resize;
+    cubic+crop never appears in practice and raises)."""
+    if mode == "cubic":
+        raise NotImplementedError("Resize tf_crop_and_resize with mode=cubic")
+    if roi is None or not _is_static(roi):
+        raise ValueError(
+            "Resize tf_crop_and_resize requires a compile-time-constant roi"
+        )
+    roi_v = np.asarray(roi, dtype=np.float64).reshape(-1)
+    n_ax = len(axes_l)
+    if roi_v.size != 2 * n_ax:
+        raise ValueError(
+            f"Resize roi has {roi_v.size} elements, expected {2 * n_ax}"
+        )
+    extrap = float(ctx.attr("extrapolation_value", 0.0))
+    linear = mode == "linear"
+    oob_masks = []  # one [d_out] bool per resampled axis, broadcast later
+    for pos, axis in enumerate(axes_l):
+        d_in = x.shape[axis]
+        d_out = out_shape[axis]
+        start, end = roi_v[pos], roi_v[n_ax + pos]
+        i = np.arange(d_out, dtype=np.float64)
+        if d_out > 1:
+            src = start * (d_in - 1) + i * (end - start) * (d_in - 1) / (
+                d_out - 1
+            )
+        else:
+            src = np.full(1, 0.5 * (start + end) * (d_in - 1))
+        oob = (src < 0.0) | (src > d_in - 1)
+        x = _resize_axis(x, axis, src, linear, nearest_mode)
+        shape = [1] * x.ndim
+        shape[axis] = d_out
+        oob_masks.append(jnp.asarray(oob).reshape(shape))
+    # Other axes keep identity size by the spec's roi/axes contract.
+    if oob_masks:
+        any_oob = oob_masks[0]
+        for m in oob_masks[1:]:
+            any_oob = any_oob | m
+        x = jnp.where(any_oob, jnp.asarray(extrap, dtype=x.dtype), x)
+    return [x]
+
+
 @op("Resize")
 def _resize(ctx, x, roi=None, scales=None, sizes=None):
     x = jnp.asarray(x)
@@ -1491,8 +1537,6 @@ def _resize(ctx, x, roi=None, scales=None, sizes=None):
         nearest_mode = ctx.attr("nearest_mode", "round_prefer_floor")
         if isinstance(nearest_mode, bytes):
             nearest_mode = nearest_mode.decode()
-    if coord_mode == "tf_crop_and_resize":
-        raise NotImplementedError("Resize with tf_crop_and_resize is not supported")
     # Per spec both attributes only affect linear/cubic interpolation.
     antialias = bool(int(ctx.attr("antialias", 0)))
     exclude_outside = bool(int(ctx.attr("exclude_outside", 0)))
@@ -1501,7 +1545,7 @@ def _resize(ctx, x, roi=None, scales=None, sizes=None):
     policy = ctx.attr("keep_aspect_ratio_policy", "stretch")
     if isinstance(policy, bytes):
         policy = policy.decode()
-    if policy != "stretch":
+    if policy not in ("stretch", "not_larger", "not_smaller"):
         raise NotImplementedError(f"Resize keep_aspect_ratio_policy {policy!r} not supported")
 
     # Opset-18 axes attribute: scales/sizes apply only to the listed axes.
@@ -1514,10 +1558,18 @@ def _resize(ctx, x, roi=None, scales=None, sizes=None):
     if sizes is not None:
         sz = _static_ints(sizes, "Resize sizes")
         out_shape = list(x.shape)
-        for ax, o in zip(axes_l, sz):
-            out_shape[ax] = o
-        # When sizes are given, the coordinate transform uses the effective
-        # scale d_out/d_in per axis (keep_aspect_ratio_policy 'stretch').
+        if policy != "stretch":
+            # One uniform scale over the listed axes: the min (not_larger)
+            # or max (not_smaller) of the per-axis target ratios; targets
+            # are then ROUNDED per the spec, aspect preserved.
+            ratios = [o / x.shape[ax] for ax, o in zip(axes_l, sz)]
+            uniform = min(ratios) if policy == "not_larger" else max(ratios)
+            for ax in axes_l:
+                out_shape[ax] = int(np.round(uniform * x.shape[ax]))
+        else:
+            for ax, o in zip(axes_l, sz):
+                out_shape[ax] = o
+        # The coordinate transform uses the effective scale d_out/d_in.
         sc = [o / d for o, d in zip(out_shape, x.shape)]
     else:
         sc_sub = list(np.asarray(scales, dtype=np.float64).reshape(-1))
@@ -1528,6 +1580,10 @@ def _resize(ctx, x, roi=None, scales=None, sizes=None):
 
     if mode not in ("nearest", "linear", "cubic"):
         raise NotImplementedError(f"Resize mode {mode!r} not supported")
+
+    if coord_mode == "tf_crop_and_resize":
+        return _resize_tf_crop(ctx, x, roi, axes_l, out_shape, mode,
+                               nearest_mode)
 
     linear = mode == "linear"
     for axis, (d_out, s) in enumerate(zip(out_shape, sc)):

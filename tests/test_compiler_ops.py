@@ -404,6 +404,92 @@ def test_resize_cubic_exclude_outside_vs_spec_oracle(rng):
     assert np.abs(y0 - y1).max() > 1e-6
 
 
+def test_resize_tf_crop_and_resize(rng):
+    """Identity ROI ([0,1] per axis) reduces the crop formula to
+    align_corners resampling — cross-checked against that path; an ROI
+    reaching outside [0,1] fills with extrapolation_value."""
+    x = rng.normal(size=(1, 2, 8, 10)).astype(np.float32)
+    sizes = np.array([1, 2, 5, 7], np.int64)
+    roi_id = np.array([0, 0, 0, 0, 1, 1, 1, 1], np.float32)
+    (y,) = run_graph(
+        [P.make_node("Resize", ["x", "roi", "", "sizes"], ["y"],
+                     mode="linear",
+                     coordinate_transformation_mode="tf_crop_and_resize")],
+        {"x": x}, initializers={"roi": roi_id, "sizes": sizes}, opset=18,
+    )
+    (want,) = run_graph(
+        [P.make_node("Resize", ["x", "", "", "sizes"], ["y"], mode="linear",
+                     coordinate_transformation_mode="align_corners")],
+        {"x": x}, initializers={"sizes": sizes}, opset=18,
+    )
+    np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-6)
+
+    # center crop of the H axis, W identity
+    roi_c = np.array([0, 0, 0.25, 0, 1, 1, 0.75, 1], np.float32)
+    (y,) = run_graph(
+        [P.make_node("Resize", ["x", "roi", "", "sizes"], ["y"],
+                     mode="linear",
+                     coordinate_transformation_mode="tf_crop_and_resize")],
+        {"x": x}, initializers={"roi": roi_c, "sizes": sizes}, opset=18,
+    )
+    # oracle: direct bilinear sampling at the spec's crop coordinates
+    h_in, w_in, h_out, w_out = 8, 10, 5, 7
+    src_h = 0.25 * (h_in - 1) + np.arange(h_out) * 0.5 * (h_in - 1) / (h_out - 1)
+    src_w = np.arange(w_out) * (w_in - 1) / (w_out - 1)
+
+    def bilinear(img, sh, sw):
+        out = np.zeros((h_out, w_out), np.float64)
+        for i, cy in enumerate(sh):
+            y0 = int(np.floor(cy)); fy = cy - y0
+            y1 = min(y0 + 1, h_in - 1)
+            for j, cx in enumerate(sw):
+                x0 = int(np.floor(cx)); fx = cx - x0
+                x1 = min(x0 + 1, w_in - 1)
+                top = img[y0, x0] * (1 - fx) + img[y0, x1] * fx
+                bot = img[y1, x0] * (1 - fx) + img[y1, x1] * fx
+                out[i, j] = top * (1 - fy) + bot * fy
+        return out
+
+    for n in range(1):
+        for ch in range(2):
+            np.testing.assert_allclose(
+                y[n, ch], bilinear(x[n, ch], src_h, src_w),
+                rtol=1e-4, atol=1e-5,
+            )
+
+    # ROI past the input edge: those outputs take extrapolation_value
+    roi_o = np.array([0, 0, 0.5, 0, 1, 1, 1.5, 1], np.float32)
+    (y,) = run_graph(
+        [P.make_node("Resize", ["x", "roi", "", "sizes"], ["y"],
+                     mode="linear",
+                     coordinate_transformation_mode="tf_crop_and_resize",
+                     extrapolation_value=-7.5)],
+        {"x": x}, initializers={"roi": roi_o, "sizes": sizes}, opset=18,
+    )
+    src_h = 0.5 * (h_in - 1) + np.arange(h_out) * (h_in - 1) / (h_out - 1)
+    oob_rows = (src_h < 0) | (src_h > h_in - 1)
+    assert oob_rows.any()
+    assert (y[:, :, oob_rows, :] == -7.5).all()
+    assert not (y[:, :, ~oob_rows, :] == -7.5).any()
+
+
+def test_resize_keep_aspect_ratio_policies(rng):
+    """not_larger / not_smaller pick one uniform scale over the listed
+    axes (spec: min/max of the target ratios, rounded sizes)."""
+    x = rng.normal(size=(1, 1, 10, 20)).astype(np.float32)
+    for policy, want_hw in (("not_larger", (5, 10)), ("not_smaller", (8, 16))):
+        (y,) = run_graph(
+            [P.make_node("Resize", ["x", "", "", "sizes"], ["y"],
+                         mode="linear",
+                         coordinate_transformation_mode="half_pixel",
+                         keep_aspect_ratio_policy=policy, axes=[2, 3])],
+            {"x": x},
+            initializers={"sizes": np.array([8, 10], np.int64)},
+            opset=18,
+        )
+        assert y.shape == (1, 1) + want_hw, policy
+
+
 def test_gemm_transb_vs_torch(rng):
     a = rng.normal(size=(4, 8)).astype(np.float32)
     b = rng.normal(size=(6, 8)).astype(np.float32)
