@@ -823,15 +823,14 @@ def _maxpool(ctx, x):
     )
     if ctx.num_outputs == 1:
         return [y]
-    if int(ctx.attr("storage_order", 0)):
-        raise NotImplementedError(
-            "MaxPool Indices with storage_order=1 (column-major) not supported"
-        )
     # Indices output: int64 positions into the WHOLE input tensor flattened
-    # row-major (N and C included); ties take the first kernel position in
-    # row-major scan order — ONNX Runtime's behavior. Strategy: pad with
-    # -inf, extract each window as a patch vector, argmax over the kernel
-    # axis, then rebuild the absolute coordinate per spatial dim.
+    # row-major (N and C included) — or with the spatial block composed
+    # column-major under storage_order=1; ties take the first kernel
+    # position in row-major scan order — ONNX Runtime's behavior. Strategy:
+    # pad with the finite dtype minimum, extract each window as a patch
+    # vector, argmax over the kernel axis, then rebuild the absolute
+    # coordinate per spatial dim.
+    col_major = bool(int(ctx.attr("storage_order", 0)))
     nd = x.ndim - 2
     kernel, strid, dils = window[2:], strides[2:], dil[2:]
     spads = pads[2:]
@@ -854,18 +853,31 @@ def _maxpool(ctx, x):
     pr = patches.reshape((n_b, n_c, k_total) + out_sp)
     k_best = jnp.argmax(pr, axis=2)  # [N, C, *out]; first max wins
 
-    flat = (
+    base = (
         jnp.arange(n_b, dtype=jnp.int32).reshape((n_b,) + (1,) * (1 + nd)) * n_c
         + jnp.arange(n_c, dtype=jnp.int32).reshape((1, n_c) + (1,) * nd)
     ).astype(jnp.int64)
-    for d in range(nd):
+    spatial_dims = [x.shape[2 + d] for d in range(nd)]
+
+    def coord(d):
         k_stride = int(np.prod(kernel[d + 1:]))
         off = (k_best // k_stride) % kernel[d]
         pos = jnp.arange(out_sp[d], dtype=jnp.int32) * strid[d] - spads[d][0]
         pos = pos.reshape(
             (1, 1) + tuple(out_sp[d] if i == d else 1 for i in range(nd))
         )
-        flat = flat * x.shape[2 + d] + (pos + off * dils[d])
+        return pos + off * dils[d]
+
+    if col_major:
+        flat = base * int(np.prod(spatial_dims))
+        stride = 1
+        for d in range(nd):
+            flat = flat + coord(d) * stride
+            stride *= spatial_dims[d]
+    else:
+        flat = base
+        for d in range(nd):
+            flat = flat * spatial_dims[d] + coord(d)
     return [y, flat.astype(jnp.int64)]
 
 
@@ -2544,6 +2556,17 @@ def _rnn_act(name, alpha=None, beta=None):
         return lambda v: v / (1.0 + jnp.abs(v))
     if name == "Softplus":
         return jax.nn.softplus
+    if name == "Affine":
+        a = 1.0 if alpha is None else float(alpha)
+        bb = 0.0 if beta is None else float(beta)
+        return lambda v: a * v + bb
+    if name == "ScaledTanh":
+        a = 1.0 if alpha is None else float(alpha)
+        bb = 1.0 if beta is None else float(beta)
+        return lambda v: a * jnp.tanh(bb * v)
+    if name == "ThresholdedRelu":
+        a = 1.0 if alpha is None else float(alpha)
+        return lambda v: jnp.where(v > a, v, 0.0)
     raise NotImplementedError(f"RNN activation {name!r} not supported")
 
 

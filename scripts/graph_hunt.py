@@ -77,9 +77,9 @@ def _rich_net(rng: np.random.Generator):
             ))
             ch = out_ch
         elif pick < 0.55:
-            mode = str(rng.choice(["nearest", "bilinear"]))
+            mode = str(rng.choice(["nearest", "bilinear", "bicubic"]))
             sf = float(rng.choice([1.5, 2.0]))
-            align = bool(rng.random() < 0.5) if mode == "bilinear" else None
+            align = bool(rng.random() < 0.5) if mode != "nearest" else None
             layers.append(nn.Upsample(scale_factor=sf, mode=mode,
                                       align_corners=align))
         elif pick < 0.62 and ch % 4 == 0:

@@ -295,6 +295,29 @@ def _onnx_indices_from_torch(tidx, n, c, h, w):
     return (n_idx * c + c_idx) * (h * w) + plane
 
 
+def test_maxpool_indices_storage_order_col_major(rng):
+    """storage_order=1 composes the SPATIAL block of the flat index
+    column-major; derived from the row-major result by coordinate
+    decompose/recompose."""
+    x = rng.normal(size=(2, 3, 6, 9)).astype(np.float32)
+    _, idx_row = run_graph(
+        [P.make_node("MaxPool", ["x"], ["y", "i"], kernel_shape=[2, 3],
+                     strides=[2, 2])],
+        {"x": x}, outputs=["y", "i"],
+    )
+    _, idx_col = run_graph(
+        [P.make_node("MaxPool", ["x"], ["y", "i"], kernel_shape=[2, 3],
+                     strides=[2, 2], storage_order=1)],
+        {"x": x}, outputs=["y", "i"],
+    )
+    h, w = 6, 9
+    plane = idx_row % (h * w)
+    base = idx_row // (h * w)
+    hh, ww = plane // w, plane % w
+    want = base * (h * w) + hh + ww * h  # column-major spatial
+    np.testing.assert_array_equal(idx_col, want)
+
+
 def test_maxpool_indices_vs_torch(rng):
     x = rng.normal(size=(2, 3, 8, 10)).astype(np.float32)
     y, idx = run_graph(
@@ -519,19 +542,19 @@ def test_quantized_graph_proto_is_self_contained(rng):
             assert not i or i in available, (node.op_type, i)
 
 
-def test_maxpool_indices_column_major_clear_error():
-    x = np.zeros((1, 1, 4, 4), dtype=np.float32)
-    with pytest.raises(Exception, match="storage_order"):
-        run_graph(
-            [
-                P.make_node(
-                    "MaxPool", ["x"], ["y", "i"],
-                    kernel_shape=[2, 2], strides=[2, 2], storage_order=1,
-                )
-            ],
-            {"x": x},
-            outputs=["y", "i"],
-        )
+def test_maxpool_indices_column_major_identity_when_width_one():
+    """Degenerate cross-check: with a single spatial column the row- and
+    column-major spatial compositions coincide."""
+    x = np.arange(8, dtype=np.float32).reshape(1, 1, 8, 1)
+    _, i0 = run_graph(
+        [P.make_node("MaxPool", ["x"], ["y", "i"], kernel_shape=[2, 1],
+                     strides=[2, 1])],
+        {"x": x}, outputs=["y", "i"])
+    _, i1 = run_graph(
+        [P.make_node("MaxPool", ["x"], ["y", "i"], kernel_shape=[2, 1],
+                     strides=[2, 1], storage_order=1)],
+        {"x": x}, outputs=["y", "i"])
+    np.testing.assert_array_equal(i0, i1)
 
 
 # ---------------------------------------------------------------------------

@@ -313,3 +313,42 @@ def test_lstm_peepholes_vs_numpy_oracle():
         outputs=["y", "y_h", "y_c"],
     )
     np.testing.assert_allclose(y0, yn, rtol=1e-6)
+
+
+@pytest.mark.parametrize("act,alpha,beta", [
+    ("Affine", 0.5, 0.25),
+    ("ScaledTanh", 1.5, 0.8),
+    ("ThresholdedRelu", 0.3, None),
+])
+def test_rnn_spec_activations_vs_numpy(act, alpha, beta):
+    """The spec's long-tail RNN activations (Affine/ScaledTanh/
+    ThresholdedRelu) against a direct numpy recurrence."""
+    r = np.random.default_rng(7)
+    T, B, I, H = 4, 2, 3, 4
+    x = (r.standard_normal((T, B, I)) * 0.5).astype(np.float32)
+    w = (r.standard_normal((1, H, I)) * 0.4).astype(np.float32)
+    rr = (r.standard_normal((1, H, H)) * 0.4).astype(np.float32)
+    b = (r.standard_normal((1, 2 * H)) * 0.1).astype(np.float32)
+
+    def f(v):
+        if act == "Affine":
+            return alpha * v + beta
+        if act == "ScaledTanh":
+            return alpha * np.tanh(beta * v)
+        return np.where(v > alpha, v, 0.0)
+
+    attrs = dict(hidden_size=H, activations=[act])
+    if alpha is not None:
+        attrs["activation_alpha"] = [alpha]
+    if beta is not None:
+        attrs["activation_beta"] = [beta]
+    (y,) = run_graph(
+        [P.make_node("RNN", ["x", "w", "r", "b"], ["y"], **attrs)],
+        {"x": x},
+        {"w": w, "r": rr, "b": b},
+        outputs=["y"],
+    )
+    h = np.zeros((B, H), np.float32)
+    for t in range(T):
+        h = f(x[t] @ w[0].T + h @ rr[0].T + b[0, :H] + b[0, H:])
+        np.testing.assert_allclose(y[t, 0], h, rtol=1e-4, atol=1e-5)
