@@ -387,16 +387,82 @@ def _cubic_weights(t, a=-0.75):
     return [k(t + 1), k(t), k(1 - t), k(2 - t)]
 
 
+def _gs_gather3(img, iz, iy, ix, zeros_mask):
+    """img [C,D,H,W]; iz/iy/ix int arrays (may be OOB under 'zeros')."""
+    D, H, W = img.shape[1], img.shape[2], img.shape[3]
+    valid = (
+        (iz >= 0) & (iz < D) & (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+    )
+    cz = jnp.clip(iz, 0, D - 1)
+    cy = jnp.clip(iy, 0, H - 1)
+    cx = jnp.clip(ix, 0, W - 1)
+    v = img[:, cz, cy, cx]  # [C, ...]
+    if zeros_mask:
+        v = jnp.where(valid[None], v, 0)
+    return v
+
+
+def _grid_sample_3d(ctx, x, grid, mode, padding, align):
+    """Volumetric (5-D) GridSample, opset 20: nearest and trilinear; cubic
+    is 2-D-only per the spec (and torch, whose semantics it mirrors)."""
+    if mode == "cubic":
+        raise NotImplementedError("GridSample mode=cubic is 2-D only")
+    N, C, D, H, W = x.shape
+    g = jnp.asarray(grid).astype(jnp.float32)  # [N, Do, Ho, Wo, 3] (x,y,z)
+    fx = _gs_index(_gs_unnormalize(g[..., 0], W, align), W, padding, align)
+    fy = _gs_index(_gs_unnormalize(g[..., 1], H, align), H, padding, align)
+    fz = _gs_index(_gs_unnormalize(g[..., 2], D, align), D, padding, align)
+    zeros = padding == "zeros"
+
+    if mode == "nearest":
+        ix = jnp.round(fx).astype(jnp.int32)
+        iy = jnp.round(fy).astype(jnp.int32)
+        iz = jnp.round(fz).astype(jnp.int32)
+        out = jax.vmap(lambda img, z, y, xx: _gs_gather3(img, z, y, xx, zeros))(
+            x, iz, iy, ix
+        )
+        return [out.astype(x.dtype)]
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    z0 = jnp.floor(fz)
+    wx, wy, wz = fx - x0, fy - y0, fz - z0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    z0 = z0.astype(jnp.int32)
+
+    def one(img, z0, y0, x0, wz, wy, wx):
+        acc = 0.0
+        for dz, wzt in ((0, 1 - wz), (1, wz)):
+            for dy, wyt in ((0, 1 - wy), (1, wy)):
+                for dx, wxt in ((0, 1 - wx), (1, wx)):
+                    v = _gs_gather3(img, z0 + dz, y0 + dy, x0 + dx, zeros)
+                    acc = acc + v * (wzt * wyt * wxt)[None]
+        return acc
+
+    out = jax.vmap(one)(x, z0, y0, x0, wz, wy, wx)
+    return [out.astype(x.dtype)]
+
+
 @op("GridSample")
 def _grid_sample(ctx, x, grid):
-    """2-D GridSample (opset 16 'bilinear/bicubic' and opset 20
-    'linear/cubic' spellings), padding zeros/border/reflection,
-    align_corners — semantics match torch.nn.functional.grid_sample, which
-    the ONNX spec was modeled on."""
+    """GridSample (opset 16 'bilinear/bicubic' and opset 20
+    'linear/cubic' spellings), 4-D planar and 5-D volumetric inputs,
+    padding zeros/border/reflection, align_corners — semantics match
+    torch.nn.functional.grid_sample, which the ONNX spec was modeled on."""
     x = jnp.asarray(x)
-    if x.ndim != 4:
+    if x.ndim not in (4, 5):
         raise NotImplementedError(
-            f"GridSample supports 2-D spatial inputs [N,C,H,W]; got rank {x.ndim}"
+            f"GridSample supports 4-D [N,C,H,W] or 5-D [N,C,D,H,W] inputs; "
+            f"got rank {x.ndim}"
+        )
+    if x.ndim == 5:
+        mode5 = {"bilinear": "linear", "bicubic": "cubic"}.get(
+            ctx.attr("mode", "linear"), ctx.attr("mode", "linear")
+        )
+        return _grid_sample_3d(
+            ctx, x, grid, mode5, ctx.attr("padding_mode", "zeros"),
+            bool(int(ctx.attr("align_corners", 0))),
         )
     mode = {"bilinear": "linear", "bicubic": "cubic"}.get(
         ctx.attr("mode", "linear"), ctx.attr("mode", "linear")

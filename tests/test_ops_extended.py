@@ -337,6 +337,36 @@ def test_grid_sample_vs_torch(rng, mode, padding, align):
     np.testing.assert_allclose(y, expected, rtol=tol, atol=tol)
 
 
+@pytest.mark.parametrize("mode", ["nearest", "bilinear"])
+@pytest.mark.parametrize("padding", ["zeros", "border", "reflection"])
+@pytest.mark.parametrize("align", [0, 1])
+def test_grid_sample_volumetric_vs_torch(rng, mode, padding, align):
+    """Opset-20 5-D GridSample against torch's volumetric grid_sample."""
+    x = rng.normal(size=(2, 3, 4, 5, 6)).astype(np.float32)
+    grid = rng.uniform(-1.6, 1.6, size=(2, 3, 4, 2, 3)).astype(np.float32)
+    (y,) = jit_run(
+        [P.make_node("GridSample", ["x", "g"], ["y"], mode=mode,
+                     padding_mode=padding, align_corners=align)],
+        {"x": x, "g": grid},
+        opset=16,
+    )
+    expected = torch.nn.functional.grid_sample(
+        torch.from_numpy(x), torch.from_numpy(grid), mode=mode,
+        padding_mode=padding, align_corners=bool(align),
+    ).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_grid_sample_volumetric_cubic_raises(rng):
+    x = rng.normal(size=(1, 1, 3, 3, 3)).astype(np.float32)
+    grid = rng.uniform(-1, 1, size=(1, 2, 2, 2, 3)).astype(np.float32)
+    with pytest.raises(Exception, match="2-D only"):
+        jit_run(
+            [P.make_node("GridSample", ["x", "g"], ["y"], mode="bicubic")],
+            {"x": x, "g": grid}, opset=16,
+        )
+
+
 def test_grid_sample_opset20_spelling(rng):
     x = rng.normal(size=(1, 1, 4, 4)).astype(np.float32)
     grid = rng.uniform(-1, 1, size=(1, 2, 2, 2)).astype(np.float32)
