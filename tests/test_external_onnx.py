@@ -287,6 +287,29 @@ def test_resize_align_corners_and_nearest_exact_coords():
     assert_parity(Up(), (torch.randn(1, 2, 5, 6),), atol=1e-4)
 
 
+def test_conv3d_stack():
+    """Volumetric stack: Conv3d + BN(folded) + MaxPool3d(ceil) + AvgPool3d
+    + ConvTranspose3d — the lowerings are rank-generic; this pins 3-D."""
+    class Spec(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Conv3d(2, 4, 3, stride=2, padding=1)
+            self.bn = nn.BatchNorm3d(4)
+            self.p = nn.MaxPool3d(2, ceil_mode=True)
+            self.a = nn.AvgPool3d(2)
+            self.t = nn.ConvTranspose3d(4, 2, 2, stride=2)
+
+        def forward(self, x):
+            z = torch.relu(self.bn(self.c(x)))
+            return self.p(z), self.a(z), self.t(z)
+
+    torch.manual_seed(11)
+    spec = Spec()
+    spec.bn.running_mean.data = torch.randn(4) * 0.2
+    spec.bn.running_var.data = torch.rand(4) + 0.5
+    assert_parity(spec, (torch.randn(2, 2, 9, 10, 11),))
+
+
 def test_resize_antialias_export():
     """torch interpolate(antialias=True) exports as Resize antialias=1
     (opset 18); border handling must match torch/PIL."""
