@@ -64,6 +64,65 @@ def _robust_median(dts, label=""):
     return filtered
 
 
+def _chip_calibration(device) -> float:
+    """Sustained bf16 TFLOP/s of a 4096³ matmul chain on ``device``.
+
+    All reps run inside ONE jitted fori_loop (a per-dispatch tunnel round
+    trip is ~25-30 ms — several matmuls' worth — so a host-side rep loop
+    would measure the link, not the MXU). The carry perturbs the operand
+    each iteration so XLA cannot hoist the matmul, and the scalar
+    readback is the only transfer (`block_until_ready` lies under axon)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n, reps = 4096, 24
+    a = jax.device_put(jnp.ones((n, n), jnp.bfloat16), device)
+
+    @jax.jit
+    def chain(m):
+        def body(_, carry):
+            # full-product dependence (a [0,0] tap would let XLA slice the
+            # matmul down to one dot product)
+            p = (m + carry.astype(jnp.bfloat16)) @ m
+            return (p.sum() * 1e-12).astype(jnp.float32)
+
+        return lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    np.asarray(chain(a))  # compile + first run
+    t0 = time.monotonic()
+    out = np.asarray(chain(a))
+    dt = time.monotonic() - t0
+    del out
+    return 2.0 * n**3 * reps / dt / 1e12
+
+
+def _hbm_calibration(device) -> float:
+    """Sustained HBM GB/s of a big elementwise stream (read + write) —
+    the pipeline is byte-roofline-bound, so THIS is the number a slow
+    headline tracks (MXU peak can be healthy while HBM is contended)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    elems, reps = 256 * 1024 * 1024, 8  # 512 MB bf16
+    a = jax.device_put(jnp.ones((elems,), jnp.bfloat16), device)
+
+    @jax.jit
+    def chain(x):
+        def body(_, v):
+            return v * jnp.bfloat16(1.0000305)  # read + write, no fusion exit
+
+        return lax.fori_loop(0, reps, body, x)[0]
+
+    np.asarray(chain(a))
+    t0 = time.monotonic()
+    out = np.asarray(chain(a))
+    dt = time.monotonic() - t0
+    del out
+    return 2.0 * elems * 2.0 * reps / dt / 1e9
+
+
 def _bench_model_path() -> str:
     cache = os.path.expanduser("~/.cache/birdnet_tpu/bench")
     os.makedirs(cache, exist_ok=True)
@@ -214,6 +273,20 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    # Chip-health calibration: a 4096³ bf16 matmul measured 51 TFLOP/s on
+    # this chip on a healthy day (docs/performance.md). Pipeline numbers
+    # vary ±7-16% bench-to-bench with NO code change (shared-chip
+    # contention/clocks); this one number tells the reader whether a low
+    # headline is the chip or the code.
+    chip_tflops = _chip_calibration(device)
+    chip_gbs = _hbm_calibration(device)
+    print(
+        f"# chip calibration: 4096³ bf16 matmul {chip_tflops:.1f} TFLOP/s "
+        f"(healthy reference ~51-58); HBM stream {chip_gbs:.0f} GB/s "
+        f"(nominal 819, XLA-effective ~650-800)",
+        file=sys.stderr,
+    )
+
     imported = import_onnx(_bench_model_path())
     config = detect_model_type(*imported.detection_shapes())
     engine = StreamingEngine(
@@ -275,6 +348,12 @@ def main() -> int:
                     "value": round(dev_seg_s, 1),
                     "unit": "segments/s",
                     "vs_baseline": round(dev_seg_s / BASELINE_SEG_S, 3),
+                    # provenance: chip health at measurement time (MXU
+                    # ~51-58 TFLOP/s and HBM ~650-800 GB/s healthy; lower
+                    # means shared-chip contention, not a code regression —
+                    # docs/performance.md "Measurement discipline")
+                    "chip_bf16_tflops": round(chip_tflops, 1),
+                    "chip_hbm_gbs": round(chip_gbs, 0),
                 }
             ),
             flush=True,

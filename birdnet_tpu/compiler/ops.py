@@ -210,20 +210,32 @@ def _dropout(ctx, x, ratio=None, training_mode=None):
     return outs
 
 
+_FLOAT8_DTYPES = (
+    jnp.float8_e4m3fn, jnp.float8_e4m3fnuz,
+    jnp.float8_e5m2, jnp.float8_e5m2fnuz,
+)
+
+
 @op("Cast")
 def _cast(ctx, x):
     to = int(ctx.attr("to"))
     x = jnp.asarray(x)
     if to in (_DT.INT4, _DT.UINT4):
-        # 4-bit targets saturate per the ONNX spec; values live in their
-        # 8-bit containers at runtime (the codec decodes packed int4 the
-        # same way), so clamp to the 4-bit range in the container dtype.
+        # 4-bit targets saturate per the ONNX spec.
         lo, hi = (-8, 7) if to == _DT.INT4 else (0, 15)
-        container = jnp.int8 if to == _DT.INT4 else jnp.uint8
+        container = jnp.int4 if to == _DT.INT4 else jnp.uint4
         if jnp.issubdtype(x.dtype, jnp.floating):
             x = jnp.round(x)
         return [jnp.clip(x, lo, hi).astype(container)]
-    return [x.astype(_ONNX_TO_NP[to])]
+    target = _ONNX_TO_NP[to]
+    if target in _FLOAT8_DTYPES and int(ctx.attr("saturate", 1)):
+        # Cast's opset-19 default saturate=1: clamp to the format's finite
+        # range (a plain astype overflows to nan for e4m3fn, inf for e5m2).
+        info = jnp.finfo(target)
+        x = jnp.clip(
+            x.astype(jnp.float32), float(info.min), float(info.max)
+        )
+    return [x.astype(target)]
 
 
 @op("CastLike")
@@ -795,16 +807,26 @@ def _pool_common(ctx, x):
     pads = _resolve_pads(ctx, x.shape[2:], kernel, strides, dilations)
     explicit_pads = pads
     if int(ctx.attr("ceil_mode", 0)):
-        # Extend end padding so the window count matches ceil division.
-        new_pads = []
+        # Size the end padding so the window count matches ceil division —
+        # EXCEPT that a window which would start in the right padded
+        # region is ignored (ONNX opset-19 clarification; torch and
+        # onnxruntime both apply it as a single decrement). The total
+        # padding is then exactly what the kept windows cover, and the
+        # explicit component is truncated to match so AveragePool's
+        # count_include_pad divisor sees the right pad cells.
+        new_pads, new_explicit = [], []
         for i in range(nd):
             in_dim = x.shape[2 + i]
             eff_k = (kernel[i] - 1) * dilations[i] + 1
             lo, hi = pads[i]
             out_ceil = -(-(in_dim + lo + hi - eff_k) // strides[i]) + 1
-            need = (out_ceil - 1) * strides[i] + eff_k - in_dim - lo
-            new_pads.append((lo, max(hi, need)))
+            if (out_ceil - 1) * strides[i] >= lo + in_dim:
+                out_ceil -= 1
+            need = max(0, (out_ceil - 1) * strides[i] + eff_k - in_dim - lo)
+            new_pads.append((lo, need))
+            new_explicit.append((lo, min(hi, need)))
         pads = new_pads
+        explicit_pads = new_explicit
     window = [1, 1] + kernel
     win_strides = [1, 1] + strides
     win_dil = [1, 1] + dilations
@@ -834,24 +856,38 @@ def _maxpool(ctx, x):
     nd = x.ndim - 2
     kernel, strid, dils = window[2:], strides[2:], dil[2:]
     spads = pads[2:]
-    # Pad with the FINITE dtype minimum, not -inf: patches are extracted by
-    # a one-hot convolution, and 0 * -inf = NaN would poison every window
-    # that touches padding (argmax then returns 0 — the padded corner).
-    pad_val = (
-        jnp.finfo(x.dtype).min
-        if jnp.issubdtype(x.dtype, jnp.floating)
-        else jnp.iinfo(x.dtype).min
-    )
-    xp = jnp.pad(x, pads, constant_values=pad_val)
+    # Patches are extracted by a one-hot convolution, where any ±inf input
+    # value hits a zero kernel tap and 0 * inf = NaN poisons the window.
+    # Sanitize ±inf to the finite dtype extremes for the INDEX computation
+    # only (the pooled VALUES come from reduce_window above, exact); the
+    # ordering among finite values is unchanged, and a separate validity
+    # mask keeps argmax off padded cells even when a whole window ties at
+    # the minimum (e.g. -inf log-magnitude silence).
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        fin = jnp.finfo(x.dtype)
+        xi = jnp.clip(x, fin.min, fin.max)
+        pad_val = fin.min
+    else:
+        xi = x
+        pad_val = jnp.iinfo(x.dtype).min
+    xp = jnp.pad(xi, pads, constant_values=pad_val)
     patches = lax.conv_general_dilated_patches(
         xp, tuple(kernel), tuple(strid), "VALID", rhs_dilation=tuple(dils)
     )
+    ones_p = jnp.pad(jnp.ones_like(xi, dtype=jnp.float32), pads)
+    valid = lax.conv_general_dilated_patches(
+        ones_p, tuple(kernel), tuple(strid), "VALID",
+        rhs_dilation=tuple(dils),
+    ) > 0.5
     n_b, n_c = x.shape[0], x.shape[1]
     k_total = int(np.prod(kernel))
     out_sp = patches.shape[2:]
     # feature dim is (C, *kernel) with kernel positions row-major
     pr = patches.reshape((n_b, n_c, k_total) + out_sp)
-    k_best = jnp.argmax(pr, axis=2)  # [N, C, *out]; first max wins
+    vr = valid.reshape((n_b, n_c, k_total) + out_sp)
+    vmax = jnp.where(vr, pr, pad_val).max(axis=2, keepdims=True)
+    # first VALID position holding the window max (row-major scan order)
+    k_best = jnp.argmax(vr & (jnp.where(vr, pr, pad_val) == vmax), axis=2)
 
     base = (
         jnp.arange(n_b, dtype=jnp.int32).reshape((n_b,) + (1,) * (1 + nd)) * n_c
@@ -1408,15 +1444,14 @@ def _resize_nearest_idx(src: np.ndarray, d_in: int, nearest_mode: str) -> np.nda
     return np.clip(idx.astype(np.int64), 0, d_in - 1)
 
 
-def _keys_cubic(t: np.ndarray, a: float) -> np.ndarray:
-    """Keys cubic convolution kernel (ONNX cubic_coeff_a, default -0.75)."""
-    at = np.abs(t)
-    w = np.zeros_like(at)
-    m1 = at <= 1.0
-    w[m1] = ((a + 2.0) * at[m1] - (a + 3.0)) * at[m1] * at[m1] + 1.0
-    m2 = (at > 1.0) & (at < 2.0)
-    w[m2] = (((at[m2] - 5.0) * at[m2] + 8.0) * at[m2] - 4.0) * a
-    return w
+def _keys_cubic(t, a: float, xp=np):
+    """Keys cubic convolution kernel (ONNX cubic_coeff_a, default -0.75).
+    Branchless so it serves both the trace-time numpy Resize weights and
+    the runtime jnp GridSample taps (pass ``xp=jnp``)."""
+    at = xp.abs(t)
+    w1 = ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0
+    w2 = (((at - 5.0) * at + 8.0) * at - 4.0) * a
+    return xp.where(at <= 1.0, w1, xp.where(at < 2.0, w2, xp.zeros_like(at)))
 
 
 def _resize_weight_matrix(d_in: int, src: np.ndarray, scale: float,
@@ -1492,6 +1527,10 @@ def _resize_tf_crop(ctx, x, roi, axes_l, out_shape, mode, nearest_mode):
     cubic+crop never appears in practice and raises)."""
     if mode == "cubic":
         raise NotImplementedError("Resize tf_crop_and_resize with mode=cubic")
+    if int(ctx.attr("antialias", 0)) or int(ctx.attr("exclude_outside", 0)):
+        raise NotImplementedError(
+            "Resize tf_crop_and_resize with antialias/exclude_outside"
+        )
     if roi is None or not _is_static(roi):
         raise ValueError(
             "Resize tf_crop_and_resize requires a compile-time-constant roi"
@@ -1728,12 +1767,14 @@ def _quantize_linear(ctx, x, scale, zero_point=None):
     else:
         out_dtype = jnp.dtype(jnp.uint8)
     if jnp.issubdtype(out_dtype, jnp.floating):
-        # float8 targets (opset 19+): saturate to the format's finite range
-        # (astype alone would produce inf/nan on overflow for e5m2).
-        info = jnp.finfo(out_dtype)
-        return [jnp.clip(x / scale, float(info.min), float(info.max))
-                .astype(out_dtype)]
-    info = jnp.iinfo(out_dtype)
+        # float8 targets (opset 19+): the default saturate=1 clamps to the
+        # format's finite range (astype alone overflows to inf/nan).
+        y = x / scale
+        if int(ctx.attr("saturate", 1)):
+            info = jnp.finfo(out_dtype)
+            y = jnp.clip(y, float(info.min), float(info.max))
+        return [y.astype(out_dtype)]
+    info = jnp.iinfo(out_dtype)  # ml_dtypes int4/uint4 report [-8,7]/[0,15]
     return [jnp.clip(q, info.min, info.max).astype(out_dtype)]
 
 

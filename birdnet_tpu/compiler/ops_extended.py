@@ -37,6 +37,7 @@ from .ops import (
     _ONNX_TO_NP,
     OpContext,
     _is_static,
+    _keys_cubic,
     _run_subgraph,
     _static_int,
     _static_ints,
@@ -377,12 +378,10 @@ def _gs_gather(img, iy, ix, zeros_mask):
 
 
 def _cubic_weights(t, a=-0.75):
-    """Cubic-convolution weights for the 4 taps around t in [0,1)."""
+    """Cubic-convolution weights for the 4 taps around t in [0,1)
+    (shared Keys kernel from ops.py, jnp backend)."""
     def k(x):
-        ax = jnp.abs(x)
-        w1 = ((a + 2) * ax - (a + 3)) * ax * ax + 1
-        w2 = a * (((ax - 5) * ax + 8) * ax - 4)
-        return jnp.where(ax <= 1, w1, jnp.where(ax < 2, w2, 0.0))
+        return _keys_cubic(x, a, xp=jnp)
 
     return [k(t + 1), k(t), k(1 - t), k(2 - t)]
 

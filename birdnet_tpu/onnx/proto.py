@@ -164,12 +164,12 @@ _DTYPE_TO_NUMPY = {
     DataType.FLOAT8E4M3FNUZ: np.dtype(_mld.float8_e4m3fnuz),
     DataType.FLOAT8E5M2: np.dtype(_mld.float8_e5m2),
     DataType.FLOAT8E5M2FNUZ: np.dtype(_mld.float8_e5m2fnuz),
-    # Packed 4-bit tensors decode to their 8-bit value-equivalent — see
-    # ``to_numpy`` (two nibbles per byte on the wire; numpy/jax compute on
-    # sub-byte dtypes is not worth the compatibility risk for weight-only-
-    # quantized graphs whose int4 tensors feed DequantizeLinear anyway).
-    DataType.INT4: np.dtype(np.int8),
-    DataType.UINT4: np.dtype(np.uint8),
+    # Packed 4-bit wire tensors decode to ml_dtypes int4/uint4 arrays
+    # (one byte per element in memory) — see ``to_numpy``. Keeping the
+    # 4-bit dtype lets QuantizeLinear saturate to the true [-8,7]/[0,15]
+    # range; jax supports s4/u4 natively.
+    DataType.INT4: np.dtype(_mld.int4),
+    DataType.UINT4: np.dtype(_mld.uint4),
 }
 
 _NUMPY_TO_DTYPE = {
@@ -190,6 +190,8 @@ _NUMPY_TO_DTYPE = {
     np.dtype(_mld.float8_e4m3fnuz): DataType.FLOAT8E4M3FNUZ,
     np.dtype(_mld.float8_e5m2): DataType.FLOAT8E5M2,
     np.dtype(_mld.float8_e5m2fnuz): DataType.FLOAT8E5M2FNUZ,
+    np.dtype(_mld.int4): DataType.INT4,
+    np.dtype(_mld.uint4): DataType.UINT4,
 }
 
 
@@ -297,40 +299,40 @@ class TensorProto:
 
     def _unpack_int4(self, shape) -> np.ndarray:
         """Decode a packed 4-bit tensor (opset 21): two elements per byte,
-        low nibble first, odd element counts padded with a trailing nibble.
-        Values widen to int8/uint8 (sign-extended for INT4) — the 8-bit
-        representation is exact, and weight-only-quantized graphs feed
-        these tensors straight into DequantizeLinear."""
+        low nibble first, odd element counts padded with a trailing
+        nibble. Both storage forms pack — ``raw_data`` bytes and
+        ``int32_data`` entries each carry two nibbles (the onnx.helper
+        "4bitx2" convention). Returns an ml_dtypes int4/uint4 array (one
+        byte per element in memory) so downstream ops keep the true
+        4-bit value range."""
         n = int(np.prod(shape)) if shape else 1
         if self.raw_data:
             packed = np.frombuffer(self.raw_data, dtype=np.uint8)
-            if packed.size < (n + 1) // 2:
-                raise ValueError(
-                    f"tensor {self.name!r}: int4 payload holds "
-                    f"{packed.size * 2} nibbles, shape needs {n}"
-                )
-            nib = np.empty(packed.size * 2, dtype=np.uint8)
-            nib[0::2] = packed & 0x0F
-            nib[1::2] = packed >> 4
-            nib = nib[:n]
         elif self.int32_data:
-            # int32_data storage keeps one (already unpacked) value per entry
-            nib = (np.asarray(self.int32_data, dtype=np.int32) & 0x0F).astype(
+            packed = (np.asarray(self.int32_data, dtype=np.int32) & 0xFF).astype(
                 np.uint8
-            )[:n]
+            )
         else:
             if n:
                 raise ValueError(
                     f"tensor {self.name!r} (int4, shape {tuple(shape)}) "
                     f"carries no data in any supported field"
                 )
-            nib = np.zeros(0, dtype=np.uint8)
+            packed = np.zeros(0, dtype=np.uint8)
+        if packed.size < (n + 1) // 2:
+            raise ValueError(
+                f"tensor {self.name!r}: int4 payload holds "
+                f"{packed.size * 2} nibbles, shape needs {n}"
+            )
+        nib = np.empty(packed.size * 2, dtype=np.uint8)
+        nib[0::2] = packed & 0x0F
+        nib[1::2] = packed >> 4
+        nib = nib[:n]
         if self.data_type == DataType.INT4:
             arr = nib.astype(np.int8)
             arr = np.where(arr > 7, arr - 16, arr).astype(np.int8)
-        else:
-            arr = nib.astype(np.uint8)
-        return arr.reshape(shape)
+            return arr.astype(_mld.int4).reshape(shape)
+        return nib.astype(_mld.uint4).reshape(shape)
 
     @staticmethod
     def from_numpy(arr: np.ndarray, name: str = "") -> "TensorProto":
@@ -342,11 +344,21 @@ class TensorProto:
             arr = np.ascontiguousarray(arr)
         if arr.dtype not in _NUMPY_TO_DTYPE:
             raise ValueError(f"unsupported numpy dtype {arr.dtype}")
+        dt = _NUMPY_TO_DTYPE[arr.dtype]
+        if dt in (DataType.INT4, DataType.UINT4):
+            # ml_dtypes int4 arrays are one byte per element in memory;
+            # the wire format packs two nibbles per byte, low first.
+            flat = arr.reshape(-1).astype(np.uint8) & 0x0F
+            if flat.size % 2:
+                flat = np.concatenate([flat, np.zeros(1, np.uint8)])
+            payload = (flat[0::2] | (flat[1::2] << 4)).tobytes()
+        else:
+            payload = arr.tobytes()
         return TensorProto(
             name=name,
-            data_type=_NUMPY_TO_DTYPE[arr.dtype],
+            data_type=dt,
             dims=list(arr.shape),
-            raw_data=arr.tobytes(),
+            raw_data=payload,
         )
 
 

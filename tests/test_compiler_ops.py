@@ -247,7 +247,7 @@ def test_avgpool_ceil_mode_count_include_pad_vs_torch(rng):
     np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
 
 
-def test_avgpool_ceil_mode_with_explicit_pads_vs_torch(rng):
+
     """Explicit padding + ceil overhang together: pad cells count when
     count_include_pad=1, the overhang never does."""
     x = rng.normal(size=(1, 2, 9, 11)).astype(np.float32)

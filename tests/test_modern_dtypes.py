@@ -60,15 +60,17 @@ def test_codec_unpacks_int4_even_and_odd_counts():
     t = P.TensorProto(name="w", data_type=P.DataType.INT4, dims=[7],
                       raw_data=_pack_int4(vals))
     got = t.to_numpy()
-    assert got.dtype == np.int8
-    np.testing.assert_array_equal(got, np.array(vals, np.int8))
+    assert got.dtype == ml_dtypes.int4  # true 4-bit container
+    np.testing.assert_array_equal(got.astype(np.int8), np.array(vals, np.int8))
 
     uvals = [0, 15, 7, 8]
     t = P.TensorProto(name="w", data_type=P.DataType.UINT4, dims=[2, 2],
                       raw_data=_pack_int4(uvals))
     got = t.to_numpy()
-    assert got.dtype == np.uint8
-    np.testing.assert_array_equal(got, np.array(uvals, np.uint8).reshape(2, 2))
+    assert got.dtype == ml_dtypes.uint4
+    np.testing.assert_array_equal(
+        got.astype(np.uint8), np.array(uvals, np.uint8).reshape(2, 2)
+    )
 
 
 def test_codec_int4_truncated_payload_is_an_error():
@@ -79,9 +81,23 @@ def test_codec_int4_truncated_payload_is_an_error():
 
 
 def test_codec_int4_int32_data_storage():
+    """int32_data packs two nibbles per entry (the onnx.helper 4bitx2
+    convention), same as raw_data bytes."""
     t = P.TensorProto(name="w", data_type=P.DataType.INT4, dims=[3],
-                      int32_data=[0x0F, 0x01, 0x08])  # -1, 1, -8
-    np.testing.assert_array_equal(t.to_numpy(), np.array([-1, 1, -8], np.int8))
+                      int32_data=[0x1F, 0x08])  # nibbles: -1, 1, -8 (+pad)
+    np.testing.assert_array_equal(
+        t.to_numpy().astype(np.int8), np.array([-1, 1, -8], np.int8)
+    )
+
+
+def test_codec_int4_roundtrip_via_from_numpy():
+    arr = np.array([-8, 7, 0, -1, 3], np.int8).astype(ml_dtypes.int4)
+    rt = P.TensorProto.from_numpy(arr, "w")
+    assert rt.data_type == P.DataType.INT4
+    assert len(rt.raw_data) == 3  # packed: ceil(5/2)
+    np.testing.assert_array_equal(
+        rt.to_numpy().astype(np.int8), arr.astype(np.int8)
+    )
 
 
 def test_codec_bfloat16_raw_and_bitpattern_roundtrip():
@@ -201,17 +217,17 @@ def test_cast_to_int4_saturates():
     nodes = [P.make_node("Cast", ["x"], ["y"], to=P.DataType.INT4)]
     m = _model(nodes, [_vi("x", (6,))], [_vi("y", (6,), P.DataType.INT4)], [])
     (got,) = _run(m, x)
-    assert got.dtype == np.int8
+    assert got.dtype == ml_dtypes.int4
     np.testing.assert_array_equal(
-        got, np.clip(np.round(x), -8, 7).astype(np.int8)
+        got.astype(np.int8), np.clip(np.round(x), -8, 7).astype(np.int8)
     )
 
     nodes = [P.make_node("Cast", ["x"], ["y"], to=P.DataType.UINT4)]
     m = _model(nodes, [_vi("x", (6,))], [_vi("y", (6,), P.DataType.UINT4)], [])
     (got,) = _run(m, x)
-    assert got.dtype == np.uint8
+    assert got.dtype == ml_dtypes.uint4
     np.testing.assert_array_equal(
-        got, np.clip(np.round(x), 0, 15).astype(np.uint8)
+        got.astype(np.uint8), np.clip(np.round(x), 0, 15).astype(np.uint8)
     )
 
 
@@ -228,3 +244,41 @@ def test_fp8_e5m2_quantize_saturates_not_inf():
     assert np.isfinite(got).all()
     fi = ml_dtypes.finfo(ml_dtypes.float8_e5m2)
     np.testing.assert_allclose(got[:2], [float(fi.max), float(fi.min)])
+
+
+def test_quantize_linear_int4_zero_point_saturates_to_4bit():
+    """QuantizeLinear with an INT4 zero point must clip to [-8,7], not the
+    8-bit container range (found by review: the old int8 widening lost
+    the 4-bit identity)."""
+    x = np.array([20.0, -20.0, 3.0], np.float32)
+    scale = np.float32(1.0)
+    zp = np.zeros((), np.int8).astype(ml_dtypes.int4)
+    nodes = [P.make_node("QuantizeLinear", ["x", "s", "zp"], ["q"]),
+             P.make_node("DequantizeLinear", ["q", "s", "zp"], ["y"])]
+    m = _model(nodes, [_vi("x", (3,))], [_vi("y", (3,))],
+               [P.TensorProto.from_numpy(scale, "s"),
+                P.TensorProto.from_numpy(zp, "zp")], opset=21)
+    (got,) = _run(m, x)
+    np.testing.assert_allclose(got, [7.0, -8.0, 3.0])
+
+
+def test_cast_float8_saturate_attribute():
+    """Cast to float8 defaults to saturate=1 (clamp to finite range);
+    saturate=0 overflows per IEEE."""
+    x = np.array([1e6, -1e6, 500.0], np.float32)
+    node = P.make_node("Cast", ["x"], ["y"], to=P.DataType.FLOAT8E4M3FN)
+    m = _model([node], [_vi("x", (3,))],
+               [_vi("y", (3,), P.DataType.FLOAT8E4M3FN)], [], opset=21)
+    (got,) = _run(m, x)
+    fi = ml_dtypes.finfo(ml_dtypes.float8_e4m3fn)
+    np.testing.assert_array_equal(
+        got.astype(np.float32),
+        [float(fi.max), float(fi.min), 448.0 if float(fi.max) == 448.0 else float(np.asarray(np.float32(500.0)).astype(ml_dtypes.float8_e4m3fn))],
+    )
+
+    node = P.make_node("Cast", ["x"], ["y"], to=P.DataType.FLOAT8E5M2,
+                       saturate=0)
+    m = _model([node], [_vi("x", (3,))],
+               [_vi("y", (3,), P.DataType.FLOAT8E5M2)], [], opset=21)
+    (got,) = _run(m, x)
+    assert np.isinf(got.astype(np.float32)[:2]).all()  # e5m2 has inf
