@@ -130,11 +130,42 @@ def _rich_net(rng: np.random.Generator):
     return Net(), (torch.randn(b, c, h, w),)
 
 
+def _rnn_net(rng: np.random.Generator):
+    """Recurrent stacks the audio domain actually exports: Conv1d frontend
+    feeding LSTM/GRU/RNN layers with optional bidirectionality."""
+    t = int(rng.choice([400, 900]))
+    conv_ch = int(rng.choice([4, 8]))
+    hidden = int(rng.choice([8, 16]))
+    kind = str(rng.choice(["lstm", "gru", "rnn"]))
+    bidi = bool(rng.random() < 0.4)
+    layers_n = int(rng.choice([1, 2]))
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv1d(1, conv_ch, 9, stride=4, padding=4)
+            cls = {"lstm": nn.LSTM, "gru": nn.GRU, "rnn": nn.RNN}[kind]
+            self.rec = cls(conv_ch, hidden, num_layers=layers_n,
+                           bidirectional=bidi, batch_first=True)
+            self.fc = nn.Linear(hidden * (2 if bidi else 1),
+                                int(rng.integers(3, 7)))
+
+        def forward(self, x):
+            z = torch.relu(self.conv(x.unsqueeze(1)))  # [B, C, T']
+            z = z.transpose(1, 2)  # [B, T', C]
+            out = self.rec(z)[0]
+            return self.fc(out[:, -1])
+
+    b = int(rng.choice([1, 2]))
+    return Net(), (torch.randn(b, t),)
+
+
 KINDS = {
     "cnn": G._random_conv_net,
     "mlp": G._random_mlp,
     "conv1d": G._random_conv1d_net,
     "rich": _rich_net,
+    "rnn": _rnn_net,
 }
 
 

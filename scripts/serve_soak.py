@@ -1,0 +1,141 @@
+"""Serving soak: sustained concurrent load against the DynamicBatcher,
+watching for leaks and stuck futures.
+
+Runs N worker threads hammering ``DynamicBatcher.predict`` for T seconds
+on a tiny generated model (CPU by default; identical code path on TPU),
+then reports request counts, latency percentiles, and RSS growth. A
+leak-free run holds RSS roughly flat after the first warm-up window —
+the batcher reuses one donated batch context for every coalesced batch
+(reference analog: the reference's buffer-reusing
+predict_batch_with_context, src/batch_context.rs).
+
+Usage: python scripts/serve_soak.py [--seconds 60] [--threads 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return float("nan")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU even if a TPU is visible")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu or os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from birdnet_tpu import Classifier
+    from birdnet_tpu.models import birdnet_v24
+    from birdnet_tpu.serve.batcher import DynamicBatcher
+
+    model_path = "/tmp/soak_v24_tiny.onnx"
+    if not os.path.exists(model_path):
+        birdnet_v24.save_tiny(model_path, num_species=12)
+    clf = (Classifier.builder().model_path(model_path)
+           .labels([f"s{i}" for i in range(12)]).top_k(3).build())
+    batcher = DynamicBatcher(clf, max_batch=args.batch, max_wait_ms=3.0)
+
+    rng = np.random.default_rng(0)
+    segs = [
+        (rng.standard_normal(clf.config.sample_count) * 0.1).astype(
+            np.float32
+        )
+        for _ in range(32)
+    ]
+    # warm up (compile) before measuring RSS
+    batcher.predict(segs[0])
+    rss_start = _rss_mb()
+
+    stop = threading.Event()
+    lock = threading.Lock()
+    lat: list = []
+    errors: list = []
+    counts = [0] * args.threads
+
+    def worker(k: int):
+        i = 0
+        while not stop.is_set():
+            t0 = time.monotonic()
+            try:
+                res = batcher.predict(segs[(k + i) % len(segs)], timeout=30)
+                assert res.predictions and len(res.predictions) <= 3
+            except Exception as e:  # noqa: BLE001 - soak records all failures
+                with lock:
+                    errors.append(repr(e))
+                if len(errors) > 10:
+                    return
+            dt = time.monotonic() - t0
+            with lock:
+                lat.append(dt)
+            counts[k] += 1
+            i += 1
+
+    threads = [threading.Thread(target=worker, args=(k,), daemon=True)
+               for k in range(args.threads)]
+    t_begin = time.monotonic()
+    for t in threads:
+        t.start()
+    rss_samples = []
+    while time.monotonic() - t_begin < args.seconds:
+        time.sleep(2.0)
+        rss_samples.append(_rss_mb())
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    wall = time.monotonic() - t_begin
+
+    total = sum(counts)
+    lat.sort()
+
+    def pct(p):
+        return lat[min(len(lat) - 1, int(p * len(lat)))] * 1000 if lat else 0
+
+    stats = {
+        "requests": getattr(batcher.metrics, "requests_total", None),
+        "batches": getattr(batcher.metrics, "batches_total", None),
+    } if hasattr(batcher, "metrics") else {}
+    batcher.close()
+    print(f"requests: {total} in {wall:.0f}s -> {total / wall:.1f} req/s "
+          f"({args.threads} threads)")
+    print(f"latency ms: p50 {pct(0.5):.1f}  p95 {pct(0.95):.1f}  "
+          f"p99 {pct(0.99):.1f}  max {lat[-1] * 1000:.1f}" if lat else "n/a")
+    print(f"errors: {len(errors)}" + (f" e.g. {errors[0]}" if errors else ""))
+    print(f"batcher stats: {stats}")
+    print(f"RSS MB: start {rss_start:.0f}, end {rss_samples[-1]:.0f}, "
+          f"max {max(rss_samples):.0f} "
+          f"(growth {rss_samples[-1] - rss_start:+.0f})")
+    # leak heuristic: second-half growth (first half absorbs allocator warmup)
+    half = len(rss_samples) // 2
+    second_half_growth = rss_samples[-1] - rss_samples[half]
+    print(f"second-half RSS growth: {second_half_growth:+.0f} MB")
+    ok = not errors and second_half_growth < 64
+    print("SOAK OK" if ok else "SOAK FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
