@@ -96,7 +96,14 @@ class ClassifierBuilder:
         return self
 
     def precision(self, p: str) -> "ClassifierBuilder":
-        """MXU precision policy: fp32 | mixed | bf16."""
+        """MXU precision policy: fp32 | mixed | fast | bf16."""
+        if p not in ("fp32", "mixed", "fast", "bf16"):
+            # An unknown policy would otherwise silently behave as fp32
+            # (the op-level policy checks are membership tests).
+            raise ValueError(
+                f"unknown precision policy {p!r}; expected one of "
+                f"'fp32', 'mixed', 'fast', 'bf16'"
+            )
         self._precision = p
         return self
 

@@ -470,3 +470,12 @@ def test_perch_canonical_species_count_with_reference_labels(tmp_path):
     # species names come from the CSV's first column
     assert all(r.species for r in res.predictions)
     assert res.embeddings is not None and res.embeddings.shape == (64,)
+
+
+def test_builder_rejects_unknown_precision():
+    import pytest as _pytest
+
+    from birdnet_tpu import Classifier
+
+    with _pytest.raises(ValueError, match="precision"):
+        Classifier.builder().precision("fastest")
