@@ -456,8 +456,17 @@ def _softmax(ctx, x):
 @op("LogSoftmax")
 def _log_softmax(ctx, x):
     x = jnp.asarray(x)
-    axis = int(ctx.attr("axis", -1 if ctx.opset >= 13 else 1))
-    return [jax.nn.log_softmax(x, axis=axis)]
+    if ctx.opset >= 13:
+        axis = int(ctx.attr("axis", -1))
+        return [jax.nn.log_softmax(x, axis=axis)]
+    # opset < 13: flatten from axis, log-softmax over the flattened tail
+    # (same 2-D coercion as legacy Softmax/Hardmax).
+    axis = int(ctx.attr("axis", 1))
+    if axis < 0:
+        axis += x.ndim
+    shape = x.shape
+    flat = x.reshape(shape[:axis] + (-1,))
+    return [jax.nn.log_softmax(flat, axis=-1).reshape(shape)]
 
 
 # ---------------------------------------------------------------------------
@@ -1269,7 +1278,9 @@ def _pad(ctx, x, pads=None, constant_value=None, axes=None):
         x = x[slices]
         width = [(max(lo, 0), max(hi, 0)) for lo, hi in width]
     if mode == "constant":
-        cv = 0
+        # opset < 11 carries the fill value as the `value` float attribute;
+        # opset >= 11 as the optional constant_value input.
+        cv = ctx.attr("value", 0.0)
         if constant_value is not None:
             cv = np.asarray(constant_value).reshape(-1)
             cv = cv[0] if cv.size else 0
@@ -1369,9 +1380,10 @@ op("ArgMin")(_arg_reduce(jnp.argmin))
 
 
 @op("TopK")
-def _topk(ctx, x, k):
+def _topk(ctx, x, k=None):
     x = jnp.asarray(x)
-    kk = _static_int(k, "TopK k")
+    # opset < 10 carries k as a required int attribute; >= 10 as an input.
+    kk = _static_int(k, "TopK k") if k is not None else int(ctx.attr("k"))
     axis = int(ctx.attr("axis", -1))
     largest = int(ctx.attr("largest", 1))
     if axis < 0:

@@ -350,3 +350,46 @@ def test_upsample_nearest_noninteger_scale_vs_torch(rng):
         torch.from_numpy(x), scale_factor=1.5, mode="nearest"
     ).numpy()
     np.testing.assert_allclose(y, expected, rtol=1e-6)
+
+
+def test_logsoftmax_legacy_2d_coercion(rng):
+    """Opset < 13 LogSoftmax flattens from axis and normalizes over the tail
+    (same 2-D coercion as legacy Softmax), not per-axis."""
+    x = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    (y,) = run_graph([P.make_node("LogSoftmax", ["x"], ["y"], axis=1)], {"x": x}, opset=11)
+    flat = torch.from_numpy(x).reshape(2, -1)
+    expected = torch.nn.functional.log_softmax(flat, dim=1).reshape(x.shape).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_logsoftmax_opset13_per_axis(rng):
+    x = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    (y,) = run_graph([P.make_node("LogSoftmax", ["x"], ["y"], axis=1)], {"x": x}, opset=13)
+    expected = torch.nn.functional.log_softmax(torch.from_numpy(x), dim=1).numpy()
+    np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_pad_legacy_value_attribute():
+    """Opset < 11 Pad carries pads + fill value as attributes."""
+    x = np.ones((2, 2), np.float32)
+    (y,) = run_graph(
+        [P.make_node("Pad", ["x"], ["y"], pads=[1, 0, 0, 1], value=5.0, mode="constant")],
+        {"x": x},
+        opset=10,
+    )
+    expected = np.pad(x, [(1, 0), (0, 1)], constant_values=5.0)
+    np.testing.assert_allclose(y, expected)
+
+
+def test_topk_legacy_k_attribute(rng):
+    """Opset < 10 TopK carries k as a required attribute, not an input."""
+    x = rng.normal(size=(2, 8)).astype(np.float32)
+    vals, idx = run_graph(
+        [P.make_node("TopK", ["x"], ["v", "i"], k=3, axis=1)],
+        {"x": x},
+        outputs=["v", "i"],
+        opset=9,
+    )
+    ev, ei = torch.topk(torch.from_numpy(x), 3, dim=1)
+    np.testing.assert_allclose(vals, ev.numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(idx, ei.numpy().astype(np.int64))
