@@ -166,6 +166,7 @@ KINDS = {
     "conv1d": G._random_conv1d_net,
     "rich": _rich_net,
     "rnn": _rnn_net,
+    "xfmr": G._transformer_net,
 }
 
 

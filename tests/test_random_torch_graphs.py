@@ -173,6 +173,94 @@ def _random_conv1d_net(rng: np.random.Generator):
     return Net(), (torch.randn(b, t),)
 
 
+def _transformer_net(rng: np.random.Generator):
+    """Attention stacks: token embedding + learned positions feeding either
+    nn.TransformerEncoderLayer blocks or a hand-rolled MHA block (exports
+    the raw MatMul/Softmax/Transpose/Reshape spelling), mean-pool or
+    last-token head. Exercises Gather (embedding), Erf (gelu), LayerNorm,
+    Softmax, Where (causal mask), batched MatMul."""
+    t = int(rng.choice([7, 12, 16]))
+    heads = int(rng.choice([1, 2, 4]))
+    d = heads * int(rng.choice([4, 8]))
+    vocab = int(rng.integers(11, 40))
+    n_layers = int(rng.choice([1, 2]))
+    hand_rolled = bool(rng.random() < 0.5)
+    causal = bool(rng.random() < 0.5)
+    norm_first = bool(rng.random() < 0.5)
+    act = str(rng.choice(["gelu", "relu"]))
+
+    class HandBlock(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.qkv = nn.Linear(d, 3 * d)
+            self.proj = nn.Linear(d, d)
+            self.ln1 = nn.LayerNorm(d)
+            self.ln2 = nn.LayerNorm(d)
+            self.mlp = nn.Sequential(
+                nn.Linear(d, 2 * d),
+                nn.GELU() if act == "gelu" else nn.ReLU(),
+                nn.Linear(2 * d, d),
+            )
+
+        def forward(self, x):
+            b, s, _ = x.shape
+            h = self.ln1(x) if norm_first else x
+            q, k, v = self.qkv(h).chunk(3, dim=-1)
+            q = q.view(b, s, heads, d // heads).transpose(1, 2)
+            k = k.view(b, s, heads, d // heads).transpose(1, 2)
+            v = v.view(b, s, heads, d // heads).transpose(1, 2)
+            attn = (q @ k.transpose(-2, -1)) / float(d // heads) ** 0.5
+            if causal:
+                mask = torch.triu(
+                    torch.ones(s, s, dtype=torch.bool), diagonal=1
+                )
+                attn = attn.masked_fill(mask, float("-inf"))
+            z = torch.softmax(attn, dim=-1) @ v
+            z = z.transpose(1, 2).reshape(b, s, d)
+            x = x + self.proj(z)
+            h2 = self.ln2(x) if norm_first else x
+            x = x + self.mlp(h2)
+            if not norm_first:
+                x = self.ln2(x)
+            return x
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.Embedding(vocab, d)
+            self.pos = nn.Embedding(t, d)
+            if hand_rolled:
+                self.blocks = nn.ModuleList(
+                    [HandBlock() for _ in range(n_layers)]
+                )
+            else:
+                self.blocks = nn.ModuleList([
+                    nn.TransformerEncoderLayer(
+                        d, heads, dim_feedforward=2 * d, dropout=0.0,
+                        activation=act, batch_first=True,
+                        norm_first=norm_first,
+                    )
+                    for _ in range(n_layers)
+                ])
+            self.head = nn.Linear(d, int(rng.integers(3, 9)))
+            self.mean_pool = bool(rng.random() < 0.5)
+
+        def forward(self, ids):
+            x = self.emb(ids) + self.pos(
+                torch.arange(ids.shape[1], dtype=torch.long)
+            )
+            for blk in self.blocks:
+                x = blk(x)
+            x = x.mean(dim=1) if self.mean_pool else x[:, -1]
+            return self.head(x)
+
+    b = int(rng.choice([1, 2]))
+    ids = torch.from_numpy(
+        rng.integers(0, vocab, size=(b, t)).astype(np.int64)
+    )
+    return Net(), (ids,)
+
+
 def _check_parity(module, args, seed):
     module.eval()
     try:
@@ -214,4 +302,12 @@ def test_random_conv1d_parity(seed):
     rng = np.random.default_rng(3000 + seed)
     torch.manual_seed(3000 + seed)
     module, args = _random_conv1d_net(rng)
+    _check_parity(module, args, seed)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_transformer_parity(seed):
+    rng = np.random.default_rng(4000 + seed)
+    torch.manual_seed(4000 + seed)
+    module, args = _transformer_net(rng)
     _check_parity(module, args, seed)
