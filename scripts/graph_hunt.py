@@ -170,7 +170,7 @@ KINDS = {
 }
 
 
-def run_one(kind, seed):
+def run_one(kind, seed, opset=None):
     rng = np.random.default_rng(seed)
     torch.manual_seed(seed)
     module, args = KINDS[kind](rng)
@@ -180,10 +180,15 @@ def run_one(kind, seed):
             module(*args)  # reject shape-invalid samples before export
     except Exception:
         return "invalid"
+    if opset is None:
+        # Legacy opsets flip whole op spellings (Upsample vs Resize, Clip
+        # attrs vs inputs, Squeeze/Split axes as attributes, Pad attrs) —
+        # randomizing stresses the legacy-form lowering paths.
+        opset = int(rng.choice([9, 11, 13, 17]))
     try:
-        data = export_onnx_bytes(module, args)
+        data = export_onnx_bytes(module, args, opset_version=opset)
     except Exception:
-        return "export-refused"
+        return f"export-refused@{opset}"
     try:
         model = import_onnx(data)
         fwd = jax.jit(make_forward(model, precision="fp32"))
@@ -191,7 +196,7 @@ def run_one(kind, seed):
             model.params, *[a.numpy() for a in args]
         )]
     except Exception as e:
-        print(f"\nIMPORT/RUN FAILURE kind={kind} seed={seed}: {e}")
+        print(f"\nIMPORT/RUN FAILURE kind={kind} seed={seed} opset={opset}: {e}")
         traceback.print_exc()
         print(module)
         return "import-fail"
@@ -199,7 +204,7 @@ def run_one(kind, seed):
     for g, w_ in zip(got, want):
         if not np.allclose(g, w_, atol=ATOL, rtol=RTOL):
             d = np.abs(np.asarray(g) - np.asarray(w_)).max()
-            print(f"\nPARITY FAILURE kind={kind} seed={seed} max_diff={d:.3e}")
+            print(f"\nPARITY FAILURE kind={kind} seed={seed} opset={opset} max_diff={d:.3e}")
             print(module)
             return "parity-fail"
     return "ok"
@@ -210,13 +215,15 @@ def main():
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--count", type=int, default=100)
     ap.add_argument("--kind", default="all", choices=["all"] + list(KINDS))
+    ap.add_argument("--opset", type=int, default=None,
+                    help="pin the export opset (default: random per sample)")
     args = ap.parse_args()
 
     kinds = list(KINDS) if args.kind == "all" else [args.kind]
     tally = {}
     for seed in range(args.start, args.start + args.count):
         for kind in kinds:
-            res = run_one(kind, 10_000 + seed)
+            res = run_one(kind, 10_000 + seed, opset=args.opset)
             tally[res] = tally.get(res, 0) + 1
             sys.stderr.write(".")
             sys.stderr.flush()
