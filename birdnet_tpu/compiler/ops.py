@@ -2366,6 +2366,13 @@ def _loop_while(ctx, body, body_inputs, start_i, cond0, carried, max_trip):
         jnp.asarray(start_i, jnp.int32),
         jnp.asarray(cond0).reshape(()).astype(jnp.bool_),
     ) + tuple(jnp.asarray(c) for c in carried)
+    if max_trip is not None and _is_static(max_trip):
+        mt = int(np.asarray(max_trip).reshape(()))
+        # Exporters spell a pure `while cond` loop as trip_count=INT64_MAX
+        # (torch.jit.script does). Anything that can't survive the int32
+        # cast below is an "unbounded" sentinel, not a real bound — keeping
+        # it would overflow to a negative bound and run zero iterations.
+        max_trip = None if mt >= 2**31 - 1 else mt
     if max_trip is not None:
         bound = jnp.asarray(max_trip).reshape(()).astype(jnp.int32)
 

@@ -167,6 +167,7 @@ KINDS = {
     "rich": _rich_net,
     "rnn": _rnn_net,
     "xfmr": G._transformer_net,
+    "ctrl": G._control_flow_net,
 }
 
 

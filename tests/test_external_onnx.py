@@ -179,6 +179,25 @@ def test_scripted_loop():
     assert_parity(torch.jit.script(Loopy()), (torch.randn(2, 6),))
 
 
+def test_scripted_while_loop():
+    """A data-dependent `while` exports Loop with trip_count=INT64_MAX —
+    an "unbounded" sentinel, not a real bound. Regression: the int32 cast
+    of that sentinel overflowed negative and the loop ran 0 iterations."""
+    class Whiley(nn.Module):
+        def forward(self, x):
+            y = x
+            i = 0
+            while y.abs().sum() < 50.0 and i < 64:
+                y = y * 1.5 + 0.1
+                i = i + 1
+            return y
+
+    m = torch.jit.script(Whiley())
+    assert_parity(m, (torch.full((2, 3), 0.1),))
+    # already-satisfied condition: zero iterations
+    assert_parity(m, (torch.full((2, 3), 100.0),))
+
+
 def test_convtranspose_decoder():
     m = nn.Sequential(
         nn.ConvTranspose2d(8, 4, 4, stride=2, padding=1), nn.ReLU(),

@@ -261,6 +261,96 @@ def _transformer_net(rng: np.random.Generator):
     return Net(), (ids,)
 
 
+def _control_flow_net(rng: np.random.Generator):
+    """Scripted control flow: torch.jit.script exports data-dependent If
+    and Loop nodes (trip-count form, while form, and the combined
+    trip+cond form). Templates with randomized widths, trip counts,
+    thresholds, and branch bodies; shapes stay static across iterations
+    (the compiler's contract)."""
+    d = int(rng.choice([5, 8, 12]))
+    n = int(rng.integers(2, 6))
+    thresh = float(rng.uniform(-1.0, 1.0))
+    pick = int(rng.integers(0, 5))
+
+    if pick == 0:
+        class Net(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.a = nn.Linear(d, d)
+                self.b = nn.Linear(d, d)
+                self.t = thresh
+
+            def forward(self, x):
+                if x.sum() > self.t:
+                    y = torch.tanh(self.a(x))
+                else:
+                    y = torch.relu(self.b(x)) - 1.0
+                return y * 2.0
+    elif pick == 1:
+        class Net(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.fc = nn.Linear(d, d)
+                self.n = n
+
+            def forward(self, x):
+                y = x
+                for _ in range(self.n):
+                    y = torch.tanh(self.fc(y)) + x
+                return y
+    elif pick == 2:
+        class Net(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.n = n
+                self.t = abs(thresh) * 10.0 + 1.0
+
+            def forward(self, x):
+                y = x
+                i = 0
+                # while form: exports Loop with a live condition
+                while y.abs().sum() < self.t and i < self.n * 3:
+                    y = y * 1.5 + 0.1
+                    i = i + 1
+                return y
+    elif pick == 3:
+        class Net(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.fc = nn.Linear(d, d)
+                self.n = n
+                self.t = thresh
+
+            def forward(self, x):
+                y = x
+                for _ in range(self.n):
+                    # if nested inside the loop body
+                    if y.mean() > self.t:
+                        y = self.fc(y) * 0.5
+                    else:
+                        y = y + 1.0
+                return y
+    else:
+        class Net(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.fc = nn.Linear(d, d)
+                self.n = n
+
+            def forward(self, x):
+                # two loop-carried tensors
+                y = x
+                acc = torch.zeros_like(x)
+                for _ in range(self.n):
+                    y = torch.sigmoid(self.fc(y))
+                    acc = acc + y
+                return acc / float(self.n)
+
+    b = int(rng.choice([1, 2]))
+    module = torch.jit.script(Net().eval())
+    return module, (torch.randn(b, d),)
+
+
 def _check_parity(module, args, seed):
     module.eval()
     try:
@@ -310,4 +400,12 @@ def test_random_transformer_parity(seed):
     rng = np.random.default_rng(4000 + seed)
     torch.manual_seed(4000 + seed)
     module, args = _transformer_net(rng)
+    _check_parity(module, args, seed)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_control_flow_parity(seed):
+    rng = np.random.default_rng(5000 + seed)
+    torch.manual_seed(5000 + seed)
+    module, args = _control_flow_net(rng)
     _check_parity(module, args, seed)
