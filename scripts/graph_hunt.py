@@ -168,6 +168,7 @@ KINDS = {
     "rnn": _rnn_net,
     "xfmr": G._transformer_net,
     "ctrl": G._control_flow_net,
+    "idx": G._random_index_net,
 }
 
 
@@ -186,6 +187,19 @@ def run_one(kind, seed, opset=None):
         # attrs vs inputs, Squeeze/Split axes as attributes, Pad attrs) —
         # randomizing stresses the legacy-form lowering paths.
         opset = int(rng.choice([9, 11, 13, 17]))
+    if opset == 9:
+        try:
+            mods = list(module.modules())
+        except Exception:
+            mods = []
+        if any(isinstance(mm, nn.Upsample) and mm.mode != "nearest"
+               for mm in mods):
+            # Known torch-exporter infidelity: opset-9 Upsample is spec'd
+            # asymmetric, torch eager uses half_pixel, and torch exports
+            # anyway — the oracle itself diverges from the file's
+            # semantics (our lowering matches the asymmetric spec
+            # exactly). Not a compiler bug; re-pin to opset 11+.
+            opset = 11
     try:
         data = export_onnx_bytes(module, args, opset_version=opset)
     except Exception:

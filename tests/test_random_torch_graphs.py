@@ -351,6 +351,66 @@ def _control_flow_net(rng: np.random.Generator):
     return module, (torch.randn(b, d),)
 
 
+def _random_index_net(rng: np.random.Generator):
+    """Index/permutation ops: TopK, argsort→gather, cumsum, flip, roll
+    (Slice+Concat spelling), masked_fill/where, sort values, clamp,
+    index_select with constant indices. These exercise the int64 index
+    plumbing (Gather/GatherElements/Scatter spellings) that the conv/mlp
+    grammars never touch."""
+    t = int(rng.choice([9, 14, 23]))
+    n_ops = int(rng.integers(2, 5))
+    picks = [int(rng.integers(0, 8)) for _ in range(n_ops)]
+    k = int(rng.integers(1, min(6, t)))
+    shift = int(rng.integers(1, t))
+    thresh = float(rng.uniform(-0.5, 0.5))
+    idx = torch.from_numpy(
+        rng.integers(0, t, size=int(rng.integers(2, t))).astype(np.int64)
+    )
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.register_buffer("idx", idx)
+
+        def forward(self, x):
+            y = x
+            for p in picks:
+                if p == 0:
+                    # Tie-break jitter: ONNX TopK specifies lower-index-
+                    # first on ties (which we implement); torch eager topk
+                    # does not, so tied inputs would diverge at the oracle,
+                    # not in the compiler.
+                    yj = y + torch.arange(
+                        y.shape[-1], dtype=torch.float32
+                    ) * 1e-3
+                    vals, ids = torch.topk(yj, k, dim=-1)
+                    y = torch.cat(
+                        [vals, ids.to(torch.float32)], dim=-1
+                    )
+                elif p == 1:
+                    order = torch.argsort(y, dim=-1, descending=True)
+                    y = torch.gather(y, -1, order)
+                elif p == 2:
+                    y = torch.cumsum(y, dim=-1)
+                elif p == 3:
+                    y = torch.flip(y, dims=[-1])
+                elif p == 4:
+                    y = torch.roll(y, shifts=shift % y.shape[-1], dims=-1)
+                elif p == 5:
+                    y = y.masked_fill(y > thresh, -1.0)
+                elif p == 6:
+                    y = torch.sort(y, dim=-1)[0]
+                else:
+                    y = torch.index_select(
+                        y, -1, self.idx.clamp(max=y.shape[-1] - 1)
+                    )
+                y = torch.clamp(y, -8.0, 8.0)
+            return y.sum(dim=-1) + y.mean(dim=-1)
+
+    b = int(rng.choice([1, 2]))
+    return Net(), (torch.randn(b, t),)
+
+
 def _check_parity(module, args, seed):
     module.eval()
     try:
@@ -408,4 +468,12 @@ def test_random_control_flow_parity(seed):
     rng = np.random.default_rng(5000 + seed)
     torch.manual_seed(5000 + seed)
     module, args = _control_flow_net(rng)
+    _check_parity(module, args, seed)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_index_parity(seed):
+    rng = np.random.default_rng(6000 + seed)
+    torch.manual_seed(6000 + seed)
+    module, args = _random_index_net(rng)
     _check_parity(module, args, seed)
