@@ -64,3 +64,16 @@ def test_device_backend_strings():
     assert DeviceBackend.CPU.category == "CPU"
     assert DeviceBackend.TPU.category == "Accelerator"
     assert DeviceBackend.GPU.category == "GPU"
+
+
+def test_version_matches_pyproject():
+    """__version__ and pyproject.toml must not drift (they did once)."""
+    import pathlib
+    import tomllib
+
+    import birdnet_tpu
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    with open(root / "pyproject.toml", "rb") as f:
+        meta = tomllib.load(f)
+    assert birdnet_tpu.__version__ == meta["project"]["version"]
