@@ -399,7 +399,11 @@ def _random_index_net(rng: np.random.Generator):
                 elif p == 5:
                     y = y.masked_fill(y > thresh, -1.0)
                 elif p == 6:
-                    y = torch.sort(y, dim=-1)[0]
+                    # descending: torch's opset-9 export of *ascending*
+                    # sort emits a bare TopK (largest-first per spec) with
+                    # no reversal — the exporter, not the compiler, drops
+                    # the order. Descending exports faithfully everywhere.
+                    y = torch.sort(y, dim=-1, descending=True)[0]
                 else:
                     y = torch.index_select(
                         y, -1, self.idx.clamp(max=y.shape[-1] - 1)
