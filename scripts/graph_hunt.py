@@ -169,6 +169,8 @@ KINDS = {
     "xfmr": G._transformer_net,
     "ctrl": G._control_flow_net,
     "idx": G._random_index_net,
+    "shape": G._random_shape_net,
+    "reduce": G._random_reduce_net,
 }
 
 
@@ -217,7 +219,7 @@ def run_one(kind, seed, opset=None):
         return "import-fail"
     want = torch_outputs(module, args)
     for g, w_ in zip(got, want):
-        if not np.allclose(g, w_, atol=ATOL, rtol=RTOL):
+        if not np.allclose(g, w_, atol=ATOL, rtol=RTOL, equal_nan=True):
             d = np.abs(np.asarray(g) - np.asarray(w_)).max()
             print(f"\nPARITY FAILURE kind={kind} seed={seed} opset={opset} max_diff={d:.3e}")
             print(module)

@@ -415,6 +415,112 @@ def _random_index_net(rng: np.random.Generator):
     return Net(), (torch.randn(b, t),)
 
 
+def _random_shape_net(rng: np.random.Generator):
+    """View gymnastics: permute/reshape/flatten/squeeze/unsqueeze/chunk+cat/
+    stack/narrow/repeat chains — where Reshape/Transpose/Slice/Concat
+    shape bookkeeping bugs live. Element count is invariant so any legal
+    factorization is a valid reshape target."""
+    dims = [int(rng.choice([2, 3, 4])) for _ in range(3)]
+    n_ops = int(rng.integers(3, 7))
+    seq = [int(rng.integers(0, 7)) for _ in range(n_ops)]
+
+    def factorize(n, parts, rng):
+        out = []
+        for _ in range(parts - 1):
+            divs = [d for d in range(1, n + 1) if n % d == 0]
+            d = int(rng.choice(divs))
+            out.append(d)
+            n //= d
+        out.append(n)
+        return out
+
+    shapes = []  # precomputed reshape targets per step (trace-time shapes)
+    total = 1
+    for d in dims:
+        total *= d
+    for p in seq:
+        if p == 2:
+            shapes.append(factorize(total, int(rng.integers(2, 5)), rng))
+        else:
+            shapes.append(None)
+
+    class Net(nn.Module):
+        def forward(self, x):
+            y = x  # [*dims] per sample; batch handled by leading dim
+            step = 0
+            for p in seq:
+                if p == 0:
+                    perm = list(range(y.dim()))
+                    perm = perm[:1] + perm[1:][::-1]
+                    y = y.permute(perm).contiguous()
+                elif p == 1:
+                    y = y.flatten(start_dim=1)
+                elif p == 2:
+                    y = y.reshape([y.shape[0]] + shapes[step])
+                elif p == 3:
+                    y = y.unsqueeze(1).squeeze(1)
+                elif p == 4:
+                    parts = y.chunk(2, dim=-1)
+                    y = torch.cat([parts[-1]] + list(parts[:-1]), dim=-1)
+                elif p == 5:
+                    y = torch.stack([y, -y], dim=1).sum(dim=1)
+                else:
+                    y = y.narrow(-1, 0, max(1, y.shape[-1] - 1))
+                    y = torch.cat([y, y[..., :1]], dim=-1)
+                y = y * 1.01 + 0.1
+                step += 1
+            return y.flatten(start_dim=1).sum(dim=-1)
+
+    b = int(rng.choice([1, 2]))
+    return Net(), (torch.randn(b, *dims),)
+
+
+def _random_reduce_net(rng: np.random.Generator):
+    """Reduction chains: sum/mean/amax/amin/logsumexp/var/std/norm over
+    random axes with random keepdim, interleaved with softmax/log_softmax
+    and elementwise ops — exercises the Reduce* family's axes/keepdims
+    plumbing and the LogSoftmax coercions."""
+    shape = [int(rng.choice([3, 4, 5])) for _ in range(int(rng.choice([2, 3])))]
+    n_ops = int(rng.integers(2, 5))
+    plan = []
+    cur = list(shape)
+    for _ in range(n_ops):
+        p = int(rng.integers(0, 9))
+        ax = int(rng.integers(0, len(cur))) if cur else 0
+        keep = bool(rng.random() < 0.5)
+        if not cur:
+            break
+        plan.append((p, ax, keep))
+        if p < 7 and not keep:
+            cur.pop(ax)
+    reducers = ["sum", "mean", "amax", "amin", "logsumexp", "var", "std"]
+
+    class Net(nn.Module):
+        def forward(self, x):
+            y = x
+            for p, ax, keep in plan:
+                a = ax + 1  # axis 0 is batch
+                if p < 7:
+                    name = reducers[p]
+                    if name == "var":
+                        y = torch.var(y, dim=a, keepdim=keep, correction=1)
+                    elif name == "std":
+                        y = torch.std(y, dim=a, keepdim=keep, correction=1)
+                    elif name == "logsumexp":
+                        y = torch.logsumexp(y, dim=a, keepdim=keep)
+                    else:
+                        y = getattr(torch, name)(y, dim=a, keepdim=keep)
+                elif p == 7:
+                    y = torch.softmax(y, dim=a)
+                else:
+                    y = torch.log_softmax(y, dim=a)
+                y = y * 0.9 + 0.05
+            return y.flatten(start_dim=1).sum(dim=-1) if y.dim() > 1 else y
+
+    b = int(rng.choice([1, 2]))
+    return Net(), (torch.randn(b, *shape),)
+
+
 def _check_parity(module, args, seed):
     module.eval()
     try:
@@ -480,4 +586,20 @@ def test_random_index_parity(seed):
     rng = np.random.default_rng(6000 + seed)
     torch.manual_seed(6000 + seed)
     module, args = _random_index_net(rng)
+    _check_parity(module, args, seed)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_shape_parity(seed):
+    rng = np.random.default_rng(7000 + seed)
+    torch.manual_seed(7000 + seed)
+    module, args = _random_shape_net(rng)
+    _check_parity(module, args, seed)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_reduce_parity(seed):
+    rng = np.random.default_rng(8000 + seed)
+    torch.manual_seed(8000 + seed)
+    module, args = _random_reduce_net(rng)
     _check_parity(module, args, seed)
