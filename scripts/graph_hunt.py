@@ -205,7 +205,15 @@ def run_one(kind, seed, opset=None):
     try:
         data = export_onnx_bytes(module, args, opset_version=opset)
     except Exception:
-        return f"export-refused@{opset}"
+        # Old opsets can't express some samples (e.g. attention needs 14+);
+        # fall back to 17 so the graph still gets differential coverage.
+        if opset == 17:
+            return "export-refused@17"
+        try:
+            opset = 17
+            data = export_onnx_bytes(module, args, opset_version=opset)
+        except Exception:
+            return "export-refused@17"
     try:
         model = import_onnx(data)
         fwd = jax.jit(make_forward(model, precision="fp32"))
