@@ -53,9 +53,19 @@ _CPU_ORACLE_MODULES = {
     "test_contrib_ops",  # numpy/torch fp32 oracles ≤1e-4
     "test_modern_dtypes",  # fp32/fp8 exact-value oracles
     "test_external_full_models",  # fp32 parity vs torch-CPU
+    "test_random_torch_graphs",  # fp32 parity ≤5e-4 vs torch-CPU
+    "test_ops_wave3",  # fp32 torch-oracle tolerances (Attention etc.)
 }
 # Modules that need the 8-device virtual mesh.
 _MESH_MODULES = {"test_sharding", "test_sharded_classifier"}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "cpu_oracle: numeric assertion assumes fp32 (CPU) execution; "
+        "skipped on real TPU where default passes are bf16-based",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
@@ -72,7 +82,7 @@ def pytest_collection_modifyitems(config, items):
     )
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
-        if mod in _CPU_ORACLE_MODULES:
+        if mod in _CPU_ORACLE_MODULES or item.get_closest_marker("cpu_oracle"):
             item.add_marker(skip_oracle)
         elif mod in _MESH_MODULES and n_devices < 8:
             item.add_marker(skip_mesh)

@@ -106,6 +106,7 @@ def test_bad_checkpoint(tmp_path):
         import_any(p)
 
 
+@pytest.mark.cpu_oracle
 def test_checkpoint_preserves_contrib_domains(tmp_path):
     """A .btck of an ORT-optimized (com.microsoft) model must keep node
     domains through the graph re-encode, or reload would dispatch the
@@ -141,6 +142,7 @@ def test_checkpoint_preserves_contrib_domains(tmp_path):
     np.testing.assert_allclose(got, np.maximum(x @ w, 0.0), atol=1e-5)
 
 
+@pytest.mark.cpu_oracle
 def test_checkpoint_roundtrips_bf16_params(tmp_path):
     """bfloat16 weights (≥16 elements → params) must survive the manifest's
     dtype-string round trip (np.dtype('bfloat16') via ml_dtypes)."""

@@ -318,6 +318,7 @@ def test_maxpool_indices_storage_order_col_major(rng):
     np.testing.assert_array_equal(idx_col, want)
 
 
+@pytest.mark.cpu_oracle
 def test_maxpool_indices_vs_torch(rng):
     x = rng.normal(size=(2, 3, 8, 10)).astype(np.float32)
     y, idx = run_graph(
@@ -332,6 +333,7 @@ def test_maxpool_indices_vs_torch(rng):
     np.testing.assert_array_equal(idx, _onnx_indices_from_torch(tidx, 2, 3, 8, 10))
 
 
+@pytest.mark.cpu_oracle
 def test_maxpool_indices_padded_dilated_vs_torch(rng):
     x = rng.normal(size=(1, 2, 9, 9)).astype(np.float32)
     y, idx = run_graph(
@@ -403,6 +405,7 @@ def test_scatter_min_max_reductions(rng):
         np.testing.assert_allclose(y, expected, rtol=1e-6)
 
 
+@pytest.mark.cpu_oracle
 def test_grouped_conv_transpose_vs_torch(rng):
     x = rng.normal(size=(1, 4, 6, 6)).astype(np.float32)
     w = rng.normal(size=(4, 2, 3, 3)).astype(np.float32)  # (C_in, C_out/g, k, k)
@@ -604,6 +607,7 @@ def test_fold_batchnorm_skips_weight_tied_convs(rng):
         np.testing.assert_allclose(o, r, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.cpu_oracle
 def test_fold_batchnorm_shared_bias_initializer(rng):
     # Two convs share one bias initializer; folding conv1's BN must not
     # rewrite the shared bias in place under conv2.
@@ -759,6 +763,7 @@ def test_prune_keeps_subgraph_references(rng):
     assert "w" in tensors
 
 
+@pytest.mark.cpu_oracle
 def test_imported_model_params_free_of_bn_tensors(rng):
     # End-to-end: import with optimize=True and check the jit param set.
     x_vi = P.make_value_info("x", P.DataType.FLOAT, [1, 3, 8, 8])

@@ -15,6 +15,7 @@ import threading
 import time
 import urllib.error
 import urllib.request
+import os
 import wave
 
 import numpy as np
@@ -23,6 +24,12 @@ import pytest
 import birdnet_tpu.errors as E
 from birdnet_tpu import Classifier
 from birdnet_tpu.serve import DynamicBatcher, make_server
+
+# Pipeline-vs-direct comparisons run two different XLA programs (batched
+# serve tile vs batch-1 predict). On CPU they are bit-identical; on real
+# TPU the default precision's bf16 accumulation orders differ per program
+# (~4e-4 rel., measured), so the tolerance is hardware-aware.
+PIPELINE_RTOL = 2e-3 if os.environ.get("BIRDNET_TEST_TPU") else 1e-5
 
 LABELS10 = [f"species_{i}" for i in range(10)]
 LABELS12 = [f"species_{i}" for i in range(12)]
@@ -82,7 +89,7 @@ class TestDynamicBatcher:
         np.testing.assert_allclose(
             [p.confidence for p in served.predictions],
             [p.confidence for p in direct.predictions],
-            rtol=1e-5,
+            rtol=PIPELINE_RTOL,
         )
 
     def test_concurrent_requests_coalesce(self, v24_classifier):
@@ -304,7 +311,7 @@ class TestServer:
         np.testing.assert_allclose(
             [p["confidence"] for p in body["predictions"]],
             [p.confidence for p in direct.predictions],
-            rtol=1e-5,
+            rtol=PIPELINE_RTOL,
         )
 
     def test_predict_json_samples(self, server, v24_classifier):
@@ -634,7 +641,7 @@ class TestRangeFilterServing:
         np.testing.assert_allclose(
             [p["confidence"] for p in body["predictions"]],
             [p.confidence for p in want],
-            rtol=1e-5,
+            rtol=PIPELINE_RTOL,
         )
 
     def test_analyze_with_location(self, rf_server, v24_classifier):
@@ -682,7 +689,7 @@ class TestServeClient:
         np.testing.assert_allclose(
             [p.confidence for p in preds],
             [p.confidence for p in direct.predictions],
-            rtol=1e-5,
+            rtol=PIPELINE_RTOL,
         )
 
     def test_predict_i16_body(self, server, v24_classifier):
