@@ -171,6 +171,7 @@ KINDS = {
     "idx": G._random_index_net,
     "shape": G._random_shape_net,
     "reduce": G._random_reduce_net,
+    "dtype": G._random_dtype_net,
 }
 
 

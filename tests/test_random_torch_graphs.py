@@ -521,6 +521,49 @@ def _random_reduce_net(rng: np.random.Generator):
     return Net(), (torch.randn(b, *shape),)
 
 
+def _random_dtype_net(rng: np.random.Generator):
+    """Mixed dtypes and multiple inputs: a float tensor and an int64
+    tensor combine through casts, comparisons, boolean logic, where,
+    integer arithmetic (floor-div/mod/clamp), and one-hot-style
+    equality — the Cast/Greater/And/Where/Div-on-int plumbing that
+    single-float-input grammars never reach."""
+    t = int(rng.choice([8, 13, 20]))
+    hi = int(rng.integers(3, 9))
+    n_ops = int(rng.integers(2, 5))
+    picks = [int(rng.integers(0, 6)) for _ in range(n_ops)]
+    thresh = float(rng.uniform(-0.5, 0.5))
+    modulus = int(rng.integers(2, 5))
+
+    class Net(nn.Module):
+        def forward(self, x, ids):
+            y = x
+            k = ids
+            for p in picks:
+                if p == 0:
+                    y = torch.where(y > thresh, y, k.to(torch.float32))
+                elif p == 1:
+                    mask = (k % modulus == 0) & (y < 1.0)
+                    y = y + mask.to(torch.float32)
+                elif p == 2:
+                    k = torch.div(k + 1, modulus, rounding_mode="floor")
+                    y = y * 0.9
+                elif p == 3:
+                    y = y + (k == k.flip(dims=[-1])).to(y.dtype)
+                elif p == 4:
+                    k = torch.clamp(k - 1, min=0, max=hi - 1)
+                    y = y - k.to(torch.float32) * 0.1
+                else:
+                    big = (y.abs() > 0.5) | (k > hi // 2)
+                    y = torch.where(big, -y, y * 2.0)
+            return y.sum(dim=-1) + k.to(torch.float32).sum(dim=-1)
+
+    b = int(rng.choice([1, 2]))
+    ids = torch.from_numpy(
+        rng.integers(0, hi, size=(b, t)).astype(np.int64)
+    )
+    return Net(), (torch.randn(b, t), ids)
+
+
 def _check_parity(module, args, seed):
     module.eval()
     try:
@@ -602,4 +645,12 @@ def test_random_reduce_parity(seed):
     rng = np.random.default_rng(8000 + seed)
     torch.manual_seed(8000 + seed)
     module, args = _random_reduce_net(rng)
+    _check_parity(module, args, seed)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_dtype_parity(seed):
+    rng = np.random.default_rng(9000 + seed)
+    torch.manual_seed(9000 + seed)
+    module, args = _random_dtype_net(rng)
     _check_parity(module, args, seed)
