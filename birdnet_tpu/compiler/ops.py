@@ -2484,6 +2484,14 @@ def _loop(ctx, trip_count=None, cond=None, *v_initial):
         else None
     )
     if m is not None and m > _LOOP_UNROLL_LIMIT and _loop_is_for(body):
+        if m >= 2**31 - 1:
+            # A for-form body (cond passthrough) can never terminate early,
+            # so an INT64_MAX-style trip count is an infinite loop — reject
+            # it cleanly rather than materializing arange(2^63) in scan.
+            raise NotImplementedError(
+                f"Loop trip count {m} with a pass-through termination "
+                f"condition is effectively infinite"
+            )
         return _loop_scan(ctx, body, body_inputs, m, v_initial, n_carried)
     if m is not None and m > 256:
         raise NotImplementedError(

@@ -260,3 +260,35 @@ def test_loop_long_with_real_termination_still_rejected():
             {"M": np.array(1000, np.int64), "cond": np.array(True)},
             outputs=["final"],
         )
+
+
+def test_loop_for_form_int64_max_rejected_cleanly():
+    """A for-form body (cond passthrough) with an INT64_MAX trip count can
+    never terminate — reject at import/trace time instead of materializing
+    arange(2**63) in lax.scan."""
+    body = P.GraphProto(
+        name="body",
+        node=[
+            P.make_node("Identity", ["cond_in"], ["cond_out"]),
+            P.make_node("Add", ["v", "one"], ["v_out"]),
+        ],
+        initializer=[
+            P.TensorProto.from_numpy(np.ones(1, np.float32), name="one")
+        ],
+        input=[
+            P.make_value_info("iter", P.DataType.INT64, []),
+            P.make_value_info("cond_in", P.DataType.BOOL, []),
+            P.make_value_info("v", P.DataType.FLOAT, [1]),
+        ],
+        output=[
+            P.make_value_info("cond_out", P.DataType.BOOL, []),
+            P.make_value_info("v_out", P.DataType.FLOAT, [1]),
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="effectively infinite"):
+        _jit_run(
+            [P.make_node("Loop", ["M", "cond", "x"], ["final"], body=body)],
+            {"x": np.zeros(1, np.float32)},
+            {"M": np.array(2**63 - 1, np.int64), "cond": np.array(True)},
+            outputs=["final"],
+        )
