@@ -65,6 +65,7 @@ def main() -> int:
     best = (0.0, None)
     for tile in (int(t) for t in args.tiles.split(",")):
         if n_seg % tile:
+            print(f"{tile:>6}  skipped: --segments {n_seg} not divisible")
             continue
         engine = StreamingEngine(
             imported, config, device=device, top_k=10, tile=tile
