@@ -234,6 +234,32 @@ class ClassifierBuilder:
                     ]
             imported = quantize_model(imported, calibration)
 
+        # Validation trace (reference analog: ORT validates the graph at
+        # session creation — commit_from_file, classifier.rs:348-350).
+        # jax.eval_shape is abstract (no compile, no device touch), so
+        # structural defects in arbitrary model files (bad conv groups,
+        # invalid window geometry, shape inconsistencies) surface HERE as
+        # ModelLoadError instead of raw tracer errors at first predict.
+        import jax
+
+        from .compiler.importer import make_forward
+        from .errors import BirdnetError, ModelLoadError
+
+        try:
+            in_shape = tuple(
+                int(d) if isinstance(d, int) and d > 0 else 1
+                for d in input_shape
+            )
+            jax.eval_shape(
+                make_forward(imported, precision="fp32"),
+                imported.params,
+                jax.ShapeDtypeStruct(in_shape, np.float32),
+            )
+        except BirdnetError:
+            raise
+        except Exception as e:  # noqa: BLE001 - untrusted model structure
+            raise ModelLoadError(f"model failed validation trace: {e}") from e
+
         if self._labels is not None:
             labels = list(self._labels)
         else:

@@ -178,6 +178,7 @@ def import_onnx(
         output_shapes=output_shapes,
     )
     _validate_ops(imported)
+    _validate_outputs(imported)
     return imported
 
 
@@ -188,6 +189,22 @@ def _static_shape(vi) -> List[Optional[int]]:
     for d in vi.type.tensor_type.shape.dim:
         out.append(int(d.dim_value) if d.dim_value is not None and d.dim_value > 0 else None)
     return out
+
+
+def _validate_outputs(model: ImportedModel) -> None:
+    """Every graph output must be produced by a node or be an input/
+    initializer; a dangling output name would otherwise surface as a raw
+    KeyError at trace time (reference analog: ORT validates the graph at
+    session load, surfaced as Error::ModelLoad)."""
+    produced = set(model.input_names) | set(model.params) | set(model.consts)
+    for n in model.graph.node:
+        produced.update(o for o in n.output if o)
+    missing = [o for o in model.output_names if o not in produced]
+    if missing:
+        raise ModelLoadError(
+            f"graph outputs are not produced by any node: "
+            f"{', '.join(sorted(missing))}"
+        )
 
 
 def _validate_ops(model: ImportedModel) -> None:

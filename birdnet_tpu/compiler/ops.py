@@ -558,6 +558,16 @@ def _conv_geometry(ctx, x, w):
     strides = [int(s) for s in ctx.attr("strides", [1] * nd)]
     dilations = [int(d) for d in ctx.attr("dilations", [1] * nd)]
     group = int(ctx.attr("group", 1))
+    if any(v < 1 for v in strides) or any(v < 1 for v in dilations):
+        raise ValueError(
+            f"Conv strides/dilations must be >= 1, got strides={strides} "
+            f"dilations={dilations}"
+        )
+    if group < 1 or x.shape[1] % group or w.shape[0] % group:
+        raise ValueError(
+            f"Conv group={group} must divide input channels {x.shape[1]} "
+            f"and output channels {w.shape[0]}"
+        )
     pads = _resolve_pads(ctx, x.shape[2:], kernel, strides, dilations)
     spec = tuple(range(nd + 2))
     dn = lax.ConvDimensionNumbers(lhs_spec=spec, rhs_spec=spec, out_spec=spec)
@@ -813,6 +823,11 @@ def _pool_common(ctx, x):
     kernel = [int(k) for k in ctx.attr("kernel_shape")]
     strides = [int(s) for s in ctx.attr("strides", [1] * nd)]
     dilations = [int(d) for d in ctx.attr("dilations", [1] * nd)]
+    if any(v < 1 for v in kernel + strides + dilations):
+        raise ValueError(
+            f"pool kernel/strides/dilations must be >= 1, got "
+            f"kernel={kernel} strides={strides} dilations={dilations}"
+        )
     pads = _resolve_pads(ctx, x.shape[2:], kernel, strides, dilations)
     explicit_pads = pads
     if int(ctx.attr("ceil_mode", 0)):
