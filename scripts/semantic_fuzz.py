@@ -27,7 +27,11 @@ sys.path.insert(
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if __name__ == "__main__":
+    # Standalone runs pin CPU; when imported by the test suite the
+    # conftest owns platform selection (pinning here would poison a
+    # TPU-tier process).
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import torch  # noqa: E402

@@ -121,3 +121,20 @@ def test_bad_conv_group(tmp_path, tiny_v24):
         conv.attribute.append(P.AttributeProto(name="group", type=2, i=7))
     with pytest.raises(ModelLoadError):
         _build(tmp_path, m)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_semantic_mutations(seed):
+    """Randomized arm of the suite above (scripts/semantic_fuzz.py is the
+    wide-net version): one random structural mutation of a torch-exported
+    graph either rejects typed at validation or executes cleanly."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "scripts"))
+    import semantic_fuzz as SF
+
+    kind = list(SF.BASE_KINDS)[seed % len(SF.BASE_KINDS)]
+    res = SF.run_one(kind, 90_000 + seed)
+    assert not res.startswith("RAW"), res
