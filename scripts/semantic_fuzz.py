@@ -49,6 +49,7 @@ BASE_KINDS = {
     "mlp": G._random_mlp,
     "xfmr": G._transformer_net,
     "idx": G._random_index_net,
+    "ctrl": G._control_flow_net,  # Loop/If bodies: subgraph mutations
 }
 
 
@@ -64,7 +65,7 @@ def mutate(model, rng):
     """Apply one random semantic mutation in place; returns a label."""
     m = model
     nodes = m.graph.node
-    pick = int(rng.integers(0, 9))
+    pick = int(rng.integers(0, 12))
     if pick == 0 and nodes:
         n = nodes[int(rng.integers(0, len(nodes)))]
         if n.input:
@@ -117,6 +118,32 @@ def mutate(model, rng):
         t.data_type = int(rng.choice([P.DataType.INT64, P.DataType.BOOL,
                                       P.DataType.FLOAT16]))
         return "retyped-initializer"
+    if pick == 9 and m.graph.initializer:
+        i = int(rng.integers(0, len(m.graph.initializer)))
+        name = m.graph.initializer[i].name
+        del m.graph.initializer[i]
+        return f"removed-initializer:{name[:20]}"
+    if pick == 10 and m.graph.initializer:
+        t = m.graph.initializer[int(rng.integers(0, len(m.graph.initializer)))]
+        if t.raw_data:
+            t.raw_data = t.raw_data[: len(t.raw_data) // 2]
+            return "truncated-raw-data"
+    if pick == 11:
+        subs = []
+        for n in nodes:
+            for a in n.attribute:
+                if a.name in ("body", "then_branch", "else_branch") and a.g:
+                    subs.append((n.op_type, a.g))
+        if subs:
+            op, g = subs[int(rng.integers(0, len(subs)))]
+            if g.node:
+                bn = g.node[int(rng.integers(0, len(g.node)))]
+                if bn.input and rng.random() < 0.5:
+                    bn.input[int(rng.integers(0, len(bn.input)))] = "fuzz_sub"
+                    return f"subgraph-dangling:{op}"
+                if bn.output:
+                    bn.output[0] = "fuzz_sub_out"
+                    return f"subgraph-renamed:{op}"
     return "noop"
 
 
