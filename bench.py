@@ -282,7 +282,7 @@ def main() -> int:
     chip_gbs = _hbm_calibration(device)
     print(
         f"# chip calibration: 4096³ bf16 matmul {chip_tflops:.1f} TFLOP/s "
-        f"(healthy reference ~51-58); HBM stream {chip_gbs:.0f} GB/s "
+        f"(healthy floor ~51, observed up to ~73); HBM stream {chip_gbs:.0f} GB/s "
         f"(nominal 819, XLA-effective ~650-800)",
         file=sys.stderr,
     )
@@ -349,7 +349,8 @@ def main() -> int:
                     "unit": "segments/s",
                     "vs_baseline": round(dev_seg_s / BASELINE_SEG_S, 3),
                     # provenance: chip health at measurement time (MXU
-                    # ~51-58 TFLOP/s and HBM ~650-800 GB/s healthy; lower
+                    # MXU >=51 TFLOP/s healthy (observed 51-73 across days) and
+                    # HBM ~650-800 GB/s healthy; lower
                     # means shared-chip contention, not a code regression —
                     # docs/performance.md "Measurement discipline")
                     "chip_bf16_tflops": round(chip_tflops, 1),
