@@ -246,10 +246,9 @@ class ClassifierBuilder:
         from .errors import BirdnetError, ModelLoadError
 
         try:
-            in_shape = tuple(
-                int(d) if isinstance(d, int) and d > 0 else 1
-                for d in input_shape
-            )
+            # detection_shapes() already maps dynamic dims to 1 and
+            # returns plain positive ints.
+            in_shape = tuple(input_shape)
             jax.eval_shape(
                 make_forward(imported, precision="fp32"),
                 imported.params,

@@ -2390,6 +2390,12 @@ def _loop_while(ctx, body, body_inputs, start_i, cond0, carried, max_trip):
         max_trip = None if mt >= 2**31 - 1 else mt
     if max_trip is not None:
         bound = jnp.asarray(max_trip).reshape(()).astype(jnp.int32)
+        # A *traced* trip count >= 2^31 wraps negative in that cast (the
+        # static case was normalized above). Negative trip counts are not
+        # meaningful ONNX, so a negative bound can only be a wrapped
+        # unbounded sentinel — saturate instead of silently running zero
+        # iterations.
+        bound = jnp.where(bound < 0, jnp.iinfo(jnp.int32).max, bound)
 
     def cond_fun(state):
         ok = state[1]

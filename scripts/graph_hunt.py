@@ -185,12 +185,13 @@ def run_one(kind, seed, opset=None):
             module(*args)  # reject shape-invalid samples before export
     except Exception:
         return "invalid"
+    pinned = opset is not None
     if opset is None:
         # Legacy opsets flip whole op spellings (Upsample vs Resize, Clip
         # attrs vs inputs, Squeeze/Split axes as attributes, Pad attrs) —
         # randomizing stresses the legacy-form lowering paths.
         opset = int(rng.choice([9, 11, 13, 17]))
-    if opset == 9:
+    if opset == 9 and not pinned:
         try:
             mods = list(module.modules())
         except Exception:
@@ -207,9 +208,11 @@ def run_one(kind, seed, opset=None):
         data = export_onnx_bytes(module, args, opset_version=opset)
     except Exception:
         # Old opsets can't express some samples (e.g. attention needs 14+);
-        # fall back to 17 so the graph still gets differential coverage.
-        if opset == 17:
-            return "export-refused@17"
+        # when the opset was randomly drawn, fall back to 17 so the graph
+        # still gets differential coverage. A user-pinned --opset is never
+        # silently overridden — that would overstate legacy coverage.
+        if pinned or opset == 17:
+            return f"export-refused@{opset}"
         try:
             opset = 17
             data = export_onnx_bytes(module, args, opset_version=opset)

@@ -292,3 +292,29 @@ def test_loop_for_form_int64_max_rejected_cleanly():
             {"M": np.array(2**63 - 1, np.int64), "cond": np.array(True)},
             outputs=["final"],
         )
+
+
+def test_loop_traced_trip_count_int64_max_saturates():
+    """A *runtime* trip count >= 2^31 wraps negative in the int32 cast
+    (x64 is disabled); a negative bound can only be a wrapped unbounded
+    sentinel, so it saturates to INT32_MAX instead of silently running
+    zero iterations. Termination comes from the live condition."""
+    body = _loop_body(
+        [
+            P.make_node("ReduceMax", ["v"], ["vmax"], keepdims=0),
+            P.make_node("Less", ["vmax", "limit"], ["cond_out"]),
+        ],
+        cond_inits={"limit": np.float32(10.0)},
+    )
+    (final,) = _jit_run(
+        [P.make_node("Loop", ["M", "cond", "x"], ["final"], body=body)],
+        # M is a graph INPUT (traced), carrying the unbounded sentinel.
+        {"M": np.array(2**63 - 1, np.int64), "cond": np.array(True),
+         "x": np.ones(1, np.float32)},
+        outputs=["final"],
+    )
+    # cond checks the pre-doubling v, and the iteration that drops
+    # cond_out still commits (ONNX): 1,2,4,8,16 all pass the check and
+    # double; the v=16 iteration sets cond_out=False after producing 32.
+    # The regression would yield [1.0] (zero iterations).
+    np.testing.assert_allclose(final, [32.0])

@@ -67,13 +67,16 @@ def test_device_backend_strings():
 
 
 def test_version_matches_pyproject():
-    """__version__ and pyproject.toml must not drift (they did once)."""
+    """__version__ and pyproject.toml must not drift (they did once).
+    Parsed with a regex, not tomllib — the project supports Python 3.10
+    where tomllib does not exist."""
     import pathlib
-    import tomllib
+    import re
 
     import birdnet_tpu
 
     root = pathlib.Path(__file__).resolve().parent.parent
-    with open(root / "pyproject.toml", "rb") as f:
-        meta = tomllib.load(f)
-    assert birdnet_tpu.__version__ == meta["project"]["version"]
+    text = (root / "pyproject.toml").read_text()
+    m = re.search(r'^version = "([^"]+)"', text, flags=re.M)
+    assert m, "pyproject.toml has no version line"
+    assert birdnet_tpu.__version__ == m.group(1)
