@@ -376,7 +376,19 @@ op("Softsign")(_unary(jax.nn.soft_sign))
 op("Mish")(_unary(lambda x: x * jnp.tanh(jax.nn.softplus(x))))
 op("HardSwish")(_unary(jax.nn.hard_swish))
 op("IsNaN")(_unary(jnp.isnan))
-op("IsInf")(_unary(jnp.isinf))
+@op("IsInf")
+def _isinf(ctx, x):
+    """IsInf with the spec's detect_negative/detect_positive halves
+    (default both on) — found ignoring them via the elementwise sweep."""
+    x = jnp.asarray(x)
+    neg = int(ctx.attr("detect_negative", 1))
+    pos = int(ctx.attr("detect_positive", 1))
+    out = jnp.zeros(x.shape, jnp.bool_)
+    if pos:
+        out = out | (x == jnp.inf)
+    if neg:
+        out = out | (x == -jnp.inf)
+    return [out]
 
 
 @op("LeakyRelu")
