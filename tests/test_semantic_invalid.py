@@ -138,3 +138,14 @@ def test_random_semantic_mutations(seed):
     kind = list(SF.BASE_KINDS)[seed % len(SF.BASE_KINDS)]
     res = SF.run_one(kind, 90_000 + seed)
     assert not res.startswith("RAW"), res
+
+
+def test_pre_broadcast_era_opset_rejected(tmp_path, tiny_v24):
+    """Opset <= 6 files carry legacy axis/broadcast binary-op semantics we
+    do not implement; they must reject typed, not silently mis-evaluate."""
+    m = copy.deepcopy(tiny_v24)
+    for imp in m.opset_import:
+        if imp.domain in ("", "ai.onnx"):
+            imp.version = 6
+    with pytest.raises(ModelLoadError, match="opset 6"):
+        _build(tmp_path, m)
