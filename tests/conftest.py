@@ -55,6 +55,7 @@ _CPU_ORACLE_MODULES = {
     "test_external_full_models",  # fp32 parity vs torch-CPU
     "test_random_torch_graphs",  # fp32 parity ≤5e-4 vs torch-CPU
     "test_ops_wave3",  # fp32 torch-oracle tolerances (Attention etc.)
+    "test_elementwise_sweep",  # fp32 numpy-oracle tolerances
 }
 # Modules that need the 8-device virtual mesh.
 _MESH_MODULES = {"test_sharding", "test_sharded_classifier"}

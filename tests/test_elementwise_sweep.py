@@ -129,3 +129,101 @@ def test_sequence_empty_roundtrip():
         {"zero": np.array(0, dtype=np.int64)},
     )
     np.testing.assert_array_equal(y, X)
+
+
+# --- attribute-coverage pins (attrs a registry audit found untested) ---
+
+
+def test_reshape_allowzero():
+    x0 = np.zeros((0, 4), np.float32)
+    (y,) = run_graph(
+        [P.make_node("Reshape", ["x", "s"], ["y"], allowzero=1)],
+        {"x": x0}, {"s": np.array([0, 4], np.int64)},
+    )
+    assert y.shape == (0, 4)
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    (y,) = run_graph(
+        [P.make_node("Reshape", ["x", "s"], ["y"])],
+        {"x": x}, {"s": np.array([0, 3], np.int64)},
+    )
+    assert y.shape == (2, 3)  # allowzero=0: zero copies the input dim
+
+
+def test_shape_start_end():
+    x = np.zeros((2, 3, 4), np.float32)
+    (y,) = run_graph([P.make_node("Shape", ["x"], ["y"], start=1)], {"x": x})
+    np.testing.assert_array_equal(y, [3, 4])
+    (y,) = run_graph([P.make_node("Shape", ["x"], ["y"], end=-1)], {"x": x})
+    np.testing.assert_array_equal(y, [2, 3])
+    (y,) = run_graph(
+        [P.make_node("Shape", ["x"], ["y"], start=0, end=2)], {"x": x}
+    )
+    np.testing.assert_array_equal(y, [2, 3])
+
+
+def test_melweightmatrix_output_datatype():
+    (y,) = run_graph(
+        [P.make_node(
+            "MelWeightMatrix", ["nm", "dft", "sr", "lo", "hi"], ["y"],
+            output_datatype=int(P.DataType.FLOAT16),
+        )],
+        {"nm": np.array(8, np.int64)},
+        {"dft": np.array(64, np.int64), "sr": np.array(16000, np.int64),
+         "lo": np.array(0.0, np.float32), "hi": np.array(8000.0, np.float32)},
+    )
+    assert y.dtype == np.float16
+    assert y.shape == (33, 8)
+
+
+def test_scan_input_output_axes():
+    """scan_input_axes/scan_output_axes=[1]: scan along columns, stack
+    the per-step outputs back along axis 1 (row-cumsum)."""
+    body = P.GraphProto(
+        name="b",
+        node=[P.make_node("Add", ["acc", "xi"], ["acc_out"]),
+              P.make_node("Identity", ["acc_out"], ["yi"])],
+        input=[P.make_value_info("acc", P.DataType.FLOAT, [3]),
+               P.make_value_info("xi", P.DataType.FLOAT, [3])],
+        output=[P.make_value_info("acc_out", P.DataType.FLOAT, [3]),
+                P.make_value_info("yi", P.DataType.FLOAT, [3])],
+    )
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    final, ys = run_graph(
+        [P.make_node("Scan", ["acc0", "x"], ["final", "ys"], body=body,
+                     num_scan_inputs=1, scan_input_axes=[1],
+                     scan_output_axes=[1])],
+        {"x": x}, {"acc0": np.zeros(3, np.float32)},
+        outputs=["final", "ys"],
+    )
+    np.testing.assert_allclose(final, x.sum(axis=1))
+    np.testing.assert_allclose(ys, np.cumsum(x, axis=1))
+
+
+def test_legacy_slice_attrs_opset9():
+    (y,) = run_graph(
+        [P.make_node("Slice", ["x"], ["y"], starts=[1], ends=[3], axes=[1])],
+        {"x": np.arange(12, dtype=np.float32).reshape(3, 4)}, opset=9,
+    )
+    np.testing.assert_array_equal(
+        y, np.arange(12, dtype=np.float32).reshape(3, 4)[:, 1:3]
+    )
+
+
+def test_convtranspose_nonzero_output_padding():
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    from _torch_export import export_onnx_bytes, torch_outputs
+    import jax
+
+    from birdnet_tpu.compiler.importer import import_onnx, make_forward
+
+    torch.manual_seed(0)
+    m = nn.ConvTranspose2d(3, 4, 3, stride=2, padding=1,
+                           output_padding=1).eval()
+    xt = torch.randn(1, 3, 5, 5)
+    mod = import_onnx(export_onnx_bytes(m, (xt,)))
+    got = np.asarray(
+        jax.jit(make_forward(mod, precision="fp32"))(mod.params, xt.numpy())[0]
+    )
+    np.testing.assert_allclose(got, torch_outputs(m, (xt,))[0], atol=1e-5)
