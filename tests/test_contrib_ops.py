@@ -789,3 +789,22 @@ def test_contrib_registry_is_reported():
     assert f"{MS}.FusedConv" in names
     assert f"{MS}.Attention" in names
     assert len(names) >= 15
+
+
+def test_ms_attention_mask_filter_value():
+    """Non-default mask_filter_value must flow into the masked logits (the
+    attr was the one untested knob in the contrib registry audit)."""
+    r = _rng(31)
+    b_sz, s, hidden, heads = 2, 6, 8, 2
+    x = r.standard_normal((b_sz, s, hidden), dtype=np.float32)
+    w = (r.standard_normal((hidden, 3 * hidden)) * 0.2).astype(np.float32)
+    bias = r.standard_normal(3 * hidden).astype(np.float32)
+    keep = np.ones((b_sz, s), dtype=np.int32)
+    keep[:, -2:] = 0  # mask the last two key positions
+    filt = -1e4 / 4  # non-default value; big enough to zero the softmax
+    m = _attention_model(x.shape, w, bias, mask_dims=list(keep.shape),
+                         num_heads=heads, mask_filter_value=filt)
+    (got,) = _run(m, x, keep)
+    want = _attention_oracle(x, w, bias, heads,
+                             mask_keep=keep.astype(bool), filt=filt)
+    np.testing.assert_allclose(got, want, atol=2e-5)
