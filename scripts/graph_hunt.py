@@ -172,6 +172,7 @@ KINDS = {
     "shape": G._random_shape_net,
     "reduce": G._random_reduce_net,
     "dtype": G._random_dtype_net,
+    "ast": G._ast_net,
 }
 
 

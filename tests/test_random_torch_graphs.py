@@ -521,6 +521,57 @@ def _random_reduce_net(rng: np.random.Generator):
     return Net(), (torch.randn(b, *shape),)
 
 
+def _ast_net(rng: np.random.Generator):
+    """Audio-spectrogram-transformer shape: Conv2d patch embedding over a
+    [B, 1, H, W] spectrogram, flatten patches to a sequence, transformer
+    encoder blocks, mean-pool head — the conv→reshape→transpose→attention
+    boundary that pure-CNN and pure-transformer grammars never cross."""
+    hw = int(rng.choice([16, 24]))
+    patch = int(rng.choice([4, 8]))
+    heads = int(rng.choice([1, 2]))
+    d = heads * int(rng.choice([8, 16]))
+    n_layers = int(rng.choice([1, 2]))
+    act = str(rng.choice(["gelu", "relu"]))
+    cls_token = bool(rng.random() < 0.5)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embed = nn.Conv2d(1, d, patch, stride=patch)
+            n_patches = (hw // patch) ** 2
+            self.pos = nn.Parameter(
+                torch.randn(1, n_patches + (1 if cls_token else 0), d) * 0.02
+            )
+            if cls_token:
+                self.cls = nn.Parameter(torch.zeros(1, 1, d))
+            self.blocks = nn.ModuleList([
+                nn.TransformerEncoderLayer(
+                    d, heads, dim_feedforward=2 * d, dropout=0.0,
+                    activation=act, batch_first=True, norm_first=True,
+                )
+                for _ in range(n_layers)
+            ])
+            self.norm = nn.LayerNorm(d)
+            self.head = nn.Linear(d, int(rng.integers(3, 9)))
+            self.use_cls = cls_token
+
+        def forward(self, x):
+            z = self.embed(x)                      # [B, d, H', W']
+            z = z.flatten(2).transpose(1, 2)       # [B, P, d]
+            if self.use_cls:
+                cls = self.cls.expand(z.shape[0], -1, -1)
+                z = torch.cat([cls, z], dim=1)
+            z = z + self.pos
+            for blk in self.blocks:
+                z = blk(z)
+            z = self.norm(z)
+            z = z[:, 0] if self.use_cls else z.mean(dim=1)
+            return self.head(z)
+
+    b = int(rng.choice([1, 2]))
+    return Net(), (torch.randn(b, 1, hw, hw),)
+
+
 def _random_dtype_net(rng: np.random.Generator):
     """Mixed dtypes and multiple inputs: a float tensor and an int64
     tensor combine through casts, comparisons, boolean logic, where,
@@ -653,4 +704,12 @@ def test_random_dtype_parity(seed):
     rng = np.random.default_rng(9000 + seed)
     torch.manual_seed(9000 + seed)
     module, args = _random_dtype_net(rng)
+    _check_parity(module, args, seed)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_ast_parity(seed):
+    rng = np.random.default_rng(11000 + seed)
+    torch.manual_seed(11000 + seed)
+    module, args = _ast_net(rng)
     _check_parity(module, args, seed)
