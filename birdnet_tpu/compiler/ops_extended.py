@@ -1069,3 +1069,236 @@ def _rms_norm(ctx, x, scale):
     ms = jnp.mean(jnp.square(xs), axis=axes, keepdims=True)
     y = xs * jax.lax.rsqrt(ms + eps)
     return [(y * jnp.asarray(scale).astype(stash)).astype(orig)]
+
+
+# ---------------------------------------------------------------------------
+# text ops — the last two ai.onnx core-domain operators
+# ---------------------------------------------------------------------------
+#
+# Strings never exist on a TPU: StringNormalizer is a pure host op over
+# compile-time-constant string tensors (the codec materializes STRING
+# tensors as numpy object arrays), and TfIdfVectorizer's string-pool form
+# folds the pool to integer ids at trace time. TfIdfVectorizer's integer
+# form is lowered to jitted gather/compare/scatter-add, so it runs on
+# device for traced inputs — n-gram matching is a dense [N, P, G] compare
+# that XLA maps onto the VPU. The reference reaches these through ONNX
+# Runtime's CPU kernel library (reference: src/classifier.rs:637-639).
+
+
+@op("StringNormalizer")
+def _string_normalizer(ctx, x):
+    """Opset-10 StringNormalizer: optional stopword removal + case change.
+
+    Host-only (string tensors cannot be device values): supported when the
+    input is compile-time constant, e.g. an initializer or Constant-fed
+    chain. The ``locale`` attribute is accepted but ignored (Python str
+    casing, the same practical behavior as ORT's default locale).
+    """
+    if not _is_static(x):
+        raise NotImplementedError(
+            "StringNormalizer operates on string tensors, which cannot be "
+            "traced device values; only compile-time-constant inputs are "
+            "supported"
+        )
+    arr = np.asarray(x)
+    if arr.ndim not in (1, 2) or (arr.ndim == 2 and arr.shape[0] != 1):
+        raise ValueError(
+            f"StringNormalizer input must be [C] or [1, C], got {arr.shape}"
+        )
+    flat = [str(s) for s in arr.reshape(-1)]
+    action = str(ctx.attr("case_change_action", "NONE"))
+    if action not in ("NONE", "LOWER", "UPPER"):
+        raise ValueError(f"invalid case_change_action {action!r}")
+    stopwords = ctx.attr("stopwords") or []
+    if stopwords:
+        if int(ctx.attr("is_case_sensitive", 0)):
+            drop = {str(w) for w in stopwords}
+            flat = [s for s in flat if s not in drop]
+        else:
+            drop = {str(w).lower() for w in stopwords}
+            flat = [s for s in flat if s.lower() not in drop]
+    if action == "LOWER":
+        flat = [s.lower() for s in flat]
+    elif action == "UPPER":
+        flat = [s.upper() for s in flat]
+    if not flat:
+        # Spec: when everything is removed, emit one empty string — shape
+        # [1] for 1-D inputs, [1, 1] for [1, C] inputs.
+        out = np.asarray([""], dtype=object)
+        return [out.reshape(1, 1) if arr.ndim == 2 else out]
+    out = np.asarray(flat, dtype=object)
+    return [out.reshape(1, -1) if arr.ndim == 2 else out]
+
+
+@op("TfIdfVectorizer")
+def _tfidf_vectorizer(ctx, x):
+    """Opset-9 TfIdfVectorizer: n-gram counting with skips.
+
+    Counting rule (matches the ORT kernel): a pool n-gram of length n
+    matches at start i with stride d when ``x[i + j*d] == gram[j]`` for all
+    j. Unigrams are counted once (stride 1); n >= 2 grams are counted for
+    every stride d in 1..max_skip_count+1. Only gram lengths within
+    [min_gram_length, max_gram_length] contribute. Output column of the
+    g-th pool gram is ``ngram_indexes[g]``; mode TF emits counts, IDF emits
+    weight*(count > 0), TFIDF emits weight*count (weights default 1).
+    """
+    mode = str(ctx.attr("mode"))
+    if mode not in ("TF", "IDF", "TFIDF"):
+        raise ValueError(f"invalid TfIdfVectorizer mode {mode!r}")
+    min_n = int(ctx.attr("min_gram_length"))
+    max_n = int(ctx.attr("max_gram_length"))
+    max_skip = int(ctx.attr("max_skip_count"))
+    ngram_counts = [int(v) for v in ctx.attr("ngram_counts")]
+    ngram_indexes = np.asarray(
+        [int(v) for v in ctx.attr("ngram_indexes")], dtype=np.int64
+    )
+    weights = ctx.attr("weights")
+    pool_ints = ctx.attr("pool_int64s")
+    if pool_ints is not None:
+        pool = np.asarray([int(v) for v in pool_ints], dtype=np.int64)
+        xv = x
+    else:
+        pool_strings = ctx.attr("pool_strings")
+        if pool_strings is None:
+            raise ValueError(
+                "TfIdfVectorizer needs pool_int64s or pool_strings"
+            )
+        if not _is_static(x):
+            raise NotImplementedError(
+                "TfIdfVectorizer with a string pool operates on string "
+                "tensors, which cannot be traced device values; only "
+                "compile-time-constant inputs are supported"
+            )
+        # Fold strings to dense integer ids: pool entries get their first-
+        # seen id, input strings outside the pool get -1 (matches nothing).
+        ids: dict = {}
+        for s in pool_strings:
+            ids.setdefault(str(s), len(ids))
+        pool = np.asarray([ids[str(s)] for s in pool_strings], dtype=np.int64)
+        xv = np.asarray(
+            [ids.get(str(s), -1) for s in np.asarray(x).reshape(-1)],
+            dtype=np.int64,
+        ).reshape(np.asarray(x).shape)
+
+    one_d = hasattr(xv, "ndim") and xv.ndim == 1
+    # Keep the input's integer dtype (int64 narrows to int32 when x64 is
+    # off, like every other integer op here); match the pool to it.
+    x2 = jnp.atleast_2d(jnp.asarray(xv))
+    pool = pool.astype(x2.dtype)
+    N, C = x2.shape
+    out_size = int(ngram_indexes.max()) + 1 if ngram_indexes.size else 0
+    out = jnp.zeros((N, out_size), jnp.float32)
+
+    gram_pos = 0  # running pool-gram index (for ngram_indexes/weights)
+    for level, start in enumerate(ngram_counts):
+        n = level + 1
+        end = ngram_counts[level + 1] if level + 1 < len(ngram_counts) else len(pool)
+        n_elems = end - start
+        if n_elems < 0 or n_elems % n:
+            raise ValueError(
+                f"TfIdfVectorizer pool segment for {n}-grams has {n_elems} "
+                f"elements, not a multiple of {n}"
+            )
+        n_grams = n_elems // n
+        if n_grams == 0:
+            continue
+        grams = pool[start:end].reshape(n_grams, n)
+        if not (min_n <= n <= max_n):
+            gram_pos += n_grams
+            continue
+        strides = (1,) if n == 1 else tuple(range(1, max_skip + 2))
+        counts = jnp.zeros((N, n_grams), jnp.float32)
+        for d in strides:
+            p = C - (n - 1) * d
+            if p <= 0:
+                continue
+            idx = np.arange(p)[:, None] + np.arange(n)[None, :] * d
+            windows = x2[:, idx]  # [N, P, n]
+            eq = jnp.all(
+                windows[:, :, None, :] == grams[None, None, :, :], axis=-1
+            )
+            counts = counts + eq.sum(axis=1, dtype=jnp.float32)
+        w = (
+            np.asarray([float(v) for v in weights], dtype=np.float32)[
+                gram_pos:gram_pos + n_grams
+            ]
+            if weights is not None
+            else np.ones(n_grams, np.float32)
+        )
+        if mode == "IDF":
+            vals = (counts > 0).astype(jnp.float32) * w[None, :]
+        elif mode == "TFIDF":
+            vals = counts * w[None, :]
+        else:
+            vals = counts
+        cols = ngram_indexes[gram_pos:gram_pos + n_grams]
+        out = out.at[:, cols].add(vals)
+        gram_pos += n_grams
+
+    return [out[0] if one_d else out]
+
+
+def _static_strings(x, op_name):
+    if not _is_static(x):
+        raise NotImplementedError(
+            f"{op_name} operates on string tensors, which cannot be traced "
+            f"device values; only compile-time-constant inputs are supported"
+        )
+    return np.asarray(x)
+
+
+@op("StringConcat")
+def _string_concat(ctx, a, b):
+    """Opset-20 StringConcat: elementwise concatenation with numpy-style
+    broadcasting. Host-only (strings never reach the device)."""
+    av = _static_strings(a, "StringConcat")
+    bv = _static_strings(b, "StringConcat")
+    av, bv = np.broadcast_arrays(av, bv)
+    out = np.asarray(
+        [str(x) + str(y) for x, y in zip(av.reshape(-1), bv.reshape(-1))],
+        dtype=object,
+    )
+    return [out.reshape(av.shape)]
+
+
+@op("StringSplit")
+def _string_split(ctx, x):
+    """Opset-20 StringSplit: splits each element, padding rows with ""
+    to the max substring count; second output is per-element counts.
+    ``delimiter`` absent/empty means whitespace-split (consecutive
+    whitespace collapsed, like str.split())."""
+    xv = _static_strings(x, "StringSplit")
+    delim = ctx.attr("delimiter")
+    maxsplit = ctx.attr("maxsplit")
+    ms = int(maxsplit) if maxsplit is not None else -1
+    parts = [
+        str(s).split(delim if delim else None, ms) if (delim or str(s).strip())
+        else []
+        for s in xv.reshape(-1)
+    ]
+    width = max((len(p) for p in parts), default=0)
+    padded = np.asarray(
+        [p + [""] * (width - len(p)) for p in parts], dtype=object
+    ).reshape(xv.shape + (width,))
+    counts = np.asarray([len(p) for p in parts], dtype=np.int64).reshape(xv.shape)
+    return [padded, counts]
+
+
+@op("RegexFullMatch")
+def _regex_full_match(ctx, x):
+    """Opset-20 RegexFullMatch. The spec prescribes RE2 syntax; Python's
+    ``re`` accepts a superset of RE2's common constructs — patterns using
+    RE2-only extensions are rejected by ``re.compile`` with a clear error
+    rather than silently mismatching."""
+    import re
+
+    xv = _static_strings(x, "RegexFullMatch")
+    pattern = ctx.attr("pattern")
+    if pattern is None:
+        raise ValueError("RegexFullMatch requires the 'pattern' attribute")
+    rx = re.compile(str(pattern))
+    out = np.asarray(
+        [rx.fullmatch(str(s)) is not None for s in xv.reshape(-1)],
+        dtype=np.bool_,
+    )
+    return [out.reshape(xv.shape)]

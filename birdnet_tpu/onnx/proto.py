@@ -207,6 +207,7 @@ class TensorProto:
     float_data: List[float] = field(default_factory=list)
     int32_data: List[int] = field(default_factory=list)
     int64_data: List[int] = field(default_factory=list)
+    string_data: List[bytes] = field(default_factory=list)
     double_data: List[float] = field(default_factory=list)
     uint64_data: List[int] = field(default_factory=list)
     data_location: int = 0
@@ -241,6 +242,25 @@ class TensorProto:
                 f"({self.external_data.get('location')!r}); load the model "
                 f"by file path so external data can be resolved"
             )
+        if self.data_type == DataType.STRING:
+            # String tensors (TensorProto.string_data, field 6): one bytes
+            # element per tensor element. Materialized as a numpy object
+            # array of ``str`` — strings never reach the device; they only
+            # feed host-evaluated ops (StringNormalizer, TfIdfVectorizer
+            # string pools).
+            shape = tuple(self.dims)
+            n_expected = int(np.prod(shape)) if shape else 1
+            if len(self.string_data) != n_expected:
+                raise ValueError(
+                    f"tensor {self.name!r}: string payload holds "
+                    f"{len(self.string_data)} elements, shape {shape} "
+                    f"needs {n_expected}"
+                )
+            arr = np.asarray(
+                [s.decode("utf-8", errors="replace") for s in self.string_data],
+                dtype=object,
+            )
+            return arr.reshape(shape)
         if self.data_type not in _DTYPE_TO_NUMPY:
             raise ValueError(f"unsupported tensor data_type {self.data_type}")
         dtype = _DTYPE_TO_NUMPY[self.data_type]
@@ -340,6 +360,16 @@ class TensorProto:
         # silently corrupt scalar tensor shapes (Loop trip counts, scalar
         # thresholds) — only invoke it on non-contiguous data.
         arr = np.asarray(arr)
+        if arr.dtype.kind in ("U", "S", "O"):
+            return TensorProto(
+                name=name,
+                data_type=DataType.STRING,
+                dims=list(arr.shape),
+                string_data=[
+                    s if isinstance(s, bytes) else str(s).encode("utf-8")
+                    for s in arr.reshape(-1)
+                ],
+            )
         if not arr.flags.c_contiguous:
             arr = np.ascontiguousarray(arr)
         if arr.dtype not in _NUMPY_TO_DTYPE:
@@ -591,6 +621,8 @@ def decode_tensor(buf: memoryview, pos: int, end: int) -> TensorProto:
             _decode_repeated_float(buf, vpos, wt, t.float_data)
         elif fnum == 5:
             _decode_repeated_int64(buf, vpos, wt, t.int32_data)
+        elif fnum == 6:  # string_data: repeated bytes, one per element
+            t.string_data.append(_get_bytes(buf, vpos))
         elif fnum == 7:
             _decode_repeated_int64(buf, vpos, wt, t.int64_data)
         elif fnum == 8:
@@ -862,6 +894,8 @@ def encode_tensor(t: TensorProto) -> bytes:
         _write_packed_float(out, 4, t.float_data)
     if t.int32_data:
         _write_packed_int64(out, 5, t.int32_data)
+    for s in t.string_data:
+        _write_len_field(out, 6, s)
     if t.int64_data:
         _write_packed_int64(out, 7, t.int64_data)
     if t.name:
