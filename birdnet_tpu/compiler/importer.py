@@ -290,6 +290,7 @@ def interpret_graph(
             # the full prefix and the zip below binds the right names.
             num_outputs=_trailing_trimmed_len(node.output),
             env=env,
+            out_names=node.output,
         )
         try:
             args = [env[i] if i else None for i in node.input]

@@ -101,10 +101,10 @@ class OpContext:
     (control-flow subgraphs read outer-scope captures from it)."""
 
     __slots__ = ("op_type", "attrs", "opset", "precision", "node_name",
-                 "num_outputs", "env")
+                 "num_outputs", "env", "out_names")
 
     def __init__(self, op_type, attrs, opset=17, precision="fp32",
-                 node_name="", num_outputs=1, env=None):
+                 node_name="", num_outputs=1, env=None, out_names=()):
         self.op_type = op_type
         self.attrs = attrs
         self.opset = opset
@@ -112,6 +112,15 @@ class OpContext:
         self.node_name = node_name
         self.num_outputs = num_outputs
         self.env = env if env is not None else {}
+        # Positional output names from the node ("" = omitted); lets a
+        # lowering skip work for outputs the graph never binds (e.g. the
+        # string-label output of an ai.onnx.ml classifier under jit).
+        self.out_names = tuple(out_names)
+
+    def wants_output(self, position: int) -> bool:
+        if not self.out_names:
+            return True  # unknown -> assume needed
+        return position < len(self.out_names) and bool(self.out_names[position])
 
     def attr(self, name, default=None):
         return self.attrs.get(name, default)
@@ -3332,3 +3341,4 @@ def _rotary_embedding(ctx, x, cos_cache, sin_cache, position_ids=None):
 # import; keep this at module tail so they can import helpers from here.
 from . import ops_extended  # noqa: E402,F401  (registration side effect)
 from . import ops_contrib  # noqa: E402,F401  (com.microsoft contrib ops)
+from . import ops_ml  # noqa: E402,F401  (ai.onnx.ml classical-ML domain)

@@ -1,0 +1,687 @@
+"""``ai.onnx.ml`` domain — the classical-ML operator set.
+
+ONNX Runtime ships these kernels (sklearn-exported pipelines use them:
+scalers, encoders, linear/SVM/tree models), so the reference engine accepts
+such files transparently (reference: src/classifier.rs:348-350, :637-639).
+Lowering strategy mirrors the text ops:
+
+- **Numeric compute is traced JAX** (Scaler, Normalizer, Binarizer,
+  Imputer, LinearClassifier/Regressor, OneHotEncoder over numbers,
+  numeric LabelEncoder, tree/SVM ensembles): gathers/compares/matmuls XLA
+  maps onto the VPU/MXU, so these jit and run on device.
+- **String/map-typed values are host objects** (dicts and string arrays
+  flowing through the interpreter env, like Sequence/Optional): ZipMap,
+  DictVectorizer, CastMap, CategoryMapper and string label/category paths
+  run host-side and require compile-time-concrete inputs — they work in
+  eager ``make_forward`` calls, and raise a clear error under ``jit``.
+
+Post-transform semantics follow the ORT kernels: NONE, SOFTMAX, LOGISTIC,
+SOFTMAX_ZERO (softmax over the nonzero entries only), PROBIT (inverse
+normal CDF).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import _is_static, contrib_op
+
+_ML = "ai.onnx.ml"
+
+
+def _ml_op(*names):
+    return contrib_op(_ML, *names)
+
+
+def _require_static(x, op_name, what="input"):
+    if not _is_static(x):
+        raise NotImplementedError(
+            f"{_ML}.{op_name} needs a compile-time-concrete {what} (strings "
+            f"and maps are host values; run the forward uncompiled)"
+        )
+    return x
+
+
+# ---------------------------------------------------------------------------
+# post-transforms (shared by the classifier/regressor family)
+# ---------------------------------------------------------------------------
+
+
+def _post_transform(scores, kind):
+    if kind in (None, "NONE"):
+        return scores
+    if kind == "SOFTMAX":
+        return jax.nn.softmax(scores, axis=-1)
+    if kind == "LOGISTIC":
+        return jax.nn.sigmoid(scores)
+    if kind == "SOFTMAX_ZERO":
+        # softmax over nonzero entries; exact zeros get probability 0.
+        nz = scores != 0
+        masked = jnp.where(nz, scores, -jnp.inf)
+        sm = jax.nn.softmax(masked, axis=-1)
+        return jnp.where(nz, sm, 0.0)
+    if kind == "PROBIT":
+        from jax.scipy.special import ndtri
+
+        return ndtri(scores)
+    raise ValueError(f"invalid post_transform {kind!r}")
+
+
+def _class_labels(ctx):
+    """(labels_array, is_string) from classlabels_* attributes."""
+    ints = ctx.attr("classlabels_int64s")
+    if ints is not None:
+        return np.asarray([int(v) for v in ints], dtype=np.int64), False
+    strs = ctx.attr("classlabels_strings")
+    if strs is not None:
+        return np.asarray([str(s) for s in strs], dtype=object), True
+    raise ValueError("classifier node has no classlabels_* attribute")
+
+
+def _pick_labels(ctx, scores, labels, is_string, op_name):
+    """argmax over the score columns, mapped through the label vocabulary.
+    Skipped (returns None) when the graph never binds the label output —
+    that keeps string-labeled classifiers jittable for scores-only use."""
+    if not ctx.wants_output(0):
+        return None
+    idx = jnp.argmax(scores, axis=-1)
+    if not is_string:
+        return jnp.take(jnp.asarray(labels), idx)
+    _require_static(idx, op_name, what="input (string class labels)")
+    return labels[np.asarray(idx)]
+
+
+# ---------------------------------------------------------------------------
+# feature plumbing
+# ---------------------------------------------------------------------------
+
+
+@_ml_op("ArrayFeatureExtractor")
+def _array_feature_extractor(ctx, x, y):
+    """Gather columns of the last axis by index (ORT semantics: indices
+    apply to the last dimension)."""
+    if _is_static(x) and np.asarray(x).dtype.kind in ("U", "S", "O"):
+        idx = np.asarray(_require_static(y, "ArrayFeatureExtractor")).reshape(-1)
+        return [np.take(np.asarray(x), idx, axis=-1)]
+    idx = jnp.asarray(y).reshape(-1)
+    return [jnp.take(x, idx, axis=-1)]
+
+
+@_ml_op("Binarizer")
+def _binarizer(ctx, x):
+    threshold = float(ctx.attr("threshold", 0.0))
+    x = jnp.asarray(x)
+    return [(x > threshold).astype(x.dtype)]
+
+
+@_ml_op("Scaler")
+def _scaler(ctx, x):
+    offset = np.asarray(list(ctx.attr("offset")), dtype=np.float32)
+    scale = np.asarray(list(ctx.attr("scale")), dtype=np.float32)
+    return [(jnp.asarray(x).astype(jnp.float32) - offset) * scale]
+
+
+@_ml_op("Normalizer")
+def _normalizer(ctx, x):
+    norm = str(ctx.attr("norm", "MAX"))
+    x = jnp.asarray(x).astype(jnp.float32)
+    if norm == "MAX":
+        d = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    elif norm == "L1":
+        d = jnp.sum(jnp.abs(x), axis=-1, keepdims=True)
+    elif norm == "L2":
+        d = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+    else:
+        raise ValueError(f"invalid Normalizer norm {norm!r}")
+    return [x / jnp.where(d == 0, 1.0, d)]
+
+
+@_ml_op("Imputer")
+def _imputer(ctx, x):
+    x = jnp.asarray(x)
+    imputed_f = ctx.attr("imputed_value_floats")
+    if imputed_f is not None:
+        imputed = np.asarray(list(imputed_f), dtype=np.float32)
+        replaced = float(ctx.attr("replaced_value_float", 0.0))
+        mask = jnp.isnan(x) if np.isnan(replaced) else (x == replaced)
+    else:
+        imputed = np.asarray(
+            [int(v) for v in ctx.attr("imputed_value_int64s")], dtype=np.int64
+        ).astype(x.dtype)
+        replaced = int(ctx.attr("replaced_value_int64", 0))
+        mask = x == replaced
+    if imputed.size == 1:
+        fill = imputed.reshape(())
+    else:
+        if x.shape[-1] != imputed.size:
+            raise ValueError(
+                f"Imputer has {imputed.size} imputed values but the input's "
+                f"last dimension is {x.shape[-1]}"
+            )
+        fill = imputed
+    return [jnp.where(mask, jnp.asarray(fill, dtype=x.dtype), x)]
+
+
+@_ml_op("FeatureVectorizer")
+def _feature_vectorizer(ctx, *xs):
+    """Concatenate inputs along axis 1 after flattening each to [N, -1];
+    each input is sliced/zero-padded to its declared ``inputdimensions``
+    width (lenient padding, ORT errors on short inputs)."""
+    dims = ctx.attr("inputdimensions")
+    if dims is None:
+        dims = [None] * len(xs)
+    cols = []
+    for x, d in zip(xs, dims):
+        x = jnp.asarray(x).astype(jnp.float32)
+        x2 = x.reshape((x.shape[0], -1)) if x.ndim > 1 else x.reshape((1, -1))
+        if d is not None:
+            d = int(d)
+            if x2.shape[1] >= d:
+                x2 = x2[:, :d]
+            else:
+                x2 = jnp.pad(x2, ((0, 0), (0, d - x2.shape[1])))
+        cols.append(x2)
+    return [jnp.concatenate(cols, axis=1)]
+
+
+# ---------------------------------------------------------------------------
+# encoders / mappers
+# ---------------------------------------------------------------------------
+
+
+@_ml_op("OneHotEncoder")
+def _one_hot_encoder(ctx, x):
+    cats_i = ctx.attr("cats_int64s")
+    cats_s = ctx.attr("cats_strings")
+    zeros = int(ctx.attr("zeros", 1))
+    if cats_s is not None:
+        xv = np.asarray(_require_static(x, "OneHotEncoder",
+                                        what="input (string categories)"))
+        cats = [str(s) for s in cats_s]
+        pos = {c: i for i, c in enumerate(cats)}
+        flat = [pos.get(str(s), -1) for s in xv.reshape(-1)]
+        if not zeros and -1 in flat:
+            raise ValueError("OneHotEncoder (zeros=0): input value not in cats")
+        out = np.zeros((len(flat), len(cats)), np.float32)
+        for r, c in enumerate(flat):
+            if c >= 0:
+                out[r, c] = 1.0
+        return [out.reshape(xv.shape + (len(cats),))]
+    cats = np.asarray([int(v) for v in cats_i], dtype=np.int64)
+    xj = jnp.asarray(x)
+    eq = xj[..., None] == jnp.asarray(cats).astype(xj.dtype)
+    if not zeros:
+        if not _is_static(x):
+            raise NotImplementedError(
+                "OneHotEncoder zeros=0 must fail on unmatched values, which "
+                "cannot be checked on traced data; run uncompiled or use "
+                "zeros=1"
+            )
+        if bool(np.any(~np.any(np.asarray(eq), axis=-1))):
+            raise ValueError("OneHotEncoder (zeros=0): input value not in cats")
+    return [eq.astype(jnp.float32)]
+
+
+def _encoder_tables(ctx):
+    """(keys, values) arrays for LabelEncoder across its opset revisions."""
+    keys = None
+    for name in ("keys_int64s", "keys_floats", "keys_strings"):
+        v = ctx.attr(name)
+        if v is not None:
+            keys = (
+                np.asarray([str(s) for s in v], dtype=object)
+                if name == "keys_strings"
+                else np.asarray(list(v))
+            )
+            break
+    values = None
+    for name in ("values_int64s", "values_floats", "values_strings"):
+        v = ctx.attr(name)
+        if v is not None:
+            values = (
+                np.asarray([str(s) for s in v], dtype=object)
+                if name == "values_strings"
+                else np.asarray(list(v))
+            )
+            break
+    if keys is not None and values is not None:
+        return keys, values
+    # LabelEncoder-1: classes_strings maps string->int64 (index) and back.
+    classes = ctx.attr("classes_strings")
+    if classes is not None:
+        strs = np.asarray([str(s) for s in classes], dtype=object)
+        idx = np.arange(len(strs), dtype=np.int64)
+        return strs, idx
+    raise ValueError("LabelEncoder has no keys_*/values_* tables")
+
+
+def _lookup_default(ctx, values):
+    if values.dtype.kind == "O":
+        return str(ctx.attr("default_string", "_Unused"))
+    if values.dtype.kind == "f":
+        return float(ctx.attr("default_float", -0.0))
+    return int(ctx.attr("default_int64", -1))
+
+
+@_ml_op("LabelEncoder")
+def _label_encoder(ctx, x):
+    keys, values = _encoder_tables(ctx)
+    default = _lookup_default(ctx, values)
+    str_in = keys.dtype.kind == "O"
+    str_out = values.dtype.kind == "O"
+    if ctx.attr("classes_strings") is not None:
+        # v1 auto-directs on input type: string->index or index->string.
+        xv = np.asarray(x) if _is_static(x) else None
+        if xv is not None and xv.dtype.kind in ("U", "S", "O"):
+            str_in, str_out = True, False
+            default = int(ctx.attr("default_int64", -1))
+        else:
+            str_in, str_out = False, True
+            keys, values = values, keys
+            default = str(ctx.attr("default_string", "_Unused"))
+    if str_in or str_out:
+        xv = np.asarray(_require_static(x, "LabelEncoder",
+                                        what="input (string table)"))
+        table = {k: v for k, v in zip(keys.tolist(), values.tolist())}
+        if str_in:
+            out = [table.get(str(s), default) for s in xv.reshape(-1)]
+        else:
+            out = [
+                table.get(int(s) if keys.dtype.kind == "i" else float(s), default)
+                for s in xv.reshape(-1)
+            ]
+        dtype = object if str_out else (
+            np.float32 if isinstance(default, float) else np.int64
+        )
+        return [np.asarray(out, dtype=dtype).reshape(xv.shape)]
+    # numeric -> numeric: traced-friendly compare-all lookup.
+    xj = jnp.asarray(x)
+    k = jnp.asarray(keys.astype(np.float32 if keys.dtype.kind == "f"
+                                else np.int64))
+    xe = xj[..., None].astype(k.dtype)
+    eq = xe == k
+    if k.dtype.kind == "f":
+        eq = eq | (jnp.isnan(xe) & jnp.isnan(k))  # NaN keys match NaN input
+    vals = jnp.asarray(values.astype(np.float32 if values.dtype.kind == "f"
+                                     else np.int64))
+    hit = jnp.any(eq, axis=-1)
+    first = jnp.argmax(eq, axis=-1)
+    out = jnp.where(hit, jnp.take(vals, first), jnp.asarray(default, vals.dtype))
+    return [out]
+
+
+@_ml_op("CategoryMapper")
+def _category_mapper(ctx, x):
+    cats_i = np.asarray([int(v) for v in ctx.attr("cats_int64s")], np.int64)
+    cats_s = [str(s) for s in ctx.attr("cats_strings")]
+    if len(cats_i) != len(cats_s):
+        raise ValueError("CategoryMapper cats tables differ in length")
+    xv = np.asarray(_require_static(x, "CategoryMapper"))
+    if xv.dtype.kind in ("U", "S", "O"):
+        table = {s: i for s, i in zip(cats_s, cats_i.tolist())}
+        default = int(ctx.attr("default_int64", -1))
+        out = np.asarray(
+            [table.get(str(s), default) for s in xv.reshape(-1)], np.int64
+        )
+    else:
+        table = {i: s for i, s in zip(cats_i.tolist(), cats_s)}
+        default = str(ctx.attr("default_string", "_Unused"))
+        out = np.asarray(
+            [table.get(int(v), default) for v in xv.reshape(-1)], dtype=object
+        )
+    return [out.reshape(xv.shape)]
+
+
+# ---------------------------------------------------------------------------
+# map-typed ops (host dicts in the interpreter env)
+# ---------------------------------------------------------------------------
+
+
+@_ml_op("ZipMap")
+def _zip_map(ctx, scores):
+    """[N, C] scores → list of {label: score} dicts (the standard tail of a
+    sklearn classifier export). Host-only: maps are Python objects."""
+    labels_i = ctx.attr("classlabels_int64s")
+    labels = (
+        [int(v) for v in labels_i]
+        if labels_i is not None
+        else [str(s) for s in ctx.attr("classlabels_strings")]
+    )
+    sv = np.asarray(_require_static(scores, "ZipMap", what="scores"))
+    if sv.ndim == 1:
+        sv = sv[None]
+    if sv.shape[-1] != len(labels):
+        raise ValueError(
+            f"ZipMap got {sv.shape[-1]} score columns for {len(labels)} labels"
+        )
+    return [[dict(zip(labels, row.astype(np.float32).tolist())) for row in sv]]
+
+
+@_ml_op("DictVectorizer")
+def _dict_vectorizer(ctx, m):
+    vocab_s = ctx.attr("string_vocabulary")
+    vocab = (
+        [str(s) for s in vocab_s]
+        if vocab_s is not None
+        else [int(v) for v in ctx.attr("int64_vocabulary")]
+    )
+    _require_static(m, "DictVectorizer", what="map input")
+    maps = m if isinstance(m, list) else [m]
+    if not all(isinstance(d, dict) for d in maps):
+        raise ValueError("DictVectorizer input must be a map or seq of maps")
+    out = np.asarray(
+        [[float(d.get(k, 0.0)) for k in vocab] for d in maps], np.float32
+    )
+    return [out if isinstance(m, list) else out[0]]
+
+
+@_ml_op("CastMap")
+def _cast_map(ctx, m):
+    cast_to = str(ctx.attr("cast_to", "TO_FLOAT"))
+    map_form = str(ctx.attr("map_form", "DENSE"))
+    max_map = int(ctx.attr("max_map", 1))
+    _require_static(m, "CastMap", what="map input")
+    maps = m if isinstance(m, list) else [m]
+    rows = []
+    for d in maps:
+        if not isinstance(d, dict):
+            raise ValueError("CastMap input must be a map or seq of maps")
+        if map_form == "DENSE":
+            vals = [d[k] for k in sorted(d)]
+        else:
+            vals = [0] * max_map
+            for k, v in d.items():
+                if 0 <= int(k) < max_map:
+                    vals[int(k)] = v
+        rows.append(vals)
+    width = max((len(r) for r in rows), default=0)
+    rows = [r + [0] * (width - len(r)) for r in rows]
+    if cast_to == "TO_STRING":
+        out = np.asarray([[str(v) for v in r] for r in rows], dtype=object)
+    elif cast_to == "TO_INT64":
+        out = np.asarray(rows, dtype=np.int64)
+    else:
+        out = np.asarray(rows, dtype=np.float32)
+    return [out if isinstance(m, list) else out[0]]
+
+
+# ---------------------------------------------------------------------------
+# linear models
+# ---------------------------------------------------------------------------
+
+
+@_ml_op("LinearRegressor")
+def _linear_regressor(ctx, x):
+    targets = int(ctx.attr("targets", 1))
+    coef = np.asarray(list(ctx.attr("coefficients")), np.float32)
+    x = jnp.asarray(x).astype(jnp.float32)
+    if x.ndim == 1:
+        x = x[None]
+    f = x.shape[-1]
+    w = coef.reshape(targets, f)
+    y = x @ w.T
+    intercepts = ctx.attr("intercepts")
+    if intercepts is not None:
+        y = y + np.asarray(list(intercepts), np.float32)
+    return [_post_transform(y, str(ctx.attr("post_transform", "NONE")))]
+
+
+@_ml_op("LinearClassifier")
+def _linear_classifier(ctx, x):
+    labels, is_string = _class_labels(ctx)
+    coef = np.asarray(list(ctx.attr("coefficients")), np.float32)
+    post = str(ctx.attr("post_transform", "NONE"))
+    x = jnp.asarray(x).astype(jnp.float32)
+    if x.ndim == 1:
+        x = x[None]
+    f = x.shape[-1]
+    if coef.size % f:
+        raise ValueError(
+            f"LinearClassifier has {coef.size} coefficients, not a multiple "
+            f"of the feature count {f}"
+        )
+    w = coef.reshape(-1, f)
+    scores = x @ w.T
+    intercepts = ctx.attr("intercepts")
+    if intercepts is not None:
+        scores = scores + np.asarray(list(intercepts), np.float32)
+    if w.shape[0] == 1 and len(labels) == 2:
+        # Binary single-score convention (ORT): NONE → (-s, s); otherwise
+        # transform first, then (1-p, p).
+        if post == "NONE":
+            scores = jnp.concatenate([-scores, scores], axis=-1)
+        else:
+            p = _post_transform(scores, post)
+            scores = jnp.concatenate([1.0 - p, p], axis=-1)
+    else:
+        scores = _post_transform(scores, post)
+    return [_pick_labels(ctx, scores, labels, is_string,
+                      "LinearClassifier"), scores]
+
+
+# ---------------------------------------------------------------------------
+# tree ensembles
+# ---------------------------------------------------------------------------
+#
+# TPU-native lowering: the forest is flattened host-side into dense node
+# tables (feature id / threshold / branch mode / child indices per global
+# node), and evaluation is a fixed-depth loop of vectorized gathers over a
+# [batch, trees] cursor — every step is one gather + compare on the VPU,
+# no data-dependent control flow, so the whole ensemble jits. Leaf
+# payouts are a [batch, entries] equality mask scatter-added into the
+# class/target columns (same pattern as TfIdfVectorizer).
+
+_TREE_MODES = {
+    "LEAF": 0, "BRANCH_LEQ": 1, "BRANCH_LT": 2, "BRANCH_GTE": 3,
+    "BRANCH_GT": 4, "BRANCH_EQ": 5, "BRANCH_NEQ": 6,
+}
+
+
+def _build_tree_tables(ctx, op_name):
+    tree_ids = [int(v) for v in ctx.attr("nodes_treeids")]
+    node_ids = [int(v) for v in ctx.attr("nodes_nodeids")]
+    feats = np.asarray([int(v) for v in ctx.attr("nodes_featureids")], np.int32)
+    values = np.asarray([float(v) for v in ctx.attr("nodes_values")], np.float32)
+    modes = [str(m) for m in ctx.attr("nodes_modes")]
+    true_ids = [int(v) for v in ctx.attr("nodes_truenodeids")]
+    false_ids = [int(v) for v in ctx.attr("nodes_falsenodeids")]
+    miss = ctx.attr("nodes_missing_value_tracks_true")
+    miss = (
+        np.asarray([int(v) for v in miss], np.int32)
+        if miss is not None
+        else np.zeros(len(tree_ids), np.int32)
+    )
+    n = len(tree_ids)
+    if not (len(node_ids) == len(feats) == len(values) == len(modes)
+            == len(true_ids) == len(false_ids) == miss.size == n):
+        raise ValueError(f"{op_name}: nodes_* attribute lengths disagree")
+    try:
+        mode_codes = np.asarray([_TREE_MODES[m] for m in modes], np.int32)
+    except KeyError as e:
+        raise ValueError(f"{op_name}: unknown node mode {e.args[0]!r}") from None
+
+    index = {}
+    for g, (t, nid) in enumerate(zip(tree_ids, node_ids)):
+        if (t, nid) in index:
+            raise ValueError(f"{op_name}: duplicate node ({t}, {nid})")
+        index[(t, nid)] = g
+    trees = sorted(set(tree_ids))
+    tree_pos = {t: i for i, t in enumerate(trees)}
+
+    is_leaf = mode_codes == 0
+    true_g = np.zeros(n, np.int32)
+    false_g = np.zeros(n, np.int32)
+    children = set()
+    for g, (t, mode) in enumerate(zip(tree_ids, mode_codes)):
+        if mode == 0:
+            true_g[g] = false_g[g] = g  # leaves self-loop
+            continue
+        try:
+            true_g[g] = index[(t, true_ids[g])]
+            false_g[g] = index[(t, false_ids[g])]
+        except KeyError:
+            raise ValueError(
+                f"{op_name}: node ({t}, {node_ids[g]}) references a child "
+                f"that does not exist in tree {t}"
+            ) from None
+        children.add(true_g[g])
+        children.add(false_g[g])
+
+    roots = np.zeros(len(trees), np.int32)
+    for t in trees:
+        cands = [index[(t, nid)] for (tt, nid) in index if tt == t
+                 and index[(t, nid)] not in children]
+        if len(cands) != 1:
+            # fall back to the conventional nodeid-0 root
+            if (t, 0) not in index:
+                raise ValueError(f"{op_name}: tree {t} has no identifiable root")
+            cands = [index[(t, 0)]]
+        roots[tree_pos[t]] = cands[0]
+
+    # depth by BFS (cycle-checked): number of traversal steps needed.
+    depth = 0
+    seen_global = set()
+    frontier = [(int(r), 0) for r in roots]
+    while frontier:
+        g, d = frontier.pop()
+        if g in seen_global:
+            raise ValueError(f"{op_name}: node cycle detected at global {g}")
+        seen_global.add(g)
+        depth = max(depth, d)
+        if not is_leaf[g]:
+            frontier.append((int(true_g[g]), d + 1))
+            frontier.append((int(false_g[g]), d + 1))
+
+    return dict(
+        feats=feats, values=values, modes=mode_codes, true_g=true_g,
+        false_g=false_g, miss=miss, roots=roots, depth=depth,
+        tree_pos=tree_pos, is_leaf=is_leaf,
+    )
+
+
+def _tree_descend(x2, tables):
+    """Run every tree on every row: returns the final leaf cursor [N, T]."""
+    feats = jnp.asarray(tables["feats"])
+    thresh = jnp.asarray(tables["values"])
+    modes = jnp.asarray(tables["modes"])
+    true_g = jnp.asarray(tables["true_g"])
+    false_g = jnp.asarray(tables["false_g"])
+    miss = jnp.asarray(tables["miss"])
+    n = x2.shape[0]
+    cur = jnp.broadcast_to(jnp.asarray(tables["roots"]), (n, len(tables["roots"])))
+    rows = jnp.arange(n)[:, None]
+    for _ in range(tables["depth"]):
+        f = jnp.take(feats, cur)
+        v = x2[rows, f]
+        th = jnp.take(thresh, cur)
+        m = jnp.take(modes, cur)
+        cond = jnp.select(
+            [m == 1, m == 2, m == 3, m == 4, m == 5, m == 6],
+            [v <= th, v < th, v >= th, v > th, v == th, v != th],
+            default=True,
+        )
+        cond = jnp.where(jnp.isnan(v), jnp.take(miss, cur) > 0, cond)
+        nxt = jnp.where(cond, jnp.take(true_g, cur), jnp.take(false_g, cur))
+        cur = jnp.where(m == 0, cur, nxt)
+    return cur
+
+
+def _leaf_payout(ctx, cur, tables, prefix, op_name, n_cols):
+    """Scatter leaf weights into [N, n_cols] per-tree columns flattened as
+    [N, T * n_cols] (callers reduce over trees or sum directly)."""
+    e_tree = [int(v) for v in ctx.attr(f"{prefix}_treeids")]
+    e_node = [int(v) for v in ctx.attr(f"{prefix}_nodeids")]
+    e_col = np.asarray([int(v) for v in ctx.attr(f"{prefix}_ids")], np.int64)
+    e_w = np.asarray([float(v) for v in ctx.attr(f"{prefix}_weights")],
+                     np.float32)
+    tree_pos = tables["tree_pos"]
+    node_index = {}
+    # rebuild (tree, node) -> global from the descend tables' ordering
+    t_ids = [int(v) for v in ctx.attr("nodes_treeids")]
+    n_ids = [int(v) for v in ctx.attr("nodes_nodeids")]
+    for g, (t, nid) in enumerate(zip(t_ids, n_ids)):
+        node_index[(t, nid)] = g
+    try:
+        e_glob = np.asarray(
+            [node_index[(t, nid)] for t, nid in zip(e_tree, e_node)], np.int32
+        )
+        e_tpos = np.asarray([tree_pos[t] for t in e_tree], np.int64)
+    except KeyError as e:
+        raise ValueError(
+            f"{op_name}: {prefix} entry references unknown node {e.args[0]}"
+        ) from None
+    # [N, E]: did row n's walk of entry e's tree end at entry e's leaf?
+    hits = jnp.take(cur, jnp.asarray(e_tpos), axis=1) == jnp.asarray(e_glob)
+    contrib = hits.astype(jnp.float32) * jnp.asarray(e_w)
+    flat_cols = np.asarray(e_tpos * n_cols + e_col, np.int64)
+    out = jnp.zeros((cur.shape[0], len(tree_pos) * n_cols), jnp.float32)
+    return out.at[:, flat_cols].add(contrib), e_w
+
+
+def _as_2d_f32(x):
+    x = jnp.asarray(x).astype(jnp.float32)
+    return x[None] if x.ndim == 1 else x
+
+
+@_ml_op("TreeEnsembleRegressor")
+def _tree_ensemble_regressor(ctx, x):
+    tables = _build_tree_tables(ctx, "TreeEnsembleRegressor")
+    n_targets = int(ctx.attr("n_targets", 1))
+    agg = str(ctx.attr("aggregate_function", "SUM"))
+    x2 = _as_2d_f32(x)
+    cur = _tree_descend(x2, tables)
+    per_tree, _ = _leaf_payout(ctx, cur, tables, "target",
+                               "TreeEnsembleRegressor", n_targets)
+    t = len(tables["tree_pos"])
+    per_tree = per_tree.reshape(x2.shape[0], t, n_targets)
+    if agg == "SUM":
+        y = per_tree.sum(axis=1)
+    elif agg == "AVERAGE":
+        y = per_tree.sum(axis=1) / t
+    elif agg == "MIN":
+        y = per_tree.min(axis=1)
+    elif agg == "MAX":
+        y = per_tree.max(axis=1)
+    else:
+        raise ValueError(f"invalid aggregate_function {agg!r}")
+    base = ctx.attr("base_values")
+    if base is not None:
+        y = y + np.asarray(list(base), np.float32)
+    return [_post_transform(y, str(ctx.attr("post_transform", "NONE")))]
+
+
+@_ml_op("TreeEnsembleClassifier")
+def _tree_ensemble_classifier(ctx, x):
+    labels, is_string = _class_labels(ctx)
+    tables = _build_tree_tables(ctx, "TreeEnsembleClassifier")
+    post = str(ctx.attr("post_transform", "NONE"))
+    class_ids = [int(v) for v in ctx.attr("class_ids")]
+    n_cols = max(class_ids) + 1
+    x2 = _as_2d_f32(x)
+    cur = _tree_descend(x2, tables)
+    per_tree, e_w = _leaf_payout(ctx, cur, tables, "class",
+                                 "TreeEnsembleClassifier", n_cols)
+    t = len(tables["tree_pos"])
+    scores = per_tree.reshape(x2.shape[0], t, n_cols).sum(axis=1)
+    base = ctx.attr("base_values")
+    if base is not None:
+        scores = scores + np.asarray(list(base), np.float32)
+    if n_cols == 1 and len(labels) == 2:
+        # Single-score binary convention (ORT write_scores): all-positive
+        # leaf weights mean the score is a probability-like vote → pair
+        # (1-s, s); mixed-sign means a margin → pair (-s, s). The post-
+        # transform then applies to the pair (sigmoid(-s) == 1-sigmoid(s)).
+        if bool(np.all(e_w >= 0)) and post == "NONE":
+            scores = jnp.concatenate([1.0 - scores, scores], axis=-1)
+        else:
+            scores = jnp.concatenate([-scores, scores], axis=-1)
+            scores = _post_transform(scores, post)
+    else:
+        scores = _post_transform(scores, post)
+    return [
+        _pick_labels(ctx, scores, labels, is_string,
+                     "TreeEnsembleClassifier"),
+        scores,
+    ]
