@@ -685,3 +685,147 @@ def _tree_ensemble_classifier(ctx, x):
                      "TreeEnsembleClassifier"),
         scores,
     ]
+
+
+# ---------------------------------------------------------------------------
+# support-vector machines
+# ---------------------------------------------------------------------------
+
+
+def _svm_kernel(ctx, x2, sv):
+    """K(x, sv): [N, SV] kernel matrix. kernel_params = [gamma, coef0,
+    degree] (libsvm layout, same defaults as ORT)."""
+    kind = str(ctx.attr("kernel_type", "LINEAR"))
+    params = ctx.attr("kernel_params")
+    gamma, coef0, degree = (
+        [float(v) for v in params] + [0.0, 0.0, 0.0]
+    )[:3] if params else (0.0, 0.0, 0.0)
+    dots = x2 @ sv.T
+    if kind == "LINEAR":
+        return dots
+    if kind == "POLY":
+        return jnp.power(gamma * dots + coef0, degree)
+    if kind == "SIGMOID":
+        return jnp.tanh(gamma * dots + coef0)
+    if kind == "RBF":
+        sq = (
+            jnp.sum(jnp.square(x2), axis=1, keepdims=True)
+            - 2.0 * dots
+            + np.sum(np.square(sv), axis=1)[None, :]
+        )
+        return jnp.exp(-gamma * sq)
+    raise ValueError(f"invalid kernel_type {kind!r}")
+
+
+@_ml_op("SVMRegressor")
+def _svm_regressor(ctx, x):
+    coef = np.asarray(list(ctx.attr("coefficients")), np.float32)
+    rho = np.asarray(list(ctx.attr("rho", [0.0])), np.float32)
+    n_sv = int(ctx.attr("n_supports", 0))
+    x2 = _as_2d_f32(x)
+    f = x2.shape[-1]
+    if n_sv > 0:
+        sv = np.asarray(
+            list(ctx.attr("support_vectors")), np.float32
+        ).reshape(n_sv, f)
+        k = _svm_kernel(ctx, x2, sv)
+        y = k @ coef[:n_sv, None] + rho[0]
+    else:
+        y = x2 @ coef.reshape(1, f).T + rho[0]
+    if int(ctx.attr("one_class", 0)):
+        y = jnp.where(y > 0, 1.0, -1.0)
+    return [_post_transform(y, str(ctx.attr("post_transform", "NONE")))]
+
+
+@_ml_op("SVMClassifier")
+def _svm_classifier(ctx, x):
+    """libsvm one-vs-one SVC (decision values + votes) and the linear mode.
+
+    Pairwise decision for classes i<j over class-grouped support vectors:
+    ``d = sum_{v in SV_i} coef[j-1, v] K(x, v) + sum_{v in SV_j}
+    coef[i, v] K(x, v) + rho[pair]`` (ONNX stores rho additively). Labels
+    come from the vote count (d > 0 votes for i), scores are the raw
+    decision values in pair order — the ORT kernel's behavior when no
+    probability tables are present. Platt-coupled probabilities
+    (prob_a/prob_b) are not lowered; a typed error names the op.
+    """
+    if ctx.attr("prob_a") is not None or ctx.attr("prob_b") is not None:
+        raise NotImplementedError(
+            "ai.onnx.ml.SVMClassifier with Platt probability tables "
+            "(prob_a/prob_b pairwise coupling) is not supported; re-export "
+            "with probability=False"
+        )
+    labels, is_string = _class_labels(ctx)
+    c = len(labels)
+    coef = np.asarray(list(ctx.attr("coefficients")), np.float32)
+    rho = np.asarray(list(ctx.attr("rho", [0.0])), np.float32)
+    post = str(ctx.attr("post_transform", "NONE"))
+    vpc = ctx.attr("vectors_per_class")
+    sv_flat = ctx.attr("support_vectors")
+    x2 = _as_2d_f32(x)
+    f = x2.shape[-1]
+
+    if not sv_flat:
+        # linear mode: one coefficient row per class (a binary export may
+        # carry a single row, expanded below like LinearClassifier).
+        if coef.size % f:
+            raise ValueError(
+                f"SVMClassifier has {coef.size} coefficients, not a "
+                f"multiple of the feature count {f}"
+            )
+        w = coef.reshape(-1, f)
+        scores = x2 @ w.T + rho[0]
+        if w.shape[0] == 1 and c == 2:
+            scores = jnp.concatenate([-scores, scores], axis=-1)
+        scores = _post_transform(scores, post)
+        return [_pick_labels(ctx, scores, labels, is_string, "SVMClassifier"),
+                scores]
+
+    counts = [int(v) for v in vpc]
+    if len(counts) != c:
+        raise ValueError(
+            f"SVMClassifier has {len(counts)} vectors_per_class entries "
+            f"for {c} classes"
+        )
+    total_sv = sum(counts)
+    sv = np.asarray(list(sv_flat), np.float32).reshape(total_sv, f)
+    dual = coef.reshape(c - 1, total_sv)
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(int)
+    k = _svm_kernel(ctx, x2, sv)
+
+    decisions = []
+    pairs = []
+    p = 0
+    for i in range(c):
+        for j in range(i + 1, c):
+            si, ei = starts[i], starts[i + 1]
+            sj, ej = starts[j], starts[j + 1]
+            d = (
+                k[:, si:ei] @ dual[j - 1, si:ei]
+                + k[:, sj:ej] @ dual[i, sj:ej]
+                + rho[p]
+            )
+            decisions.append(d)
+            pairs.append((i, j))
+            p += 1
+    dec = jnp.stack(decisions, axis=1)  # [N, pairs]
+
+    votes = jnp.zeros((x2.shape[0], c), jnp.float32)
+    for p, (i, j) in enumerate(pairs):
+        win_i = (dec[:, p] > 0).astype(jnp.float32)
+        votes = votes.at[:, i].add(win_i)
+        votes = votes.at[:, j].add(1.0 - win_i)
+    label_idx = jnp.argmax(votes, axis=-1)
+
+    scores = dec
+    if c == 2:
+        scores = jnp.concatenate([-dec, dec], axis=-1)
+    scores = _post_transform(scores, post)
+
+    if not ctx.wants_output(0):
+        return [None, scores]
+    if not is_string:
+        return [jnp.take(jnp.asarray(labels), label_idx), scores]
+    _require_static(label_idx, "SVMClassifier",
+                    what="input (string class labels)")
+    return [labels[np.asarray(label_idx)], scores]

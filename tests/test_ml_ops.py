@@ -482,3 +482,86 @@ def test_tree_classifier_string_labels_jittable_when_label_dropped():
     x = np.asarray([[1.0, 0.0]], np.float32)
     (s,) = _run([node], {"x": x}, outputs=("s",), jit=True)
     np.testing.assert_allclose(np.asarray(s), [[0.0, 2.0]])
+
+
+# ---------------------------------------------------------------------------
+# SVMs
+# ---------------------------------------------------------------------------
+
+def test_svm_regressor_rbf():
+    node = P.make_node(
+        "SVMRegressor", ["x"], ["y"], domain=ML, n_supports=2,
+        support_vectors=[0.0, 2.0], coefficients=[1.0, -0.5], rho=[0.25],
+        kernel_type="RBF", kernel_params=[0.5, 0.0, 0.0],
+    )
+    x = np.asarray([[1.0]], np.float32)
+    (y,) = _run([node], {"x": x}, jit=True)
+    k = np.exp(-0.5)  # both SVs are distance 1 from x
+    np.testing.assert_allclose(np.asarray(y), [[1.0 * k - 0.5 * k + 0.25]],
+                               rtol=1e-6)
+
+
+def test_svm_regressor_linear_and_one_class():
+    node = P.make_node("SVMRegressor", ["x"], ["y"], domain=ML,
+                       coefficients=[2.0], rho=[1.0])
+    (y,) = _run([node], {"x": np.asarray([[3.0]], np.float32)}, jit=True)
+    np.testing.assert_allclose(np.asarray(y), [[7.0]])
+    node = P.make_node("SVMRegressor", ["x"], ["y"], domain=ML,
+                       coefficients=[2.0], rho=[1.0], one_class=1)
+    (y,) = _run([node], {"x": np.asarray([[3.0], [-3.0]], np.float32)},
+                jit=True)
+    np.testing.assert_allclose(np.asarray(y), [[1.0], [-1.0]])
+
+
+def test_svm_classifier_one_vs_one_votes_and_decisions():
+    # 3 classes, 1 linear-kernel SV each. Pairwise decisions hand-computed:
+    # d01 = 1*2 + (-1)*1 + 0.1 = 1.1; d02 = 2*2 + 0.5*(-2) - 0.2 = 2.8;
+    # d12 = (-2)*1 + 0.25*(-2) + 0.3 = -2.2 → votes 2/0/1 → class 0.
+    node = P.make_node(
+        "SVMClassifier", ["x"], ["lab", "s"], domain=ML,
+        classlabels_int64s=[5, 6, 7], vectors_per_class=[1, 1, 1],
+        support_vectors=[1.0, 0.0, 0.0, 1.0, -1.0, 0.0],
+        coefficients=[1.0, -1.0, 0.5, 2.0, -2.0, 0.25],
+        rho=[0.1, -0.2, 0.3],
+    )
+    x = np.asarray([[2.0, 1.0]], np.float32)
+    lab, s = _run([node], {"x": x}, outputs=("lab", "s"), jit=True)
+    np.testing.assert_allclose(np.asarray(s), [[1.1, 2.8, -2.2]], rtol=1e-6)
+    assert np.asarray(lab).tolist() == [5]
+
+
+def test_svm_classifier_binary_expands():
+    node = P.make_node(
+        "SVMClassifier", ["x"], ["lab", "s"], domain=ML,
+        classlabels_int64s=[0, 1], vectors_per_class=[1, 1],
+        support_vectors=[1.0, -1.0], coefficients=[0.5, -0.5], rho=[0.2],
+    )
+    x = np.asarray([[2.0]], np.float32)
+    lab, s = _run([node], {"x": x}, outputs=("lab", "s"), jit=True)
+    np.testing.assert_allclose(np.asarray(s), [[-2.2, 2.2]], rtol=1e-6)
+    # d > 0 votes for the FIRST class (libsvm convention)
+    assert np.asarray(lab).tolist() == [0]
+
+
+def test_svm_classifier_linear_mode():
+    node = P.make_node(
+        "SVMClassifier", ["x"], ["lab", "s"], domain=ML,
+        classlabels_int64s=[10, 20, 30],
+        coefficients=[1.0, 0.0, 0.0, 1.0, -1.0, -1.0], rho=[0.5],
+    )
+    x = np.asarray([[1.0, 2.0]], np.float32)
+    lab, s = _run([node], {"x": x}, outputs=("lab", "s"), jit=True)
+    np.testing.assert_allclose(np.asarray(s), [[1.5, 2.5, -2.5]])
+    assert np.asarray(lab).tolist() == [20]
+
+
+def test_svm_classifier_platt_tables_rejected():
+    node = P.make_node(
+        "SVMClassifier", ["x"], ["lab", "s"], domain=ML,
+        classlabels_int64s=[0, 1], vectors_per_class=[1, 1],
+        support_vectors=[1.0, -1.0], coefficients=[0.5, -0.5], rho=[0.2],
+        prob_a=[-1.0], prob_b=[0.1],
+    )
+    with pytest.raises(Exception, match="prob_a/prob_b|probability"):
+        _run([node], {"x": np.asarray([[2.0]], np.float32)},
+             outputs=("lab", "s"))
