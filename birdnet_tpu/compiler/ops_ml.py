@@ -582,6 +582,11 @@ def _tree_descend(x2, tables):
             [v <= th, v < th, v >= th, v > th, v == th, v != th],
             default=True,
         )
+        members = tables.get("members")
+        if members is not None:  # mode 7: BRANCH_MEMBER (TreeEnsemble v5)
+            mem_rows = jnp.asarray(members)[cur]  # [N, T, set_width]
+            in_set = jnp.any(v[..., None] == mem_rows, axis=-1)
+            cond = jnp.where(m == 7, in_set, cond)
         cond = jnp.where(jnp.isnan(v), jnp.take(miss, cur) > 0, cond)
         nxt = jnp.where(cond, jnp.take(true_g, cur), jnp.take(false_g, cur))
         cur = jnp.where(m == 0, cur, nxt)
@@ -829,3 +834,151 @@ def _svm_classifier(ctx, x):
     _require_static(label_idx, "SVMClassifier",
                     what="input (string class labels)")
     return [labels[np.asarray(label_idx)], scores]
+
+
+_V5_POST = {0: "NONE", 1: "SOFTMAX", 2: "LOGISTIC", 3: "SOFTMAX_ZERO",
+            4: "PROBIT"}
+_V5_AGG = {0: "AVERAGE", 1: "SUM", 2: "MIN", 3: "MAX"}
+
+
+@_ml_op("TreeEnsemble")
+def _tree_ensemble_v5(ctx, x):
+    """Unified TreeEnsemble (ai.onnx.ml opset 5): leaves live in separate
+    leaf_* arrays (nodes_*leafs flags say whether a child index points at a
+    leaf or an inner node), modes/splits/weights are tensor attributes with
+    integer codes, and BRANCH_MEMBER tests set membership against the
+    NaN-delimited ``membership_values`` pool. Converted to the same dense
+    tables the v1/v3 ensembles use (leaves appended after the inner nodes)
+    and evaluated by the same fixed-depth vectorized descent."""
+    feats = np.asarray([int(v) for v in ctx.attr("nodes_featureids")], np.int32)
+    splits = ctx.attr("nodes_splits").to_numpy().astype(np.float32).reshape(-1)
+    v5_modes = ctx.attr("nodes_modes").to_numpy().astype(np.int64).reshape(-1)
+    true_ids = [int(v) for v in ctx.attr("nodes_truenodeids")]
+    false_ids = [int(v) for v in ctx.attr("nodes_falsenodeids")]
+    true_leafs = [int(v) for v in ctx.attr("nodes_trueleafs")]
+    false_leafs = [int(v) for v in ctx.attr("nodes_falseleafs")]
+    leaf_tids = np.asarray([int(v) for v in ctx.attr("leaf_targetids")],
+                           np.int64)
+    leaf_w = ctx.attr("leaf_weights").to_numpy().astype(np.float32).reshape(-1)
+    roots = [int(v) for v in ctx.attr("tree_roots")]
+    n_targets = int(ctx.attr("n_targets", 1))
+    agg = _V5_AGG.get(int(ctx.attr("aggregate_function", 1)))
+    post = _V5_POST.get(int(ctx.attr("post_transform", 0)))
+    if agg is None or post is None:
+        raise ValueError("TreeEnsemble: invalid aggregate_function/"
+                         "post_transform code")
+    n_int, n_leaf = len(feats), len(leaf_w)
+    if not (len(splits) == len(v5_modes) == len(true_ids) == len(false_ids)
+            == len(true_leafs) == len(false_leafs) == n_int):
+        raise ValueError("TreeEnsemble: nodes_* attribute lengths disagree")
+    if len(leaf_tids) != n_leaf:
+        raise ValueError("TreeEnsemble: leaf_* attribute lengths disagree")
+    if n_leaf and (leaf_tids.min() < 0 or leaf_tids.max() >= n_targets):
+        raise ValueError(
+            f"TreeEnsemble: leaf_targetids outside [0, {n_targets})"
+        )
+    if np.any(v5_modes < 0) or np.any(v5_modes > 6):
+        raise ValueError("TreeEnsemble: unknown node mode code")
+
+    total = n_int + n_leaf
+    modes = np.zeros(total, np.int32)  # appended leaves keep code 0 (LEAF)
+    modes[:n_int] = np.where(v5_modes == 6, 7, v5_modes + 1)
+    feat_all = np.concatenate([feats, np.zeros(n_leaf, np.int32)])
+    thresh_all = np.concatenate([splits, np.zeros(n_leaf, np.float32)])
+    true_g = np.arange(total, dtype=np.int32)
+    false_g = true_g.copy()
+    for g in range(n_int):
+        t_child = n_int + true_ids[g] if true_leafs[g] else true_ids[g]
+        f_child = n_int + false_ids[g] if false_leafs[g] else false_ids[g]
+        if not (0 <= t_child < total and 0 <= f_child < total) or (
+            not true_leafs[g] and true_ids[g] >= n_int
+        ) or (not false_leafs[g] and false_ids[g] >= n_int):
+            raise ValueError(
+                f"TreeEnsemble: node {g} references a child that does not "
+                f"exist"
+            )
+        true_g[g], false_g[g] = t_child, f_child
+    miss = np.zeros(total, np.int32)
+    miss_attr = ctx.attr("nodes_missing_value_tracks_true")
+    if miss_attr is not None:
+        miss[:n_int] = [int(v) for v in miss_attr]
+
+    members = None
+    member_nodes = [g for g in range(n_int) if modes[g] == 7]
+    if member_nodes:
+        mv = ctx.attr("membership_values")
+        if mv is None:
+            raise ValueError(
+                "TreeEnsemble has BRANCH_MEMBER nodes but no "
+                "membership_values"
+            )
+        vals = mv.to_numpy().astype(np.float32).reshape(-1)
+        sets, curset = [], []
+        for v in vals:
+            if np.isnan(v):
+                sets.append(curset)
+                curset = []
+            else:
+                curset.append(float(v))
+        if curset:
+            sets.append(curset)
+        if len(sets) != len(member_nodes):
+            raise ValueError(
+                f"TreeEnsemble: {len(member_nodes)} BRANCH_MEMBER nodes but "
+                f"{len(sets)} NaN-delimited membership sets"
+            )
+        width = max(len(s) for s in sets)
+        members = np.full((total, width), np.nan, np.float32)
+        for g, s in zip(member_nodes, sets):
+            members[g, :len(s)] = s
+
+    # tree ownership (for the leaf payout) + max depth, cycle-checked.
+    owner = np.full(total, -1, np.int64)
+    depth = 0
+    for t, r in enumerate(roots):
+        if not 0 <= r < n_int:
+            raise ValueError(f"TreeEnsemble: tree root {r} is not an inner node")
+        stack = [(r, 0)]
+        while stack:
+            g, d = stack.pop()
+            if owner[g] != -1:
+                raise ValueError(
+                    f"TreeEnsemble: node {g} is reached twice (cycle or "
+                    f"shared subtree)"
+                )
+            owner[g] = t
+            depth = max(depth, d)
+            if modes[g] != 0:
+                stack.append((int(true_g[g]), d + 1))
+                stack.append((int(false_g[g]), d + 1))
+
+    tables = dict(
+        feats=feat_all, values=thresh_all, modes=modes, true_g=true_g,
+        false_g=false_g, miss=miss, roots=np.asarray(roots, np.int32),
+        depth=depth, members=members,
+    )
+    x2 = _as_2d_f32(x)
+    cur = _tree_descend(x2, tables)
+
+    n_trees = len(roots)
+    e_tpos = owner[n_int:]
+    reachable = e_tpos >= 0  # unreferenced leaves contribute nothing
+    e_glob = np.arange(n_int, total, dtype=np.int32)
+    hits = jnp.take(cur, jnp.asarray(np.where(reachable, e_tpos, 0)),
+                    axis=1) == jnp.asarray(e_glob)
+    contrib = hits.astype(jnp.float32) * jnp.asarray(
+        np.where(reachable, leaf_w, 0.0).astype(np.float32)
+    )
+    flat_cols = np.where(reachable, e_tpos, 0) * n_targets + leaf_tids
+    per_tree = jnp.zeros((x2.shape[0], n_trees * n_targets), jnp.float32)
+    per_tree = per_tree.at[:, flat_cols].add(contrib)
+    per_tree = per_tree.reshape(x2.shape[0], n_trees, n_targets)
+    if agg == "SUM":
+        y = per_tree.sum(axis=1)
+    elif agg == "AVERAGE":
+        y = per_tree.sum(axis=1) / n_trees
+    elif agg == "MIN":
+        y = per_tree.min(axis=1)
+    else:
+        y = per_tree.max(axis=1)
+    return [_post_transform(y, post)]

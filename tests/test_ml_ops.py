@@ -565,3 +565,82 @@ def test_svm_classifier_platt_tables_rejected():
     with pytest.raises(Exception, match="prob_a/prob_b|probability"):
         _run([node], {"x": np.asarray([[2.0]], np.float32)},
              outputs=("lab", "s"))
+
+
+# ---------------------------------------------------------------------------
+# unified TreeEnsemble (ai.onnx.ml opset 5)
+# ---------------------------------------------------------------------------
+
+def _v5_forest():
+    """Same forest as _forest_attrs() in the v5 encoding: inner nodes
+    [t0-root(f0<=0.5), t1-root(f1>1.0), t1-inner(f0<=-1)], leaves
+    [1, 2, 10, 20, 30] all on target 0."""
+    return dict(
+        nodes_featureids=[0, 1, 0],
+        nodes_splits=np.asarray([0.5, 1.0, -1.0], np.float32),
+        nodes_modes=np.asarray([0, 3, 0], np.uint8),  # LEQ, GT, LEQ
+        nodes_truenodeids=[0, 2, 3], nodes_trueleafs=[1, 1, 1],
+        nodes_falsenodeids=[1, 2, 4], nodes_falseleafs=[1, 0, 1],
+        leaf_targetids=[0, 0, 0, 0, 0],
+        leaf_weights=np.asarray([1.0, 2.0, 10.0, 20.0, 30.0], np.float32),
+        tree_roots=[0, 1],
+        n_targets=1,
+    )
+
+
+def test_tree_ensemble_v5_matches_v1_semantics():
+    node = P.make_node("TreeEnsemble", ["x"], ["y"], domain=ML, **_v5_forest())
+    x = np.asarray([[0.0, 2.0], [1.0, 0.0], [-2.0, 0.0]], np.float32)
+    (y,) = _run([node], {"x": x}, jit=True)
+    np.testing.assert_allclose(np.asarray(y), [[11.0], [32.0], [21.0]])
+
+
+def test_tree_ensemble_v5_average_and_logistic_codes():
+    attrs = _v5_forest()
+    attrs["aggregate_function"] = 0  # AVERAGE
+    node = P.make_node("TreeEnsemble", ["x"], ["y"], domain=ML, **attrs)
+    x = np.asarray([[0.0, 2.0]], np.float32)
+    (y,) = _run([node], {"x": x}, jit=True)
+    np.testing.assert_allclose(np.asarray(y), [[5.5]])
+    attrs = _v5_forest()
+    attrs["post_transform"] = 2  # LOGISTIC
+    node = P.make_node("TreeEnsemble", ["x"], ["y"], domain=ML, **attrs)
+    (y,) = _run([node], {"x": x}, jit=True)
+    np.testing.assert_allclose(np.asarray(y), [[1 / (1 + np.exp(-11.0))]],
+                               rtol=1e-6)
+
+
+def test_tree_ensemble_v5_membership():
+    # single BRANCH_MEMBER node: x0 in {1, 3} ? 5 : 7
+    node = P.make_node(
+        "TreeEnsemble", ["x"], ["y"], domain=ML,
+        nodes_featureids=[0],
+        nodes_splits=np.asarray([0.0], np.float32),
+        nodes_modes=np.asarray([6], np.uint8),
+        nodes_truenodeids=[0], nodes_trueleafs=[1],
+        nodes_falsenodeids=[1], nodes_falseleafs=[1],
+        leaf_targetids=[0, 0],
+        leaf_weights=np.asarray([5.0, 7.0], np.float32),
+        membership_values=np.asarray([1.0, 3.0], np.float32),
+        tree_roots=[0], n_targets=1,
+    )
+    x = np.asarray([[1.0], [2.0], [3.0]], np.float32)
+    (y,) = _run([node], {"x": x}, jit=True)
+    np.testing.assert_allclose(np.asarray(y), [[5.0], [7.0], [5.0]])
+
+
+def test_tree_ensemble_v5_missing_tracks_true():
+    attrs = _v5_forest()
+    attrs["nodes_missing_value_tracks_true"] = [1, 0, 0]
+    node = P.make_node("TreeEnsemble", ["x"], ["y"], domain=ML, **attrs)
+    x = np.asarray([[np.nan, 2.0]], np.float32)
+    (y,) = _run([node], {"x": x}, jit=True)
+    np.testing.assert_allclose(np.asarray(y), [[11.0]])
+
+
+def test_tree_ensemble_v5_rejects_bad_topology():
+    attrs = _v5_forest()
+    attrs["nodes_truenodeids"] = [9, 2, 3]  # leaf index out of range
+    node = P.make_node("TreeEnsemble", ["x"], ["y"], domain=ML, **attrs)
+    with pytest.raises(Exception, match="child that does not exist"):
+        _run([node], {"x": np.zeros((1, 2), np.float32)})
