@@ -1271,11 +1271,7 @@ def _string_split(ctx, x):
     delim = ctx.attr("delimiter")
     maxsplit = ctx.attr("maxsplit")
     ms = int(maxsplit) if maxsplit is not None else -1
-    parts = [
-        str(s).split(delim if delim else None, ms) if (delim or str(s).strip())
-        else []
-        for s in xv.reshape(-1)
-    ]
+    parts = [str(s).split(delim if delim else None, ms) for s in xv.reshape(-1)]
     width = max((len(p) for p in parts), default=0)
     padded = np.asarray(
         [p + [""] * (width - len(p)) for p in parts], dtype=object

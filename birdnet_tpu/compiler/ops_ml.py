@@ -448,15 +448,12 @@ def _linear_classifier(ctx, x):
     if intercepts is not None:
         scores = scores + np.asarray(list(intercepts), np.float32)
     if w.shape[0] == 1 and len(labels) == 2:
-        # Binary single-score convention (ORT): NONE → (-s, s); otherwise
-        # transform first, then (1-p, p).
-        if post == "NONE":
-            scores = jnp.concatenate([-scores, scores], axis=-1)
-        else:
-            p = _post_transform(scores, post)
-            scores = jnp.concatenate([1.0 - p, p], axis=-1)
-    else:
-        scores = _post_transform(scores, post)
+        # Binary single-score convention (ORT): pair the margin as (-s, s)
+        # FIRST, then apply the post-transform to the pair — LOGISTIC on
+        # (-s, s) is exactly (1-p, p), and SOFTMAX stays a real 2-way
+        # softmax instead of degenerating to 1.0 over a single column.
+        scores = jnp.concatenate([-scores, scores], axis=-1)
+    scores = _post_transform(scores, post)
     return [_pick_labels(ctx, scores, labels, is_string,
                       "LinearClassifier"), scores]
 
@@ -529,10 +526,16 @@ def _build_tree_tables(ctx, op_name):
         children.add(true_g[g])
         children.add(false_g[g])
 
+    # One pass over nodes (not trees x nodes — a 500-tree GBM would pay
+    # O(T*N) per eager call otherwise): the root of each tree is its one
+    # node never referenced as a child.
+    cands_per_tree = {t: [] for t in trees}
+    for g, t in enumerate(tree_ids):
+        if g not in children:
+            cands_per_tree[t].append(g)
     roots = np.zeros(len(trees), np.int32)
     for t in trees:
-        cands = [index[(t, nid)] for (tt, nid) in index if tt == t
-                 and index[(t, nid)] not in children]
+        cands = cands_per_tree[t]
         if len(cands) != 1:
             # fall back to the conventional nodeid-0 root
             if (t, 0) not in index:
@@ -557,7 +560,7 @@ def _build_tree_tables(ctx, op_name):
     return dict(
         feats=feats, values=values, modes=mode_codes, true_g=true_g,
         false_g=false_g, miss=miss, roots=roots, depth=depth,
-        tree_pos=tree_pos, is_leaf=is_leaf,
+        tree_pos=tree_pos, is_leaf=is_leaf, index=index,
     )
 
 
@@ -602,12 +605,7 @@ def _leaf_payout(ctx, cur, tables, prefix, op_name, n_cols):
     e_w = np.asarray([float(v) for v in ctx.attr(f"{prefix}_weights")],
                      np.float32)
     tree_pos = tables["tree_pos"]
-    node_index = {}
-    # rebuild (tree, node) -> global from the descend tables' ordering
-    t_ids = [int(v) for v in ctx.attr("nodes_treeids")]
-    n_ids = [int(v) for v in ctx.attr("nodes_nodeids")]
-    for g, (t, nid) in enumerate(zip(t_ids, n_ids)):
-        node_index[(t, nid)] = g
+    node_index = tables["index"]  # (tree, node) -> global, built once
     try:
         e_glob = np.asarray(
             [node_index[(t, nid)] for t, nid in zip(e_tree, e_node)], np.int32
@@ -663,7 +661,12 @@ def _tree_ensemble_classifier(ctx, x):
     tables = _build_tree_tables(ctx, "TreeEnsembleClassifier")
     post = str(ctx.attr("post_transform", "NONE"))
     class_ids = [int(v) for v in ctx.attr("class_ids")]
+    # A class pruned from every tree still owns a (zero) score column —
+    # except in the binary single-score convention, where one column fans
+    # out to two below (ORT sizes by class count the same way).
     n_cols = max(class_ids) + 1
+    if len(labels) > 2:
+        n_cols = max(n_cols, len(labels))
     x2 = _as_2d_f32(x)
     cur = _tree_descend(x2, tables)
     per_tree, e_w = _leaf_payout(ctx, cur, tables, "class",
@@ -676,15 +679,15 @@ def _tree_ensemble_classifier(ctx, x):
     if n_cols == 1 and len(labels) == 2:
         # Single-score binary convention (ORT write_scores): all-positive
         # leaf weights mean the score is a probability-like vote → pair
-        # (1-s, s); mixed-sign means a margin → pair (-s, s). The post-
-        # transform then applies to the pair (sigmoid(-s) == 1-sigmoid(s)).
-        if bool(np.all(e_w >= 0)) and post == "NONE":
+        # (1-s, s); mixed-sign means a margin → pair (-s, s). Either way
+        # the pair is built FIRST and the post-transform applies to the
+        # pair — a vote fraction in (0, 0.5) must keep label 0 under
+        # LOGISTIC (sigmoid is monotonic, so the (1-s, s) order survives).
+        if bool(np.all(e_w >= 0)):
             scores = jnp.concatenate([1.0 - scores, scores], axis=-1)
         else:
             scores = jnp.concatenate([-scores, scores], axis=-1)
-            scores = _post_transform(scores, post)
-    else:
-        scores = _post_transform(scores, post)
+    scores = _post_transform(scores, post)
     return [
         _pick_labels(ctx, scores, labels, is_string,
                      "TreeEnsembleClassifier"),
@@ -932,25 +935,35 @@ def _tree_ensemble_v5(ctx, x):
         for g, s in zip(member_nodes, sets):
             members[g, :len(s)] = s
 
-    # tree ownership (for the leaf payout) + max depth, cycle-checked.
-    owner = np.full(total, -1, np.int64)
+    # Payout entries ((tree, leaf) pairs) + max depth, cycle-checked. The
+    # separate leaf pool exists so leaves CAN be shared — by both branches
+    # of one node (a constant subtree), by several nodes, even across
+    # trees — so only a revisited INNER node within one tree's walk is a
+    # cycle; a revisited leaf just dedupes to one payout entry (the
+    # cursor-equality hit already counts it once).
     depth = 0
+    entries = []  # (tree_pos, global_leaf)
     for t, r in enumerate(roots):
         if not 0 <= r < n_int:
             raise ValueError(f"TreeEnsemble: tree root {r} is not an inner node")
+        seen_inner = set()
+        seen_leaves = set()
         stack = [(r, 0)]
         while stack:
             g, d = stack.pop()
-            if owner[g] != -1:
-                raise ValueError(
-                    f"TreeEnsemble: node {g} is reached twice (cycle or "
-                    f"shared subtree)"
-                )
-            owner[g] = t
             depth = max(depth, d)
-            if modes[g] != 0:
-                stack.append((int(true_g[g]), d + 1))
-                stack.append((int(false_g[g]), d + 1))
+            if modes[g] == 0:
+                seen_leaves.add(g)
+                continue
+            if g in seen_inner:
+                raise ValueError(
+                    f"TreeEnsemble: inner node {g} is reached twice in tree "
+                    f"{t} (cycle)"
+                )
+            seen_inner.add(g)
+            stack.append((int(true_g[g]), d + 1))
+            stack.append((int(false_g[g]), d + 1))
+        entries.extend((t, g) for g in sorted(seen_leaves))
 
     tables = dict(
         feats=feat_all, values=thresh_all, modes=modes, true_g=true_g,
@@ -961,15 +974,12 @@ def _tree_ensemble_v5(ctx, x):
     cur = _tree_descend(x2, tables)
 
     n_trees = len(roots)
-    e_tpos = owner[n_int:]
-    reachable = e_tpos >= 0  # unreferenced leaves contribute nothing
-    e_glob = np.arange(n_int, total, dtype=np.int32)
-    hits = jnp.take(cur, jnp.asarray(np.where(reachable, e_tpos, 0)),
-                    axis=1) == jnp.asarray(e_glob)
-    contrib = hits.astype(jnp.float32) * jnp.asarray(
-        np.where(reachable, leaf_w, 0.0).astype(np.float32)
-    )
-    flat_cols = np.where(reachable, e_tpos, 0) * n_targets + leaf_tids
+    e_tpos = np.asarray([t for t, _ in entries], np.int64)
+    e_glob = np.asarray([g for _, g in entries], np.int32)
+    e_leaf = e_glob - n_int  # index into the leaf arrays
+    hits = jnp.take(cur, jnp.asarray(e_tpos), axis=1) == jnp.asarray(e_glob)
+    contrib = hits.astype(jnp.float32) * jnp.asarray(leaf_w[e_leaf])
+    flat_cols = e_tpos * n_targets + leaf_tids[e_leaf]
     per_tree = jnp.zeros((x2.shape[0], n_trees * n_targets), jnp.float32)
     per_tree = per_tree.at[:, flat_cols].add(contrib)
     per_tree = per_tree.reshape(x2.shape[0], n_trees, n_targets)

@@ -644,3 +644,85 @@ def test_tree_ensemble_v5_rejects_bad_topology():
     node = P.make_node("TreeEnsemble", ["x"], ["y"], domain=ML, **attrs)
     with pytest.raises(Exception, match="child that does not exist"):
         _run([node], {"x": np.zeros((1, 2), np.float32)})
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions (binary pairing order, pruned classes, shared leaves)
+# ---------------------------------------------------------------------------
+
+def test_linear_classifier_binary_softmax_depends_on_input():
+    # SOFTMAX over a single column is identically 1.0; the pair must be
+    # built first so the transform sees both columns.
+    outs = []
+    for v in (-5.0, 0.5, 5.0):
+        _, s = _run(
+            [P.make_node("LinearClassifier", ["x"], ["lab", "s"], domain=ML,
+                         coefficients=[1.0], classlabels_int64s=[0, 1],
+                         post_transform="SOFTMAX")],
+            {"x": np.asarray([[v]], np.float32)}, outputs=("lab", "s"),
+            jit=True,
+        )
+        outs.append(np.asarray(s)[0])
+        e = np.exp([-v, v])
+        np.testing.assert_allclose(np.asarray(s)[0], e / e.sum(), rtol=1e-6)
+    assert not np.allclose(outs[0], outs[2])
+
+
+def test_tree_classifier_binary_positive_votes_logistic_keeps_label0():
+    # vote fraction 0.2 with LOGISTIC: pair (1-s, s) FIRST, then sigmoid —
+    # (sigmoid(0.8), sigmoid(0.2)) keeps label 0; transforming the margin
+    # pair (-s, s) would flip it to label 1.
+    node = P.make_node(
+        "TreeEnsembleClassifier", ["x"], ["lab", "s"], domain=ML,
+        classlabels_int64s=[0, 1], post_transform="LOGISTIC",
+        nodes_treeids=[0, 0, 0], nodes_nodeids=[0, 1, 2],
+        nodes_featureids=[0, 0, 0], nodes_values=[0.5, 0.0, 0.0],
+        nodes_modes=["BRANCH_LEQ", "LEAF", "LEAF"],
+        nodes_truenodeids=[1, 0, 0], nodes_falsenodeids=[2, 0, 0],
+        class_treeids=[0, 0], class_nodeids=[1, 2], class_ids=[0, 0],
+        class_weights=[0.2, 0.9],
+    )
+    x = np.asarray([[0.0]], np.float32)
+    lab, s = _run([node], {"x": x}, outputs=("lab", "s"), jit=True)
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    np.testing.assert_allclose(np.asarray(s), [[sig(0.8), sig(0.2)]],
+                               rtol=1e-6)
+    assert np.asarray(lab).tolist() == [0]
+
+
+def test_tree_classifier_pruned_class_keeps_zero_column():
+    # class 2 appears in no leaf entry but still owns a score column, and
+    # can win when the scored classes go negative.
+    attrs = _forest_attrs()
+    node = P.make_node(
+        "TreeEnsembleClassifier", ["x"], ["lab", "s"], domain=ML,
+        classlabels_int64s=[10, 20, 30],
+        class_treeids=[0, 0, 1, 1, 1], class_nodeids=[1, 2, 1, 3, 4],
+        class_ids=[0, 1, 0, 0, 1],
+        class_weights=[-1.0, -1.0, -1.0, -1.0, -1.0],
+        **attrs,
+    )
+    x = np.asarray([[0.0, 2.0]], np.float32)
+    lab, s = _run([node], {"x": x}, outputs=("lab", "s"), jit=True)
+    assert np.asarray(s).shape == (1, 3)
+    np.testing.assert_allclose(np.asarray(s), [[-2.0, 0.0, 0.0]])
+    # tie between the zero columns -> first max -> class 20
+    assert np.asarray(lab).tolist() == [20]
+
+
+def test_tree_ensemble_v5_shared_leaf_both_branches():
+    # Both children of the root point at the same leaf (a constant tree) —
+    # legal in v5's separate-leaf-pool encoding; payout counts it once.
+    node = P.make_node(
+        "TreeEnsemble", ["x"], ["y"], domain=ML,
+        nodes_featureids=[0],
+        nodes_splits=np.asarray([0.0], np.float32),
+        nodes_modes=np.asarray([0], np.uint8),
+        nodes_truenodeids=[0], nodes_trueleafs=[1],
+        nodes_falsenodeids=[0], nodes_falseleafs=[1],
+        leaf_targetids=[0], leaf_weights=np.asarray([4.5], np.float32),
+        tree_roots=[0], n_targets=1,
+    )
+    x = np.asarray([[-1.0], [1.0]], np.float32)
+    (y,) = _run([node], {"x": x}, jit=True)
+    np.testing.assert_allclose(np.asarray(y), [[4.5], [4.5]])
