@@ -1419,7 +1419,13 @@ op("ArgMin")(_arg_reduce(jnp.argmin))
 def _topk(ctx, x, k=None):
     x = jnp.asarray(x)
     # opset < 10 carries k as a required int attribute; >= 10 as an input.
-    kk = _static_int(k, "TopK k") if k is not None else int(ctx.attr("k"))
+    if k is not None:
+        kk = _static_int(k, "TopK k")
+    else:
+        k_attr = ctx.attr("k")
+        if k_attr is None:
+            raise ValueError("TopK (opset<10) requires the k attribute")
+        kk = int(k_attr)
     axis = int(ctx.attr("axis", -1))
     largest = int(ctx.attr("largest", 1))
     if axis < 0:

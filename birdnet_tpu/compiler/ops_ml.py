@@ -248,6 +248,12 @@ def _encoder_tables(ctx):
             break
     if keys is not None and values is not None:
         return keys, values
+    # LabelEncoder-4: tensor-form tables (keys_tensor/values_tensor) carry
+    # the maps as TensorProto attributes; string tensors decode to object
+    # arrays of str, numerics stay numeric.
+    kt, vt = ctx.attr("keys_tensor"), ctx.attr("values_tensor")
+    if kt is not None and vt is not None:
+        return kt.to_numpy().reshape(-1), vt.to_numpy().reshape(-1)
     # LabelEncoder-1: classes_strings maps string->int64 (index) and back.
     classes = ctx.attr("classes_strings")
     if classes is not None:
@@ -258,6 +264,18 @@ def _encoder_tables(ctx):
 
 
 def _lookup_default(ctx, values):
+    dt = ctx.attr("default_tensor")
+    if dt is not None:
+        dv = dt.to_numpy().reshape(-1)
+        if dv.size != 1:
+            raise ValueError(
+                f"LabelEncoder default_tensor must hold one element, "
+                f"got {dv.size}"
+            )
+        v = dv[0]
+        if values.dtype.kind == "O":
+            return str(v)
+        return float(v) if values.dtype.kind == "f" else int(v)
     if values.dtype.kind == "O":
         return str(ctx.attr("default_string", "_Unused"))
     if values.dtype.kind == "f":
@@ -566,6 +584,20 @@ def _build_tree_tables(ctx, op_name):
 
 def _tree_descend(x2, tables):
     """Run every tree on every row: returns the final leaf cursor [N, T]."""
+    # Branch-node feature ids must address a real input column: the gather
+    # below clamps out-of-range indices on device, so a tree referencing
+    # feature 12 of a 10-feature input would silently read the last column
+    # where ORT errors. The feature count is static — check it host-side.
+    feats_np = np.asarray(tables["feats"])
+    branch = np.asarray(tables["modes"]) != 0
+    if branch.any():
+        bf = feats_np[branch]
+        if bf.min() < 0 or bf.max() >= x2.shape[-1]:
+            bad = int(bf.min()) if bf.min() < 0 else int(bf.max())
+            raise ValueError(
+                f"tree ensemble references feature {bad} but the input "
+                f"has only {x2.shape[-1]} features"
+            )
     feats = jnp.asarray(tables["feats"])
     thresh = jnp.asarray(tables["values"])
     modes = jnp.asarray(tables["modes"])
@@ -615,6 +647,12 @@ def _leaf_payout(ctx, cur, tables, prefix, op_name, n_cols):
         raise ValueError(
             f"{op_name}: {prefix} entry references unknown node {e.args[0]}"
         ) from None
+    if e_col.size and (e_col.min() < 0 or e_col.max() >= n_cols):
+        bad = int(e_col.min()) if e_col.min() < 0 else int(e_col.max())
+        raise ValueError(
+            f"{op_name}: {prefix}_ids entry {bad} outside [0, {n_cols}) — "
+            f"JAX scatter would silently drop or wrap it"
+        )
     # [N, E]: did row n's walk of entry e's tree end at entry e's leaf?
     hits = jnp.take(cur, jnp.asarray(e_tpos), axis=1) == jnp.asarray(e_glob)
     contrib = hits.astype(jnp.float32) * jnp.asarray(e_w)
@@ -796,6 +834,17 @@ def _svm_classifier(ctx, x):
             f"for {c} classes"
         )
     total_sv = sum(counts)
+    n_pairs = c * (c - 1) // 2
+    if len(rho) < n_pairs:
+        raise ValueError(
+            f"SVMClassifier has {len(rho)} rho entries; {c} classes form "
+            f"{n_pairs} one-vs-one pairs"
+        )
+    if coef.size != (c - 1) * total_sv:
+        raise ValueError(
+            f"SVMClassifier has {coef.size} coefficients, expected "
+            f"(n_classes-1)*total_sv = {(c - 1) * total_sv}"
+        )
     sv = np.asarray(list(sv_flat), np.float32).reshape(total_sv, f)
     dual = coef.reshape(c - 1, total_sv)
     starts = np.concatenate([[0], np.cumsum(counts)]).astype(int)

@@ -393,3 +393,16 @@ def test_topk_legacy_k_attribute(rng):
     ev, ei = torch.topk(torch.from_numpy(x), 3, dim=1)
     np.testing.assert_allclose(vals, ev.numpy(), rtol=1e-6)
     np.testing.assert_array_equal(idx, ei.numpy().astype(np.int64))
+
+
+def test_topk_legacy_missing_k_attribute_typed_error(rng):
+    """Opset < 10 TopK without the required k attribute raises a typed
+    error naming the op, not a raw int(None) TypeError."""
+    x = rng.normal(size=(2, 8)).astype(np.float32)
+    with pytest.raises(Exception, match="TopK.*requires the k attribute"):
+        run_graph(
+            [P.make_node("TopK", ["x"], ["v", "i"], axis=1)],
+            {"x": x},
+            outputs=["v", "i"],
+            opset=9,
+        )

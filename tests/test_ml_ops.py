@@ -726,3 +726,124 @@ def test_tree_ensemble_v5_shared_leaf_both_branches():
     x = np.asarray([[-1.0], [1.0]], np.float32)
     (y,) = _run([node], {"x": x}, jit=True)
     np.testing.assert_allclose(np.asarray(y), [[4.5], [4.5]])
+
+
+# ---------------------------------------------------------------------------
+# malformed-model validation (advisor round-2 findings)
+# ---------------------------------------------------------------------------
+
+def test_tree_regressor_target_ids_out_of_range():
+    """target_ids >= n_targets must raise, not silently drop the scatter
+    column (JAX .at[].add drops out-of-range indices)."""
+    attrs = _forest_attrs()
+    node = P.make_node(
+        "TreeEnsembleRegressor", ["x"], ["y"], domain=ML, n_targets=1,
+        target_treeids=[0, 0, 1, 1, 1], target_nodeids=[1, 2, 1, 3, 4],
+        target_ids=[0, 0, 0, 0, 1],  # 1 >= n_targets=1
+        target_weights=[1.0, 2.0, 10.0, 20.0, 30.0],
+        **attrs,
+    )
+    x = np.asarray([[0.0, 2.0]], np.float32)
+    with pytest.raises(Exception, match="target_ids.*outside"):
+        _run([node], {"x": x})
+
+
+def test_tree_regressor_negative_target_id_rejected():
+    attrs = _forest_attrs()
+    node = P.make_node(
+        "TreeEnsembleRegressor", ["x"], ["y"], domain=ML, n_targets=1,
+        target_treeids=[0, 0, 1, 1, 1], target_nodeids=[1, 2, 1, 3, 4],
+        target_ids=[0, 0, 0, 0, -1],
+        target_weights=[1.0, 2.0, 10.0, 20.0, 30.0],
+        **attrs,
+    )
+    x = np.asarray([[0.0, 2.0]], np.float32)
+    with pytest.raises(Exception, match="target_ids.*outside"):
+        _run([node], {"x": x})
+
+
+def test_tree_feature_id_out_of_range_rejected():
+    """A branch node referencing feature 5 of a 2-feature input must raise
+    (the on-device gather clamps, silently reading the last column)."""
+    attrs = _forest_attrs()
+    attrs["nodes_featureids"] = [5, 0, 0, 1, 0, 0, 0, 0]  # root tests f5
+    node = P.make_node(
+        "TreeEnsembleRegressor", ["x"], ["y"], domain=ML, n_targets=1,
+        target_treeids=[0, 0, 1, 1, 1], target_nodeids=[1, 2, 1, 3, 4],
+        target_ids=[0, 0, 0, 0, 0], target_weights=[1.0, 2.0, 10.0, 20.0, 30.0],
+        **attrs,
+    )
+    x = np.asarray([[0.0, 2.0]], np.float32)
+    with pytest.raises(Exception, match="feature 5.*only 2 features"):
+        _run([node], {"x": x})
+
+
+def test_tree_leaf_feature_id_ignored():
+    """Leaf nodes may carry arbitrary featureids (exporters often leave
+    garbage there); only branch nodes are validated."""
+    attrs = _forest_attrs()
+    ids = list(attrs["nodes_featureids"])
+    ids[1] = 99  # a LEAF node
+    attrs["nodes_featureids"] = ids
+    node = P.make_node(
+        "TreeEnsembleRegressor", ["x"], ["y"], domain=ML, n_targets=1,
+        target_treeids=[0, 0, 1, 1, 1], target_nodeids=[1, 2, 1, 3, 4],
+        target_ids=[0, 0, 0, 0, 0], target_weights=[1.0, 2.0, 10.0, 20.0, 30.0],
+        **attrs,
+    )
+    x = np.asarray([[0.0, 2.0]], np.float32)
+    (y,) = _run([node], {"x": x}, jit=True)
+    np.testing.assert_allclose(np.asarray(y), [[11.0]])
+
+
+def test_svm_classifier_truncated_rho_rejected():
+    # 3 classes -> 3 pairs; only 1 rho entry.
+    node = P.make_node(
+        "SVMClassifier", ["x"], ["lab", "s"], domain=ML,
+        classlabels_int64s=[5, 6, 7], vectors_per_class=[1, 1, 1],
+        support_vectors=[1.0, 0.0, 0.0, 1.0, -1.0, 0.0],
+        coefficients=[1.0, -1.0, 0.5, 2.0, -2.0, 0.25],
+        rho=[0.1],
+    )
+    x = np.asarray([[2.0, 1.0]], np.float32)
+    with pytest.raises(Exception, match="rho.*one-vs-one pairs"):
+        _run([node], {"x": x}, outputs=("lab", "s"))
+
+
+def test_svm_classifier_wrong_coefficient_count_rejected():
+    node = P.make_node(
+        "SVMClassifier", ["x"], ["lab", "s"], domain=ML,
+        classlabels_int64s=[5, 6, 7], vectors_per_class=[1, 1, 1],
+        support_vectors=[1.0, 0.0, 0.0, 1.0, -1.0, 0.0],
+        coefficients=[1.0, -1.0, 0.5, 2.0],  # needs (3-1)*3 = 6
+        rho=[0.1, -0.2, 0.3],
+    )
+    x = np.asarray([[2.0, 1.0]], np.float32)
+    with pytest.raises(Exception, match="coefficients, expected"):
+        _run([node], {"x": x}, outputs=("lab", "s"))
+
+
+def test_label_encoder_tensor_form_numeric():
+    """LabelEncoder-4 tensor-form tables (keys_tensor/values_tensor/
+    default_tensor)."""
+    node = P.make_node(
+        "LabelEncoder", ["x"], ["y"], domain=ML,
+        keys_tensor=np.asarray([1, 2, 3], np.int64),
+        values_tensor=np.asarray([10.0, 20.0, 30.0], np.float32),
+        default_tensor=np.asarray([-5.0], np.float32),
+    )
+    x = np.asarray([2, 9, 1], np.int64)
+    (y,) = _run([node], {"x": x}, jit=True)
+    np.testing.assert_allclose(np.asarray(y), [20.0, -5.0, 10.0])
+
+
+def test_label_encoder_tensor_form_strings():
+    node = P.make_node(
+        "LabelEncoder", ["x"], ["y"], domain=ML,
+        keys_tensor=np.asarray(["a", "b"], object),
+        values_tensor=np.asarray([7, 8], np.int64),
+        default_tensor=np.asarray([-1], np.int64),
+    )
+    x = np.asarray(["b", "zz", "a"], object)
+    (y,) = _run([node], {"x": x})
+    assert np.asarray(y).tolist() == [8, -1, 7]
