@@ -25,6 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .ops import _is_static, contrib_op
 
@@ -783,6 +784,66 @@ def _svm_regressor(ctx, x):
     return [_post_transform(y, str(ctx.attr("post_transform", "NONE")))]
 
 
+def _platt_pairwise_probs(dec, prob_a, prob_b):
+    """Per-pair Platt probability of the pair's FIRST class.
+
+    libsvm's ``sigmoid_predict`` / ORT's ``sigmoid_probability``:
+    ``r = 1 / (1 + exp(A*d + B)) = sigmoid(-(A*d + B))``, clamped to
+    [1e-7, 1 - 1e-7] exactly as both implementations do.
+    """
+    r = jax.nn.sigmoid(-(dec * prob_a + prob_b))
+    return jnp.clip(r, 1e-7, 1.0 - 1e-7)
+
+
+def _wu_lin_weng_couple(r_flat, pairs, c):
+    """Couple one-vs-one pairwise probabilities into class probabilities.
+
+    Wu, Lin & Weng (JMLR 2004) method 2, as implemented by libsvm's
+    ``multiclass_probability`` (the routine ORT's SVMClassifier kernel
+    transcribes): build Q from the pairwise matrix, then iterate the
+    normalized fixed-point update until ``max_t |Qp_t - pQp| < 0.005/k``
+    or ``max(100, k)`` iterations. Batched over rows with a
+    ``lax.while_loop``; converged rows freeze (diff masked to 0) so each
+    row sees exactly libsvm's per-sample early exit.
+    """
+    n = r_flat.shape[0]
+    big_r = jnp.zeros((n, c, c), jnp.float32)
+    for p, (i, j) in enumerate(pairs):
+        big_r = big_r.at[:, i, j].set(r_flat[:, p])
+        big_r = big_r.at[:, j, i].set(1.0 - r_flat[:, p])
+    # Q[t,j] = -r[j,t] * r[t,j] off-diagonal; Q[t,t] = sum_j r[j,t]^2
+    q = -(big_r.transpose(0, 2, 1) * big_r)
+    q_diag = jnp.sum(jnp.square(big_r), axis=1)  # over j of r[j,t]^2
+    ti = jnp.arange(c)
+    q = q.at[:, ti, ti].set(q_diag)
+    eps = 0.005 / c
+    max_iter = max(100, c)
+
+    def cond(state):
+        it, _, done = state
+        return (it < max_iter) & ~jnp.all(done)
+
+    def body(state):
+        it, p, done = state
+        qp = jnp.einsum("ntj,nj->nt", q, p)
+        pqp = jnp.sum(p * qp, axis=1)
+        done = done | (jnp.max(jnp.abs(qp - pqp[:, None]), axis=1) < eps)
+        for t in range(c):  # sequential in-place sweep, k is static
+            diff = jnp.where(done, 0.0, (pqp - qp[:, t]) / q_diag[:, t])
+            p = p.at[:, t].add(diff)
+            pqp = (pqp + diff * (diff * q_diag[:, t] + 2.0 * qp[:, t])) \
+                / jnp.square(1.0 + diff)
+            qp = (qp + diff[:, None] * q[:, t, :]) / (1.0 + diff)[:, None]
+            p = p / (1.0 + diff)[:, None]
+        return it + 1, p, done
+
+    p0 = jnp.full((n, c), 1.0 / c, jnp.float32)
+    _, probs, _ = lax.while_loop(
+        cond, body, (jnp.asarray(0), p0, jnp.zeros(n, bool))
+    )
+    return probs
+
+
 @_ml_op("SVMClassifier")
 def _svm_classifier(ctx, x):
     """libsvm one-vs-one SVC (decision values + votes) and the linear mode.
@@ -792,15 +853,11 @@ def _svm_classifier(ctx, x):
     coef[i, v] K(x, v) + rho[pair]`` (ONNX stores rho additively). Labels
     come from the vote count (d > 0 votes for i), scores are the raw
     decision values in pair order — the ORT kernel's behavior when no
-    probability tables are present. Platt-coupled probabilities
-    (prob_a/prob_b) are not lowered; a typed error names the op.
+    probability tables are present. With Platt tables (prob_a/prob_b,
+    sklearn ``SVC(probability=True)``), scores are the Wu–Lin–Weng
+    coupled class probabilities and the label is their argmax, matching
+    libsvm's ``svm_predict_probability`` via ORT's kernel.
     """
-    if ctx.attr("prob_a") is not None or ctx.attr("prob_b") is not None:
-        raise NotImplementedError(
-            "ai.onnx.ml.SVMClassifier with Platt probability tables "
-            "(prob_a/prob_b pairwise coupling) is not supported; re-export "
-            "with probability=False"
-        )
     labels, is_string = _class_labels(ctx)
     c = len(labels)
     coef = np.asarray(list(ctx.attr("coefficients")), np.float32)
@@ -866,6 +923,36 @@ def _svm_classifier(ctx, x):
             pairs.append((i, j))
             p += 1
     dec = jnp.stack(decisions, axis=1)  # [N, pairs]
+
+    prob_a, prob_b = ctx.attr("prob_a"), ctx.attr("prob_b")
+    if (prob_a is None) != (prob_b is None):
+        raise ValueError(
+            "SVMClassifier carries only one of prob_a/prob_b; Platt "
+            "coupling needs both tables"
+        )
+    if prob_a is not None:
+        pa = np.asarray(list(prob_a), np.float32)
+        pb = np.asarray(list(prob_b), np.float32)
+        if len(pa) < len(pairs) or len(pb) < len(pairs):
+            raise ValueError(
+                f"SVMClassifier prob_a/prob_b hold {len(pa)}/{len(pb)} "
+                f"entries; {c} classes form {len(pairs)} one-vs-one pairs"
+            )
+        r = _platt_pairwise_probs(
+            dec, jnp.asarray(pa[: len(pairs)]), jnp.asarray(pb[: len(pairs)])
+        )
+        probs = _wu_lin_weng_couple(r, pairs, c)
+        # libsvm svm_predict_probability: the label is the argmax of the
+        # coupled probabilities (first max on ties), NOT the vote count.
+        label_idx = jnp.argmax(probs, axis=-1)
+        scores = _post_transform(probs, post)
+        if not ctx.wants_output(0):
+            return [None, scores]
+        if not is_string:
+            return [jnp.take(jnp.asarray(labels), label_idx), scores]
+        _require_static(label_idx, "SVMClassifier",
+                        what="input (string class labels)")
+        return [labels[np.asarray(label_idx)], scores]
 
     votes = jnp.zeros((x2.shape[0], c), jnp.float32)
     for p, (i, j) in enumerate(pairs):

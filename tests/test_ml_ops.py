@@ -555,16 +555,23 @@ def test_svm_classifier_linear_mode():
     assert np.asarray(lab).tolist() == [20]
 
 
-def test_svm_classifier_platt_tables_rejected():
+def test_svm_classifier_platt_tables_produce_probabilities():
+    """prob_a/prob_b (sklearn SVC(probability=True)) switch the scores to
+    Wu-Lin-Weng coupled class probabilities; deep coverage lives in
+    tests/test_svm_platt_fuzz.py."""
     node = P.make_node(
         "SVMClassifier", ["x"], ["lab", "s"], domain=ML,
         classlabels_int64s=[0, 1], vectors_per_class=[1, 1],
         support_vectors=[1.0, -1.0], coefficients=[0.5, -0.5], rho=[0.2],
         prob_a=[-1.0], prob_b=[0.1],
     )
-    with pytest.raises(Exception, match="prob_a/prob_b|probability"):
-        _run([node], {"x": np.asarray([[2.0]], np.float32)},
-             outputs=("lab", "s"))
+    lab, s = _run([node], {"x": np.asarray([[2.0], [-4.0]], np.float32)},
+                  outputs=("lab", "s"), jit=True)
+    s = np.asarray(s)
+    assert s.shape == (2, 2)
+    assert np.all(s > 0) and np.all(s < 1)
+    np.testing.assert_allclose(s.sum(axis=1), [1.0, 1.0], atol=1e-4)
+    assert np.asarray(lab).tolist() == [0, 1]
 
 
 # ---------------------------------------------------------------------------
