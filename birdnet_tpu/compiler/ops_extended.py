@@ -1298,3 +1298,56 @@ def _regex_full_match(ctx, x):
         dtype=np.bool_,
     )
     return [out.reshape(xv.shape)]
+
+
+@op("ImageDecoder")
+def _image_decoder(ctx, stream):
+    """Opset-20 ImageDecoder: decode a compressed image byte stream to
+    uint8 ``[H, W, C]``.
+
+    A pure host op, like ORT's kernel (which links libjpeg/libpng
+    natively — reference reaches it via src/classifier.rs:637-639); here
+    Pillow supplies the codecs (JPEG/PNG/BMP/TIFF/WebP/PNM and more), so
+    the format coverage is a superset of the spec's list. Host-only: the
+    encoded stream must be compile-time constant (an initializer or
+    Constant-fed chain) — image bytes never reach the device.
+
+    ``pixel_format``: RGB (default) / BGR / Grayscale (ITU-R 601-2 luma
+    conversion for color sources, the same convention ORT applies).
+    """
+    if not _is_static(stream):
+        raise NotImplementedError(
+            "ImageDecoder decodes an encoded byte stream host-side; only "
+            "compile-time-constant inputs are supported (the stream cannot "
+            "be a traced device value)"
+        )
+    arr = np.asarray(stream)
+    if arr.dtype != np.uint8 or arr.ndim != 1:
+        raise ValueError(
+            f"ImageDecoder input must be a 1-D uint8 byte stream, got "
+            f"{arr.dtype} with shape {arr.shape}"
+        )
+    fmt = str(ctx.attr("pixel_format", "RGB"))
+    if fmt not in ("RGB", "BGR", "Grayscale"):
+        raise ValueError(f"invalid pixel_format {fmt!r}")
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - Pillow is baked in
+        raise NotImplementedError(
+            "ImageDecoder needs Pillow for the host-side image codecs "
+            "(the libjpeg/libpng role ONNX Runtime links natively)"
+        ) from e
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(arr.tobytes()))
+        img.load()
+    except Exception as e:
+        raise ValueError(f"ImageDecoder: undecodable image stream ({e})")
+    if fmt == "Grayscale":
+        out = np.asarray(img.convert("L"), dtype=np.uint8)[..., None]
+    else:
+        out = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        if fmt == "BGR":
+            out = out[..., ::-1]
+    return [np.ascontiguousarray(out)]
