@@ -857,6 +857,16 @@ def _svm_classifier(ctx, x):
     sklearn ``SVC(probability=True)``), scores are the Wu–Lin–Weng
     coupled class probabilities and the label is their argmax, matching
     libsvm's ``svm_predict_probability`` via ORT's kernel.
+
+    These conventions are pinned against a REAL libsvm through
+    scikit-learn fits in tests/test_sklearn_oracle.py (decision values,
+    votes, coupled probabilities, all kernels, binary + multiclass).
+    Empirical fact recorded there: sklearn stores the *binary* pair
+    sign-flipped relative to libsvm's internal decision while probA_/
+    probB_ stay keyed to the internal one, so exporters (skl2onnx)
+    negate binary coefficients/rho back to the libsvm orientation these
+    attributes carry — this kernel correctly assumes the file is in
+    libsvm orientation.
     """
     labels, is_string = _class_labels(ctx)
     c = len(labels)

@@ -123,9 +123,17 @@ def attr_t(name: str, tensor_bytes: bytes) -> bytes:
     return _fs(1, name) + _fb(5, tensor_bytes) + _fv(20, _A_TENSOR)
 
 
+def attr_strings(name: str, values) -> bytes:
+    msg = _fs(1, name)
+    for v in values:
+        msg += _fb(9, v.encode("utf-8"))  # AttributeProto.strings = 9
+    return msg + _fv(20, _A_STRINGS)
+
+
 # -- NodeProto (input=1, output=2, name=3, op_type=4, attribute=5) -----------
 
-def node(op_type: str, inputs, outputs, *attrs: bytes, name: str = "") -> bytes:
+def node(op_type: str, inputs, outputs, *attrs: bytes, name: str = "",
+         domain: str = "") -> bytes:
     msg = b""
     for i in inputs:
         msg += _fs(1, i)
@@ -135,6 +143,8 @@ def node(op_type: str, inputs, outputs, *attrs: bytes, name: str = "") -> bytes:
     msg += _fs(4, op_type)
     for a in attrs:
         msg += _fb(5, a)
+    if domain:
+        msg += _fs(7, domain)  # NodeProto.domain = 7
     return msg
 
 
@@ -174,12 +184,16 @@ def graph(name: str, nodes, initializers, inputs, outputs) -> bytes:
 # -- ModelProto (ir_version=1, producer_name=2, graph=7, opset_import=8) -----
 
 def model(graph_bytes: bytes, opset: int = 17, ir_version: int = 8,
-          producer: str = "tf2onnx-style-independent-writer") -> bytes:
+          producer: str = "tf2onnx-style-independent-writer",
+          extra_opsets: dict | None = None) -> bytes:
     opset_msg = _fs(1, "") + _fv(2, opset)  # OperatorSetId: domain=1, version=2
-    return (
+    out = (
         _fv(1, ir_version)
         + _fs(2, producer)
         + _fs(3, "0.0-test")
         + _fb(7, graph_bytes)
         + _fb(8, opset_msg)
     )
+    for dom, ver in (extra_opsets or {}).items():
+        out += _fb(8, _fs(1, dom) + _fv(2, ver))
+    return out
