@@ -287,6 +287,35 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    # Healthy-window wait (round-2 verdict): the pipeline is byte-roofline
+    # bound, so a headline captured while a co-tenant contends HBM
+    # understates the code (BENCH_r02 recorded 290 GB/s vs the ~650-800
+    # healthy band). If the HBM stream reads contended, re-probe for up to
+    # HEALTH_WAIT seconds and run the headline in the best window that
+    # appears; all readings stay in the JSON so the artifact is
+    # diagnosable either way.
+    HEALTHY_GBS = float(os.environ.get("BIRDNET_BENCH_HEALTHY_GBS", 550.0))
+    HEALTH_WAIT = float(os.environ.get("BIRDNET_BENCH_HEALTH_WAIT", 600.0))
+    hbm_readings = [round(chip_gbs)]
+    health_t0 = time.monotonic()
+    while (chip_gbs < HEALTHY_GBS
+           and time.monotonic() - health_t0 < HEALTH_WAIT):
+        waited = time.monotonic() - health_t0
+        print(
+            f"# HBM contended ({chip_gbs:.0f} GB/s < {HEALTHY_GBS:.0f}); "
+            f"waiting for a healthy window ({waited:.0f}/{HEALTH_WAIT:.0f}s)",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(min(75.0, max(1.0, HEALTH_WAIT - waited)))
+        chip_gbs = _hbm_calibration(device)
+        hbm_readings.append(round(chip_gbs))
+    if len(hbm_readings) > 1:
+        print(
+            f"# HBM window probes: {hbm_readings} GB/s "
+            f"(proceeding at {chip_gbs:.0f})",
+            file=sys.stderr, flush=True,
+        )
+
     imported = import_onnx(_bench_model_path())
     config = detect_model_type(*imported.detection_shapes())
     engine = StreamingEngine(
@@ -355,6 +384,11 @@ def main() -> int:
                     # docs/performance.md "Measurement discipline")
                     "chip_bf16_tflops": round(chip_tflops, 1),
                     "chip_hbm_gbs": round(chip_gbs, 0),
+                    # every pre-headline HBM probe (healthy-window wait)
+                    "hbm_window_probes_gbs": hbm_readings,
+                    # same probe re-run right after the timed runs, when
+                    # available (None if the stall watchdog emitted)
+                    "chip_hbm_gbs_after": guard.get("hbm_after"),
                 }
             ),
             flush=True,
@@ -417,6 +451,9 @@ def main() -> int:
         guard["dts"].append(time.monotonic() - t0)
         guard["t"] = time.monotonic()
 
+    # Re-probe HBM in the same window the headline ran (provenance: the
+    # pre-headline probe is ~2 min stale by now).
+    guard["hbm_after"] = round(_hbm_calibration(device))
     print(
         f"# precision: {PRECISION} (top-1 parity with mixed measured: "
         f"0.9998 agreement)",
