@@ -267,7 +267,30 @@ def interpret_graph(
     shape chains — ``Shape → Gather → Unsqueeze → Concat → Expand/Pad/
     Resize``, the standard torch/tf2onnx idiom for symbolic batch dims —
     fold down to the static shapes XLA requires.
+
+    Under the ``fp32`` policy every node traces with
+    ``jax.default_matmul_precision("highest")``: without it XLA is free to
+    run f32 dots/convs through reduced-precision fast paths (single bf16
+    passes on TPU; oneDNN fast-math on CPU — measured 8e-3 absolute error
+    vs a float64 oracle on a depth-10 Conv1d), which breaks the policy's
+    full-float32 parity contract. The bf16-operand policies (mixed/fast/
+    bf16) cast operands explicitly and keep the default pass structure.
     """
+    import jax
+
+    if precision == "fp32":
+        with jax.default_matmul_precision("highest"):
+            return _interpret_nodes(graph, opset, precision, env, output_names)
+    return _interpret_nodes(graph, opset, precision, env, output_names)
+
+
+def _interpret_nodes(
+    graph: GraphProto,
+    opset: int,
+    precision: str,
+    env: Dict[str, object],
+    output_names,
+):
     import jax
 
     def _trailing_trimmed_len(outputs):

@@ -1038,3 +1038,31 @@ def test_scan_reverse_direction(rng):
     rev = np.cumsum(x[::-1], axis=0)[::-1]
     np.testing.assert_allclose(ys, rev, rtol=1e-5)
     np.testing.assert_allclose(final, x.sum(axis=0), rtol=1e-5)
+
+
+def test_fp32_policy_is_strict_float32(rng):
+    """The fp32 policy must not let XLA route f32 convs/dots through
+    reduced-precision fast paths (XLA-CPU oneDNN fast-math measured 8.0e-3
+    absolute error on this exact geometry; TPU's default is a single bf16
+    pass). interpret_graph pins jax.default_matmul_precision("highest")
+    under fp32, so the error vs a float64 oracle must sit at f32 roundoff
+    scale — this asserts ~3 decimal orders below the fast-math failure."""
+    x = rng.normal(size=(2, 1, 4000)).astype(np.float32)
+    w = rng.normal(size=(16, 1, 10)).astype(np.float32)
+    (y,) = run_graph(
+        [P.make_node("Conv", ["x", "w"], ["y"], strides=[5])],
+        {"x": x},
+        {"w": w},
+    )
+    t = (4000 - 10) // 5 + 1
+    idx = np.arange(t)[:, None] * 5 + np.arange(10)[None, :]
+    patches = x[:, 0, :].astype(np.float64)[:, idx]          # [2, t, 10]
+    oracle = np.einsum("ntk,ok->not", patches, w[:, 0, :].astype(np.float64))
+    assert np.abs(y - oracle).max() < 2e-5
+
+    a = rng.normal(size=(64, 512)).astype(np.float32)
+    b = rng.normal(size=(512, 32)).astype(np.float32)
+    (ym,) = run_graph([P.make_node("MatMul", ["a", "b"], ["y"])],
+                      {"a": a}, {"b": b})
+    om = a.astype(np.float64) @ b.astype(np.float64)
+    assert np.abs(ym - om).max() < 2e-4  # depth-512 f32 accumulation scale
