@@ -163,6 +163,62 @@ def test_distilbert_token_ids():
     _assert_engine_matches_torch(Ids(inner), (torch.randint(0, 100, (2, 16)),))
 
 
+def test_distilbert_with_attention_mask():
+    """Padded-batch serving shape: int64 attention_mask as a second graph
+    input (masked softmax / Where paths)."""
+    from transformers import DistilBertConfig, DistilBertModel
+
+    torch.manual_seed(4)
+    cfg = DistilBertConfig(
+        dim=32, n_layers=2, n_heads=2, hidden_dim=64, vocab_size=100,
+        max_position_embeddings=64, attn_implementation="eager",
+    )
+    inner = DistilBertModel(cfg)
+
+    class Masked(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, ids, mask):
+            return self.m(input_ids=ids,
+                          attention_mask=mask).last_hidden_state
+
+    ids = torch.randint(0, 100, (2, 16))
+    mask = torch.ones(2, 16, dtype=torch.int64)
+    mask[1, 9:] = 0
+    _assert_engine_matches_torch(Masked(inner), (ids, mask))
+
+
+def test_wav2vec2_with_attention_mask():
+    """Ragged audio batch: sample-level attention_mask drives the conv
+    feature-extractor length arithmetic and the encoder padding mask."""
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    torch.manual_seed(0)
+    cfg = Wav2Vec2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=(16, 16, 16), conv_stride=(5, 2, 2),
+        conv_kernel=(10, 3, 3), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, vocab_size=32, layerdrop=0.0,
+        attn_implementation="eager",
+    )
+    inner = Wav2Vec2Model(cfg)
+
+    class Masked(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, x, mask):
+            return self.m(x, attention_mask=mask).last_hidden_state
+
+    x = torch.randn(2, 4000)
+    mask = torch.ones(2, 4000, dtype=torch.int64)
+    mask[1, 2500:] = 0
+    _assert_engine_matches_torch(Masked(inner), (x, mask))
+
+
 def test_vit():
     from transformers import ViTConfig, ViTModel
 
