@@ -72,6 +72,53 @@ def _swish(ctx, x):
     return [x * jax.nn.sigmoid(alpha * x)]
 
 
+@op("TensorScatter")
+def _tensor_scatter(ctx, past, update, write_indices=None):
+    """Opset-24 TensorScatter: batched in-place-style cache update (the
+    KV-cache write behind fused attention). For each batch b the update
+    rows land at ``write_indices[b] + i`` along ``axis`` (``linear``
+    mode) or at that position modulo the cache length (``circular``).
+    The reference reaches this through ORT's kernel
+    (src/classifier.rs:637-639)."""
+    past = jnp.asarray(past)
+    update = jnp.asarray(update)
+    axis = int(ctx.attr("axis", -2))
+    mode = ctx.attr("mode", b"linear")
+    mode = mode.decode() if isinstance(mode, bytes) else str(mode)
+    if axis < 0:
+        axis += past.ndim
+    if axis == 0:
+        raise ValueError("TensorScatter axis cannot be the batch dimension")
+    if past.ndim != update.ndim:
+        raise ValueError(
+            "TensorScatter past_cache and update must have the same rank; "
+            f"got {past.ndim} vs {update.ndim}"
+        )
+    batch = past.shape[0]
+    cache_len = past.shape[axis]
+    upd_len = update.shape[axis]
+    if upd_len > cache_len:
+        raise ValueError(
+            f"TensorScatter update length {upd_len} exceeds cache length "
+            f"{cache_len} along axis {axis}"
+        )
+    if write_indices is None:
+        w = jnp.zeros((batch,), dtype=jnp.int32)
+    else:
+        w = jnp.asarray(write_indices).astype(jnp.int32).reshape(batch)
+    pos = w[:, None] + jnp.arange(upd_len, dtype=jnp.int32)[None, :]
+    if mode == "circular":
+        pos = pos % cache_len
+    pastm = jnp.moveaxis(past, axis, 1)    # [B, S, rest...]
+    updm = jnp.moveaxis(update, axis, 1)   # [B, S_u, rest...]
+
+    def write_one(p, u, idx):
+        return p.at[idx].set(u)
+
+    outm = jax.vmap(write_one)(pastm, updm.astype(pastm.dtype), pos)
+    return [jnp.moveaxis(outm, 1, axis)]
+
+
 @op("MeanVarianceNormalization")
 def _mvn(ctx, x):
     axes = tuple(ctx.attr("axes", (0, 2, 3)))

@@ -916,3 +916,45 @@ def test_mvn_near_constant_large_mean_no_nan():
     # E[x^2]-E[x]^2 cancels negative here; two-pass variance must not NaN
     # on the perturbed channel.
     assert np.isfinite(y[0, 0]).all()
+
+
+def test_tensor_scatter_linear(rng):
+    """Opset-24 TensorScatter, linear mode: per-batch KV-cache row writes
+    at write_indices[b] + i along axis (numpy oracle)."""
+    past = rng.normal(size=(2, 4, 8, 5)).astype(np.float32)   # [B,H,S,D]
+    upd = rng.normal(size=(2, 4, 3, 5)).astype(np.float32)
+    w = np.array([2, 5], dtype=np.int64)
+    (y,) = run_graph(
+        [P.make_node("TensorScatter", ["p", "u", "w"], ["y"], axis=-2,
+                     mode="linear")],
+        {"p": past, "u": upd, "w": w},
+    )
+    ref = past.copy()
+    for b in range(2):
+        ref[b, :, w[b]:w[b] + 3, :] = upd[b]
+    np.testing.assert_allclose(y, ref)
+
+
+def test_tensor_scatter_circular_and_default_indices(rng):
+    past = rng.normal(size=(2, 3, 6)).astype(np.float32)      # axis=-2 → 3
+    upd = rng.normal(size=(2, 2, 6)).astype(np.float32)
+    w = np.array([2, 1], dtype=np.int64)
+    (y,) = run_graph(
+        [P.make_node("TensorScatter", ["p", "u", "w"], ["y"],
+                     mode="circular")],
+        {"p": past, "u": upd, "w": w},
+    )
+    ref = past.copy()
+    for b in range(2):
+        for i in range(2):
+            ref[b, (w[b] + i) % 3, :] = upd[b, i]
+    np.testing.assert_allclose(y, ref)
+
+    # write_indices omitted → zeros; default axis −2
+    (y0,) = run_graph(
+        [P.make_node("TensorScatter", ["p", "u"], ["y"])],
+        {"p": past, "u": upd},
+    )
+    ref0 = past.copy()
+    ref0[:, :2, :] = upd
+    np.testing.assert_allclose(y0, ref0)
