@@ -45,12 +45,18 @@ RUNS = 5  # median of 5 with stall rejection: the dev tunnel occasionally
 BASELINE_SEG_S = 667.0  # reference RTX 5080 best (gpu-batch-optimization.md:70)
 
 
+def _stall_filter(dts):
+    """Drop runs slower than 1.5x the fastest (TCP-stall rejection). The
+    single copy of the threshold — the sweep scripts import this too."""
+    return [d for d in dts if d <= 1.5 * min(dts)]
+
+
 def _robust_median(dts, label=""):
     """Median with tunnel-stall rejection. Prints BOTH the raw and the
     stall-filtered medians (plus the discard count) to stderr so the
     headline number's provenance is visible — runs slower than 1.5x the
     fastest are treated as TCP stalls, not chip behavior."""
-    keep = [d for d in dts if d <= 1.5 * min(dts)] or dts
+    keep = _stall_filter(dts)
     dropped = len(dts) - len(keep)
     raw = statistics.median(dts)
     filtered = statistics.median(keep)

@@ -80,11 +80,18 @@ def _tensor_scatter(ctx, past, update, write_indices=None):
     mode) or at that position modulo the cache length (``circular``).
     The reference reaches this through ORT's kernel
     (src/classifier.rs:637-639)."""
+    # Static write_indices are bounds-checked below (JAX scatter silently
+    # drops out-of-range rows where ORT errors); keep the host value.
+    w_host = write_indices if isinstance(write_indices, np.ndarray) else None
     past = jnp.asarray(past)
     update = jnp.asarray(update)
     axis = int(ctx.attr("axis", -2))
     mode = ctx.attr("mode", b"linear")
     mode = mode.decode() if isinstance(mode, bytes) else str(mode)
+    if mode not in ("linear", "circular"):
+        raise ValueError(
+            f"TensorScatter mode must be 'linear' or 'circular', got {mode!r}"
+        )
     if axis < 0:
         axis += past.ndim
     if axis == 0:
@@ -106,6 +113,14 @@ def _tensor_scatter(ctx, past, update, write_indices=None):
         w = jnp.zeros((batch,), dtype=jnp.int32)
     else:
         w = jnp.asarray(write_indices).astype(jnp.int32).reshape(batch)
+    if w_host is not None and mode == "linear":
+        wmax = int(np.max(w_host)) if w_host.size else 0
+        wmin = int(np.min(w_host)) if w_host.size else 0
+        if wmin < 0 or wmax + upd_len > cache_len:
+            raise ValueError(
+                f"TensorScatter linear write_indices out of range: writes "
+                f"[{wmin}, {wmax + upd_len}) exceed cache length {cache_len}"
+            )
     pos = w[:, None] + jnp.arange(upd_len, dtype=jnp.int32)[None, :]
     if mode == "circular":
         pos = pos % cache_len

@@ -808,9 +808,12 @@ def _wu_lin_weng_couple(r_flat, pairs, c):
     """
     n = r_flat.shape[0]
     big_r = jnp.zeros((n, c, c), jnp.float32)
-    for p, (i, j) in enumerate(pairs):
-        big_r = big_r.at[:, i, j].set(r_flat[:, p])
-        big_r = big_r.at[:, j, i].set(1.0 - r_flat[:, p])
+    # One scatter per triangle (not a Python loop staging 2 ops per pair —
+    # c=100 would trace ~9,900 scatters otherwise).
+    i_idx = np.array([i for i, _ in pairs])
+    j_idx = np.array([j for _, j in pairs])
+    big_r = big_r.at[:, i_idx, j_idx].set(r_flat)
+    big_r = big_r.at[:, j_idx, i_idx].set(1.0 - r_flat)
     # Q[t,j] = -r[j,t] * r[t,j] off-diagonal; Q[t,t] = sum_j r[j,t]^2
     q = -(big_r.transpose(0, 2, 1) * big_r)
     q_diag = jnp.sum(jnp.square(big_r), axis=1)  # over j of r[j,t]^2

@@ -28,6 +28,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import _stall_filter  # noqa: E402  (single copy of the threshold)
+
 
 def _input_specs(model):
     """[(name, elem_type, dims)] for graph inputs that are not initializers."""
@@ -53,6 +55,8 @@ def _input_specs(model):
                     "re-export with static shapes"
                 )
         specs.append((vi.name, tt.elem_type, dims))
+    if not specs:
+        raise SystemExit("model has no runtime inputs (all are initializers)")
     return specs
 
 
@@ -93,9 +97,13 @@ def main() -> int:
     params = jax.device_put(model.params, device)
     rng = np.random.default_rng(0)
 
-    fixed_batch = all(d[2][0] is not None for d in specs)
-    batches = ([specs[0][2][0]] if fixed_batch
-               else [int(b) for b in args.batches.split(",")])
+    # Rank-0 (scalar) inputs have no batch axis and count as fixed.
+    fixed_batch = all(not dims or dims[0] is not None for _, _, dims in specs)
+    if fixed_batch:
+        leading = [dims[0] for _, _, dims in specs if dims]
+        batches = [leading[0] if leading else 1]
+    else:
+        batches = [int(b) for b in args.batches.split(",")]
     if not args.json:
         print(f"model: {args.model} ({len(model.graph.node)} nodes, "
               f"{model.param_bytes() / 1e6:.1f} MB params) on {device}, "
@@ -119,8 +127,7 @@ def main() -> int:
             for o in out:
                 np.asarray(o)  # force readback: block_until_ready lies
             dts.append(time.monotonic() - t0)
-        floor = min(dts)
-        kept = [d for d in dts if d <= 1.5 * floor] or dts  # stall filter
+        kept = _stall_filter(dts)
         med = statistics.median(kept)
         rec = {"batch": b, "inf_s": round(b / med, 1),
                "ms_per_batch": round(med * 1e3, 3),

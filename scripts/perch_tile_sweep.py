@@ -20,6 +20,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import _stall_filter  # noqa: E402  (single copy of the threshold)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -77,14 +79,16 @@ def main():
             np.asarray(out[0]); np.asarray(out[1])
             dts.append(time.monotonic() - t0)
 
-    base_conf, base_idx = progs[128][3], progs[128][4] if 128 in progs \
-        else (None, None)
+    if 128 in progs:
+        base_conf, base_idx = progs[128][3], progs[128][4]
+    else:
+        base_conf, base_idx = None, None
     print(f"\n{'tile':>6s} {'seg/s':>9s} {'vs 128':>7s}")
     base = None
     rows = []
     for t in args.tiles:
         _, _, _, conf, idx, dts = progs[t]
-        keep = [d for d in dts if d <= 1.5 * min(dts)] or dts
+        keep = _stall_filter(dts)
         seg_s = args.nseg / statistics.median(keep)
         rows.append((t, seg_s, conf, idx, len(dts) - len(keep)))
         if t == 128:
