@@ -264,3 +264,67 @@ def test_opt_causal_decoder():
             return self.m(input_ids=ids, use_cache=False).last_hidden_state
 
     _assert_engine_matches_torch(Ids(inner), (torch.randint(0, 100, (2, 12)),))
+
+
+# ---------------------------------------------------------------------------
+# Self-supervised audio-encoder breadth (round 3): the architectures the
+# bioacoustics community actually fine-tunes on bird/animal call data.
+# Each adds a distinct mechanism on top of the Wav2Vec2 conv/transformer
+# skeleton already covered above:
+#   Hubert        — plain conv feature extractor (no weight-norm pos conv
+#                   group quirk), same-padding conv stack
+#   WavLM         — gated relative position bias inside attention (bucketed
+#                   relative positions, a GRU-style gate on the bias)
+#   Data2Vec audio— conv-based relative positional embedding list + feature
+#                   projection LayerNorm placement variant
+#   SEW           — squeezed transformer (time-pooling before the stack,
+#                   upsampling after: AvgPool + nearest upsample inside)
+# All export through libtorch's serializer (bytes never touch the repo
+# encoder) and must match torch's forward under the strict-fp32 policy
+# (reference analog: arbitrary third-party files via ort,
+# src/classifier.rs:348-350).
+# ---------------------------------------------------------------------------
+
+_AUDIO_TINY = dict(
+    hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+    intermediate_size=64, conv_dim=(16, 16, 16), conv_stride=(5, 2, 2),
+    conv_kernel=(10, 3, 3), num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4, layerdrop=0.0,
+    attn_implementation="eager",
+)
+
+
+def test_hubert_raw_waveform_encoder():
+    from transformers import HubertConfig, HubertModel
+
+    torch.manual_seed(10)
+    m = _LastHidden(HubertModel(HubertConfig(**_AUDIO_TINY)))
+    _assert_engine_matches_torch(m, (torch.randn(2, 4000),))
+
+
+def test_wavlm_gated_relative_position_bias():
+    from transformers import WavLMConfig, WavLMModel
+
+    torch.manual_seed(11)
+    cfg = WavLMConfig(num_buckets=8, max_bucket_distance=40, **_AUDIO_TINY)
+    m = _LastHidden(WavLMModel(cfg))
+    _assert_engine_matches_torch(m, (torch.randn(2, 4000),))
+
+
+def test_data2vec_audio_encoder():
+    from transformers import Data2VecAudioConfig, Data2VecAudioModel
+
+    torch.manual_seed(12)
+    m = _LastHidden(Data2VecAudioModel(Data2VecAudioConfig(**_AUDIO_TINY)))
+    _assert_engine_matches_torch(m, (torch.randn(2, 4000),))
+
+
+def test_sew_squeezed_transformer():
+    from transformers import SEWConfig, SEWModel
+
+    torch.manual_seed(13)
+    cfg = dict(_AUDIO_TINY)
+    cfg.update(conv_dim=(16, 16, 16, 16), conv_stride=(5, 2, 2, 2),
+               conv_kernel=(10, 3, 3, 3))
+    m = _LastHidden(SEWModel(SEWConfig(squeeze_factor=2, **cfg)))
+    _assert_engine_matches_torch(m, (torch.randn(2, 4000),))
