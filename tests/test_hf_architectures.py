@@ -21,9 +21,11 @@ src/classifier.rs:348-350):
 - DistilBERT: int64 token ids, embedding lookup, masked softmax.
 - ViT / ConvNeXt: vision transformer and modern conv net (depthwise 7x7,
   channels-last LayerNorm, GELU).
-- OPT: decoder-only with causal masking (use_cache=False). (GPT-2 was
-  tried and fails inside torch's own legacy exporter — ``RuntimeError:
-  unordered_map::at`` in libtorch before any engine code runs.)
+- OPT / GPT-2: decoder-only with causal masking (use_cache=False).
+- Whisper full encoder-decoder (cross-attention), T5 (relative position
+  buckets), BERT (real padding mask). These need tracable_hf_masks —
+  transformers' vmap-based mask construction is untraceable by the
+  TorchScript exporter; see _torch_export.py.
 
 These also regression-pin the fp32 strictness fix: before
 jax.default_matmul_precision("highest") was pinned for the fp32 policy,
@@ -328,3 +330,121 @@ def test_sew_squeezed_transformer():
                conv_kernel=(10, 3, 3, 3))
     m = _LastHidden(SEWModel(SEWConfig(squeeze_factor=2, **cfg)))
     _assert_engine_matches_torch(m, (torch.randn(2, 4000),))
+
+
+# ---------------------------------------------------------------------------
+# Decoder-bearing architectures (round 3): transformers >= 4.53 builds
+# attention masks through torch.vmap, which the TorchScript exporter cannot
+# trace (RuntimeError: unordered_map::at in functorch's
+# custom_function_call before any engine code runs). _torch_export's
+# tracable_hf_masks substitutes the numerically identical broadcast form of
+# _vmap_for_bhqkv during export, which unblocks every decoder path — GPT-2
+# (previously documented as an exporter casualty), full Whisper
+# encoder-decoder with cross-attention, T5 with relative position bias
+# buckets, and BERT with a real padding mask.
+# ---------------------------------------------------------------------------
+
+
+def test_gpt2_causal_decoder():
+    from transformers import GPT2Config, GPT2Model
+
+    torch.manual_seed(14)
+    cfg = GPT2Config(
+        n_embd=32, n_layer=2, n_head=2, n_inner=64, vocab_size=100,
+        n_positions=64, attn_implementation="eager", use_cache=False,
+    )
+    inner = GPT2Model(cfg)
+
+    class Ids(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, ids):
+            return self.m(input_ids=ids, use_cache=False).last_hidden_state
+
+    _assert_engine_matches_torch(Ids(inner), (torch.randint(0, 100, (2, 9)),))
+
+
+def test_whisper_full_encoder_decoder():
+    from transformers import WhisperConfig, WhisperModel
+
+    torch.manual_seed(15)
+    cfg = WhisperConfig(
+        d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, vocab_size=100,
+        num_mel_bins=16, max_source_positions=50, max_target_positions=32,
+        attn_implementation="eager", use_cache=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1,
+    )
+    inner = WhisperModel(cfg)
+
+    class W(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, feats, ids):
+            return self.m(
+                input_features=feats, decoder_input_ids=ids, use_cache=False
+            ).last_hidden_state
+
+    _assert_engine_matches_torch(
+        W(inner), (torch.randn(2, 16, 100), torch.randint(0, 100, (2, 7)))
+    )
+
+
+def test_t5_relative_position_buckets():
+    from transformers import T5Config, T5Model
+
+    torch.manual_seed(16)
+    cfg = T5Config(
+        d_model=32, num_layers=2, num_heads=2, d_ff=64, d_kv=16,
+        vocab_size=100, attn_implementation="eager", use_cache=False,
+    )
+    inner = T5Model(cfg)
+
+    class W(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, ids, dids):
+            return self.m(
+                input_ids=ids, decoder_input_ids=dids, use_cache=False
+            ).last_hidden_state
+
+    _assert_engine_matches_torch(
+        W(inner),
+        (torch.randint(0, 100, (2, 11)), torch.randint(0, 100, (2, 6))),
+    )
+
+
+def test_bert_with_padding_mask():
+    from transformers import BertConfig, BertModel
+
+    torch.manual_seed(17)
+    cfg = BertConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, vocab_size=100, max_position_embeddings=64,
+        attn_implementation="eager",
+    )
+    inner = BertModel(cfg)
+
+    class W(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, ids, mask):
+            return self.m(
+                input_ids=ids, attention_mask=mask
+            ).last_hidden_state
+
+    mask = torch.ones(2, 10, dtype=torch.int64)
+    mask[1, 7:] = 0
+    _assert_engine_matches_torch(
+        W(inner), (torch.randint(0, 100, (2, 10)), mask)
+    )
