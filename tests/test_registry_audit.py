@@ -110,3 +110,25 @@ def test_onnx_compat_doc_lists_every_core_op():
     missing = [op for op in supported_ops()
                if not op.startswith("_") and op not in names]
     assert not missing, f"ops missing from docs/onnx-compat.md: {missing}"
+
+
+def test_version_single_source():
+    """__version__, pyproject, and the newest CHANGELOG heading must agree.
+
+    Drifted twice (0.4.3 vs 0.4.5 in round 2; 0.4.8 vs a 0.4.9 changelog
+    entry in round 3) — pin all three to each other.
+    """
+    import birdnet_tpu
+
+    pyproject = (REPO / "pyproject.toml").read_text()
+    m = re.search(r'^version = "([^"]+)"', pyproject, re.M)
+    assert m, "pyproject.toml has no version line"
+    assert m.group(1) == birdnet_tpu.__version__
+
+    changelog = (REPO / "CHANGELOG.md").read_text()
+    heads = re.findall(r"^## (\d+\.\d+\.\d+)", changelog, re.M)
+    assert heads, "CHANGELOG.md has no version headings"
+    assert heads[0] == birdnet_tpu.__version__, (
+        f"newest CHANGELOG entry {heads[0]} != __version__ "
+        f"{birdnet_tpu.__version__}"
+    )
