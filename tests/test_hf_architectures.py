@@ -23,7 +23,9 @@ src/classifier.rs:348-350):
   channels-last LayerNorm, GELU).
 - OPT / GPT-2: decoder-only with causal masking (use_cache=False).
 - Whisper full encoder-decoder (cross-attention), T5 (relative position
-  buckets), BERT (real padding mask). These need tracable_hf_masks —
+  buckets), BERT (real padding mask), Llama (grouped-query attention +
+  rotary embeddings + RMSNorm), Mistral (sliding-window attention with
+  window < sequence length). These need tracable_hf_masks —
   transformers' vmap-based mask construction is untraceable by the
   TorchScript exporter; see _torch_export.py.
 
@@ -448,3 +450,51 @@ def test_bert_with_padding_mask():
     _assert_engine_matches_torch(
         W(inner), (torch.randint(0, 100, (2, 10)), mask)
     )
+
+
+def test_llama_gqa_rotary_rmsnorm():
+    from transformers import LlamaConfig, LlamaModel
+
+    torch.manual_seed(30)
+    cfg = LlamaConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2,  # grouped-query attention: KV heads repeat
+        intermediate_size=64, vocab_size=100, max_position_embeddings=64,
+        attn_implementation="eager", use_cache=False,
+    )
+    inner = LlamaModel(cfg)
+
+    class Ids(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, ids):
+            return self.m(input_ids=ids, use_cache=False).last_hidden_state
+
+    _assert_engine_matches_torch(Ids(inner), (torch.randint(0, 100, (2, 9)),))
+
+
+def test_mistral_sliding_window_attention():
+    from transformers import MistralConfig, MistralModel
+
+    torch.manual_seed(31)
+    # window (4) < sequence length (12) so the sliding-window mask actually
+    # constrains attention — a wrong mask would show in the output diff.
+    cfg = MistralConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=64, vocab_size=100,
+        max_position_embeddings=64, sliding_window=4,
+        attn_implementation="eager", use_cache=False,
+    )
+    inner = MistralModel(cfg)
+
+    class Ids(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, ids):
+            return self.m(input_ids=ids, use_cache=False).last_hidden_state
+
+    _assert_engine_matches_torch(Ids(inner), (torch.randint(0, 100, (2, 12)),))
