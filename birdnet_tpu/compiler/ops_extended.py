@@ -81,8 +81,14 @@ def _tensor_scatter(ctx, past, update, write_indices=None):
     The reference reaches this through ORT's kernel
     (src/classifier.rs:637-639)."""
     # Static write_indices are bounds-checked below (JAX scatter silently
-    # drops out-of-range rows where ORT errors); keep the host value.
-    w_host = write_indices if isinstance(write_indices, np.ndarray) else None
+    # drops out-of-range rows where ORT errors); keep the host value. A
+    # concrete value may arrive as a jax.Array too (constant-folded
+    # Cast/Add chains), not just np.ndarray — anything non-Tracer counts.
+    w_host = (
+        np.asarray(write_indices)
+        if write_indices is not None and _is_static(write_indices)
+        else None
+    )
     past = jnp.asarray(past)
     update = jnp.asarray(update)
     axis = int(ctx.attr("axis", -2))

@@ -33,8 +33,6 @@ from bench import _stall_filter  # noqa: E402  (single copy of the threshold)
 
 def _input_specs(model):
     """[(name, elem_type, dims)] for graph inputs that are not initializers."""
-    from birdnet_tpu.onnx import proto as P
-
     inits = {t.name for t in model.graph.initializer}
     specs = []
     for vi in model.graph.input:
@@ -80,6 +78,11 @@ def main() -> int:
     ap.add_argument("--precision", default="fast",
                     choices=["fp32", "mixed", "fast", "bf16"])
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="fixed-shape models only: inferences per dispatch "
+                         "for the inf/s math (a static leading dim is NOT "
+                         "assumed to be a batch axis; without this flag, "
+                         "fixed-shape models report dispatches/s)")
     ap.add_argument("--json", action="store_true",
                     help="one JSON line per batch point")
     args = ap.parse_args()
@@ -100,8 +103,10 @@ def main() -> int:
     # Rank-0 (scalar) inputs have no batch axis and count as fixed.
     fixed_batch = all(not dims or dims[0] is not None for _, _, dims in specs)
     if fixed_batch:
-        leading = [dims[0] for _, _, dims in specs if dims]
-        batches = [leading[0] if leading else 1]
+        # A static leading dim is not necessarily a batch axis (e.g. a
+        # [3,224,224] single image): one dispatch point, and the rate is
+        # dispatches/s unless the caller states the batch via --batch-size.
+        batches = [None]
     else:
         batches = [int(b) for b in args.batches.split(",")]
     if not args.json:
@@ -129,12 +134,19 @@ def main() -> int:
             dts.append(time.monotonic() - t0)
         kept = _stall_filter(dts)
         med = statistics.median(kept)
-        rec = {"batch": b, "inf_s": round(b / med, 1),
+        units = b if b is not None else args.batch_size
+        rec = {"batch": b if b is not None else (args.batch_size or "fixed"),
                "ms_per_batch": round(med * 1e3, 3),
                "compile_s": round(compile_s, 2),
                "runs_kept": f"{len(kept)}/{len(dts)}"}
+        if units is not None:
+            rec["inf_s"] = round(units / med, 1)
+            rate = f"{rec['inf_s']:>10} inf/s"
+        else:
+            rec["dispatch_s"] = round(1.0 / med, 2)
+            rate = f"{rec['dispatch_s']:>10} dispatches/s"
         print(json.dumps(rec) if args.json else
-              f"  batch {b:>5}: {rec['inf_s']:>10} inf/s  "
+              f"  batch {rec['batch']:>5}: {rate}  "
               f"({rec['ms_per_batch']} ms/dispatch, compile {compile_s:.1f}s, "
               f"kept {rec['runs_kept']})")
     return 0

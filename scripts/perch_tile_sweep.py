@@ -57,13 +57,18 @@ def main():
     audio_h = (rng.standard_normal((args.nseg, S), dtype=np.float32)
                * 3000).astype(np.int16)
 
+    # One upload + one device param copy shared across every tile size:
+    # nseg*S int16 is ~2 GB for Perch — per-tile copies would hold
+    # len(tiles) of those in HBM at once and skew the A/B itself.
+    audio_d = jax.device_put(audio_h, device)
+    shared_params = None
     progs = {}
     for t in args.tiles:
         eng = StreamingEngine(imported, config, device=device, top_k=10,
-                              tile=t, precision="fast")
+                              tile=t, precision="fast", params=shared_params)
+        shared_params = eng.params
         t0 = time.monotonic()
         fn = eng._compile(args.nseg // t, S, np.int16)
-        audio_d = jax.device_put(audio_h, device)
         out = fn(eng.params, audio_d)
         conf, idx = np.asarray(out[0]), np.asarray(out[1])
         print(f"# tile {t}: compile+warm {time.monotonic()-t0:.0f}s",
@@ -79,10 +84,9 @@ def main():
             np.asarray(out[0]); np.asarray(out[1])
             dts.append(time.monotonic() - t0)
 
-    if 128 in progs:
-        base_conf, base_idx = progs[128][3], progs[128][4]
-    else:
-        base_conf, base_idx = None, None
+    # Parity vs 128 is top-1 index agreement (confidence deltas between
+    # tile sizes are pure reduction-order noise at bf16).
+    base_idx = progs[128][4] if 128 in progs else None
     print(f"\n{'tile':>6s} {'seg/s':>9s} {'vs 128':>7s}")
     base = None
     rows = []

@@ -958,3 +958,34 @@ def test_tensor_scatter_circular_and_default_indices(rng):
     ref0 = past.copy()
     ref0[:, :2, :] = upd
     np.testing.assert_allclose(y0, ref0)
+
+
+def test_tensor_scatter_rejects_out_of_range_static_indices(rng):
+    """Linear-mode writes past the cache end must raise at load time (JAX
+    scatter would silently drop the rows where ORT errors) — both when the
+    indices are a direct initializer and when they arrive through a
+    constant-folded Cast (a concrete jax.Array, not np.ndarray)."""
+    past = rng.normal(size=(1, 4, 2)).astype(np.float32)
+    upd = rng.normal(size=(1, 3, 2)).astype(np.float32)
+    w32 = np.array([3], dtype=np.int32)  # 3 + 3 > 4: out of range
+
+    with pytest.raises(ValueError, match="out of range"):
+        run_graph(
+            [P.make_node("TensorScatter", ["p", "u", "w64"], ["y"],
+                         mode="linear")],
+            {"p": past, "u": upd},
+            initializers={"w64": w32.astype(np.int64)},
+            opset=24,
+        )
+
+    with pytest.raises(ValueError, match="out of range"):
+        run_graph(
+            [
+                P.make_node("Cast", ["w32"], ["w64"], to=P.DataType.INT64),
+                P.make_node("TensorScatter", ["p", "u", "w64"], ["y"],
+                            mode="linear"),
+            ],
+            {"p": past, "u": upd},
+            initializers={"w32": w32},
+            opset=24,
+        )
