@@ -173,6 +173,7 @@ KINDS = {
     "reduce": G._random_reduce_net,
     "dtype": G._random_dtype_net,
     "ast": G._ast_net,
+    "kv": G._kv_decode_net,
 }
 
 

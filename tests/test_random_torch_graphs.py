@@ -615,6 +615,78 @@ def _random_dtype_net(rng: np.random.Generator):
     return Net(), (torch.randn(b, t), ids)
 
 
+def _kv_decode_net(rng: np.random.Generator):
+    """Random single decoder step with an explicit KV cache: past K/V as
+    graph inputs, updated presents as extra outputs, a short query
+    attending over concat(past, new) under a causal (optionally sliding-
+    window) mask. Randomizes grouped-query attention fan-out, rotary vs
+    no positional mixing, and RMSNorm vs LayerNorm — the incremental-
+    generation protocol probed end-to-end in test_kv_cache_decode.py,
+    here as a fuzz grammar."""
+    n_kv = int(rng.choice([1, 2]))
+    group = int(rng.choice([1, 2]))
+    n_heads = n_kv * group
+    hd = int(rng.choice([8, 16]))
+    d = n_heads * hd
+    past_len = int(rng.choice([0, 3, 5]))
+    q_len = int(rng.choice([1, 2]))
+    b = int(rng.choice([1, 2]))
+    use_rope = bool(rng.random() < 0.5)
+    use_rms = bool(rng.random() < 0.5)
+    window = int(rng.choice([0, 4]))  # 0 = full causal
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.qp = torch.nn.Linear(d, n_heads * hd)
+            self.kp = torch.nn.Linear(d, n_kv * hd)
+            self.vp = torch.nn.Linear(d, n_kv * hd)
+            self.op = torch.nn.Linear(n_heads * hd, d)
+            self.norm = torch.nn.LayerNorm(d)
+
+        @staticmethod
+        def _rope(x, pos):
+            half = hd // 2
+            inv = 1.0 / (10000.0 ** (
+                torch.arange(0, half, dtype=torch.float32) / half))
+            ang = pos[:, None].to(torch.float32) * inv[None, :]
+            cos, sin = torch.cos(ang), torch.sin(ang)
+            x1, x2 = x[..., :half], x[..., half:]
+            return torch.cat([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                             dim=-1)
+
+        def forward(self, x, pk, pv):
+            h = (x * torch.rsqrt((x * x).mean(-1, keepdim=True) + 1e-6)
+                 if use_rms else self.norm(x))
+            q = self.qp(h).view(b, q_len, n_heads, hd).transpose(1, 2)
+            k = self.kp(h).view(b, q_len, n_kv, hd).transpose(1, 2)
+            v = self.vp(h).view(b, q_len, n_kv, hd).transpose(1, 2)
+            if use_rope:
+                qpos = torch.arange(past_len, past_len + q_len)
+                q = self._rope(q, qpos)
+                k = self._rope(k, qpos)
+            K = torch.cat([pk, k], dim=2)
+            V = torch.cat([pv, v], dim=2)
+            s = past_len + q_len
+            Kh = K.repeat_interleave(group, dim=1)
+            Vh = V.repeat_interleave(group, dim=1)
+            att = (q @ Kh.transpose(-1, -2)) / (hd ** 0.5)
+            qpos2 = torch.arange(past_len, past_len + q_len)[:, None]
+            kpos = torch.arange(s)[None, :]
+            mask = kpos <= qpos2
+            if window:
+                mask = mask & (kpos > qpos2 - window)
+            att = att.masked_fill(~mask, float("-inf"))
+            y = (torch.softmax(att, dim=-1) @ Vh).transpose(1, 2)
+            y = y.reshape(b, q_len, n_heads * hd)
+            return self.op(y) + x, K, V
+
+    x = torch.randn(b, q_len, d)
+    pk = torch.randn(b, n_kv, past_len, hd)
+    pv = torch.randn(b, n_kv, past_len, hd)
+    return Net(), (x, pk, pv)
+
+
 def _check_parity(module, args, seed):
     module.eval()
     try:
@@ -712,4 +784,12 @@ def test_random_ast_parity(seed):
     rng = np.random.default_rng(11000 + seed)
     torch.manual_seed(11000 + seed)
     module, args = _ast_net(rng)
+    _check_parity(module, args, seed)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_kv_decode_parity(seed):
+    rng = np.random.default_rng(12000 + seed)
+    torch.manual_seed(12000 + seed)
+    module, args = _kv_decode_net(rng)
     _check_parity(module, args, seed)
