@@ -498,3 +498,83 @@ def test_mistral_sliding_window_attention():
             return self.m(input_ids=ids, use_cache=False).last_hidden_state
 
     _assert_engine_matches_torch(Ids(inner), (torch.randint(0, 100, (2, 12)),))
+
+
+# ---------------------------------------------------------------------------
+# Mechanism-diverse breadth (round 3): a 21-family sweep (RoBERTa, ALBERT,
+# ELECTRA, MobileBERT, GPT-Neo, Bloom, Falcon, Qwen2, Gemma, Phi, Swin,
+# DeiT, BEiT, SegFormer, MobileViT, RegNet, ResNet, UniSpeech, BART,
+# Marian + the families above) all passed at ~1e-6; the four below are
+# pinned permanently because each exercises a mechanism nothing else in
+# the suite reaches.
+# ---------------------------------------------------------------------------
+
+
+class _Pix(torch.nn.Module):
+    def __init__(self, m):
+        super().__init__()
+        self.m = m
+
+    def forward(self, x):
+        return self.m(pixel_values=x).last_hidden_state
+
+
+def test_swin_shifted_window_attention():
+    """Cyclic-shift (roll) window partitioning with relative-position-bias
+    tables and patch merging."""
+    from transformers import SwinConfig, SwinModel
+
+    torch.manual_seed(40)
+    cfg = SwinConfig(image_size=32, patch_size=4, embed_dim=16,
+                     depths=[2, 2], num_heads=[2, 2], window_size=4,
+                     attn_implementation="eager")
+    _assert_engine_matches_torch(_Pix(SwinModel(cfg)),
+                                 (torch.randn(2, 3, 32, 32),))
+
+
+def test_segformer_spatial_reduction_attention():
+    """Strided-conv KV downsampling inside attention + depthwise mix-FFN."""
+    from transformers import SegformerConfig, SegformerModel
+
+    torch.manual_seed(41)
+    cfg = SegformerConfig(num_encoder_blocks=2, hidden_sizes=[16, 24],
+                          depths=[1, 1], num_attention_heads=[1, 2],
+                          sr_ratios=[2, 1], patch_sizes=[7, 3],
+                          strides=[4, 2], attn_implementation="eager")
+    _assert_engine_matches_torch(_Pix(SegformerModel(cfg)),
+                                 (torch.randn(2, 3, 32, 32),))
+
+
+def test_bloom_alibi_attention_bias():
+    """ALiBi: per-head linear distance biases added to attention scores
+    instead of positional embeddings."""
+    from transformers import BloomConfig, BloomModel
+
+    torch.manual_seed(42)
+    cfg = BloomConfig(hidden_size=32, n_layer=2, n_head=2, vocab_size=100,
+                      attn_implementation="eager", use_cache=False)
+    inner = BloomModel(cfg)
+
+    class Ids(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, ids):
+            return self.m(input_ids=ids, use_cache=False).last_hidden_state
+
+    _assert_engine_matches_torch(Ids(inner), (torch.randint(0, 100, (2, 9)),))
+
+
+def test_mobilevit_fold_unfold_hybrid():
+    """Conv/transformer hybrid: pixel unfolding into patch sequences and
+    folding back (Reshape/Transpose heavy)."""
+    from transformers import MobileViTConfig, MobileViTModel
+
+    torch.manual_seed(43)
+    cfg = MobileViTConfig(image_size=32, hidden_sizes=[16, 24, 32],
+                          neck_hidden_sizes=[8, 12, 16, 24, 32, 40, 48],
+                          num_attention_heads=1,
+                          attn_implementation="eager")
+    _assert_engine_matches_torch(_Pix(MobileViTModel(cfg)),
+                                 (torch.randn(2, 3, 32, 32),))
