@@ -578,3 +578,42 @@ def test_mobilevit_fold_unfold_hybrid():
                           attn_implementation="eager")
     _assert_engine_matches_torch(_Pix(MobileViTModel(cfg)),
                                  (torch.randn(2, 3, 32, 32),))
+
+
+def test_dynamic_axes_one_file_many_shapes():
+    """A file exported with symbolic batch AND sequence dims (the shape-
+    polymorphic form optimum/HF-hub files ship in) must serve multiple
+    concrete shapes from one import — each shape jits its own static
+    program, like ort re-binds per shape."""
+    from transformers import DistilBertConfig, DistilBertModel
+
+    torch.manual_seed(5)
+    cfg = DistilBertConfig(
+        dim=32, n_layers=2, n_heads=2, hidden_dim=64, vocab_size=100,
+        max_position_embeddings=64, attn_implementation="eager",
+    )
+    inner = DistilBertModel(cfg)
+
+    class Ids(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, ids):
+            return self.m(input_ids=ids).last_hidden_state
+
+    mod = Ids(inner)
+    mod.eval()
+    data = export_onnx_bytes(
+        mod, (torch.randint(0, 100, (2, 16)),), opset_version=17,
+        input_names=["ids"], output_names=["h"],
+        dynamic_axes={"ids": {0: "batch", 1: "seq"},
+                      "h": {0: "batch", 1: "seq"}},
+    )
+    model = import_onnx(data)
+    fwd = jax.jit(make_forward(model, precision="fp32"))
+    for shape in [(2, 16), (3, 9), (1, 32)]:
+        ids = torch.randint(0, 100, shape)
+        got = np.asarray(fwd(model.params, np.asarray(ids))[0])
+        ref = torch_outputs(mod, (ids,))[0]
+        np.testing.assert_allclose(got, ref, atol=ATOL, rtol=1e-3)
