@@ -45,6 +45,7 @@ from .execution_providers import (  # noqa: F401
 from .inference_options import CancellationToken, InferenceOptions  # noqa: F401
 from .runtime import available_devices, default_device, init_runtime  # noqa: F401
 from .labels import load_labels_from_file, parse_labels  # noqa: F401
+from .utils.audio_io import chunk_audio, read_wav, write_wav  # noqa: F401
 from .rangefilter import (  # noqa: F401
     RangeFilter,
     RangeFilterBuilder,

@@ -80,3 +80,18 @@ def test_version_matches_pyproject():
     m = re.search(r'^version = "([^"]+)"', text, flags=re.M)
     assert m, "pyproject.toml has no version line"
     assert birdnet_tpu.__version__ == m.group(1)
+
+
+def test_readme_root_imports():
+    """Every name the README's code blocks import from the package root
+    must actually be exported there (reference analog: the lib.rs:93-111
+    re-export list is the crate's public contract)."""
+    import birdnet_tpu as bt
+
+    for name in [
+        "Classifier", "ClassifierBuilder", "RangeFilter",
+        "InferenceOptions", "CancellationToken", "read_wav", "write_wav",
+        "chunk_audio", "load_labels_from_file", "init_runtime",
+        "available_devices", "top_k_predictions",
+    ]:
+        assert hasattr(bt, name), f"README imports birdnet_tpu.{name}"
