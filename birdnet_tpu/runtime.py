@@ -38,8 +38,55 @@ _PLATFORM_ALIASES = {
 }
 
 
+def _cache_scope() -> str:
+    """Per-backend cache subdirectory, so one shared cache directory can
+    never serve an executable built for a different target.
+
+    Accelerator (TPU/axon/GPU) executables are host-CPU independent; the
+    backend name alone scopes them. XLA:CPU results are AOT-compiled for
+    the build machine's ISA feature set, and the persistent-cache key does
+    NOT include those features — a cache dir shared across hosts (or fed
+    by a remote-compile service) loads mismatched AOT results with a
+    "could lead to SIGILL" warning (observed 2026-08-20). Fingerprint the
+    host's CPU flags into the scope for the cpu backend.
+    """
+    import jax
+
+    backend = jax.default_backend()
+    if backend != "cpu":
+        return backend
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        flags = ""
+    if not flags:
+        import platform as _platform
+
+        flags = _platform.machine() + _platform.processor()
+    import hashlib
+
+    return "cpu-" + hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
+def _set_cache_dir(base_dir: str) -> None:
+    import jax
+
+    scoped = os.path.join(base_dir, _cache_scope())
+    os.makedirs(scoped, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", scoped)
+
+
 def init_runtime(compilation_cache_dir: Optional[str] = None) -> None:
-    """Initialize JAX + the persistent compilation cache. Idempotent."""
+    """Initialize JAX + the persistent compilation cache. Idempotent.
+
+    The cache directory gets a per-target subdirectory (backend name;
+    ``cpu-<isa-fingerprint>`` for the CPU backend) — see _cache_scope.
+    """
     global _initialized
     with _init_lock:
         if _initialized:
@@ -47,12 +94,7 @@ def init_runtime(compilation_cache_dir: Optional[str] = None) -> None:
                 # An explicitly requested cache dir must not be silently
                 # discarded just because something touched the runtime
                 # earlier; the cache dir is updatable post-init.
-                import jax
-
-                os.makedirs(compilation_cache_dir, exist_ok=True)
-                jax.config.update(
-                    "jax_compilation_cache_dir", compilation_cache_dir
-                )
+                _set_cache_dir(compilation_cache_dir)
             return
         try:
             import jax
@@ -62,12 +104,6 @@ def init_runtime(compilation_cache_dir: Optional[str] = None) -> None:
                 cache_dir = os.environ.get(
                     "BIRDNET_COMPILATION_CACHE", _DEFAULT_CACHE_DIR
                 )
-            if cache_dir:
-                os.makedirs(cache_dir, exist_ok=True)
-                jax.config.update("jax_compilation_cache_dir", cache_dir)
-                # Persist every compile over 0.1 s — model shapes recur;
-                # sub-0.1 s compiles aren't worth the cache-entry churn.
-                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
             try:
                 jax.devices()  # force backend init; raises if nothing usable
             except RuntimeError as e:
@@ -78,6 +114,14 @@ def init_runtime(compilation_cache_dir: Optional[str] = None) -> None:
                     raise
                 jax.config.update("jax_platforms", None)
                 jax.devices()
+            if cache_dir:
+                # After backend init so the scope can read the default
+                # backend; the cache dir is a config value, so setting it
+                # post-init still applies to every subsequent compile.
+                _set_cache_dir(cache_dir)
+                # Persist every compile over 0.1 s — model shapes recur;
+                # sub-0.1 s compiles aren't worth the cache-entry churn.
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
         except Exception as e:  # noqa: BLE001 - surface as typed error
             raise RuntimeInitError(str(e)) from e
         _initialized = True

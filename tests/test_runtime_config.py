@@ -128,3 +128,32 @@ def test_gpu_provider_errors_cleanly_when_absent():
         assert "gpu" in str(e).lower()
     else:  # pragma: no cover
         raise AssertionError("expected RuntimeInitError for absent gpu")
+
+
+def test_cache_scope_isolates_targets(tmp_path, monkeypatch):
+    """The persistent compile cache must be scoped per target: XLA:CPU AOT
+    results are ISA-specific and the persistent-cache key does not include
+    machine features, so a flat dir shared across hosts can load an
+    executable compiled for a different CPU (XLA warns 'could lead to
+    SIGILL'). CPU scope = 'cpu-<flags fingerprint>'; accelerator
+    executables are host-independent and scope by backend name."""
+    import jax
+
+    from birdnet_tpu.runtime import _cache_scope, _set_cache_dir
+
+    scope = _cache_scope()
+    if jax.default_backend() == "cpu":
+        assert scope.startswith("cpu-") and len(scope) > 4
+    else:
+        assert scope == jax.default_backend()
+
+    base = str(tmp_path / "xla")
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        _set_cache_dir(base)
+        assert jax.config.jax_compilation_cache_dir == os.path.join(
+            base, scope
+        )
+        assert os.path.isdir(os.path.join(base, scope))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
