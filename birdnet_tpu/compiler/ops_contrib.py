@@ -433,15 +433,26 @@ def _ms_attention(ctx, x, weights, bias=None, mask_index=None, past=None,
     """Self-attention over input [B,S,H_in] with packed QKV projection
     weights [H_in, q+k+v] (qkv_hidden_sizes attr when unequal; no output
     projection — ORT keeps that as a separate MatMul). Supported mask
-    forms: [B] right-padding lengths, [B,S] raw key masks, [B,S,S]
-    per-query masks, and [B,1,M,M] per-query masks (sliced to the live
-    S×S window); 1 = attend, masked logits get ``mask_filter_value``
-    added, matching onnxruntime. The packed 1-D (2B,)/(3B+2,) begin/end
-    forms raise. KV cache (``past``) and rotary embedding (``do_rotary``)
-    never appear in the one-shot inference graphs this framework
-    targets and raise explicitly."""
-    if past is not None or past_sequence_length is not None:
-        raise NotImplementedError("com.microsoft.Attention: past/KV-cache")
+    forms: [B] right-padding lengths over the TOTAL (past + current) key
+    sequence, [B,T] raw key masks, [B,S,T] per-query masks, and
+    [B,1,M,M] per-query masks (sliced to the live rows/cols); 1 =
+    attend, masked logits get ``mask_filter_value`` added, matching
+    onnxruntime. The packed 1-D (2B,)/(3B+2,) begin/end forms raise.
+
+    KV cache: ``past`` is the stacked [2, B, heads, S_past, head] tensor
+    ORT's GPT-2 exporter emits; the optional second output is the
+    analogous ``present`` [2, B, heads, S_past+S, head].
+    ``past_present_share_buffer`` (``past_sequence_length`` input) is a
+    CUDA in-place-buffer protocol with no XLA analog and raises; rotary
+    embedding inside this op (``do_rotary``) raises — files at that
+    vintage carry the separate com.microsoft.RotaryEmbedding node,
+    which is supported."""
+    if past_sequence_length is not None or int(
+        ctx.attr("past_present_share_buffer", 0)
+    ):
+        raise NotImplementedError(
+            "com.microsoft.Attention: past_present_share_buffer"
+        )
     if int(ctx.attr("do_rotary", 0)):
         raise NotImplementedError("com.microsoft.Attention: do_rotary")
     num_heads = int(ctx.attr("num_heads"))
@@ -473,6 +484,18 @@ def _ms_attention(ctx, x, weights, bias=None, mask_index=None, past=None,
         )
 
     q, k, v = heads(q, q_h), heads(k, k_h), heads(v, v_h)
+    past_len = 0
+    if past is not None:
+        p = jnp.asarray(past)
+        if p.ndim != 5 or p.shape[0] != 2:
+            raise NotImplementedError(
+                "com.microsoft.Attention: past must be [2,B,heads,S_past,head]"
+            )
+        past_len = p.shape[3]
+        k = jnp.concatenate([p[0].astype(k.dtype), k], axis=2)
+        v = jnp.concatenate([p[1].astype(v.dtype), v], axis=2)
+    present = (k, v)
+    t_len = k.shape[2]
     scale = ctx.attr("scale")
     scale = (
         float(scale) if scale is not None else 1.0 / np.sqrt(k.shape[-1])
@@ -490,14 +513,14 @@ def _ms_attention(ctx, x, weights, bias=None, mask_index=None, past=None,
                     "com.microsoft.Attention: packed 1-D (2B,)/(3B+2,) "
                     "begin/end mask forms"
                 )
-            # [B] right-padding key lengths
-            keep = (jnp.arange(s_len)[None, :] < m[:, None])[:, None, None, :]
-        elif m.ndim == 2:  # [B,S] raw key mask
-            keep = (m[:, -s_len:] != 0)[:, None, None, :]
+            # [B] right-padding key lengths over the total sequence
+            keep = (jnp.arange(t_len)[None, :] < m[:, None])[:, None, None, :]
+        elif m.ndim == 2:  # [B,T] raw key mask
+            keep = (m[:, -t_len:] != 0)[:, None, None, :]
         elif m.ndim == 3:  # [B,S,T] per-query mask
-            keep = (m[:, :, -s_len:] != 0)[:, None, :, :]
+            keep = (m[:, :, -t_len:] != 0)[:, None, :, :]
         elif m.ndim == 4:  # [B,1,M,M] per-query mask over max_seq
-            keep = m[:, :, :s_len, :s_len] != 0
+            keep = m[:, :, past_len:past_len + s_len, :t_len] != 0
         else:
             raise NotImplementedError(
                 f"com.microsoft.Attention: mask_index rank {m.ndim}"
@@ -506,7 +529,11 @@ def _ms_attention(ctx, x, weights, bias=None, mask_index=None, past=None,
     if attention_bias is not None:
         logits = logits + jnp.asarray(attention_bias).astype(logits.dtype)
     if unidirectional:
-        causal = jnp.tril(jnp.ones((s_len, s_len), dtype=bool))
+        # Query row i sits at global position past_len + i.
+        causal = (
+            jnp.arange(t_len)[None, :]
+            <= (past_len + jnp.arange(s_len))[:, None]
+        )
         logits = jnp.where(causal[None, None], logits, logits + mask_filter)
 
     probs = jax.nn.softmax(logits, axis=-1)
@@ -515,4 +542,473 @@ def _ms_attention(ctx, x, weights, bias=None, mask_index=None, past=None,
         "bhqk,bhkd->bhqd", p2, v2, preferred_element_type=_acc_dtype(ctx)
     )
     y = _out_cast(ctx, y, orig)
-    return [y.transpose(0, 2, 1, 3).reshape(b_sz, s_len, v_h)]
+    outs = [y.transpose(0, 2, 1, 3).reshape(b_sz, s_len, v_h)]
+    if ctx.num_outputs > 1:
+        outs.append(jnp.stack(present, axis=0))
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# Transformer contrib family beyond packed-QKV Attention: the remaining
+# nodes onnxruntime's transformer optimizer (and optimum's ORT exports)
+# emits for BERT-family encoders (EmbedLayerNormalization), cross- and
+# self-attention with separate Q/K/V (MultiHeadAttention), llama-style
+# decoders (GroupQueryAttention, RotaryEmbedding), and the stable-diffusion
+# UNet set (GroupNorm / SkipGroupNorm / BiasSplitGelu). Conventions are
+# hand-read from the onnxruntime contrib-op schema docs and kernel sources
+# (no ORT wheel exists in this environment to cross-check); each docstring
+# records the convention it implements.
+# ---------------------------------------------------------------------------
+
+
+@ms_op("EmbedLayerNormalization")
+def _embed_layer_norm(ctx, input_ids, segment_ids=None, word_emb=None,
+                      position_emb=None, segment_emb=None, gamma=None,
+                      beta=None, mask=None, position_ids=None):
+    """BERT embedding fusion: word + position (+ segment) table lookups,
+    LayerNorm(gamma, beta), and the mask length reduction, in one node.
+
+    Conventions (ORT embed_layer_norm kernel): positions default to the
+    column index 0..S-1 per row when ``position_ids`` is absent
+    (broadcast [1,S] accepted); ``segment_ids`` default to zeros when the
+    segment table is present; output 1 (``mask_index``, int32 [B]) is the
+    per-row sum of ``mask`` — zeros when no mask is given; optional
+    output 2 is the pre-norm embedding sum."""
+    eps = float(ctx.attr("epsilon", 1e-12))
+    ids = jnp.asarray(input_ids).astype(jnp.int32)
+    b_sz, s_len = ids.shape
+    emb = jnp.asarray(word_emb)[ids]
+    if position_ids is not None:
+        pos = jnp.broadcast_to(
+            jnp.asarray(position_ids).astype(jnp.int32), (b_sz, s_len)
+        )
+    else:
+        pos = jnp.broadcast_to(
+            jnp.arange(s_len, dtype=jnp.int32)[None], (b_sz, s_len)
+        )
+    emb = emb + jnp.asarray(position_emb)[pos]
+    if segment_emb is not None:
+        seg = (
+            jnp.asarray(segment_ids).astype(jnp.int32)
+            if segment_ids is not None
+            else jnp.zeros((b_sz, s_len), jnp.int32)
+        )
+        emb = emb + jnp.asarray(segment_emb)[seg]
+    mean, inv = _ln_stats(emb.astype(jnp.float32), eps)
+    y = ((emb.astype(jnp.float32) - mean) * inv).astype(emb.dtype)
+    y = y * jnp.asarray(gamma).astype(emb.dtype)
+    if beta is not None:
+        y = y + jnp.asarray(beta).astype(emb.dtype)
+    if mask is not None:
+        mask_index = jnp.sum(
+            (jnp.asarray(mask) != 0).astype(jnp.int32), axis=1
+        )
+    else:
+        mask_index = jnp.zeros((b_sz,), jnp.int32)
+    outs = [y, mask_index]
+    if ctx.num_outputs > 2:
+        outs.append(emb)
+    return outs
+
+
+def _mha_core(ctx, q, k, v, *, past_key=None, past_value=None,
+              key_padding_mask=None, attention_bias=None, scale=None,
+              unidirectional=0, mask_filter=-10000.0, softcap=0.0,
+              local_window=0, key_lengths=None):
+    """Shared scaled-dot-product core over head-split [B,N,S,h] operands.
+
+    Handles KV-cache concat, GQA head repetition, [B]-length /[B,T]-mask
+    key padding (``mask_filter`` added to masked logits, the ORT
+    convention), additive ``attention_bias``, causal masking at global
+    positions (query i lives at ``past_len + i``), optional sliding
+    window (attend the last ``local_window`` keys only), and softcap.
+    Returns (y [B,N,S,h_v], present_k, present_v)."""
+    past_len = 0
+    if past_key is not None:
+        pk = jnp.asarray(past_key)
+        past_len = pk.shape[2]
+        k = jnp.concatenate([pk.astype(k.dtype), k], axis=2)
+        v = jnp.concatenate([jnp.asarray(past_value).astype(v.dtype), v],
+                            axis=2)
+    present_k, present_v = k, v
+    n_q, n_kv = q.shape[1], k.shape[1]
+    if n_q != n_kv:
+        if n_q % n_kv:
+            raise ValueError(
+                f"{ctx.op_type}: q heads ({n_q}) must be a multiple of "
+                f"kv heads ({n_kv})"
+            )
+        rep = n_q // n_kv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    s_len, t_len = q.shape[2], k.shape[2]
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+
+    orig = q.dtype
+    q2, k2 = _mxu_operands(ctx, q, k)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q2, k2, preferred_element_type=jnp.float32
+    ) * scale
+
+    if key_padding_mask is not None:
+        m = jnp.asarray(key_padding_mask)
+        if m.ndim == 1:
+            keep = (jnp.arange(t_len)[None, :] < m[:, None])[:, None, None, :]
+        elif m.ndim == 2:
+            keep = (m[:, -t_len:] != 0)[:, None, None, :]
+        else:
+            raise NotImplementedError(
+                f"{ctx.op_type}: key_padding_mask rank {m.ndim}"
+            )
+        logits = jnp.where(keep, logits, logits + mask_filter)
+    if key_lengths is not None:
+        # Runtime per-row valid total key length (GQA seqlens protocol);
+        # padded keys are hard-masked (-inf), matching ORT's GQA kernel.
+        keep = (
+            jnp.arange(t_len)[None, :]
+            < jnp.asarray(key_lengths).astype(jnp.int32)[:, None]
+        )[:, None, None, :]
+        logits = jnp.where(keep, logits, -jnp.inf)
+    if attention_bias is not None:
+        logits = logits + jnp.asarray(attention_bias).astype(logits.dtype)
+    if unidirectional:
+        g_pos = past_len + jnp.arange(s_len)
+        if key_lengths is not None:
+            # With runtime lengths the newest query of row b sits at
+            # key_lengths[b]-1: offset rows by (len - s_len) per batch.
+            g_pos = (
+                jnp.asarray(key_lengths).astype(jnp.int32)[:, None]
+                - s_len + jnp.arange(s_len)[None, :]
+            )[:, None, :, None]
+            # Right-padded prompt rows put queries past the valid length
+            # (g_pos < 0); clamp so those rows keep one finite logit —
+            # their output is garbage either way (ORT leaves it
+            # unspecified) but must not be NaN, which would poison
+            # downstream reductions.
+            g_pos = jnp.maximum(g_pos, 0)
+            causal = jnp.arange(t_len)[None, None, None, :] <= g_pos
+        else:
+            causal = (
+                jnp.arange(t_len)[None, :] <= g_pos[:, None]
+            )[None, None]
+            g_pos = g_pos[None, None, :, None]
+        if local_window and local_window > 0:
+            causal = jnp.logical_and(
+                causal,
+                jnp.arange(t_len)[None, None, None, :]
+                > g_pos - local_window,
+            )
+        logits = jnp.where(causal, logits, -jnp.inf)
+    if softcap and softcap > 0.0:
+        logits = softcap * jnp.tanh(logits / softcap)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    p2, v2 = _mxu_operands(ctx, probs.astype(orig), v)
+    y = jnp.einsum(
+        "bhqk,bhkd->bhqd", p2, v2, preferred_element_type=_acc_dtype(ctx)
+    )
+    return _out_cast(ctx, y, orig), present_k, present_v
+
+
+def _merge_heads(y):
+    b, h, s, d = y.shape
+    return y.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+@ms_op("MultiHeadAttention")
+def _multi_head_attention(ctx, query, key=None, value=None, bias=None,
+                          key_padding_mask=None, attention_bias=None,
+                          past_key=None, past_value=None):
+    """com.microsoft MultiHeadAttention: attention over already-projected
+    Q/K/V (the optimizer keeps the projections as surrounding MatMuls).
+
+    Input forms (ORT multihead_attention schema): separate 3-D
+    Q [B,Sq,Hq] / K [B,Skv,Hk] / V [B,Skv,Hv]; K/V pre-split 4-D
+    [B,N,Skv,h] (cross-attention with cached keys); packed QKV
+    [B,S,N,3,h] (key/value absent); packed KV [B,Skv,N,2,h]. ``bias``
+    [Hq+Hk+Hv] adds to Q/K/V before head split (3-D forms only — the
+    packed and pre-split forms are emitted bias-free). Masks follow the
+    Attention conventions ([B] lengths / [B,T] key mask +
+    ``mask_filter_value``); ``past_key``/``past_value`` are [B,N,Sp,h]
+    with matching present outputs 1/2."""
+    num_heads = int(ctx.attr("num_heads"))
+    mask_filter = float(ctx.attr("mask_filter_value", -10000.0))
+    unidirectional = int(ctx.attr("unidirectional", 0))
+    scale = ctx.attr("scale")
+    scale = float(scale) if scale is not None else None
+
+    q = jnp.asarray(query)
+
+    def split_heads(t):
+        b, s, h = t.shape
+        return t.reshape(b, s, num_heads, h // num_heads).transpose(0, 2, 1, 3)
+
+    if q.ndim == 5:  # packed QKV [B,S,N,3,h]
+        if key is not None or value is not None or bias is not None:
+            raise NotImplementedError(
+                "com.microsoft.MultiHeadAttention: packed QKV with "
+                "key/value/bias inputs"
+            )
+        qkv = q.transpose(0, 2, 3, 1, 4)  # [B,N,3,S,h]
+        q_, k_, v_ = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    else:
+        kk = None if key is None else jnp.asarray(key)
+        if kk is not None and kk.ndim == 5:  # packed KV [B,Skv,N,2,h]
+            if value is not None or bias is not None:
+                raise NotImplementedError(
+                    "com.microsoft.MultiHeadAttention: packed KV with "
+                    "value/bias inputs"
+                )
+            kv = kk.transpose(0, 2, 3, 1, 4)
+            k_, v_ = kv[:, :, 0], kv[:, :, 1]
+            q_ = split_heads(q)
+        elif kk is not None and kk.ndim == 4:  # pre-split cross-attn K/V
+            if bias is not None:
+                raise NotImplementedError(
+                    "com.microsoft.MultiHeadAttention: bias with 4-D "
+                    "pre-split key/value"
+                )
+            k_, v_ = kk, jnp.asarray(value)
+            q_ = split_heads(q)
+        else:
+            vv = jnp.asarray(value)
+            if bias is not None:
+                bb = jnp.asarray(bias)
+                qh, kh = q.shape[-1], kk.shape[-1]
+                q = q + bb[:qh].astype(q.dtype)
+                kk = kk + bb[qh:qh + kh].astype(kk.dtype)
+                vv = vv + bb[qh + kh:].astype(vv.dtype)
+            q_, k_, v_ = split_heads(q), split_heads(kk), split_heads(vv)
+
+    y, pres_k, pres_v = _mha_core(
+        ctx, q_, k_, v_,
+        past_key=past_key, past_value=past_value,
+        key_padding_mask=key_padding_mask, attention_bias=attention_bias,
+        scale=scale, unidirectional=unidirectional, mask_filter=mask_filter,
+    )
+    outs = [_merge_heads(y)]
+    if ctx.num_outputs > 1:
+        outs.append(pres_k)
+    if ctx.num_outputs > 2:
+        outs.append(pres_v)
+    return outs
+
+
+@ms_op("RotaryEmbedding")
+def _ms_rotary_embedding(ctx, x, position_ids, cos_cache, sin_cache):
+    """com.microsoft RotaryEmbedding — same math as the opset-23 core op
+    (which this delegates to: interleaved / num_heads /
+    rotary_embedding_dim attributes line up), plus the contrib-only
+    position forms: ``position_ids`` may be [B,S], broadcastable [1,S],
+    or a single-element offset tensor meaning positions
+    ``offset + arange(S)`` (the KV-cache decode step idiom)."""
+    if float(ctx.attr("scale", 1.0)) != 1.0:
+        raise NotImplementedError(
+            "com.microsoft.RotaryEmbedding: scale != 1.0"
+        )
+    if int(ctx.attr("is_packed_batching", 0)):
+        raise NotImplementedError(
+            "com.microsoft.RotaryEmbedding: is_packed_batching"
+        )
+    x = jnp.asarray(x)
+    b_sz = x.shape[0]
+    s_len = x.shape[1] if x.ndim == 3 else x.shape[2]
+    pos = jnp.asarray(position_ids).astype(jnp.int32)
+    if pos.size == 1:
+        pos = pos.reshape(()) + jnp.arange(s_len, dtype=jnp.int32)
+        pos = jnp.broadcast_to(pos[None], (b_sz, s_len))
+    else:
+        pos = jnp.broadcast_to(pos, (b_sz, s_len))
+    return _REGISTRY["RotaryEmbedding"](ctx, x, cos_cache, sin_cache, pos)
+
+
+def _gqa_rotary(ctx, t, pos, cos_cache, sin_cache, interleaved):
+    """Apply rotary embedding to head-split [B,N,S,h] at positions [B,S]."""
+    cos = jnp.asarray(cos_cache)[pos][:, None].astype(t.dtype)
+    sin = jnp.asarray(sin_cache)[pos][:, None].astype(t.dtype)
+    rd = 2 * cos.shape[-1]
+    rot, tail = t[..., :rd], t[..., rd:]
+    if interleaved:
+        x1, x2 = rot[..., 0::2], rot[..., 1::2]
+    else:
+        x1, x2 = rot[..., : rd // 2], rot[..., rd // 2:]
+    r1 = x1 * cos - x2 * sin
+    r2 = x1 * sin + x2 * cos
+    if interleaved:
+        rot_out = jnp.stack([r1, r2], axis=-1).reshape(rot.shape)
+    else:
+        rot_out = jnp.concatenate([r1, r2], axis=-1)
+    return (
+        jnp.concatenate([rot_out, tail], axis=-1)
+        if rd < t.shape[-1] else rot_out
+    )
+
+
+@ms_op("GroupQueryAttention")
+def _group_query_attention(ctx, query, key=None, value=None, past_key=None,
+                           past_value=None, seqlens_k=None,
+                           total_sequence_length=None, cos_cache=None,
+                           sin_cache=None):
+    """com.microsoft GroupQueryAttention (llama-family ORT exports).
+
+    Static-shape subset: query [B,S,N*h] with key/value [B,S,kvN*h]
+    (or packed [B,S,(N+2*kvN)*h] query when key/value are absent),
+    optional past_key/past_value [B,kvN,Sp,h] CONCATENATED to presents
+    of length Sp+S (the non-``past_present_share_buffer`` protocol —
+    in-place buffer sharing is a CUDA-ism with no XLA analog).
+    ``seqlens_k`` [B] int32 is the ORT convention "total valid sequence
+    length minus 1" per row; it may be runtime data (traced) — padded
+    keys are hard-masked and rotary positions derive from it
+    (position of query i in row b = seqlens_k[b]+1-S+i). Attention is
+    always causal; ``local_window_size`` attends the trailing window
+    only (sliding-window models); ``softcap`` and ``do_rotary``
+    (interleaved or split-half, partial dims via cache width) follow the
+    kernel conventions. ``total_sequence_length`` only disambiguates the
+    share-buffer protocol and is validated statically when constant."""
+    num_heads = int(ctx.attr("num_heads"))
+    kv_heads = int(ctx.attr("kv_num_heads"))
+    scale = ctx.attr("scale")
+    scale = float(scale) if scale is not None else None
+    softcap = float(ctx.attr("softcap", 0.0))
+    local_window = int(ctx.attr("local_window_size", -1))
+    if int(ctx.attr("smooth_softmax", 0)):
+        raise NotImplementedError(
+            "com.microsoft.GroupQueryAttention: smooth_softmax"
+        )
+
+    q = jnp.asarray(query)
+    b_sz, s_len = q.shape[0], q.shape[1]
+    if key is None:  # packed QKV: [B,S,(N+2*kvN)*h]
+        head = q.shape[-1] // (num_heads + 2 * kv_heads)
+        qh = num_heads * head
+        kh = kv_heads * head
+        key = q[..., qh:qh + kh]
+        value = q[..., qh + kh:]
+        q = q[..., :qh]
+    k = jnp.asarray(key)
+    v = jnp.asarray(value)
+
+    def split(t, n):
+        b, s, h = t.shape
+        return t.reshape(b, s, n, h // n).transpose(0, 2, 1, 3)
+
+    q_, k_, v_ = split(q, num_heads), split(k, kv_heads), split(v, kv_heads)
+
+    past_len = 0 if past_key is None else jnp.asarray(past_key).shape[2]
+    if seqlens_k is not None:
+        lens = jnp.asarray(seqlens_k).astype(jnp.int32) + 1
+    else:
+        lens = jnp.full((b_sz,), past_len + s_len, jnp.int32)
+    if total_sequence_length is not None and not isinstance(
+        total_sequence_length, jax.core.Tracer
+    ):
+        tot = int(np.asarray(total_sequence_length).reshape(-1)[0])
+        if tot != past_len + s_len:
+            raise NotImplementedError(
+                "com.microsoft.GroupQueryAttention: "
+                f"total_sequence_length {tot} != past+current "
+                f"{past_len + s_len} (past_present_share_buffer protocol)"
+            )
+
+    if int(ctx.attr("do_rotary", 0)):
+        interleaved = int(ctx.attr("rotary_interleaved", 0))
+        pos = lens[:, None] - s_len + jnp.arange(s_len, dtype=jnp.int32)[None]
+        q_ = _gqa_rotary(ctx, q_, pos, cos_cache, sin_cache, interleaved)
+        k_ = _gqa_rotary(ctx, k_, pos, cos_cache, sin_cache, interleaved)
+
+    y, pres_k, pres_v = _mha_core(
+        ctx, q_, k_, v_,
+        past_key=past_key, past_value=past_value,
+        scale=scale, unidirectional=1,
+        softcap=softcap, local_window=local_window,
+        key_lengths=lens,
+    )
+    outs = [_merge_heads(y)]
+    if ctx.num_outputs > 1:
+        outs.append(pres_k)
+    if ctx.num_outputs > 2:
+        outs.append(pres_v)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# Stable-diffusion UNet set: GroupNorm / SkipGroupNorm / BiasSplitGelu
+# ---------------------------------------------------------------------------
+
+
+def _group_norm_core(ctx, x_cl, gamma, beta, *, groups, eps, swish):
+    """GroupNorm over channels-last [B, ..., C] input; gamma/beta [C]."""
+    c = x_cl.shape[-1]
+    if c % groups:
+        raise ValueError(
+            f"{ctx.op_type}: channels {c} not divisible by groups {groups}"
+        )
+    b = x_cl.shape[0]
+    g = x_cl.reshape(b, -1, groups, c // groups).astype(jnp.float32)
+    mean = jnp.mean(g, axis=(1, 3), keepdims=True)
+    var = jnp.var(g, axis=(1, 3), keepdims=True)
+    yn = (g - mean) * jax.lax.rsqrt(var + eps)
+    y = yn.reshape(x_cl.shape)
+    y = y * jnp.asarray(gamma).astype(jnp.float32)
+    y = y + jnp.asarray(beta).astype(jnp.float32)
+    if swish:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x_cl.dtype)
+
+
+@ms_op("GroupNorm")
+def _ms_group_norm(ctx, x, gamma, beta):
+    """com.microsoft GroupNorm (stable-diffusion UNet exports): input
+    [B,H,W,C] when ``channels_last=1`` (the default) else [B,C,H,W];
+    float32 gamma/beta [C]; ``activation=1`` fuses swish (x·sigmoid x).
+    Statistics are computed per (batch, group) over spatial × group
+    channels in float32, matching the ORT kernel."""
+    groups = int(ctx.attr("groups"))
+    eps = float(ctx.attr("epsilon", 1e-5))
+    swish = int(ctx.attr("activation", 0))
+    x = jnp.asarray(x)
+    if int(ctx.attr("channels_last", 1)):
+        return [_group_norm_core(ctx, x, gamma, beta, groups=groups,
+                                 eps=eps, swish=swish)]
+    x_cl = jnp.moveaxis(x, 1, -1)
+    y = _group_norm_core(ctx, x_cl, gamma, beta, groups=groups, eps=eps,
+                         swish=swish)
+    return [jnp.moveaxis(y, -1, 1)]
+
+
+@ms_op("SkipGroupNorm")
+def _skip_group_norm(ctx, x, gamma, beta, skip, bias=None):
+    """GroupNorm(x + skip + bias) over channels-last [B,H,W,C] input
+    (this op is NHWC-only in ORT). ``skip`` broadcasts from [B,H,W,C],
+    [B,1,1,C], or [B,C]; ``bias`` is [C]. Optional output 1 is the
+    pre-norm sum (fed to the next residual)."""
+    x = jnp.asarray(x)
+    sk = jnp.asarray(skip)
+    if sk.ndim == 2:
+        sk = sk[:, None, None, :]
+    s = x + sk.astype(x.dtype)
+    if bias is not None:
+        s = s + jnp.asarray(bias).astype(x.dtype)
+    y = _group_norm_core(
+        ctx, s, gamma, beta,
+        groups=int(ctx.attr("groups")),
+        eps=float(ctx.attr("epsilon", 1e-5)),
+        swish=int(ctx.attr("activation", 0)),
+    )
+    outs = [y]
+    if ctx.num_outputs > 1:
+        outs.append(s)
+    return outs
+
+
+@ms_op("BiasSplitGelu")
+def _bias_split_gelu(ctx, x, bias):
+    """Diffusion MLP fusion: add bias, split the last axis in half, then
+    ``first_half * Gelu(second_half)`` (exact erf Gelu, the ORT kernel's
+    form). Output has half the input's last-axis width."""
+    s = jnp.asarray(x) + jnp.asarray(bias).astype(jnp.asarray(x).dtype)
+    a, g = jnp.split(s, 2, axis=-1)
+    gf = g.astype(jnp.float32)
+    gelu = 0.5 * gf * (1.0 + jax.lax.erf(gf / np.sqrt(2.0)))
+    return [a * gelu.astype(s.dtype)]
