@@ -1012,3 +1012,147 @@ def _bias_split_gelu(ctx, x, bias):
     gf = g.astype(jnp.float32)
     gelu = 0.5 * gf * (1.0 + jax.lax.erf(gf / np.sqrt(2.0)))
     return [a * gelu.astype(s.dtype)]
+
+
+# ---------------------------------------------------------------------------
+# Block-quantized weight ops (onnxruntime-genai / optimum LLM exports):
+# MatMulNBits carries the 4-bit weight-only projection weights,
+# GatherBlockQuantized the quantized embedding tables.
+# ---------------------------------------------------------------------------
+
+
+def _unpack_nibbles(b, *, signed=False):
+    """Unpack uint8 bytes into 4-bit values along the last axis, low
+    nibble first (the ORT packing: element i lands in the low nibble of
+    byte i//2 when i is even)."""
+    b = jnp.asarray(b).astype(jnp.uint8)
+    lo = (b & 0xF).astype(jnp.int32)
+    hi = (b >> 4).astype(jnp.int32)
+    q = jnp.stack([lo, hi], axis=-1).reshape(b.shape[:-1] + (-1,))
+    if signed:  # two's-complement nibbles
+        q = jnp.where(q >= 8, q - 16, q)
+    return q
+
+
+@ms_op("MatMulNBits")
+def _matmul_nbits(ctx, a, b, scales, zero_points=None, g_idx=None,
+                  bias=None):
+    """com.microsoft MatMulNBits: ``A @ W.T`` where W [N,K] is stored
+    block-quantized at ``bits`` (4 or 8) with per-block scales.
+
+    B is uint8 [N, n_blocks, blob] (blob = block_size*bits/8, nibbles
+    packed low-first along K); scales [N, n_blocks] (flat accepted);
+    zero_points either packed uint8 nibbles (one column's blocks padded
+    to a byte boundary) or float (subtracted pre-scale:
+    ``w = (q - zp) * scale``); absent → 2^(bits-1). ``g_idx`` [K] maps
+    each element to its (act-order) block for scale/zp selection. The
+    ``accuracy_level`` hint is ignored — the matmul runs under the
+    package precision policy. Dequantization is jnp-traced; for
+    initializer weights XLA constant-folds it at compile time."""
+    k_dim = int(ctx.attr("K"))
+    n_dim = int(ctx.attr("N"))
+    bits = int(ctx.attr("bits", 4))
+    bs = int(ctx.attr("block_size"))
+    if bits not in (4, 8):
+        raise NotImplementedError(f"MatMulNBits: bits={bits}")
+    n_blocks = (k_dim + bs - 1) // bs
+
+    b = jnp.asarray(b)
+    if bits == 4:
+        q = _unpack_nibbles(b.reshape(n_dim, n_blocks, -1))
+    else:
+        q = b.reshape(n_dim, n_blocks, -1).astype(jnp.int32)
+    q = q.reshape(n_dim, -1)[:, :k_dim]  # [N, K]
+
+    sc = jnp.asarray(scales).reshape(n_dim, n_blocks).astype(jnp.float32)
+    if zero_points is None:
+        zp = jnp.full((n_dim, n_blocks), float(1 << (bits - 1)), jnp.float32)
+    else:
+        zpt = jnp.asarray(zero_points)
+        if zpt.dtype == jnp.uint8 and bits == 4:
+            # packed nibbles, each column padded to a byte boundary
+            per_col = (n_blocks + 1) // 2
+            zp = _unpack_nibbles(zpt.reshape(n_dim, per_col))[:, :n_blocks]
+            zp = zp.astype(jnp.float32)
+        elif zpt.dtype == jnp.uint8:
+            zp = zpt.reshape(n_dim, n_blocks).astype(jnp.float32)
+        else:  # float-typed zero points
+            zp = zpt.reshape(n_dim, n_blocks).astype(jnp.float32)
+
+    if g_idx is not None:
+        gi = np.asarray(_static_ints(g_idx, "MatMulNBits g_idx"))
+        sc_e = sc[:, gi]
+        zp_e = zp[:, gi]
+    else:
+        idx = np.minimum(np.arange(k_dim) // bs, n_blocks - 1)
+        sc_e = sc[:, idx]
+        zp_e = zp[:, idx]
+    w = ((q.astype(jnp.float32) - zp_e) * sc_e)  # [N, K]
+
+    a = jnp.asarray(a)
+    orig = a.dtype
+    a2, w2 = _mxu_operands(ctx, a, w.astype(orig).T)
+    y = jnp.matmul(a2, w2, preferred_element_type=_acc_dtype(ctx))
+    y = _out_cast(ctx, y, orig)
+    if bias is not None:
+        y = y + jnp.asarray(bias).astype(y.dtype)
+    return [y]
+
+
+@ms_op("GatherBlockQuantized")
+def _gather_block_quantized(ctx, data, indices, scales, zero_points=None):
+    """Gather rows from a block-quantized table, dequantizing with
+    per-block scales along ``quantize_axis``.
+
+    ``data`` is int4/uint4 (codec-unpacked) or uint8 (packed 4-bit pairs
+    along the quantize axis, low nibble first); ``scales`` matches data's
+    shape with the quantize axis divided by ``block_size``;
+    ``zero_points`` matches scales (integer-typed subtracted pre-scale,
+    absent → 0 for signed, 8 for unsigned). Dequantize-then-gather is
+    expressed gather-first so only the selected rows dequantize."""
+    gather_axis = int(ctx.attr("gather_axis", 0))
+    quant_axis = int(ctx.attr("quantize_axis", 1))
+    bs = int(ctx.attr("block_size", 128))
+
+    d = jnp.asarray(data)
+    signed = d.dtype in (jnp.int4, jnp.int8)
+    if d.dtype == jnp.uint8:  # packed 4-bit pairs along quant_axis
+        d = jnp.moveaxis(d, quant_axis, -1)
+        q = _unpack_nibbles(d)
+        q = jnp.moveaxis(q, -1, quant_axis)
+        default_zp = 8.0
+    else:
+        q = d.astype(jnp.int32)
+        default_zp = 0.0 if signed else 8.0
+
+    sc = jnp.asarray(scales).astype(jnp.float32)
+    if zero_points is None:
+        zp = jnp.full(sc.shape, default_zp, jnp.float32)
+    else:
+        zpt = jnp.asarray(zero_points)
+        if zpt.dtype == jnp.uint8 and jnp.asarray(data).dtype == jnp.uint8:
+            zpt = jnp.moveaxis(zpt, quant_axis, -1)
+            zpt = _unpack_nibbles(zpt)
+            zpt = jnp.moveaxis(zpt, -1, quant_axis)
+            zp = zpt[
+                tuple(slice(0, s) for s in sc.shape)
+            ].astype(jnp.float32)
+        else:
+            zp = zpt.astype(jnp.float32)
+
+    idx = jnp.asarray(indices).astype(jnp.int32)
+    if gather_axis == quant_axis:
+        raise NotImplementedError(
+            "GatherBlockQuantized: gather_axis == quantize_axis"
+        )
+    q_g = jnp.take(q, idx, axis=gather_axis)
+    sc_g = jnp.take(sc, idx, axis=gather_axis)
+    zp_g = jnp.take(zp, idx, axis=gather_axis)
+    # Broadcast per-block scale/zp up to per-element along quant_axis.
+    qa = quant_axis + (idx.ndim - 1 if quant_axis > gather_axis else 0)
+    k = q_g.shape[qa]
+    blk = jnp.minimum(jnp.arange(k) // bs, sc_g.shape[qa] - 1)
+    sc_e = jnp.take(sc_g, blk, axis=qa)
+    zp_e = jnp.take(zp_g, blk, axis=qa)
+    y = (q_g.astype(jnp.float32) - zp_e) * sc_e
+    return [y]

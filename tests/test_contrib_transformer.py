@@ -676,3 +676,150 @@ def test_attention_share_buffer_rejects():
                [_tensor("w", w)])
     with pytest.raises(Exception, match="share_buffer"):
         _run(m, x)
+
+
+# ---------------------------------------------------------------------------
+# MatMulNBits / GatherBlockQuantized (onnxruntime-genai LLM exports)
+# ---------------------------------------------------------------------------
+
+
+def _pack_nibbles(vals):
+    """Pack 4-bit ints low-nibble-first along the last axis."""
+    v = np.asarray(vals, np.uint8) & 0x0F
+    if v.shape[-1] % 2:
+        v = np.concatenate([v, np.zeros(v.shape[:-1] + (1,), np.uint8)], -1)
+    return (v[..., 0::2] | (v[..., 1::2] << 4)).astype(np.uint8)
+
+
+def test_matmul_nbits_4bit_packed_zp_bias():
+    r = _rng(20)
+    n_dim, k_dim, bs = 6, 16, 8
+    nb = k_dim // bs
+    q = r.integers(0, 16, (n_dim, k_dim)).astype(np.int32)
+    scales = (r.random((n_dim, nb)) * 0.2 + 0.01).astype(np.float32)
+    zp = r.integers(0, 16, (n_dim, nb)).astype(np.int32)
+    a = r.standard_normal((2, 3, k_dim), dtype=np.float32)
+    bias = r.standard_normal(n_dim).astype(np.float32)
+
+    b_packed = _pack_nibbles(q.reshape(n_dim, nb, bs)).reshape(n_dim, nb, -1)
+    zp_packed = _pack_nibbles(zp)  # [N, ceil(nb/2)]
+
+    node = P.make_node(
+        "MatMulNBits", ["a", "b", "scales", "zp", "", "bias"], ["y"],
+        domain=MS, K=k_dim, N=n_dim, bits=4, block_size=bs,
+    )
+    m = _model(
+        [node], [_vi("a", a.shape)], [_vi("y", (2, 3, n_dim))],
+        [_tensor("b", b_packed), _tensor("scales", scales),
+         _tensor("zp", zp_packed), _tensor("bias", bias)],
+    )
+    (y,) = _run(m, a)
+
+    w = (q - np.repeat(zp, bs, 1)) * np.repeat(scales, bs, 1)
+    want = a @ w.T + bias
+    np.testing.assert_allclose(y, want, atol=ATOL)
+
+
+def test_matmul_nbits_8bit_float_zp_and_tail_block():
+    """bits=8, float zero points, K not a multiple of block_size (the
+    tail block's padding elements are ignored)."""
+    r = _rng(21)
+    n_dim, k_dim, bs = 4, 10, 4
+    nb = (k_dim + bs - 1) // bs  # 3 blocks, last holds 2 real elements
+    q = r.integers(0, 256, (n_dim, nb * bs)).astype(np.int32)
+    scales = (r.random((n_dim, nb)) * 0.1 + 0.01).astype(np.float32)
+    zpf = (r.random((n_dim, nb)) * 8).astype(np.float32)
+    a = r.standard_normal((3, k_dim), dtype=np.float32)
+
+    node = P.make_node(
+        "MatMulNBits", ["a", "b", "scales", "zp"], ["y"],
+        domain=MS, K=k_dim, N=n_dim, bits=8, block_size=bs,
+    )
+    m = _model(
+        [node], [_vi("a", a.shape)], [_vi("y", (3, n_dim))],
+        [_tensor("b", q.astype(np.uint8).reshape(n_dim, nb, bs)),
+         _tensor("scales", scales), _tensor("zp", zpf)],
+    )
+    (y,) = _run(m, a)
+
+    w = (q[:, :k_dim] - np.repeat(zpf, bs, 1)[:, :k_dim]) \
+        * np.repeat(scales, bs, 1)[:, :k_dim]
+    np.testing.assert_allclose(y, a @ w.T, atol=ATOL)
+
+
+def test_matmul_nbits_g_idx_act_order():
+    r = _rng(22)
+    n_dim, k_dim, bs = 3, 8, 4
+    nb = k_dim // bs
+    q = r.integers(0, 16, (n_dim, k_dim)).astype(np.int32)
+    scales = (r.random((n_dim, nb)) * 0.2 + 0.01).astype(np.float32)
+    a = r.standard_normal((2, k_dim), dtype=np.float32)
+    g_idx = r.integers(0, nb, k_dim).astype(np.int32)
+
+    node = P.make_node(
+        "MatMulNBits", ["a", "b", "scales", "", "g_idx"], ["y"],
+        domain=MS, K=k_dim, N=n_dim, bits=4, block_size=bs,
+    )
+    m = _model(
+        [node], [_vi("a", a.shape)], [_vi("y", (2, n_dim))],
+        [_tensor("b", _pack_nibbles(q.reshape(n_dim, nb, bs))
+                 .reshape(n_dim, nb, -1)),
+         _tensor("scales", scales), _tensor("g_idx", g_idx)],
+    )
+    (y,) = _run(m, a)
+
+    w = (q - 8.0) * scales[:, g_idx]
+    np.testing.assert_allclose(y, a @ w.T, atol=ATOL)
+
+
+def test_gather_block_quantized_int4_table():
+    import ml_dtypes
+
+    r = _rng(23)
+    vocab, hdim, bs = 12, 8, 4
+    q = r.integers(-8, 8, (vocab, hdim)).astype(np.int32)
+    scales = (r.random((vocab, hdim // bs)) * 0.3 + 0.02).astype(np.float32)
+    ids = r.integers(0, vocab, (2, 3)).astype(np.int64)
+
+    packed = bytes(_pack_nibbles(q.reshape(-1)).tolist())
+    data_t = P.TensorProto(name="data", data_type=P.DataType.INT4,
+                           dims=[vocab, hdim], raw_data=packed)
+
+    node = P.make_node(
+        "GatherBlockQuantized", ["data", "ids", "scales"], ["y"],
+        domain=MS, gather_axis=0, quantize_axis=1, block_size=bs,
+    )
+    m = _model(
+        [node], [_vi("ids", ids.shape, P.DataType.INT64)],
+        [_vi("y", (2, 3, hdim))],
+        [data_t, _tensor("scales", scales)],
+    )
+    (y,) = _run(m, ids)
+
+    table = q * np.repeat(scales, bs, 1)
+    np.testing.assert_allclose(y, table[ids], atol=ATOL)
+
+
+def test_gather_block_quantized_uint8_packed():
+    r = _rng(24)
+    vocab, hdim, bs = 6, 8, 4
+    q = r.integers(0, 16, (vocab, hdim)).astype(np.int32)
+    scales = (r.random((vocab, hdim // bs)) * 0.3 + 0.02).astype(np.float32)
+    zp = r.integers(0, 16, (vocab, hdim // bs)).astype(np.int32)
+    ids = np.array([1, 4], dtype=np.int64)
+
+    node = P.make_node(
+        "GatherBlockQuantized", ["data", "ids", "scales", "zp"], ["y"],
+        domain=MS, gather_axis=0, quantize_axis=1, block_size=bs,
+    )
+    m = _model(
+        [node], [_vi("ids", ids.shape, P.DataType.INT64)],
+        [_vi("y", (2, hdim))],
+        [_tensor("data", _pack_nibbles(q)),
+         _tensor("scales", scales),
+         _tensor("zp", _pack_nibbles(zp))],
+    )
+    (y,) = _run(m, ids)
+
+    table = (q - np.repeat(zp, bs, 1)) * np.repeat(scales, bs, 1)
+    np.testing.assert_allclose(y, table[ids], atol=ATOL)
