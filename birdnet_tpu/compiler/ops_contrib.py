@@ -662,42 +662,48 @@ def _mha_core(ctx, q, k, v, *, past_key=None, past_value=None,
                 f"{ctx.op_type}: key_padding_mask rank {m.ndim}"
             )
         logits = jnp.where(keep, logits, logits + mask_filter)
-    if key_lengths is not None:
-        # Runtime per-row valid total key length (GQA seqlens protocol);
-        # padded keys are hard-masked (-inf), matching ORT's GQA kernel.
-        keep = (
-            jnp.arange(t_len)[None, :]
-            < jnp.asarray(key_lengths).astype(jnp.int32)[:, None]
-        )[:, None, None, :]
-        logits = jnp.where(keep, logits, -jnp.inf)
     if attention_bias is not None:
         logits = logits + jnp.asarray(attention_bias).astype(logits.dtype)
-    if unidirectional:
-        g_pos = past_len + jnp.arange(s_len)
-        if key_lengths is not None:
-            # With runtime lengths the newest query of row b sits at
-            # key_lengths[b]-1: offset rows by (len - s_len) per batch.
-            g_pos = (
-                jnp.asarray(key_lengths).astype(jnp.int32)[:, None]
-                - s_len + jnp.arange(s_len)[None, :]
-            )[:, None, :, None]
-            # Right-padded prompt rows put queries past the valid length
-            # (g_pos < 0); clamp so those rows keep one finite logit —
-            # their output is garbage either way (ORT leaves it
-            # unspecified) but must not be NaN, which would poison
-            # downstream reductions.
-            g_pos = jnp.maximum(g_pos, 0)
-            causal = jnp.arange(t_len)[None, None, None, :] <= g_pos
+    if key_lengths is not None:
+        # GQA seqlens protocol (always causal; masked logits are -inf,
+        # matching ORT's GQA kernel). Tokens are LEFT-aligned with right
+        # padding:
+        #   prompt (no past): token i sits at position i; valid keys are
+        #     j <= i and j < len_b.
+        #   continuation (past of static length Sp): row b's valid past
+        #     occupies cache slots 0..len_b-S-1 and the current chunk is
+        #     appended at static slots Sp..Sp+S-1, at positions
+        #     len_b-S+i (so the newest token of every row sits at
+        #     position len_b-1, ORT's decode convention).
+        lens_b = jnp.asarray(key_lengths).astype(jnp.int32)[
+            :, None, None, None
+        ]
+        jj = jnp.arange(t_len)[None, None, None, :]
+        ii = jnp.arange(s_len)[None, None, :, None]
+        if past_len == 0:
+            keep = (jj <= ii) & (jj < lens_b)
+            q_pos = ii
+            k_pos = jj
         else:
-            causal = (
-                jnp.arange(t_len)[None, :] <= g_pos[:, None]
-            )[None, None]
-            g_pos = g_pos[None, None, :, None]
+            valid_past = jj < jnp.maximum(lens_b - s_len, 0)
+            current = (jj >= past_len) & ((jj - past_len) <= ii)
+            keep = valid_past | current
+            q_pos = lens_b - s_len + ii
+            k_pos = jnp.where(jj >= past_len,
+                              lens_b - s_len + (jj - past_len), jj)
+        if local_window and local_window > 0:
+            keep = keep & (k_pos > q_pos - local_window)
+        logits = jnp.where(keep, logits, -jnp.inf)
+    elif unidirectional:
+        g_pos = past_len + jnp.arange(s_len)
+        causal = (
+            jnp.arange(t_len)[None, :] <= g_pos[:, None]
+        )[None, None]
         if local_window and local_window > 0:
             causal = jnp.logical_and(
                 causal,
-                jnp.arange(t_len)[None, None, None, :]
-                > g_pos - local_window,
+                jnp.arange(t_len)[None, None, :]
+                > g_pos[None, :, None] - local_window,
             )
         logits = jnp.where(causal, logits, -jnp.inf)
     if softcap and softcap > 0.0:
@@ -858,14 +864,18 @@ def _group_query_attention(ctx, query, key=None, value=None, past_key=None,
     of length Sp+S (the non-``past_present_share_buffer`` protocol —
     in-place buffer sharing is a CUDA-ism with no XLA analog).
     ``seqlens_k`` [B] int32 is the ORT convention "total valid sequence
-    length minus 1" per row; it may be runtime data (traced) — padded
-    keys are hard-masked and rotary positions derive from it
-    (position of query i in row b = seqlens_k[b]+1-S+i). Attention is
-    always causal; ``local_window_size`` attends the trailing window
-    only (sliding-window models); ``softcap`` and ``do_rotary``
-    (interleaved or split-half, partial dims via cache width) follow the
-    kernel conventions. ``total_sequence_length`` only disambiguates the
-    share-buffer protocol and is validated statically when constant."""
+    length minus 1" per row; it may be runtime data (traced). Tokens are
+    LEFT-aligned with right padding: in the prompt phase token i sits at
+    position i (keys j <= i, j < len); in a continuation the valid past
+    occupies cache slots 0..len-S-1, the current chunk is appended at
+    static slots Sp..Sp+S-1, and rotary positions are len-S+i so every
+    row's newest token sits at position len-1 (ORT's decode
+    convention). Attention is always causal; ``local_window_size``
+    attends the trailing position window only (sliding-window models);
+    ``softcap`` and ``do_rotary`` (interleaved or split-half, partial
+    dims via cache width) follow the kernel conventions.
+    ``total_sequence_length`` only disambiguates the share-buffer
+    protocol and is validated statically when constant."""
     num_heads = int(ctx.attr("num_heads"))
     kv_heads = int(ctx.attr("kv_num_heads"))
     scale = ctx.attr("scale")
@@ -913,7 +923,19 @@ def _group_query_attention(ctx, query, key=None, value=None, past_key=None,
 
     if int(ctx.attr("do_rotary", 0)):
         interleaved = int(ctx.attr("rotary_interleaved", 0))
-        pos = lens[:, None] - s_len + jnp.arange(s_len, dtype=jnp.int32)[None]
+        if past_len == 0:
+            # Prompt: left-aligned tokens, position of token i is i.
+            pos = jnp.broadcast_to(
+                jnp.arange(s_len, dtype=jnp.int32)[None], (b_sz, s_len)
+            )
+        else:
+            # Continuation: the newest token of row b sits at position
+            # lens[b]-1 (ORT's decode convention).
+            pos = jnp.maximum(
+                lens[:, None] - s_len
+                + jnp.arange(s_len, dtype=jnp.int32)[None],
+                0,
+            )
         q_ = _gqa_rotary(ctx, q_, pos, cos_cache, sin_cache, interleaved)
         k_ = _gqa_rotary(ctx, k_, pos, cos_cache, sin_cache, interleaved)
 

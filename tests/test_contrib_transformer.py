@@ -415,9 +415,13 @@ def test_ms_rotary_embedding_scalar_offset():
 # ---------------------------------------------------------------------------
 
 
-def _gqa_oracle(q, k, v, lens, *, scale=None, window=0, softcap=0.0):
+def _gqa_oracle(q, k, v, lens, *, sp=0, scale=None, window=0, softcap=0.0):
     """q [B,N,S,h]; k/v [B,kvN,T,h] post-concat; lens [B] valid total.
-    Causal at per-row global positions; padded keys hard-masked."""
+
+    Mirrors the documented left-aligned convention: prompt (sp=0) puts
+    token i at position i with keys j <= i, j < len; continuation keeps
+    the valid past (slots 0..len-S-1) plus the causal current chunk at
+    static slots sp..sp+S-1 (positions len-S+i)."""
     b, nq, s, h = q.shape
     nkv, t = k.shape[1], k.shape[2]
     rep = nq // nkv
@@ -427,12 +431,19 @@ def _gqa_oracle(q, k, v, lens, *, scale=None, window=0, softcap=0.0):
         scale = 1.0 / np.sqrt(h)
     logits = np.einsum("bnsh,bnth->bnst", q, k).astype(np.float64) * scale
     jj = np.arange(t)[None, None, None, :]
-    keep = jj < lens[:, None, None, None]
-    g_pos = (lens[:, None] - s + np.arange(s)[None, :])[:, None, :, None]
-    g_pos = np.maximum(g_pos, 0)
-    keep = keep & (jj <= g_pos)
+    ii = np.arange(s)[None, None, :, None]
+    lens_b = lens[:, None, None, None]
+    if sp == 0:
+        keep = (jj <= ii) & (jj < lens_b)
+        q_pos, k_pos = np.broadcast_to(ii, keep.shape), jj
+    else:
+        keep = (jj < np.maximum(lens_b - s, 0)) | (
+            (jj >= sp) & ((jj - sp) <= ii)
+        )
+        q_pos = lens_b - s + ii
+        k_pos = np.where(jj >= sp, lens_b - s + (jj - sp), jj)
     if window > 0:
-        keep = keep & (jj > g_pos - window)
+        keep = keep & (k_pos > q_pos - window)
     logits = np.where(keep, logits, -np.inf)
     if softcap > 0.0:
         logits = softcap * np.tanh(logits / softcap)
@@ -511,12 +522,12 @@ def test_gqa_decode_step_with_rotary_and_past():
     )
     y, got_pk, got_pv = _run(m, q, k, v, pk, pv, (lens - 1))
 
-    pos = (lens[:, None] - s + np.arange(s)[None, :])
+    pos = np.maximum(lens[:, None] - s + np.arange(s)[None, :], 0)
     qr = _rotary_oracle(_split_heads(q, n), pos, cos, sin, 0)
     kr = _rotary_oracle(_split_heads(k, kvn), pos, cos, sin, 0)
     k_all = np.concatenate([pk, kr], axis=2)
     v_all = np.concatenate([pv, _split_heads(v, kvn)], axis=2)
-    want = _merge(_gqa_oracle(qr, k_all, v_all, lens))
+    want = _merge(_gqa_oracle(qr, k_all, v_all, lens, sp=sp))
     np.testing.assert_allclose(y, want, atol=ATOL)
     np.testing.assert_allclose(got_pk, k_all, atol=ATOL)
     np.testing.assert_allclose(got_pv, v_all, atol=ATOL)
@@ -823,3 +834,139 @@ def test_gather_block_quantized_uint8_packed():
 
     table = (q - np.repeat(zp, bs, 1)) * np.repeat(scales, bs, 1)
     np.testing.assert_allclose(y, table[ids], atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: random MHA / GQA configurations vs the numpy oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_mha_property_fuzz(seed):
+    r = _rng(100 + seed)
+    n = int(r.integers(1, 5))
+    h = int(r.choice([2, 4, 8]))
+    b = int(r.integers(1, 4))
+    sq = int(r.integers(1, 7))
+    skv = int(r.integers(1, 9))
+    hid = n * h
+    causal = bool(r.integers(0, 2)) and sq <= skv
+    use_past = bool(r.integers(0, 2))
+    sp = int(r.integers(1, 5)) if use_past else 0
+    use_mask = bool(r.integers(0, 2))
+    scale = float(r.random() * 0.5 + 0.05) if r.integers(0, 2) else None
+
+    q = r.standard_normal((b, sq, hid), dtype=np.float32)
+    k = r.standard_normal((b, skv, hid), dtype=np.float32)
+    v = r.standard_normal((b, skv, hid), dtype=np.float32)
+    t_total = sp + skv
+
+    inputs = ["q", "k", "v", "", "", ""]
+    vis = [_vi("q", q.shape), _vi("k", k.shape), _vi("v", v.shape)]
+    run_args = [q, k, v]
+    mask = None
+    if use_mask:
+        mask = (r.random((b, t_total)) > 0.3).astype(np.int32)
+        mask[:, 0] = 1  # never fully-masked rows
+        inputs[4] = "mask"
+        vis.append(_vi("mask", mask.shape, P.DataType.INT32))
+        run_args.append(mask)
+    pk = pv = None
+    if use_past:
+        pk = r.standard_normal((b, n, sp, h), dtype=np.float32)
+        pv = r.standard_normal((b, n, sp, h), dtype=np.float32)
+        inputs += ["pk", "pv"]
+        vis += [_vi("pk", pk.shape), _vi("pv", pv.shape)]
+        run_args += [pk, pv]
+
+    attrs = dict(num_heads=n, unidirectional=int(causal))
+    if scale is not None:
+        attrs["scale"] = scale
+    node = P.make_node("MultiHeadAttention", inputs, ["y"], domain=MS,
+                       **attrs)
+    m = _model([node], vis, [_vi("y", (b, sq, hid))], [])
+    (y,) = _run(m, *run_args)
+
+    qh, kh, vh = _split_heads(q, n), _split_heads(k, n), _split_heads(v, n)
+    if use_past:
+        kh = np.concatenate([pk, kh], axis=2)
+        vh = np.concatenate([pv, vh], axis=2)
+    keep = (mask != 0)[:, None, None, :] if use_mask else None
+    want = _merge(_sdpa_oracle(qh, kh, vh, scale=scale, keep=keep,
+                               causal=causal, past_len=sp))
+    np.testing.assert_allclose(y, want, atol=5e-4)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_gqa_property_fuzz(seed):
+    r = _rng(200 + seed)
+    kvn = int(r.choice([1, 2]))
+    n = kvn * int(r.choice([1, 2, 4]))
+    h = int(r.choice([4, 8]))
+    b = int(r.integers(1, 4))
+    decode = bool(r.integers(0, 2))
+    s = 1 if decode else int(r.integers(2, 7))
+    sp = int(r.integers(1, 6)) if decode or r.integers(0, 2) else 0
+    rot = bool(r.integers(0, 2))
+    interleaved = int(r.integers(0, 2))
+    window = int(r.choice([0, 2, 3])) if not rot else 0
+    packed = bool(r.integers(0, 2)) and sp == 0
+
+    q = r.standard_normal((b, s, n * h), dtype=np.float32)
+    k = r.standard_normal((b, s, kvn * h), dtype=np.float32)
+    v = r.standard_normal((b, s, kvn * h), dtype=np.float32)
+    lens = (sp + s - r.integers(0, min(s, sp + s), b)).astype(np.int32)
+    lens = np.maximum(lens, 1)
+
+    maxpos = 32
+    inv = 1.0 / (10000.0 ** (np.arange(h // 2) / (h // 2)))
+    ang = np.arange(maxpos)[:, None] * inv[None]
+    cos = np.cos(ang).astype(np.float32)
+    sin = np.sin(ang).astype(np.float32)
+
+    attrs = dict(num_heads=n, kv_num_heads=kvn, do_rotary=int(rot),
+                 rotary_interleaved=interleaved)
+    if window:
+        attrs["local_window_size"] = window
+
+    if packed:
+        qkv = np.concatenate([q, k, v], axis=-1)
+        ins = ["q", "", ""]
+        vis = [_vi("q", qkv.shape)]
+        run_args = [qkv]
+    else:
+        ins = ["q", "k", "v"]
+        vis = [_vi("q", q.shape), _vi("k", k.shape), _vi("v", v.shape)]
+        run_args = [q, k, v]
+    pk = pv = None
+    if sp:
+        pk = r.standard_normal((b, kvn, sp, h), dtype=np.float32)
+        pv = r.standard_normal((b, kvn, sp, h), dtype=np.float32)
+        ins += ["pk", "pv"]
+        vis += [_vi("pk", pk.shape), _vi("pv", pv.shape)]
+        run_args += [pk, pv]
+    else:
+        ins += ["", ""]
+    ins += ["seqlens", "total", "cos", "sin"]
+    vis.append(_vi("seqlens", (b,), P.DataType.INT32))
+    run_args.append(lens - 1)
+    inits = [_tensor("total", np.array([sp + s], np.int32)),
+             _tensor("cos", cos), _tensor("sin", sin)]
+
+    node = P.make_node("GroupQueryAttention", ins, ["y"], domain=MS, **attrs)
+    m = _model([node], vis, [_vi("y", (b, s, n * h))], inits)
+    (y,) = _run(m, *run_args)
+
+    qh, kh, vh = _split_heads(q, n), _split_heads(k, kvn), _split_heads(v, kvn)
+    if rot:
+        if sp == 0:
+            pos = np.broadcast_to(np.arange(s), (b, s))
+        else:
+            pos = np.maximum(lens[:, None] - s + np.arange(s)[None, :], 0)
+        qh = _rotary_oracle(qh, pos, cos, sin, interleaved)
+        kh = _rotary_oracle(kh, pos, cos, sin, interleaved)
+    if sp:
+        kh = np.concatenate([pk, kh], axis=2)
+        vh = np.concatenate([pv, vh], axis=2)
+    want = _merge(_gqa_oracle(qh, kh, vh, lens, sp=sp, window=window))
+    np.testing.assert_allclose(np.asarray(y), want, atol=5e-4)
