@@ -89,13 +89,24 @@ def split_params(tensors: Dict[str, np.ndarray]):
 
 
 def import_onnx(
-    source: Union[str, bytes, ModelProto], optimize: bool = True
+    source: Union[str, bytes, ModelProto], optimize: bool = True,
+    freeze_inputs: Optional[Dict[str, object]] = None,
 ) -> ImportedModel:
     """Load an ONNX model from a path, serialized bytes, or ModelProto.
 
     ``optimize`` runs the import-time graph rewrites (Conv+BN folding,
     identity elimination) from :mod:`birdnet_tpu.compiler.optimize`.
-    """
+
+    ``freeze_inputs`` maps graph-input names to fixed values; each named
+    input becomes a trace-time constant instead of a runtime argument
+    (it disappears from ``input_names``). This is the XLA-idiomatic
+    escape hatch for graphs that branch on a runtime flag: optimum's
+    *merged* generation decoder gates an ``If`` on a
+    ``use_cache_branch`` input whose branches return different cache
+    shapes — untraceable as data-dependent control flow, but frozen to
+    True/False the ``If`` folds statically and each value yields its own
+    specialized program (exactly the split decoder / decoder_with_past
+    pair, recovered from the single merged file)."""
     model_dir = None
     try:
         if isinstance(source, ModelProto):
@@ -160,6 +171,8 @@ def import_onnx(
     except Exception as e:  # noqa: BLE001 - any decode failure of untrusted
         # bytes (IndexError/KeyError/Unicode/Overflow/...) is a load error
         raise ModelLoadError(str(e)) from e
+    if freeze_inputs:
+        _freeze_graph_inputs(graph, tensors, freeze_inputs)
     if optimize:
         from .optimize import optimize_graph
 
@@ -190,6 +203,44 @@ def import_onnx(
     _validate_ops(imported)
     _validate_outputs(imported)
     return imported
+
+
+def _freeze_graph_inputs(graph, tensors, freeze_inputs) -> None:
+    """Turn named graph inputs into initializer-style constants.
+
+    Values are cast to the input's declared element type (and checked
+    against its static dims) before joining ``tensors`` — from there the
+    normal params/consts split applies, so scalar flags become
+    trace-time constants that fold ``If`` conditions and shape math."""
+    declared = {vi.name: vi for vi in graph.input}
+    for name, value in freeze_inputs.items():
+        if name in tensors:
+            raise ValueError(
+                f"freeze_inputs: {name!r} is an initializer, not a "
+                f"runtime graph input"
+            )
+        vi = declared.get(name)
+        if vi is None:
+            avail = [n for n in declared if n not in tensors]
+            raise ValueError(
+                f"freeze_inputs: {name!r} is not a graph input "
+                f"(inputs: {avail})"
+            )
+        arr = np.asarray(value)
+        tt = vi.type.tensor_type if vi.type is not None else None
+        if tt is not None and tt.elem_type in onnx_proto._DTYPE_TO_NUMPY:
+            arr = arr.astype(onnx_proto._DTYPE_TO_NUMPY[tt.elem_type])
+        want = _static_shape(vi)
+        if arr.ndim == 0 and len(want) == 1 and want[0] in (1, None):
+            arr = arr.reshape(1)  # python scalar for a [1]-shaped flag
+        if len(want) not in (0, arr.ndim) or any(
+            d is not None and d != a for d, a in zip(want, arr.shape)
+        ):
+            raise ValueError(
+                f"freeze_inputs: {name!r} declares shape {want}, got "
+                f"{list(arr.shape)}"
+            )
+        tensors[name] = arr
 
 
 def _static_shape(vi) -> List[Optional[int]]:

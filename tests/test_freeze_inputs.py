@@ -1,0 +1,117 @@
+"""import_onnx(freeze_inputs=...) — static specialization of flag inputs.
+
+The motivating file shape is optimum's *merged* generation decoder
+(``decoder_model_merged.onnx``): one ``If`` gated on a runtime
+``use_cache_branch`` input whose branches return DIFFERENT cache shapes.
+``lax.cond`` requires shape-equal branches, so the file is untraceable as
+data-dependent control flow — but frozen to a constant the ``If`` folds
+at trace time and each value yields its own specialized program, exactly
+the split decoder / decoder_with_past pair the merged file replaces.
+(Reference consumes the merged file via ORT's dynamic engine:
+/root/reference/src/classifier.rs:348-350.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from birdnet_tpu.compiler.importer import import_onnx, make_forward
+from birdnet_tpu.onnx import proto as P
+
+from test_contrib_ops import _model, _vi  # noqa: F401
+
+
+def _merged_decoder_like():
+    """If(use_cache): concat(past, x) along seq — else: x alone.
+
+    The two branches produce different output shapes, like optimum's
+    merged decoder cache branches.
+    """
+    then_g = P.GraphProto(
+        name="with_cache",
+        node=[P.make_node("Concat", ["past", "x"], ["out"], axis=1)],
+        output=[P.make_value_info("out", P.DataType.FLOAT, [2, 7])],
+    )
+    else_g = P.GraphProto(
+        name="no_cache",
+        node=[P.make_node("Identity", ["x"], ["out"])],
+        output=[P.make_value_info("out", P.DataType.FLOAT, [2, 3])],
+    )
+    node = P.make_node("If", ["use_cache_branch"], ["y"],
+                       then_branch=then_g, else_branch=else_g)
+    return _model(
+        [node],
+        [_vi("x", (2, 3)), _vi("use_cache_branch", (1,), P.DataType.BOOL),
+         _vi("past", (2, 4))],
+        [P.make_value_info("y", P.DataType.FLOAT, [])],  # dynamic shape
+        [],
+    )
+
+
+def test_freeze_folds_shape_divergent_if():
+    import jax
+
+    m = _merged_decoder_like()
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    past = np.arange(8, dtype=np.float32).reshape(2, 4)
+
+    cached = import_onnx(m, freeze_inputs={"use_cache_branch": True})
+    assert cached.input_names == ["x", "past"]
+    fwd = jax.jit(make_forward(cached, precision="fp32"))
+    (y,) = fwd(cached.params, x, past)
+    np.testing.assert_allclose(y, np.concatenate([past, x], axis=1))
+
+    fresh = import_onnx(m, freeze_inputs={"use_cache_branch": False})
+    fwd = jax.jit(make_forward(fresh, precision="fp32"))
+    # The no-cache program still takes the (ignored) past input.
+    (y,) = fwd(fresh.params, x, past)
+    np.testing.assert_allclose(y, x)
+
+
+def test_freeze_scalar_python_value_for_flag_shaped_input():
+    m = _merged_decoder_like()
+    frozen = import_onnx(m, freeze_inputs={"use_cache_branch": 1})
+    assert "use_cache_branch" not in frozen.input_names
+    assert frozen.consts["use_cache_branch"].shape == (1,)
+    assert frozen.consts["use_cache_branch"].dtype == np.bool_
+
+
+def test_freeze_unknown_and_initializer_names_reject():
+    m = _merged_decoder_like()
+    with pytest.raises(ValueError, match="not a graph input"):
+        import_onnx(m, freeze_inputs={"nope": True})
+
+    from test_contrib_ops import _tensor
+
+    m2 = _model(
+        [P.make_node("Add", ["x", "w"], ["y"])],
+        [_vi("x", (2,))], [_vi("y", (2,))],
+        [_tensor("w", np.ones(2, np.float32))],
+    )
+    with pytest.raises(ValueError, match="initializer"):
+        import_onnx(m2, freeze_inputs={"w": np.zeros(2, np.float32)})
+
+
+def test_freeze_shape_mismatch_rejects():
+    m = _merged_decoder_like()
+    with pytest.raises(ValueError, match="declares shape"):
+        import_onnx(m, freeze_inputs={"past": np.zeros((3, 4), np.float32)})
+
+
+def test_freeze_casts_to_declared_dtype_and_folds_shape_math():
+    """Freezing an int input lets downstream shape math fold (a Reshape
+    whose target arrives through the frozen input)."""
+    import jax
+
+    shape_in = _vi("shp", (2,), P.DataType.INT64)
+    node = P.make_node("Reshape", ["x", "shp"], ["y"])
+    m = _model([node], [_vi("x", (2, 6)), shape_in],
+               [P.make_value_info("y", P.DataType.FLOAT, [])], [])
+    frozen = import_onnx(m, freeze_inputs={"shp": [3, 4]})
+    assert frozen.consts["shp"].dtype == np.int64
+    fwd = jax.jit(make_forward(frozen, precision="fp32"))
+    x = np.arange(12, dtype=np.float32).reshape(2, 6)
+    (y,) = fwd(frozen.params, x)
+    assert y.shape == (3, 4)
+    np.testing.assert_allclose(y, x.reshape(3, 4))
