@@ -50,6 +50,13 @@ class ImportedModel:
     input_shapes: List[List[Optional[int]]] = field(default_factory=list)
     output_names: List[str] = field(default_factory=list)
     output_shapes: List[List[Optional[int]]] = field(default_factory=list)
+    # Scalar flag inputs whose only graph effect is gating ``If`` branches
+    # (optimum's merged-decoder ``use_cache_branch`` pattern). They stay in
+    # ``input_names`` — callers pass them like any other input — but
+    # ``make_forward`` dispatches on their concrete value to a per-value
+    # specialized program instead of tracing them (see
+    # ``_find_dispatch_inputs``).
+    dispatch_inputs: List[str] = field(default_factory=list)
 
     @property
     def num_outputs(self) -> int:
@@ -91,6 +98,7 @@ def split_params(tensors: Dict[str, np.ndarray]):
 def import_onnx(
     source: Union[str, bytes, ModelProto], optimize: bool = True,
     freeze_inputs: Optional[Dict[str, object]] = None,
+    auto_specialize: bool = True,
 ) -> ImportedModel:
     """Load an ONNX model from a path, serialized bytes, or ModelProto.
 
@@ -106,7 +114,15 @@ def import_onnx(
     shapes — untraceable as data-dependent control flow, but frozen to
     True/False the ``If`` folds statically and each value yields its own
     specialized program (exactly the split decoder / decoder_with_past
-    pair, recovered from the single merged file)."""
+    pair, recovered from the single merged file).
+
+    ``auto_specialize`` (default on) detects that pattern with **zero user
+    flags**: any scalar bool/int graph input whose only effect on the
+    graph is gating ``If`` conditions is recorded in ``dispatch_inputs``,
+    and ``make_forward`` then dispatches at call time on the flag's
+    concrete value to a per-value specialized program — the engine-level
+    behavior ORT gives the merged file (reference:
+    src/classifier.rs:348-350)."""
     model_dir = None
     try:
         if isinstance(source, ModelProto):
@@ -200,9 +216,111 @@ def import_onnx(
         output_names=output_names,
         output_shapes=output_shapes,
     )
+    if auto_specialize:
+        imported.dispatch_inputs = _find_dispatch_inputs(graph, input_names)
     _validate_ops(imported)
     _validate_outputs(imported)
     return imported
+
+
+# Value-preserving (or truthiness-preserving) unary ops through which a
+# dispatch flag may pass on its way to an ``If`` condition. Only input 0 is
+# the data path for each (Squeeze/Unsqueeze/Reshape carry axes/shape at
+# position 1, which must NOT be the flag).
+_DISPATCH_PASSTHROUGH = frozenset(
+    {"Cast", "Identity", "Not", "Squeeze", "Unsqueeze", "Reshape"}
+)
+# Element types a dispatch flag may declare (bool, or ints whose truthiness
+# gates the If after a Cast). Kept narrow: float flags are not a pattern any
+# exporter emits.
+_DISPATCH_ELEM_TYPES = frozenset(
+    {
+        onnx_proto.DataType.BOOL,
+        onnx_proto.DataType.UINT8,
+        onnx_proto.DataType.INT8,
+        onnx_proto.DataType.INT16,
+        onnx_proto.DataType.INT32,
+        onnx_proto.DataType.INT64,
+    }
+)
+
+
+def _find_dispatch_inputs(graph: GraphProto, input_names) -> List[str]:
+    """Detect merged-decoder style flag inputs.
+
+    A graph input qualifies when (a) it declares a bool/int element type
+    with an explicit scalar or ``[1]`` shape, and (b) every use of it —
+    across the top graph and all nested subgraphs, through chains of
+    value/truthiness-preserving unary ops — is as the *condition* of an
+    ``If`` node, with at least one such ``If`` present. For such a flag the
+    graph's outputs depend only on the flag's truthiness, so specializing
+    one program per value is exact (this is optimum's
+    ``decoder_model_merged.onnx`` ``use_cache_branch`` pattern, whose
+    shape-divergent ``If`` branches cannot lower to ``lax.cond``;
+    docs/onnx-compat.md "merged generation decoder")."""
+    out: List[str] = []
+    for vi in graph.input:
+        if vi.name not in input_names:
+            continue
+        tt = vi.type.tensor_type if vi.type is not None else None
+        if tt is None or tt.elem_type not in _DISPATCH_ELEM_TYPES:
+            continue
+        if tt.shape is None:
+            continue  # no declared shape: cannot prove it is a scalar flag
+        dims = _static_shape(vi)
+        if dims not in ([], [1]):
+            continue
+        if _flag_only_gates_if(graph, vi.name):
+            out.append(vi.name)
+    return out
+
+
+def _flag_only_gates_if(graph: GraphProto, flag: str) -> bool:
+    """True iff every use of ``flag`` (transitively through
+    ``_DISPATCH_PASSTHROUGH`` chains, including closure-captured uses inside
+    subgraphs) is an ``If`` condition, and at least one ``If`` consumes it.
+    Conservative: any other use, any graph/subgraph output exposing a
+    derived value, or any subgraph formal input shadowing one, disqualifies
+    the flag."""
+    derived = {flag}
+    found_if = [False]
+
+    def walk(g: GraphProto) -> bool:
+        if any(vi.name in derived for vi in g.output):
+            return False
+        for node in g.node:
+            used = [
+                i for i, inp in enumerate(node.input) if inp and inp in derived
+            ]
+            if used:
+                if node.op_type == "If" and used == [0]:
+                    found_if[0] = True
+                elif (
+                    node.op_type in _DISPATCH_PASSTHROUGH and used == [0]
+                ):
+                    derived.update(o for o in node.output if o)
+                else:
+                    return False
+            for sub in _node_subgraphs(node):
+                if any(vi.name in derived for vi in sub.input):
+                    return False  # formal input shadows a derived name
+                if not walk(sub):
+                    return False
+        # Re-check outputs: a passthrough inside this graph may have derived
+        # a name that is also this graph's output.
+        return not any(vi.name in derived for vi in g.output)
+
+    return walk(graph) and found_if[0]
+
+
+def _node_subgraphs(node):
+    for v in node.attrs.values():
+        if isinstance(v, GraphProto):
+            yield v
+        elif isinstance(v, (list, tuple)):
+            for item in v:
+                if isinstance(item, GraphProto):
+                    yield item
 
 
 def _freeze_graph_inputs(graph, tensors, freeze_inputs) -> None:
@@ -403,13 +521,34 @@ def make_forward(model: ImportedModel, precision: str = "fp32",
     ``disable_pallas_fusion``: lower fused-block nodes via their reference
     subgraphs (required under pjit/mesh sharding, where a pallas_call would
     not partition over the batch axis).
+
+    Models with ``dispatch_inputs`` (auto-detected merged-decoder flags,
+    see ``_find_dispatch_inputs``) return a *dispatching* forward: the full
+    input signature is unchanged, but when a flag argument is a concrete
+    host value the call routes to an internally-jitted program specialized
+    on that value (the If folds at trace time, so shape-divergent branches
+    — untraceable via ``lax.cond`` — each compile standalone). A traced
+    flag falls back to the ordinary single-program trace, preserving the
+    shape-equal-If jit path.
     """
+    _validate_ops(model)
+    base = _make_plain_forward(model, precision, disable_pallas_fusion)
+    if not model.dispatch_inputs:
+        return base
+    return _make_dispatching_forward(model, precision, disable_pallas_fusion, base)
+
+
+def _make_plain_forward(model: ImportedModel, precision: str,
+                        disable_pallas_fusion: bool, pinned=None):
+    """The single-program forward. ``pinned`` optionally maps input names to
+    trace-time constant values (specialization: those inputs are seeded into
+    the env instead of consumed from ``*inputs``)."""
     graph = model.graph
     opset = model.opset
     consts = model.consts
-    input_names = model.input_names
+    pinned = dict(pinned) if pinned else {}
+    input_names = [n for n in model.input_names if n not in pinned]
     output_names = model.output_names
-    _validate_ops(model)
 
     def forward(params: Dict[str, np.ndarray], *inputs):
         if len(inputs) != len(input_names):
@@ -420,8 +559,63 @@ def make_forward(model: ImportedModel, precision: str = "fp32",
         if disable_pallas_fusion:
             env[op_registry.NO_PALLAS_SENTINEL] = True
         env.update(params)
+        env.update(pinned)
         for name, x in zip(input_names, inputs):
             env[name] = x
         return interpret_graph(graph, opset, precision, env, output_names)
+
+    return forward
+
+
+def _make_dispatching_forward(model: ImportedModel, precision: str,
+                              disable_pallas_fusion: bool, base):
+    """Call-time dispatch over the flag inputs in ``model.dispatch_inputs``.
+
+    One specialized, internally-jitted program per observed flag
+    truthiness combination (for a qualifying flag the graph's outputs
+    depend only on truthiness — every use is an If condition through
+    value/truthiness-preserving chains — so keying the cache on the bool is
+    exact). This is how the engine consumes optimum's
+    ``decoder_model_merged.onnx`` with zero user flags, matching ORT's
+    acceptance of the file (reference: src/classifier.rs:348-350)."""
+    import jax
+
+    flag_names = list(model.dispatch_inputs)
+    flag_idx = [model.input_names.index(n) for n in flag_names]
+    flag_set = frozenset(flag_idx)
+    declared = {vi.name: vi for vi in model.graph.input}
+    cache: Dict[Tuple[bool, ...], object] = {}
+
+    def _canonical(name: str, truth: bool) -> np.ndarray:
+        vi = declared[name]
+        tt = vi.type.tensor_type
+        dt = onnx_proto._DTYPE_TO_NUMPY.get(tt.elem_type, np.dtype(np.bool_))
+        arr = np.asarray(1 if truth else 0, dtype=dt)
+        return arr.reshape(1) if _static_shape(vi) == [1] else arr
+
+    def _specialized(key: Tuple[bool, ...]):
+        fn = cache.get(key)
+        if fn is None:
+            pinned = {
+                n: _canonical(n, truth) for n, truth in zip(flag_names, key)
+            }
+            fn = jax.jit(
+                _make_plain_forward(model, precision, disable_pallas_fusion, pinned)
+            )
+            cache[key] = fn
+        return fn
+
+    def forward(params: Dict[str, np.ndarray], *inputs):
+        if len(inputs) != len(model.input_names):
+            raise ValueError(
+                f"model expects {len(model.input_names)} inputs, got "
+                f"{len(inputs)}"
+            )
+        flags = [inputs[i] for i in flag_idx]
+        if any(isinstance(f, jax.core.Tracer) for f in flags):
+            return base(params, *inputs)
+        key = tuple(bool(np.asarray(f).reshape(-1)[0]) for f in flags)
+        rest = tuple(x for i, x in enumerate(inputs) if i not in flag_set)
+        return _specialized(key)(params, *rest)
 
     return forward

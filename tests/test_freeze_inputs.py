@@ -99,6 +99,113 @@ def test_freeze_shape_mismatch_rejects():
         import_onnx(m, freeze_inputs={"past": np.zeros((3, 4), np.float32)})
 
 
+# ---------------------------------------------------------------------------
+# Auto-specialization: the merged file loads with ZERO user flags.
+# import_onnx detects scalar flag inputs whose only effect is gating If
+# conditions (dispatch_inputs) and make_forward dispatches at call time on
+# the concrete flag value to per-value specialized programs — the
+# engine-level behavior ORT gives decoder_model_merged.onnx
+# (reference: src/classifier.rs:348-350). The GPT-2 merged-vs-split-pair
+# per-step parity test lives in test_kv_cache_decode.py (torch-gated).
+# ---------------------------------------------------------------------------
+
+
+def test_auto_specialize_detects_flag_and_dispatches_both_values():
+    m = _merged_decoder_like()
+    im = import_onnx(m)
+    assert im.dispatch_inputs == ["use_cache_branch"]
+    # the flag STAYS a runtime input — the caller passes it like ORT
+    assert im.input_names == ["x", "use_cache_branch", "past"]
+
+    fwd = make_forward(im, precision="fp32")
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    past = np.arange(8, dtype=np.float32).reshape(2, 4)
+    (y,) = fwd(im.params, x, np.array([True]), past)
+    np.testing.assert_allclose(np.asarray(y), np.concatenate([past, x], axis=1))
+    (y,) = fwd(im.params, x, np.array([False]), past)
+    np.testing.assert_allclose(np.asarray(y), x)
+    # python scalars / ints dispatch too
+    (y,) = fwd(im.params, x, 1, past)
+    assert np.asarray(y).shape == (2, 7)
+
+
+def test_auto_specialize_flag_through_cast_not_chain():
+    """An int32 flag reaching the If through Cast→Not still qualifies
+    (truthiness-preserving/flipping unary chain)."""
+    import jax
+
+    then_g = P.GraphProto(
+        name="t", node=[P.make_node("Identity", ["x"], ["o"])],
+        output=[P.make_value_info("o", P.DataType.FLOAT, [2])],
+    )
+    else_g = P.GraphProto(
+        name="e",
+        node=[P.make_node("Neg", ["x"], ["o"])],
+        output=[P.make_value_info("o", P.DataType.FLOAT, [2])],
+    )
+    nodes = [
+        P.make_node("Cast", ["flag"], ["fb"], to=P.DataType.BOOL),
+        P.make_node("Not", ["fb"], ["nf"]),
+        P.make_node("If", ["nf"], ["y"], then_branch=then_g, else_branch=else_g),
+    ]
+    m = _model(
+        nodes,
+        [_vi("x", (2,)), _vi("flag", (), P.DataType.INT32)],
+        [P.make_value_info("y", P.DataType.FLOAT, [2])], [],
+    )
+    im = import_onnx(m)
+    assert im.dispatch_inputs == ["flag"]
+    fwd = make_forward(im, precision="fp32")
+    x = np.array([1.0, -2.0], np.float32)
+    (y,) = fwd(im.params, x, np.int32(0))  # Not(False) → then → identity
+    np.testing.assert_allclose(np.asarray(y), x)
+    (y,) = fwd(im.params, x, np.int32(7))  # Not(True) → else → neg
+    np.testing.assert_allclose(np.asarray(y), -x)
+    # a traced flag falls back to the single-program lax.cond path
+    jfwd = jax.jit(make_forward(im, precision="fp32"))
+    (y,) = jfwd(im.params, x, np.int32(0))
+    np.testing.assert_allclose(np.asarray(y), x)
+
+
+def test_auto_specialize_rejects_flags_with_data_uses():
+    """A bool input that ALSO feeds a non-If op (Where) must not be
+    specialized — its value participates in real data flow."""
+    then_g = P.GraphProto(
+        name="t", node=[P.make_node("Identity", ["x"], ["o"])],
+        output=[P.make_value_info("o", P.DataType.FLOAT, [1])],
+    )
+    else_g = P.GraphProto(
+        name="e", node=[P.make_node("Neg", ["x"], ["o"])],
+        output=[P.make_value_info("o", P.DataType.FLOAT, [1])],
+    )
+    nodes = [
+        P.make_node("If", ["flag"], ["a"], then_branch=then_g,
+                    else_branch=else_g),
+        P.make_node("Where", ["flag", "a", "x"], ["y"]),
+    ]
+    m = _model(
+        nodes, [_vi("x", (1,)), _vi("flag", (1,), P.DataType.BOOL)],
+        [P.make_value_info("y", P.DataType.FLOAT, [1])], [],
+    )
+    assert import_onnx(m).dispatch_inputs == []
+
+
+def test_auto_specialize_rejects_flag_exposed_as_output():
+    m = _merged_decoder_like()
+    m.graph.output.append(
+        P.make_value_info("use_cache_branch", P.DataType.BOOL, [1])
+    )
+    assert import_onnx(m).dispatch_inputs == []
+
+
+def test_auto_specialize_opt_out_and_freeze_interplay():
+    m = _merged_decoder_like()
+    assert import_onnx(m, auto_specialize=False).dispatch_inputs == []
+    # freezing the flag removes it from inputs; nothing left to dispatch on
+    frozen = import_onnx(m, freeze_inputs={"use_cache_branch": True})
+    assert frozen.dispatch_inputs == []
+
+
 def test_freeze_casts_to_declared_dtype_and_folds_shape_math():
     """Freezing an int input lets downstream shape math fold (a Reshape
     whose target arrives through the frozen input)."""
