@@ -1020,12 +1020,19 @@ def run_with_args(args: argparse.Namespace) -> int:
 
 
 def main(argv=None) -> int:
+    from .utils.logfilter import filter_native_stderr
+
     args = build_parser().parse_args(argv)
-    try:
-        return run_with_args(args)
-    except BirdnetError as e:
-        print(f"Error: {e}", file=sys.stderr)
-        return 1
+    # Drop XLA's cosmetic cpu_aot_loader pseudo-feature "SIGILL" lines
+    # (emitted on every persistent-cache load on CPU) so the first screen
+    # stays clean like the reference CLI's
+    # (reference: src/bin/birdnet-analyze.rs:621-647).
+    with filter_native_stderr():
+        try:
+            return run_with_args(args)
+        except BirdnetError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
 
 
 if __name__ == "__main__":

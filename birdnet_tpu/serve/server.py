@@ -723,6 +723,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ..utils.logfilter import filter_native_stderr
+
+    # Same cosmetic-log suppression as the CLI (cpu_aot_loader
+    # pseudo-feature lines on every persistent-cache load).
+    with filter_native_stderr():
+        return _main(argv)
+
+
+def _main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.provider == "cpu":
         # Honor an explicit CPU request on accelerator hosts (same as the

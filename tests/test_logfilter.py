@@ -1,0 +1,109 @@
+"""Native-stderr log filter (utils/logfilter.py).
+
+XLA's CPU AOT loader prints a cosmetic multi-kilobyte pseudo-feature
+"SIGILL" line on every persistent-cache load (cpu_aot_loader.cc:210);
+the CLI/serve entry points drop exactly those lines at the fd level so
+the first screen matches the reference CLI's clean output
+(reference: src/bin/birdnet-analyze.rs:621-647).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import threading
+
+from birdnet_tpu.utils.logfilter import (
+    _SCAN_BYTES,
+    _pump_filter,
+    filter_native_stderr,
+)
+
+
+def _run_pump(payload: bytes, substrings=(b"cpu_aot_loader.cc",),
+              chunks=None) -> bytes:
+    """Drive _pump_filter over a pipe pair, feeding ``payload`` (optionally
+    split into ``chunks`` writes) and returning the filtered output."""
+    r_in, w_in = os.pipe()
+    r_out, w_out = os.pipe()
+    out = []
+
+    def collect():
+        while True:
+            b = os.read(r_out, 65536)
+            if not b:
+                break
+            out.append(b)
+
+    t_pump = threading.Thread(
+        target=_pump_filter, args=(r_in, w_out, tuple(substrings))
+    )
+    t_coll = threading.Thread(target=collect)
+    t_pump.start()
+    t_coll.start()
+    for part in (chunks if chunks is not None else [payload]):
+        os.write(w_in, part)
+    os.close(w_in)
+    t_pump.join(timeout=10)
+    os.close(w_out)
+    t_coll.join(timeout=10)
+    os.close(r_out)
+    return b"".join(out)
+
+
+def test_drops_matching_lines_keeps_others():
+    fake_warn = (
+        b"E0820 13:14:01.030761  8068 cpu_aot_loader.cc:210] Loading "
+        b"XLA:CPU AOT result. " + b"x" * 3000 + b"\n"
+    )
+    payload = b"hello\n" + fake_warn + b"world\n"
+    assert _run_pump(payload) == b"hello\nworld\n"
+
+
+def test_long_matching_line_dropped_across_chunk_boundaries():
+    warn = (
+        b"E0820 cpu_aot_loader.cc:210] giant feature list " + b"f" * 5000
+        + b"\n"
+    )
+    chunks = [warn[:100], warn[100:3000], warn[3000:], b"kept\n"]
+    assert _run_pump(b"".join(chunks), chunks=chunks) == b"kept\n"
+
+
+def test_long_clean_line_streams_through_unbuffered():
+    line = b"data: " + b"y" * (4 * _SCAN_BYTES) + b"\n"
+    assert _run_pump(b"before\n" + line + b"after\n") == (
+        b"before\n" + line + b"after\n"
+    )
+
+
+def test_partial_line_without_newline_flushes_at_eof():
+    assert _run_pump(b"no trailing newline") == b"no trailing newline"
+    assert _run_pump(b"cpu_aot_loader.cc partial, dropped") == b""
+
+
+def test_filter_native_stderr_end_to_end_subprocess():
+    """The real context manager around native-style fd-2 writes: matching
+    lines vanish, everything else (including Python sys.stderr) survives,
+    and fd 2 is restored afterwards."""
+    code = r"""
+import os, sys
+from birdnet_tpu.utils.logfilter import filter_native_stderr
+with filter_native_stderr():
+    os.write(2, b"E0820 cpu_aot_loader.cc:210] cosmetic " + b"z"*2000 + b"\n")
+    os.write(2, b"native kept line\n")
+    print("python kept line", file=sys.stderr)
+print("after restore", file=sys.stderr)
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=120,
+    )
+    err = proc.stderr.decode()
+    assert proc.returncode == 0, err
+    assert "cpu_aot_loader" not in err
+    assert "native kept line" in err
+    assert "python kept line" in err
+    assert "after restore" in err
