@@ -76,22 +76,62 @@ class ShardedEngine:
             raise InferenceError(
                 f"tile {self.tile} not divisible by data-axis size {self.dp}"
             )
-        self._forward = make_forward(imported, precision=precision,
-                                     disable_pallas_fusion=True)
         self.logits_index, self.embed_index = demux_indices(config.model_type)
 
-        specs = param_specs(imported.params, config, model_axis, mesh.shape[model_axis])
+        # Species-pad the head so it TP-shards even when num_species
+        # doesn't divide the model axis (Perch v2's 14,795 classes; see
+        # sharding._species_pad_model — pad logits are masked out of top-K
+        # and sliced off returned raw scores; the forward is built from
+        # the padded model so per-class consts stay shape-consistent).
+        from .sharding import _species_pad_model
+
+        padded_model, self._n_padded = _species_pad_model(
+            imported, config, mesh.shape[model_axis]
+        )
+        self._forward = make_forward(padded_model, precision=precision,
+                                     disable_pallas_fusion=True)
+        specs = param_specs(
+            padded_model.params, config, model_axis, mesh.shape[model_axis],
+            num_species=self._n_padded,
+        )
         self._param_shardings = {
             name: NamedSharding(mesh, spec) for name, spec in specs.items()
         }
         self.params = {
             name: jax.device_put(p, self._param_shardings[name])
-            for name, p in imported.params.items()
+            for name, p in padded_model.params.items()
         }
         self._replicated = NamedSharding(mesh, P())
         self._batch_sharded = NamedSharding(mesh, P(data_axis, None))
         self._compiled: Dict[Tuple, object] = {}
         self._lock = threading.Lock()
+
+    # -- species-padded head helpers ---------------------------------------
+
+    def _selection_mask(self):
+        """Build-time species mask, extended with False over head pad
+        positions (pad logits must never enter top-K selection)."""
+        n = self.config.num_species
+        if self._n_padded == n:
+            return (
+                None if self.species_mask is None
+                else jnp.asarray(self.species_mask)
+            )
+        keep = np.zeros(self._n_padded, dtype=bool)
+        keep[:n] = True if self.species_mask is None else self.species_mask
+        return jnp.asarray(keep)
+
+    def _pad_row_mask(self, row_mask):
+        """Extend a runtime candidate mask ([B, N] or [N]) with False over
+        the head pad positions."""
+        if row_mask is None or self._n_padded == self.config.num_species:
+            return row_mask
+        pad_shape = row_mask.shape[:-1] + (
+            self._n_padded - self.config.num_species,
+        )
+        return jnp.concatenate(
+            [row_mask, jnp.zeros(pad_shape, dtype=bool)], axis=-1
+        )
 
     # -- batched path (InferenceEngine-compatible) -------------------------
 
@@ -120,22 +160,26 @@ class ShardedEngine:
             if fn is not None:
                 return fn
             k = self.top_k
+            n = self.config.num_species
+            n_padded = self._n_padded
             forward = self._forward
             logits_index = self.logits_index
             embed_index = self.embed_index if with_embeddings else None
-            mask = (
-                None if self.species_mask is None
-                else jnp.asarray(self.species_mask)
-            )
+            mask = self._selection_mask()
+            pad_row_mask = self._pad_row_mask
             from ..ops.topk import fused_sigmoid_topk
 
             def finish(outs, row_mask):
                 logits = outs[logits_index]
                 if k > 0:
-                    conf, idx = fused_sigmoid_topk(logits, k, mask, row_mask)
+                    conf, idx = fused_sigmoid_topk(
+                        logits, k, mask, pad_row_mask(row_mask)
+                    )
                 else:
                     conf = jnp.zeros((logits.shape[0], 0), logits.dtype)
                     idx = jnp.zeros((logits.shape[0], 0), jnp.int32)
+                if n_padded != n:
+                    logits = logits[:, :n]
                 emb = outs[embed_index] if embed_index is not None else None
                 return conf, idx, logits, emb
 
@@ -266,13 +310,13 @@ class ShardedEngine:
             logits_index = self.logits_index
             embed_index = self.embed_index if with_embeddings else None
             batch_sharded = self._batch_sharded
-            mask = (
-                None if self.species_mask is None
-                else jnp.asarray(self.species_mask)
-            )
+            mask = self._selection_mask()
+            pad_row_mask = self._pad_row_mask
             from ..ops.topk import fused_sigmoid_topk
 
             def run(params, audio, run_mask):
+                run_mask = pad_row_mask(run_mask)
+
                 def body(_, tile_idx):
                     # Framing/scale/cast inside the body (see
                     # compiler/stream.py for the fusion rationale).

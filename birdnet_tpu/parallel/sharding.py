@@ -56,6 +56,7 @@ def param_specs(
     model_axis: str = "model",
     model_size: Optional[int] = None,
     mesh: Optional[Mesh] = None,
+    num_species: Optional[int] = None,
 ) -> Dict[str, P]:
     """Partition specs per parameter: head weights shard over ``model_axis``
     (dimension matching ``num_species``), everything else replicated.
@@ -63,10 +64,12 @@ def param_specs(
     ``model_size`` (or ``mesh``, from which it is derived): the mesh's
     model-axis extent — dims that don't divide it evenly stay replicated
     (e.g. 6,522 species over a 4-way axis). Without either, specs are
-    emitted unguarded; prefer passing the mesh."""
+    emitted unguarded; prefer passing the mesh. ``num_species`` overrides
+    the species-dim extent to match (used by the sharded programs after
+    ``_species_pad`` rounds the head up to a divisible width)."""
     if model_size is None and mesh is not None:
         model_size = mesh.shape.get(model_axis)
-    n = config.num_species
+    n = num_species if num_species is not None else config.num_species
 
     def fits(dim: int) -> bool:
         return model_size is None or dim % model_size == 0
@@ -84,6 +87,63 @@ def param_specs(
     return specs
 
 
+def _species_pad(
+    params: Dict[str, np.ndarray], config: ModelConfig, model_size: int,
+    floats_only: bool = False,
+) -> Tuple[Dict[str, np.ndarray], int]:
+    """Zero-pad species-dim params so the classifier head TP-shards even
+    when ``num_species`` doesn't divide the model axis (Perch v2's 14,795
+    classes over any power-of-two axis; JAX NamedSharding requires exact
+    divisibility). Exact by construction for the supported families: the
+    species axis is *terminal* (it exists only as the output dim of the
+    head matmul / its bias / per-class vectors), so zero pad columns add
+    new logit positions without touching real ones; the sharded programs
+    mask pad positions to -inf before top-K and slice them off returned
+    logits. Returns (padded params, padded species extent)."""
+    n = config.num_species
+    if model_size is None or model_size <= 1 or n % model_size == 0:
+        return params, n
+    pad = -n % model_size
+    out = dict(params)
+    for name, p in params.items():
+        if floats_only and not np.issubdtype(p.dtype, np.floating):
+            continue  # integer consts (axes/shapes/indices) must not pad
+        if p.ndim == 2 and p.shape[0] == n:
+            out[name] = np.concatenate(
+                [p, np.zeros((pad, p.shape[1]), p.dtype)], axis=0
+            )
+        elif p.ndim == 2 and p.shape[1] == n:
+            out[name] = np.concatenate(
+                [p, np.zeros((p.shape[0], pad), p.dtype)], axis=1
+            )
+        elif p.ndim == 1 and p.shape[0] == n:
+            out[name] = np.concatenate([p, np.zeros((pad,), p.dtype)])
+    return out, n + pad
+
+
+def _species_pad_model(imported, config: ModelConfig, model_size: int):
+    """Species-pad an ImportedModel for head TP: pads the species dim in
+    ``params`` AND in float ``consts`` (tiny per-class vectors — e.g. a
+    10-species test head's bias — fall below the importer's param-size
+    floor and live in consts; an unpadded per-class const against a padded
+    head weight would break the trace). Integer consts are never padded
+    (axes/shape/index tensors). Returns (padded ImportedModel clone or the
+    original when no padding is needed, padded species extent)."""
+    import dataclasses
+
+    n = config.num_species
+    if model_size is None or model_size <= 1 or n % model_size == 0:
+        return imported, n
+    params, n_padded = _species_pad(imported.params, config, model_size)
+    consts, _ = _species_pad(
+        imported.consts, config, model_size, floats_only=True
+    )
+    return (
+        dataclasses.replace(imported, params=params, consts=consts),
+        n_padded,
+    )
+
+
 def shard_params(params, config: ModelConfig, mesh: Mesh, model_axis: str = "model"):
     """Place params on the mesh with head-TP sharding."""
     specs = param_specs(params, config, model_axis, mesh.shape[model_axis])
@@ -91,6 +151,42 @@ def shard_params(params, config: ModelConfig, mesh: Mesh, model_axis: str = "mod
         name: jax.device_put(p, NamedSharding(mesh, specs[name]))
         for name, p in params.items()
     }
+
+
+def _head_partition(imported, config: ModelConfig, mesh: Mesh,
+                    model_axis: str, species_mask):
+    """Shared head-TP setup for the sharded programs: species-pad the
+    model to a model-axis-divisible head width, derive per-param
+    NamedShardings on the padded shapes, and fold the pad positions into
+    the top-K candidate mask (pad logits must never win selection).
+    Returns (padded_model, pad_fn, params_shardings, mask, n_padded);
+    build the forward from ``padded_model`` (its consts are padded too)."""
+    n = config.num_species
+    model_size = mesh.shape[model_axis]
+    padded_model, n_padded = _species_pad_model(imported, config, model_size)
+    p_specs = param_specs(
+        padded_model.params, config, model_axis, model_size,
+        num_species=n_padded,
+    )
+    params_shardings = {
+        name: NamedSharding(mesh, spec) for name, spec in p_specs.items()
+    }
+    if n_padded != n:
+        keep = np.zeros(n_padded, dtype=bool)
+        keep[:n] = True if species_mask is None else np.asarray(
+            species_mask, bool
+        )
+        mask = jnp.asarray(keep)
+    else:
+        mask = None if species_mask is None else jnp.asarray(
+            species_mask, bool
+        )
+
+    def pad_fn(params):
+        padded, _ = _species_pad(params, config, model_size)
+        return padded
+
+    return padded_model, pad_fn, params_shardings, mask, n_padded
 
 
 def make_sharded_program(
@@ -102,34 +198,45 @@ def make_sharded_program(
     data_axis: str = "data",
     model_axis: str = "model",
     species_mask=None,
+    with_embeddings: bool = False,
 ):
     """Build the jitted multi-chip inference step.
 
     Returns ``(fn, shard_inputs)`` where ``fn(params, x)`` maps a
     batch-sharded ``[B, S]`` to (confidences ``[B, K]``, indices ``[B, K]``,
-    logits ``[B, N]``) and ``shard_inputs(params, x)`` places values onto the
-    mesh. B must be divisible by the ``data`` axis size.
+    logits ``[B, N]``) — plus embeddings ``[B, E]`` when
+    ``with_embeddings`` and the family has them (v3.0 at output 0, Perch
+    v2's 4-output demux; reference: src/classifier.rs:914-950) — and
+    ``shard_inputs(params, x)`` places values onto the mesh. B must be
+    divisible by the ``data`` axis size.
+
+    When ``num_species`` doesn't divide the model axis (Perch's 14,795)
+    the head is zero-padded to a divisible width (``_species_pad``): pad
+    positions are masked out of top-K and sliced off the returned logits,
+    which then gather over the model axis instead of staying sharded.
     """
     from ..compiler.importer import make_forward
     from .._demux import demux_indices
 
-    forward = make_forward(imported, precision=precision,
-                           disable_pallas_fusion=True)
-    logits_index, _ = demux_indices(config.model_type)
-    k = max(0, min(top_k, config.num_species))
+    logits_index, embed_index = demux_indices(config.model_type)
+    emit_emb = with_embeddings and embed_index is not None
+    n = config.num_species
+    k = max(0, min(top_k, n))
 
-    p_specs = param_specs(imported.params, config, model_axis, mesh.shape[model_axis])
-    x_sharding = NamedSharding(mesh, P(data_axis, None))
-    params_shardings = {
-        name: NamedSharding(mesh, spec) for name, spec in p_specs.items()
-    }
-    out_shardings = (
-        NamedSharding(mesh, P(data_axis, None)),  # conf
-        NamedSharding(mesh, P(data_axis, None)),  # idx
-        NamedSharding(mesh, P(data_axis, model_axis)),  # logits stay sharded
+    padded_model, pad_fn, params_shardings, mask, n_padded = _head_partition(
+        imported, config, mesh, model_axis, species_mask
     )
-
-    mask = None if species_mask is None else jnp.asarray(species_mask, bool)
+    forward = make_forward(padded_model, precision=precision,
+                           disable_pallas_fusion=True)
+    x_sharding = NamedSharding(mesh, P(data_axis, None))
+    batch_sharded = NamedSharding(mesh, P(data_axis, None))
+    logits_sharding = (
+        batch_sharded if n_padded != n
+        else NamedSharding(mesh, P(data_axis, model_axis))
+    )
+    out_shardings = (batch_sharded, batch_sharded, logits_sharding)
+    if emit_emb:
+        out_shardings = out_shardings + (batch_sharded,)
 
     def program(params, x):
         from ..ops.topk import fused_sigmoid_topk
@@ -137,6 +244,10 @@ def make_sharded_program(
         outs = forward(params, x)
         logits = outs[logits_index]
         conf, idx = fused_sigmoid_topk(logits, k, mask)
+        if n_padded != n:
+            logits = logits[:, :n]
+        if emit_emb:
+            return conf, idx, logits, outs[embed_index]
         return conf, idx, logits
 
     fn = jax.jit(
@@ -148,7 +259,7 @@ def make_sharded_program(
     def shard_inputs(params, x):
         sharded_params = {
             name: jax.device_put(p, params_shardings[name])
-            for name, p in params.items()
+            for name, p in pad_fn(params).items()
         }
         return sharded_params, jax.device_put(jnp.asarray(x), x_sharding)
 
@@ -187,20 +298,17 @@ def make_sharded_stream_program(
     from ..compiler.importer import make_forward
     from .._demux import demux_indices
 
-    forward = make_forward(imported, precision=precision,
-                           disable_pallas_fusion=True)
     logits_index, _ = demux_indices(config.model_type)
     k = max(1, min(top_k, config.num_species))
     S = config.sample_count
 
-    p_specs = param_specs(imported.params, config, model_axis, mesh.shape[model_axis])
-    params_shardings = {
-        name: NamedSharding(mesh, spec) for name, spec in p_specs.items()
-    }
+    padded_model, pad_fn, params_shardings, mask, _n_padded = _head_partition(
+        imported, config, mesh, model_axis, species_mask
+    )
+    forward = make_forward(padded_model, precision=precision,
+                           disable_pallas_fusion=True)
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(data_axis, None))
-
-    mask = None if species_mask is None else jnp.asarray(species_mask, bool)
 
     def program(params, audio):
         from ..compiler.stream import frame_tile, prepare_frames
@@ -230,7 +338,7 @@ def make_sharded_stream_program(
 
         sharded_params = {
             name: jax.device_put(p, params_shardings[name])
-            for name, p in params.items()
+            for name, p in pad_fn(params).items()
         }
         audio = np.asarray(audio)
         need = (n_tiles * tile - 1) * step + S

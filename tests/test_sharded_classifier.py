@@ -120,3 +120,42 @@ def test_serving_tier_on_mesh(single, sharded):
         assert [p.index for p in a.predictions] == [
             p.index for p in c.predictions
         ]
+
+
+def test_perch_real_head_width_on_mesh(tmp_path):
+    """Perch v2 with the REAL 14,795-class head through the production
+    classifier mesh path: the head TP-shards via species padding
+    (14,795 % 4 != 0 → padded to 14,796) and predictions match the
+    single-device classifier exactly (reference: src/classifier.rs:929-934,
+    detection.rs:217-231)."""
+    from birdnet_tpu.models import perch_v2
+    from birdnet_tpu.onnx import proto as P
+
+    p = tmp_path / "perch_real_head.onnx"
+    model = perch_v2.build_model(
+        width=0.1, depth=1, num_species=14795, embedding_dim=40
+    )
+    p.write_bytes(P.encode_model(model))
+    labels = [f"sp_{i}" for i in range(14795)]
+
+    single = (
+        Classifier.builder().model_path(p).labels(labels).top_k(5).build()
+    )
+    sharded = (
+        Classifier.builder().model_path(p).labels(labels).top_k(5)
+        .with_mesh(make_mesh(shape=(2, 4))).build()
+    )
+    from birdnet_tpu.types import ModelType
+
+    seg = sine_segment(model_type=ModelType.PERCH_V2)
+    a = single.predict(seg)
+    b = sharded.predict(seg)
+    assert [x.index for x in a.predictions] == [x.index for x in b.predictions]
+    np.testing.assert_allclose(
+        a.raw_scores, b.raw_scores, rtol=1e-4, atol=1e-5
+    )
+    assert len(b.raw_scores) == 14795
+    assert b.embeddings.shape == (40,)
+    np.testing.assert_allclose(
+        a.embeddings, b.embeddings, rtol=1e-4, atol=1e-5
+    )

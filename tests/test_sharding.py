@@ -21,6 +21,57 @@ def tiny_v24():
     return imp, cfg
 
 
+@pytest.fixture(scope="module")
+def tiny_v30():
+    """BirdNET v3.0: dual output [embeddings, logits] (logits at 1)."""
+    from birdnet_tpu.models import birdnet_v30
+
+    imp = import_onnx(
+        P.encode_model(
+            birdnet_v30.build_model(
+                width=0.1, depth=1, num_species=24, embedding_dim=16
+            )
+        )
+    )
+    cfg = detect_model_type(*imp.detection_shapes())
+    return imp, cfg
+
+
+@pytest.fixture(scope="module")
+def tiny_perch():
+    """Perch v2 at the REAL 14,795-class head width (random weights, tiny
+    backbone): 4-output demux (logits at index 3), variable embedding dim
+    (40 here — shape-driven, not the published 1536). 14,795 divides no
+    power-of-two model axis, so this fixture exercises the _species_pad
+    head-TP path end-to-end (reference: src/classifier.rs:929-934,
+    detection.rs:217-231)."""
+    from birdnet_tpu.models import perch_v2
+
+    imp = import_onnx(
+        P.encode_model(
+            perch_v2.build_model(
+                width=0.1, depth=1, num_species=14795, embedding_dim=40
+            )
+        )
+    )
+    cfg = detect_model_type(*imp.detection_shapes())
+    assert cfg.num_species == 14795
+    return imp, cfg
+
+
+def _single_device_oracle(imp, cfg, x, k):
+    from birdnet_tpu._demux import demux_indices
+    from birdnet_tpu.compiler.importer import make_forward
+
+    li, ei = demux_indices(cfg.model_type)
+    outs = jax.jit(make_forward(imp))(imp.params, x)
+    logits = np.asarray(outs[li])
+    idx = np.argsort(logits, axis=1)[:, ::-1][:, :k]
+    conf = 1.0 / (1.0 + np.exp(-np.take_along_axis(logits, idx, 1)))
+    emb = np.asarray(outs[ei]) if ei is not None else None
+    return logits, idx, conf, emb
+
+
 def test_virtual_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
@@ -123,3 +174,146 @@ def test_sharded_program_collectives_on_device_mesh(tiny_v24):
     jax.block_until_ready(logits)
     # logits sharded over (data, model)
     assert len(logits.sharding.device_set) == 8
+
+
+# ---------------------------------------------------------------------------
+# Family coverage beyond v2.4: dual-output v3.0 and 4-output Perch v2 at the
+# real 14,795-class head width (round-3 verdict item 3 — the TP assignment
+# had only ever seen single-output graphs).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_sharded_v30_dual_output_parity(tiny_v30, shape):
+    """v3.0: embeddings at output 0, logits at 1 — the sharded program must
+    demux the right output and return batch-sharded embeddings."""
+    imp, cfg = tiny_v30
+    mesh = make_mesh(shape=shape)
+    fn, shard_inputs = make_sharded_program(
+        imp, cfg, mesh, top_k=5, with_embeddings=True
+    )
+    batch = shape[0] * 2
+    x = np.random.default_rng(3).normal(
+        size=(batch, cfg.sample_count)
+    ).astype(np.float32)
+    params, xs = shard_inputs(imp.params, x)
+    conf, idx, logits, emb = fn(params, xs)
+    assert emb.shape == (batch, 16)
+
+    ref_logits, ref_idx, ref_conf, ref_emb = _single_device_oracle(
+        imp, cfg, x, 5
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_logits, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(
+        np.asarray(conf), ref_conf, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(emb), ref_emb, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_perch_real_head_width_tp(tiny_perch):
+    """Perch v2, 14,795 classes over a 4-way model axis: the head is
+    zero-padded to 14,796 for TP, pad positions never enter top-K, and
+    returned logits slice back to 14,795 — exact index parity and logits
+    allclose vs the unsharded single-device run."""
+    imp, cfg = tiny_perch
+    mesh = make_mesh(shape=(2, 4))
+    fn, shard_inputs = make_sharded_program(
+        imp, cfg, mesh, top_k=5, with_embeddings=True
+    )
+    batch = 4
+    x = np.random.default_rng(4).normal(
+        size=(batch, cfg.sample_count)
+    ).astype(np.float32)
+    params, xs = shard_inputs(imp.params, x)
+    # the head weight must actually be TP-sharded (padded to 14,796)
+    head = [
+        name for name, p in params.items()
+        if any(d in (14795, 14796) for d in p.shape)
+    ]
+    assert head, "no head params found"
+    sharded_head = [
+        name for name in head
+        if "model" in tuple(params[name].sharding.spec)
+    ]
+    assert sharded_head, "real-width head did not TP-shard"
+    for name in sharded_head:
+        assert 14796 in params[name].shape  # padded, divisible by 4
+
+    conf, idx, logits, emb = fn(params, xs)
+    assert logits.shape == (batch, 14795)
+    assert emb.shape == (batch, 40)
+    assert int(np.asarray(idx).max()) < 14795  # pad positions never win
+
+    ref_logits, ref_idx, ref_conf, ref_emb = _single_device_oracle(
+        imp, cfg, x, 5
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_logits, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(
+        np.asarray(conf), ref_conf, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(emb), ref_emb, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_perch_stream_real_head(tiny_perch):
+    """The streaming program through the same padded-head path."""
+    from birdnet_tpu.parallel import make_sharded_stream_program
+
+    imp, cfg = tiny_perch
+    mesh = make_mesh(shape=(2, 4))
+    tile, n_tiles = 4, 2
+    fn, shard_inputs = make_sharded_stream_program(
+        imp, cfg, mesh, n_tiles=n_tiles, step=cfg.sample_count, tile=tile,
+        top_k=3,
+    )
+    n_seg = n_tiles * tile
+    audio = (
+        np.random.default_rng(5).normal(size=n_seg * cfg.sample_count) * 3000
+    ).astype(np.int16)
+    params, audio_d = shard_inputs(imp.params, audio)
+    conf, idx = fn(params, audio_d)
+    assert conf.shape == (n_seg, 3)
+    assert int(np.asarray(idx).max()) < 14795
+
+    frames = (
+        audio.reshape(n_seg, cfg.sample_count).astype(np.float32)
+        * (1.0 / 32768.0)
+    )
+    _, ref_idx, ref_conf, _ = _single_device_oracle(imp, cfg, frames, 3)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(
+        np.asarray(conf), ref_conf, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_species_pad_helper():
+    from birdnet_tpu.parallel.sharding import _species_pad
+    from birdnet_tpu.types import ModelType
+
+    cfg = detect_model_type([1, 144000], [[1, 15]])
+    params = {
+        "head_w": np.ones((8, 15), np.float32),
+        "head_wT": np.ones((15, 8), np.float32),
+        "head_b": np.arange(15, dtype=np.float32),
+        "conv": np.ones((4, 4, 3, 3), np.float32),
+    }
+    padded, n_pad = _species_pad(params, cfg, 4)
+    assert n_pad == 16
+    assert padded["head_w"].shape == (8, 16)
+    assert padded["head_wT"].shape == (16, 8)
+    assert padded["head_b"].shape == (16,)
+    assert padded["conv"].shape == (4, 4, 3, 3)
+    np.testing.assert_array_equal(padded["head_b"][:15], params["head_b"])
+    assert padded["head_b"][15] == 0.0
+    # divisible → untouched (identity)
+    same, n_same = _species_pad(params, cfg, 5)
+    assert n_same == 15 and same["head_w"] is params["head_w"]
