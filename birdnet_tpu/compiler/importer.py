@@ -157,16 +157,13 @@ def import_onnx(
     for imp in model.opset_import:
         if imp.domain in ("", "ai.onnx"):
             opset = imp.version
-    if opset < 7:
-        # Opsets 1-6 (2017) predate numpy broadcasting: binary ops carry
-        # legacy `axis`/`broadcast` attributes with different alignment
-        # rules, and several core ops have incompatible signatures.
-        # Evaluating such a file with modern semantics would be silently
-        # wrong — reject it typed instead.
-        raise ModelLoadError(
-            f"model opset {opset} is below the supported floor (7, the "
-            f"numpy-broadcasting era); re-export with a newer opset"
-        )
+    # No opset floor: opsets 1-6 (2017, pre-numpy-broadcasting) evaluate
+    # through the legacy dialect shims — binary-op `broadcast`/`axis`
+    # alignment, attribute-form Reshape/Upsample/Tile, string-enum Cast,
+    # channel-aligned PRelu, default-axis Concat — matching ONNX Runtime's
+    # acceptance of the 2017 model-zoo era (docs/onnx-compat.md "opset
+    # floor"). The few legacy *training* forms (multi-output
+    # BatchNormalization) stay typed rejections.
 
     # Resolve externally-stored weights (ONNX external data) against the
     # model's directory before materializing.

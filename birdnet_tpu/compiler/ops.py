@@ -227,7 +227,14 @@ _FLOAT8_DTYPES = (
 
 @op("Cast")
 def _cast(ctx, x):
-    to = int(ctx.attr("to"))
+    to = ctx.attr("to")
+    if isinstance(to, (bytes, str)):
+        # Opsets 1-5 spell the target as a STRING enum name ("FLOAT").
+        name = to.decode() if isinstance(to, bytes) else to
+        to = getattr(_DT, name.upper(), None)
+        if to is None:
+            raise ValueError(f"Cast: unknown legacy dtype name {name!r}")
+    to = int(to)
     x = jnp.asarray(x)
     if to in (_DT.INT4, _DT.UINT4):
         # 4-bit targets saturate per the ONNX spec.
@@ -279,9 +286,35 @@ def _constant_of_shape(ctx, shape):
     return [np.full(dims, fill.reshape(-1)[0], dtype=fill.dtype)]
 
 
+def _legacy_broadcast_b(ctx, a, b):
+    """Opsets 1-6 binary-op broadcast dialect (pre-numpy, 2017): with
+    ``broadcast=1``, B aligns to A starting at ``axis`` (default:
+    trailing-aligned); appending trailing singleton axes to B makes
+    modern numpy broadcasting reproduce that alignment exactly. With
+    ``broadcast=0``/absent the spec requires identical shapes, which
+    modern broadcasting evaluates identically. ONNX Runtime still runs
+    these files; so do we (docs/onnx-compat.md "opset floor")."""
+    if ctx.opset > 6 or not int(ctx.attr("broadcast", 0) or 0):
+        return b
+    a_nd, b_nd = jnp.ndim(a), jnp.ndim(b)
+    if b_nd == 0 or a_nd <= b_nd:
+        return b
+    axis = ctx.attr("axis")
+    axis = a_nd - b_nd if axis is None else int(axis)
+    if axis < 0:
+        axis += a_nd
+    trailing = a_nd - axis - b_nd
+    if trailing < 0:
+        raise ValueError(
+            f"legacy broadcast axis {axis} leaves no room for a rank-"
+            f"{b_nd} operand against rank {a_nd}"
+        )
+    return jnp.reshape(b, jnp.shape(b) + (1,) * trailing)
+
+
 def _binary(fn):
     def impl(ctx, a, b):
-        return [fn(jnp.asarray(a), jnp.asarray(b))]
+        return [fn(jnp.asarray(a), jnp.asarray(_legacy_broadcast_b(ctx, a, b)))]
 
     return impl
 
@@ -410,7 +443,18 @@ def _leaky_relu(ctx, x):
 @op("PRelu")
 def _prelu(ctx, x, slope):
     x = jnp.asarray(x)
-    return [jnp.where(x >= 0, x, jnp.asarray(slope) * x)]
+    slope = jnp.asarray(slope)
+    if (
+        ctx.opset <= 6
+        and slope.ndim == 1
+        and x.ndim >= 2
+        and slope.shape[0] == x.shape[1]
+        and slope.shape[0] != x.shape[-1]
+    ):
+        # Legacy dialect: a 1-D slope is per-CHANNEL (NCHW axis 1), not
+        # trailing-aligned as modern unidirectional broadcast would read it.
+        slope = slope.reshape((1, -1) + (1,) * (x.ndim - 2))
+    return [jnp.where(x >= 0, x, slope * x)]
 
 
 @op("Elu")
@@ -749,6 +793,20 @@ def _conv_transpose(ctx, x, w, b=None):
 
 @op("BatchNormalization")
 def _batchnorm(ctx, x, scale, bias, mean, var):
+    if ctx.opset <= 6:
+        # Legacy dialect: is_test/consumed_inputs/momentum are ignorable
+        # for the single-output inference form; the multi-output training
+        # form and spatial=0 (per-element stats) are rejected typed.
+        if ctx.num_outputs > 1:
+            raise NotImplementedError(
+                "legacy BatchNormalization training form (multiple "
+                "outputs, is_test=0) is not supported; inference-only "
+                "framework"
+            )
+        if not int(ctx.attr("spatial", 1)):
+            raise NotImplementedError(
+                "legacy BatchNormalization spatial=0 is not supported"
+            )
     eps = float(ctx.attr("epsilon", 1e-5))
     x = jnp.asarray(x)
     shape = (1, -1) + (1,) * (x.ndim - 2)
@@ -1052,8 +1110,14 @@ def _size(ctx, x):
 
 
 @op("Reshape")
-def _reshape(ctx, x, shape):
+def _reshape(ctx, x, shape=None):
     x = jnp.asarray(x)
+    if shape is None:
+        # Opsets 1-4 carry the target as a `shape` attribute (the target
+        # moved to an input in opset 5).
+        shape = ctx.attr("shape")
+        if shape is None:
+            raise ValueError("Reshape without a shape input or attribute")
     dims = _static_ints(shape, "Reshape shape")
     allowzero = int(ctx.attr("allowzero", 0))
     out = []
@@ -1115,7 +1179,10 @@ def _unsqueeze(ctx, x, axes=None):
 
 @op("Concat")
 def _concat(ctx, *xs):
-    axis = int(ctx.attr("axis"))
+    axis = ctx.attr("axis")
+    if axis is None and ctx.opset <= 3:
+        axis = 1  # opsets 1-3: axis optional, default 1
+    axis = int(axis)
     arrs = [jnp.asarray(x) for x in xs]
     if all(_is_static(x) for x in xs):
         return [np.concatenate([np.asarray(x) for x in xs], axis=axis)]
@@ -1276,7 +1343,16 @@ def _expand(ctx, x, shape):
 
 
 @op("Tile")
-def _tile(ctx, x, repeats):
+def _tile(ctx, x, repeats, legacy_axis=None):
+    if legacy_axis is not None:
+        # Opsets 1-6 signature: (input, tiles, axis) — repeat `tiles`
+        # times along the single `axis`.
+        x = jnp.asarray(x)
+        reps = [1] * x.ndim
+        reps[_static_int(legacy_axis, "Tile axis")] = _static_int(
+            repeats, "Tile tiles"
+        )
+        return [jnp.tile(x, reps)]
     reps = _static_ints(repeats, "Tile repeats")
     return [jnp.tile(jnp.asarray(x), reps)]
 
@@ -1724,6 +1800,14 @@ def _upsample(ctx, x, scales=None):
         mode = mode.decode()
     if scales is None:
         scales = ctx.attr("scales")  # opset 7 spelling: attribute
+    if scales is None and ctx.opset <= 6:
+        # Original 2017 experimental spelling: per-axis scale attributes
+        # on NCHW images.
+        scales = [
+            1.0, 1.0,
+            float(ctx.attr("height_scale")),
+            float(ctx.attr("width_scale")),
+        ]
     sc = np.asarray(scales, dtype=np.float64).reshape(-1)
     linear = mode in ("linear", "bilinear", "trilinear")
     for axis, s in enumerate(sc):

@@ -140,12 +140,24 @@ def test_random_semantic_mutations(seed):
     assert not res.startswith("RAW"), res
 
 
-def test_pre_broadcast_era_opset_rejected(tmp_path, tiny_v24):
-    """Opset <= 6 files carry legacy axis/broadcast binary-op semantics we
-    do not implement; they must reject typed, not silently mis-evaluate."""
+def test_pre_broadcast_era_opset_accepted(tmp_path, tiny_v24):
+    """Opset <= 6 files evaluate through the legacy-dialect shims (round-4;
+    previously a typed rejection). A graph that uses none of the legacy
+    attributes — like this one — must produce identical predictions under
+    either opset tag; the dialect itself is covered in
+    tests/test_legacy_opset.py."""
     m = copy.deepcopy(tiny_v24)
     for imp in m.opset_import:
         if imp.domain in ("", "ai.onnx"):
             imp.version = 6
-    with pytest.raises(ModelLoadError, match="opset 6"):
-        _build(tmp_path, m)
+    seg = np.sin(
+        np.linspace(0, 1000, 144_000), dtype=np.float32
+    )
+    legacy = _build(tmp_path, m).predict(seg)
+    modern = _build(tmp_path, tiny_v24).predict(seg)
+    assert [p.index for p in legacy.predictions] == [
+        p.index for p in modern.predictions
+    ]
+    np.testing.assert_allclose(
+        legacy.raw_scores, modern.raw_scores, rtol=1e-5, atol=1e-6
+    )
