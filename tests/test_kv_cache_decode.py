@@ -276,3 +276,201 @@ def test_greedy_decode_loop_matches_torch():
         ids = torch.tensor([[nxt]])
 
     assert engine_toks == torch_toks
+
+
+# ---------------------------------------------------------------------------
+# Encoder-decoder cache topology (round-3 verdict item 2): Whisper
+# decoder_with_past — STATIC cross-attention caches (computed once at
+# prefill, reused unchanged every step) + GROWING self-attention caches.
+# A different cache topology than GPT-2's single growing cache, and the
+# actual audio-domain decode artifact (optimum exports exactly this split
+# for Whisper; reference consumes it via ort, src/classifier.rs:348-350).
+# ---------------------------------------------------------------------------
+
+
+def _tiny_whisper():
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    cfg = WhisperConfig(
+        vocab_size=100, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_mel_bins=8,
+        max_source_positions=25, max_target_positions=32,
+        attn_implementation="eager",
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1, suppress_tokens=None,
+        begin_suppress_tokens=None,
+    )
+    return WhisperForConditionalGeneration(cfg)
+
+
+class _WhisperEncoder(torch.nn.Module):
+    def __init__(self, m):
+        super().__init__()
+        self.m = m
+
+    def forward(self, feats):
+        return self.m.model.encoder(feats).last_hidden_state
+
+
+class _WhisperPrefill(torch.nn.Module):
+    """First decoder call: computes BOTH cache kinds from scratch and
+    returns them (optimum's decoder_model.onnx for Whisper)."""
+
+    def __init__(self, m):
+        super().__init__()
+        self.m = m
+
+    def forward(self, ids, enc):
+        from transformers.cache_utils import DynamicCache, EncoderDecoderCache
+
+        cache = EncoderDecoderCache(DynamicCache(), DynamicCache())
+        out = self.m.model.decoder(
+            input_ids=ids, encoder_hidden_states=enc,
+            past_key_values=cache, use_cache=True,
+        )
+        logits = self.m.proj_out(out.last_hidden_state)
+        sa = out.past_key_values.self_attention_cache
+        ca = out.past_key_values.cross_attention_cache
+        return (
+            logits,
+            sa.layers[0].keys, sa.layers[0].values,
+            sa.layers[1].keys, sa.layers[1].values,
+            ca.layers[0].keys, ca.layers[0].values,
+            ca.layers[1].keys, ca.layers[1].values,
+        )
+
+
+class _WhisperStep(torch.nn.Module):
+    """With-past decoder step: self caches grow, cross caches are STATIC
+    inputs reused via is_updated (optimum's decoder_with_past_model.onnx)."""
+
+    def __init__(self, m):
+        super().__init__()
+        self.m = m
+
+    def forward(self, ids, enc, sk0, sv0, sk1, sv1, ck0, cv0, ck1, cv1):
+        from transformers.cache_utils import DynamicCache, EncoderDecoderCache
+
+        sa, ca = DynamicCache(), DynamicCache()
+        sa.update(sk0, sv0, 0)
+        sa.update(sk1, sv1, 1)
+        ca.update(ck0, cv0, 0)
+        ca.update(ck1, cv1, 1)
+        # EncoderDecoderCache marks cross layers is_updated (seq > 0), so
+        # the decoder REUSES them instead of recomputing from enc.
+        cache = EncoderDecoderCache(sa, ca)
+        out = self.m.model.decoder(
+            input_ids=ids, encoder_hidden_states=enc,
+            past_key_values=cache, use_cache=True,
+        )
+        logits = self.m.proj_out(out.last_hidden_state)
+        sa = out.past_key_values.self_attention_cache
+        return (
+            logits,
+            sa.layers[0].keys, sa.layers[0].values,
+            sa.layers[1].keys, sa.layers[1].values,
+        )
+
+
+def _run_engine_step_named(mod, args, names):
+    """Like _run_engine_step, but tolerant of the exporter PRUNING unused
+    inputs — the with-past Whisper step never reads ``enc`` (cross caches
+    are reused, the point of the topology), so libtorch drops it from the
+    graph, exactly as optimum's decoder_with_past_model.onnx omits
+    encoder_hidden_states."""
+    data = export_onnx_bytes(
+        mod, args, opset_version=17, input_names=list(names)
+    )
+    model = import_onnx(data)
+    by_name = dict(zip(names, args))
+    fwd = jax.jit(make_forward(model, precision="fp32"))
+    return model, fwd(
+        model.params, *[np.asarray(by_name[n]) for n in model.input_names]
+    )
+
+
+def test_whisper_encoder_decoder_kv_protocol():
+    """Greedy transcription loop through the engine: encoder once, prefill
+    once, then with-past steps where the engine's growing self caches and
+    its STATIC cross caches feed each next step — per-step logits, chosen
+    tokens, and cache tensors all match torch."""
+    torch.manual_seed(30)
+    m = _tiny_whisper()
+    m.eval()
+    feats = torch.randn(1, 8, 50) * 0.5
+    prompt = torch.tensor([[5, 7, 9]])  # decoder prompt (BOS-ish)
+    n_steps = 3  # prefill + 2 incremental
+
+    # --- torch ground truth (top-level decoder loop, EncoderDecoderCache)
+    from transformers.cache_utils import DynamicCache, EncoderDecoderCache
+
+    torch_logits, torch_toks = [], []
+    with torch.no_grad():
+        enc_t = m.model.encoder(feats).last_hidden_state
+        cache = EncoderDecoderCache(DynamicCache(), DynamicCache())
+        ids = prompt
+        for _ in range(n_steps):
+            out = m.model.decoder(
+                input_ids=ids, encoder_hidden_states=enc_t,
+                past_key_values=cache, use_cache=True,
+            )
+            cache = out.past_key_values
+            logits = m.proj_out(out.last_hidden_state)
+            torch_logits.append(logits[:, -1].numpy().copy())
+            tok = int(logits[:, -1].argmax())
+            torch_toks.append(tok)
+            ids = torch.tensor([[tok]])
+
+    # --- engine trajectory
+    enc_mod = _WhisperEncoder(m)
+    enc = np.asarray(_run_engine_step(enc_mod, (feats,))[0])
+    np.testing.assert_allclose(enc, enc_t.numpy(), atol=ATOL, rtol=1e-3)
+
+    prefill = _WhisperPrefill(m)
+    outs = _run_engine_step(prefill, (prompt, torch.from_numpy(enc)))
+    logits = np.asarray(outs[0])[:, -1]
+    np.testing.assert_allclose(logits, torch_logits[0], atol=ATOL, rtol=1e-3)
+    self_kv = [torch.from_numpy(np.asarray(o).copy()) for o in outs[1:5]]
+    cross_kv = [torch.from_numpy(np.asarray(o).copy()) for o in outs[5:9]]
+    # cross caches span the full encoder length; self caches the prompt
+    assert cross_kv[0].shape == (1, 2, 25, 16)
+    assert self_kv[0].shape == (1, 2, 3, 16)
+    engine_toks = [int(logits[0].argmax())]
+
+    step = _WhisperStep(m)
+    enc_in = torch.from_numpy(enc)
+    step_names = ["ids", "enc", "sk0", "sv0", "sk1", "sv1",
+                  "ck0", "cv0", "ck1", "cv1"]
+    for t in range(1, n_steps):
+        ids = torch.tensor([[engine_toks[-1]]])
+        step_model, outs = _run_engine_step_named(
+            step, (ids, enc_in, *self_kv, *cross_kv), step_names
+        )
+        if t == 1:
+            # the exporter pruned the unused encoder input: cross caches
+            # are genuinely REUSED, not recomputed (static topology)
+            assert "enc" not in step_model.input_names
+        logits = np.asarray(outs[0])[:, -1]
+        np.testing.assert_allclose(
+            logits, torch_logits[t], atol=ATOL, rtol=1e-3
+        )
+        new_self = [torch.from_numpy(np.asarray(o).copy()) for o in outs[1:5]]
+        # self caches grew by exactly one position
+        assert new_self[0].shape[2] == self_kv[0].shape[2] + 1
+        self_kv = new_self
+        engine_toks.append(int(logits[0].argmax()))
+
+    assert engine_toks == torch_toks
+    # torch's final self-cache agrees with the engine's (same topology)
+    ref_sa = cache.self_attention_cache
+    np.testing.assert_allclose(
+        self_kv[0].numpy(), ref_sa.layers[0].keys.numpy(),
+        atol=ATOL, rtol=1e-3,
+    )
+    # and the cross caches the engine carried are torch's, bit-comparable
+    ref_ca = cache.cross_attention_cache
+    np.testing.assert_allclose(
+        cross_kv[0].numpy(), ref_ca.layers[0].keys.numpy(),
+        atol=ATOL, rtol=1e-3,
+    )
