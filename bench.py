@@ -130,6 +130,13 @@ def _hbm_calibration(device) -> float:
 
 
 def _bench_model_path() -> str:
+    # Real-weights day-one hook (scripts/adjudicate_real_models.sh): point
+    # the bench at the official file instead of the random-weight twin.
+    override = os.environ.get("BIRDNET_BENCH_MODEL") or os.environ.get(
+        "BIRDNET_V24_MODEL"
+    )
+    if override:
+        return override
     cache = os.path.expanduser("~/.cache/birdnet_tpu/bench")
     os.makedirs(cache, exist_ok=True)
     path = os.path.join(cache, "birdnet_v24_bench.onnx")
