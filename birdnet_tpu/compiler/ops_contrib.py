@@ -1178,3 +1178,230 @@ def _gather_block_quantized(ctx, data, indices, scales, zero_points=None):
     zp_e = jnp.take(zp_g, blk, axis=qa)
     y = (q_g.astype(jnp.float32) - zp_e) * sc_e
     return [y]
+
+
+# ---------------------------------------------------------------------------
+# quantized transformer/classical ops: QGemm / QAttention / QLinearSoftmax
+# (the remaining kernels ORT's quantization tool emits for int8 BERT-class
+# files), plus Inverse and MurmurHash3
+# ---------------------------------------------------------------------------
+
+
+def _dq_weight(w, w_s, w_zp, per_col_axis):
+    """Dequantize a weight whose scale/zero-point may be scalar or
+    per-output-column (1-D); ``per_col_axis`` is the axis of ``w`` the
+    1-D vectors run along."""
+    wf = jnp.asarray(w).astype(jnp.float32)
+    zp = None if w_zp is None else jnp.asarray(w_zp).astype(jnp.float32)
+    sc = jnp.asarray(w_s).astype(jnp.float32)
+
+    def orient(v):
+        if v.ndim == 1 and v.shape[0] > 1:
+            shape = [1] * wf.ndim
+            shape[per_col_axis] = v.shape[0]
+            return v.reshape(shape)
+        return v
+
+    if zp is not None:
+        wf = wf - orient(zp)
+    return wf * orient(sc)
+
+
+@ms_op("QGemm")
+def _qgemm(ctx, a, a_s, a_zp, b, b_s, b_zp, c=None, y_s=None, y_zp=None):
+    """com.microsoft.QGemm: Gemm over quantized A/B. Per the ORT contrib
+    schema, the optional int32 bias C carries the implicit scale
+    ``alpha * a_scale * b_scale`` (per-column b_scale broadcasts over the
+    output columns); with ``y_scale`` present the output requantizes to
+    y_zero_point's dtype, else it stays float32."""
+    alpha = float(ctx.attr("alpha", 1.0))
+    trans_a = int(ctx.attr("transA", 0))
+    trans_b = int(ctx.attr("transB", 0))
+    af = _dq(a, a_s, a_zp)
+    # b per-column quantization runs along the OUTPUT-column axis of B:
+    # axis 1 normally, axis 0 when transB.
+    bf = _dq_weight(b, b_s, b_zp, per_col_axis=0 if trans_b else 1)
+    if trans_a:
+        af = jnp.swapaxes(af, -1, -2)
+    if trans_b:
+        bf = jnp.swapaxes(bf, -1, -2)
+    a2, b2 = _mxu_operands(ctx, af, bf)
+    y = alpha * jnp.matmul(a2, b2, preferred_element_type=jnp.float32)
+    if c is not None:
+        c_scale = (
+            alpha
+            * jnp.asarray(a_s).astype(jnp.float32)
+            * jnp.asarray(b_s).astype(jnp.float32)  # [N] broadcasts on cols
+        )
+        y = y + jnp.asarray(c).astype(jnp.float32) * c_scale
+    if y_s is None:
+        return [y]
+    return [_requantize(ctx, y, y_s, _default_zp(y_zp, a))]
+
+
+@ms_op("QAttention")
+def _qattention(ctx, x, w, bias, x_s, w_s, mask_index=None, x_zp=None,
+                w_zp=None, past=None):
+    """com.microsoft.QAttention (quantized BERT self-attention): int8
+    input and packed-QKV weight with scales/zero-points; dequantize both
+    and run the float contrib Attention path (same node attrs:
+    num_heads, unidirectional, mask_filter_value, qkv_hidden_sizes).
+    Output is float, matching the ORT kernel."""
+    xf = _dq(x, x_s, x_zp)
+    wf = _dq_weight(w, w_s, w_zp, per_col_axis=1)
+    return _ms_attention(ctx, xf, wf, bias, mask_index, past)
+
+
+@ms_op("QLinearSoftmax")
+def _qlinear_softmax(ctx, x, x_s, x_zp, y_s, y_zp=None):
+    """Dequantize → softmax → requantize. The ``opset`` attribute selects
+    softmax semantics: >= 13 is per-axis; < 13 is the legacy
+    coerce-to-2D-from-axis form (same rule as core Softmax)."""
+    axis = int(ctx.attr("axis", -1))
+    opset = int(ctx.attr("opset", 13))
+    xf = _dq(x, x_s, x_zp)
+    ax = axis + xf.ndim if axis < 0 else axis
+    if opset >= 13:
+        y = jax.nn.softmax(xf, axis=ax)
+    else:
+        lead = 1
+        for d in xf.shape[:ax]:
+            lead *= d
+        y = jax.nn.softmax(xf.reshape(lead, -1), axis=-1).reshape(xf.shape)
+    return [_requantize(ctx, y, y_s, _default_zp(y_zp, x))]
+
+
+@ms_op("Inverse")
+def _ms_inverse(ctx, x):
+    """Batched matrix inverse ([..., M, M]); computed in float32 and cast
+    back (f16 inputs have no stable direct path)."""
+    x = jnp.asarray(x)
+    y = jnp.linalg.inv(x.astype(jnp.float32))
+    return [y.astype(x.dtype)]
+
+
+# -- MurmurHash3 -------------------------------------------------------------
+
+_MM3_C1 = np.uint32(0xCC9E2D51)
+_MM3_C2 = np.uint32(0x1B873593)
+
+
+def _mm3_mix_block(xp, h, k1):
+    def rotl(v, r):
+        return (v << np.uint32(r)) | (v >> np.uint32(32 - r))
+
+    k1 = k1 * _MM3_C1
+    k1 = rotl(k1, 15)
+    k1 = k1 * _MM3_C2
+    h = h ^ k1
+    h = rotl(h, 13)
+    return h * np.uint32(5) + np.uint32(0xE6546B64)
+
+
+def _mm3_fmix(xp, h):
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    return h ^ (h >> np.uint32(16))
+
+
+def _mm3_hash_u32_blocks(xp, blocks, n_bytes, seed):
+    """MurmurHash3_x86_32 over little-endian 4-byte blocks (no tail —
+    numeric element widths are multiples of 4). ``blocks``: list of
+    uint32 arrays, one per block position."""
+    h = xp.full(blocks[0].shape, np.uint32(seed), dtype=xp.uint32)
+    for k1 in blocks:
+        h = _mm3_mix_block(xp, h, k1)
+    h = h ^ np.uint32(n_bytes)
+    return _mm3_fmix(xp, h)
+
+
+def _mm3_hash_bytes(data: bytes, seed: int) -> int:
+    """Scalar byte-string MurmurHash3_x86_32 (host path for strings)."""
+    h = np.uint32(seed)
+    n = len(data)
+    n_blocks = n // 4
+    with np.errstate(over="ignore"):
+        for i in range(n_blocks):
+            k1 = np.uint32(int.from_bytes(data[4 * i: 4 * i + 4], "little"))
+            h = _mm3_mix_block(np, h, k1)
+        tail = data[4 * n_blocks:]
+        if tail:
+            k1 = np.uint32(int.from_bytes(tail, "little"))
+
+            def rotl(v, r):
+                return (v << np.uint32(r)) | (v >> np.uint32(32 - r))
+
+            k1 = k1 * _MM3_C1
+            k1 = rotl(k1, 15)
+            k1 = k1 * _MM3_C2
+            h = h ^ k1
+        h = h ^ np.uint32(n)
+        h = _mm3_fmix(np, h)
+    return int(h)
+
+
+@ms_op("MurmurHash3")
+def _murmurhash3(ctx, x):
+    """com.microsoft.MurmurHash3: per-element MurmurHash3_x86_32 over each
+    element's little-endian byte representation (strings: utf-8 bytes) —
+    the feature-hashing kernel sklearn-style pipelines ship. ``seed``
+    attr; ``positive=1`` (default) yields uint32, else int32 (same bits).
+
+    Numeric 4-byte elements hash on device (pure uint32 arithmetic, so
+    the op jits and fuzzes like any other); 8-byte and string inputs
+    hash on the host and therefore require compile-time-constant data
+    (8-byte traced values would already have been truncated by jax's
+    x64-disabled default)."""
+    seed = int(ctx.attr("seed", 0)) & 0xFFFFFFFF
+    positive = int(ctx.attr("positive", 1))
+    out_np = np.uint32 if positive else np.int32
+
+    if isinstance(x, (list, np.ndarray)) and np.asarray(x).dtype.kind in (
+        "U", "S", "O"
+    ):
+        arr = np.asarray(x)
+        flat = [
+            _mm3_hash_bytes(
+                (s.decode() if isinstance(s, bytes) else str(s)).encode("utf-8"),
+                seed,
+            )
+            for s in arr.reshape(-1)
+        ]
+        return [np.asarray(flat, np.uint32).astype(out_np).reshape(arr.shape)]
+
+    import jax.core as jcore
+
+    static = not isinstance(x, jcore.Tracer)
+    dt = np.dtype(jnp.asarray(x).dtype) if not static else np.asarray(x).dtype
+    if dt.itemsize == 8:
+        if not static:
+            raise NotImplementedError(
+                "MurmurHash3: 8-byte inputs must be compile-time constants "
+                "(jax x64-disabled tracing truncates them)"
+            )
+        arr = np.asarray(x)
+        view = arr.reshape(-1).view("<u4").reshape(-1, 2)
+        with np.errstate(over="ignore"):
+            out = _mm3_hash_u32_blocks(
+                np, [view[:, 0].copy(), view[:, 1].copy()], 8, seed
+            )
+        return [out.astype(out_np).reshape(arr.shape)]
+    if dt.itemsize != 4:
+        raise NotImplementedError(
+            f"MurmurHash3: unsupported element width {dt.itemsize}"
+        )
+    if static:
+        arr = np.asarray(x)
+        blocks = [arr.reshape(-1).view("<u4").copy()]
+        with np.errstate(over="ignore"):
+            out = _mm3_hash_u32_blocks(np, blocks, 4, seed)
+        out = out.astype(out_np).reshape(arr.shape)
+        return [out]
+    xa = jnp.asarray(x)
+    bits = jax.lax.bitcast_convert_type(xa, jnp.uint32)
+    out = _mm3_hash_u32_blocks(jnp, [bits], 4, seed)
+    if not positive:
+        out = jax.lax.bitcast_convert_type(out, jnp.int32)
+    return [out]

@@ -808,3 +808,199 @@ def test_ms_attention_mask_filter_value():
     want = _attention_oracle(x, w, bias, heads,
                              mask_keep=keep.astype(bool), filt=filt)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# round 4: QGemm / QAttention / QLinearSoftmax / Inverse / MurmurHash3
+# ---------------------------------------------------------------------------
+
+
+def _quant_dq(q, s, zp):
+    return (q.astype(np.float32) - np.float32(zp)) * np.float32(s)
+
+
+def test_qgemm_float_output_with_int32_bias():
+    rng = _rng(40)
+    a_q = rng.integers(-100, 100, (4, 6), dtype=np.int8)
+    b_q = rng.integers(-100, 100, (6, 5), dtype=np.int8)
+    c = rng.integers(-500, 500, (5,), dtype=np.int32)
+    a_s, a_zp = np.float32(0.03), np.int8(3)
+    b_s, b_zp = np.float32(0.05), np.int8(-2)
+    alpha = 1.5
+    node = P.make_node(
+        "QGemm", ["a", "as", "azp", "b", "bs", "bzp", "c"], ["y"],
+        domain=MS, alpha=alpha,
+    )
+    m = _model(
+        [node], [_vi("a", (4, 6), P.DataType.INT8)],
+        [P.make_value_info("y", P.DataType.FLOAT, [4, 5])],
+        [_tensor("as", a_s), _tensor("azp", a_zp), _tensor("b", b_q),
+         _tensor("bs", b_s), _tensor("bzp", b_zp), _tensor("c", c)],
+    )
+    (y,) = _run(m, a_q)
+    ref = alpha * (_quant_dq(a_q, a_s, a_zp) @ _quant_dq(b_q, b_s, b_zp))
+    ref = ref + c.astype(np.float32) * (alpha * float(a_s) * float(b_s))
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_qgemm_per_column_scale_transB_quantized_output():
+    rng = _rng(41)
+    a_q = rng.integers(0, 200, (3, 6), dtype=np.uint8)
+    b_q = rng.integers(-100, 100, (5, 6), dtype=np.int8)  # transB: [N,K]
+    a_s, a_zp = np.float32(0.02), np.uint8(128)
+    b_s = rng.uniform(0.01, 0.08, 5).astype(np.float32)  # per-col [N]
+    b_zp = rng.integers(-4, 4, 5).astype(np.int8)
+    y_s, y_zp = np.float32(0.1), np.int8(5)
+    node = P.make_node(
+        "QGemm", ["a", "as", "azp", "b", "bs", "bzp", "", "ys", "yzp"],
+        ["y"], domain=MS, transB=1,
+    )
+    m = _model(
+        [node], [_vi("a", (3, 6), P.DataType.UINT8)],
+        [P.make_value_info("y", P.DataType.INT8, [3, 5])],
+        [_tensor("as", a_s), _tensor("azp", a_zp), _tensor("b", b_q),
+         _tensor("bs", b_s), _tensor("bzp", b_zp), _tensor("ys", y_s),
+         _tensor("yzp", y_zp)],
+    )
+    (y,) = _run(m, a_q)
+    bf = (b_q.astype(np.float32) - b_zp[:, None].astype(np.float32)) * (
+        b_s[:, None]
+    )
+    ref_f = _quant_dq(a_q, a_s, a_zp) @ bf.T
+    ref = np.clip(np.rint(ref_f / y_s) + int(y_zp), -128, 127).astype(np.int8)
+    assert y.dtype == np.int8
+    # rounding at the requant boundary may differ by 1 ulp on exact halves
+    np.testing.assert_allclose(
+        y.astype(np.int32), ref.astype(np.int32), atol=1
+    )
+
+
+def test_qattention_matches_dequantized_attention():
+    """QAttention == float contrib Attention over the dequantized
+    operands (the float path itself is torch-oracle-tested)."""
+    rng = _rng(42)
+    B, S, H, NH = 2, 5, 16, 2
+    x_q = rng.integers(-100, 100, (B, S, H), dtype=np.int8)
+    w_q = rng.integers(-100, 100, (H, 3 * H), dtype=np.int8)
+    bias = rng.normal(size=3 * H).astype(np.float32)
+    x_s, x_zp = np.float32(0.04), np.int8(2)
+    w_s, w_zp = np.float32(0.03), np.int8(-1)
+
+    qnode = P.make_node(
+        "QAttention", ["x", "w", "bias", "xs", "ws", "", "xzp", "wzp"],
+        ["y"], domain=MS, num_heads=NH, unidirectional=1,
+    )
+    qm = _model(
+        [qnode], [_vi("x", (B, S, H), P.DataType.INT8)],
+        [P.make_value_info("y", P.DataType.FLOAT, [B, S, H])],
+        [_tensor("w", w_q), _tensor("bias", bias), _tensor("xs", x_s),
+         _tensor("ws", w_s), _tensor("xzp", x_zp), _tensor("wzp", w_zp)],
+    )
+    (y,) = _run(qm, x_q)
+
+    xf = _quant_dq(x_q, x_s, x_zp)
+    wf = _quant_dq(w_q, w_s, w_zp)
+    fnode = P.make_node(
+        "Attention", ["x", "w", "bias"], ["y"], domain=MS,
+        num_heads=NH, unidirectional=1,
+    )
+    fm = _model(
+        [fnode], [_vi("x", (B, S, H))],
+        [P.make_value_info("y", P.DataType.FLOAT, [B, S, H])],
+        [_tensor("w", wf), _tensor("bias", bias)],
+    )
+    (ref,) = _run(fm, xf)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("opset_attr,axis", [(13, -1), (13, 1), (11, 1)])
+def test_qlinear_softmax(opset_attr, axis):
+    rng = _rng(43)
+    x_q = rng.integers(-120, 120, (2, 3, 4), dtype=np.int8)
+    x_s, x_zp = np.float32(0.05), np.int8(1)
+    y_s, y_zp = np.float32(1.0 / 256), np.uint8(0)
+    node = P.make_node(
+        "QLinearSoftmax", ["x", "xs", "xzp", "ys", "yzp"], ["y"],
+        domain=MS, axis=axis, opset=opset_attr,
+    )
+    m = _model(
+        [node], [_vi("x", (2, 3, 4), P.DataType.INT8)],
+        [P.make_value_info("y", P.DataType.UINT8, [2, 3, 4])],
+        [_tensor("xs", x_s), _tensor("xzp", x_zp), _tensor("ys", y_s),
+         _tensor("yzp", y_zp)],
+    )
+    (y,) = _run(m, x_q)
+    xf = _quant_dq(x_q, x_s, x_zp)
+    if opset_attr >= 13:
+        e = np.exp(xf - xf.max(axis=axis, keepdims=True))
+        sm = e / e.sum(axis=axis, keepdims=True)
+    else:
+        flat = xf.reshape(2, -1) if axis == 1 else xf.reshape(-1, 4)
+        e = np.exp(flat - flat.max(axis=-1, keepdims=True))
+        sm = (e / e.sum(axis=-1, keepdims=True)).reshape(xf.shape)
+    ref = np.clip(np.rint(sm / y_s), 0, 255).astype(np.uint8)
+    np.testing.assert_allclose(
+        y.astype(np.int32), ref.astype(np.int32), atol=1
+    )
+
+
+def test_inverse_batched():
+    rng = _rng(44)
+    x = rng.normal(size=(3, 4, 4)).astype(np.float32)
+    x += 4.0 * np.eye(4, dtype=np.float32)  # well-conditioned
+    node = P.make_node("Inverse", ["x"], ["y"], domain=MS)
+    m = _model([node], [_vi("x", x.shape)],
+               [P.make_value_info("y", P.DataType.FLOAT, list(x.shape))], [])
+    (y,) = _run(m, x)
+    np.testing.assert_allclose(y, np.linalg.inv(x), rtol=1e-4, atol=1e-5)
+
+
+def test_murmurhash3_int32_matches_sklearn():
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.utils import murmurhash3_32
+
+    rng = _rng(45)
+    x = rng.integers(-(2**31), 2**31 - 1, size=12, dtype=np.int32)
+    for positive in (1, 0):
+        node = P.make_node(
+            "MurmurHash3", ["x"], ["y"], domain=MS, seed=7, positive=positive,
+        )
+        out_dt = P.DataType.UINT32 if positive else P.DataType.INT32
+        m = _model([node], [_vi("x", (12,), P.DataType.INT32)],
+                   [P.make_value_info("y", out_dt, [12])], [])
+        (y,) = _run(m, x)
+        ref = np.asarray(
+            [murmurhash3_32(int(v), seed=7, positive=bool(positive))
+             for v in x],
+            dtype=np.uint32 if positive else np.int32,
+        )
+        np.testing.assert_array_equal(np.asarray(y).astype(ref.dtype), ref)
+
+
+def test_murmurhash3_float_and_static_paths_match_sklearn_bytes():
+    from sklearn.utils import murmurhash3_32
+
+    rng = _rng(46)
+    x = rng.normal(size=6).astype(np.float32)
+    node = P.make_node("MurmurHash3", ["x"], ["y"], domain=MS, seed=11)
+    m = _model([node], [_vi("x", (6,), P.DataType.FLOAT)],
+               [P.make_value_info("y", P.DataType.UINT32, [6])], [])
+    (y,) = _run(m, x)
+    ref = np.asarray(
+        [murmurhash3_32(v.tobytes(), seed=11, positive=True) for v in x],
+        dtype=np.uint32,
+    )
+    np.testing.assert_array_equal(np.asarray(y).astype(np.uint32), ref)
+
+    # static (initializer) int64 input: 8-byte little-endian blocks
+    xi = np.array([1, -5, 2**40 + 3], dtype=np.int64)
+    node = P.make_node("MurmurHash3", ["xi"], ["y"], domain=MS, seed=3)
+    m = _model([node], [],
+               [P.make_value_info("y", P.DataType.UINT32, [3])],
+               [_tensor("xi", xi)])
+    (y,) = _run(m)
+    ref = np.asarray(
+        [murmurhash3_32(v.tobytes(), seed=3, positive=True) for v in xi],
+        dtype=np.uint32,
+    )
+    np.testing.assert_array_equal(np.asarray(y).astype(np.uint32), ref)

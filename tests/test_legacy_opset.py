@@ -289,3 +289,39 @@ def test_legacy_zoo_style_cnn_end_to_end():
     flat = pooled.reshape(1, 27)
     ref = flat @ fc_w.T + fc_b
     np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-5)
+
+
+# -- property fuzz: legacy alignment vs a numpy oracle -----------------------
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_legacy_broadcast_fuzz(seed):
+    """Random A rank 2-4, random contiguous B sub-shape aligned at a random
+    legal axis, random op — engine vs a direct numpy transcription of the
+    2017 alignment rule (reshape B to pad trailing singletons)."""
+    rng = np.random.default_rng(1000 + seed)
+    a_rank = int(rng.integers(2, 5))
+    a_shape = tuple(int(rng.integers(1, 5)) for _ in range(a_rank))
+    b_rank = int(rng.integers(1, a_rank + 1))
+    axis = int(rng.integers(0, a_rank - b_rank + 1))
+    b_shape = a_shape[axis:axis + b_rank]
+    op_type, npfn = [
+        ("Add", np.add), ("Sub", np.subtract), ("Mul", np.multiply),
+        ("Pow", lambda x, y: np.power(x, y).astype(np.float32)),
+    ][int(rng.integers(0, 4))]
+    a = rng.normal(size=a_shape).astype(np.float32)
+    b = rng.uniform(0.5, 2.0, size=b_shape).astype(np.float32)
+
+    explicit_axis = bool(rng.integers(0, 2))
+    attrs = {"broadcast": 1}
+    if explicit_axis:
+        attrs["axis"] = axis
+    elif axis != a_rank - b_rank:
+        attrs["axis"] = axis  # default is trailing; keep non-default explicit
+    node = P.make_node(op_type, ["a", "b"], ["y"], **attrs)
+    m = _legacy_model([node], [_vi("a", a_shape), _vi("b", b_shape)], [_out()])
+    (y,) = _run(m, a, b)
+    b_aligned = b.reshape(b_shape + (1,) * (a_rank - axis - b_rank))
+    np.testing.assert_allclose(
+        y, npfn(a, b_aligned), rtol=1e-5, atol=1e-6
+    )
