@@ -299,3 +299,41 @@ def test_species_mask_property(restricted, unrestricted):
     mask = restricted.species_mask
     assert mask.dtype == bool and mask.sum() == 3
     assert set(np.flatnonzero(mask)) == ALLOWED_IDX
+
+
+def test_mesh_engine_masks_on_padded_head(tmp_path):
+    """Species masks through the mesh path at a num_species that does NOT
+    divide the model axis (10 over a 4-way axis → head padded to 12):
+    build-time and per-call masks must extend over the pad positions
+    (engine._pad_row_mask / _selection_mask) and never surface pad
+    indices."""
+    import jax
+
+    from birdnet_tpu.models import birdnet_v24
+    from birdnet_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs an 8-device mesh")
+    p = tmp_path / "v24_pad.onnx"
+    birdnet_v24.save_tiny(p, num_species=10)
+    mesh = make_mesh(shape=(2, 4))  # model axis 4; 10 % 4 != 0
+    clf = (
+        Classifier.builder().model_path(p).labels(LABELS)
+        .top_k(4).species_list(ALLOWED)
+        .with_mesh(mesh).build()
+    )
+    assert clf._engine._n_padded == 12
+    r = clf.predict(sine_segment())
+    assert {x.index for x in r.predictions} <= ALLOWED_IDX
+    assert all(x.index < 10 for x in r.predictions)
+    assert len(r.raw_scores) == 10  # padded logits sliced back
+
+    # per-call runtime mask composes on the padded head too
+    m = np.zeros(10, bool)
+    m[[5, 9]] = True
+    preds = clf.predict(sine_segment(), species_mask=m).predictions
+    assert {x.index for x in preds} == {5}
+
+    # streaming path with a runtime mask (covers the stream _pad_row_mask)
+    for _, preds in clf.analyze_samples(sine_segment(), species_mask=m):
+        assert {x.index for x in preds} == {5}
