@@ -236,6 +236,35 @@ class ServeClient:
             for d in out["detections"]
         ]
 
+    def embed(
+        self,
+        samples,
+        rate: int,
+        overlap: float = 0.0,
+        resample: bool = False,
+    ):
+        """Bulk embedding extraction over a whole recording (v3.0/Perch —
+        the primary Perch workflow). Returns ``(embeddings [N, E] float32,
+        start_times [N])``."""
+        import base64
+
+        arr = np.asarray(samples)
+        if arr.dtype != np.int16:
+            arr = (
+                np.clip(np.asarray(arr, np.float32), -1.0, 1.0 - 1.0 / 32768)
+                * 32768.0
+            ).astype(np.int16)
+        params = {"rate": rate, "overlap": overlap or None}
+        if resample:
+            params["resample"] = 1
+        out = self._request(
+            "/v1/embed", body=arr.astype("<i2").tobytes(), params=params
+        )
+        emb = np.frombuffer(
+            base64.b64decode(out["embeddings_b64"]), dtype=np.float32
+        ).reshape(out["segments"], out["embedding_dim"])
+        return emb, list(out["start_times"])
+
     def rangefilter(
         self, lat: float, lon: float, date: Optional[str] = None
     ) -> List[LocationScore]:

@@ -28,6 +28,9 @@ Endpoints
     mask, so requests with different lists still coalesce into one
     device batch).
 - ``POST /v1/analyze``  whole recording → timestamped detections
+- ``POST /v1/embed``    whole recording → per-segment embeddings
+  (v3.0/Perch; base64 float32 [segments, dim] + start times — the bulk
+  Perch embedding workflow)
     Body: a WAV file (RIFF; mono/16-bit rules as the CLI,
     birdnet-analyze.rs:653-704) or raw i16 PCM with ``?rate=``.
     Query: ``overlap`` seconds (default 0), ``min_confidence``,
@@ -408,6 +411,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._predict()
             elif route == "/v1/analyze":
                 self._analyze()
+            elif route == "/v1/embed":
+                self._embed()
             else:
                 self._send_json(
                     {"error": "NotFound", "message": f"no route {route}"},
@@ -515,6 +520,92 @@ class _Handler(BaseHTTPRequestHandler):
         finally:
             st.analyze_slots.release()
 
+    def _decode_recording(self, query, cfg, resample: bool) -> np.ndarray:
+        """Shared recording-body decode for /v1/analyze and /v1/embed:
+        WAV (RIFF magic) or raw i16 PCM with ?rate=, optional device
+        polyphase resample to the model rate."""
+        body = self._read_body()
+        if body[:4] == b"RIFF":
+            samples, rate = _read_wav_bytes(body)
+        else:
+            if "rate" not in query:
+                raise _HttpError(
+                    400,
+                    "raw PCM needs ?rate= (or send a WAV file body)",
+                )
+            rate = int(query["rate"])
+            if len(body) % 2:
+                raise _HttpError(400, "odd byte count for i16 PCM")
+            samples = np.frombuffer(body, dtype="<i2")
+        if rate != cfg.sample_rate:
+            if not resample:
+                raise AudioFormatError(
+                    f"model expects {cfg.sample_rate} Hz audio, input is "
+                    f"{rate} Hz (pass resample=1 to convert)"
+                )
+            from ..ops.resample import resample_audio
+
+            samples = resample_audio(
+                samples, rate, cfg.sample_rate, out_dtype=np.int16
+            )
+        return samples
+
+    def _embed(self) -> None:
+        """POST /v1/embed — bulk embedding extraction over a whole
+        recording (the primary Perch v2 workflow: embeddings for
+        downstream classifiers/search indexes). Same body forms and
+        admission control as /v1/analyze; returns base64 row-major
+        float32 [segments, dim] plus start times."""
+        st = self.state
+        if not st.analyze_slots.acquire(timeout=st.analyze_admission_timeout):
+            raise _HttpError(
+                503, "too many concurrent analyze/embed requests; retry later"
+            )
+        try:
+            self._embed_admitted()
+        finally:
+            st.analyze_slots.release()
+
+    def _embed_admitted(self) -> None:
+        from .._demux import demux_indices
+
+        st = self.state
+        cfg = st.classifier.config
+        if demux_indices(cfg.model_type)[1] is None:
+            raise _HttpError(
+                400,
+                f"{cfg.model_type.name} has no embeddings output "
+                f"(BirdNET v3.0 / Perch v2 only)",
+            )
+        query = self._query()
+        overlap = float(query.get("overlap", 0.0))
+        if overlap >= cfg.segment_duration or overlap < 0:
+            raise _HttpError(
+                400,
+                f"overlap must be in [0, {cfg.segment_duration}) seconds",
+            )
+        resample = query.get("resample") in ("1", "true")
+        samples = self._decode_recording(query, cfg, resample)
+
+        with st.analyze_lock:
+            t0 = time.monotonic()
+            emb, times = st.classifier.embed_samples(samples, overlap)
+            dt = time.monotonic() - t0
+            st.analyses_total += 1
+            st.analyze_segments_total += len(times)
+
+        emb = np.asarray(emb, dtype=np.float32)
+        self._send_json({
+            "model_type": cfg.model_type.name,
+            "segments": int(emb.shape[0]),
+            "embedding_dim": int(emb.shape[-1]),
+            "start_times": [round(float(t), 3) for t in times],
+            "embeddings_b64": base64.b64encode(
+                np.ascontiguousarray(emb).tobytes()
+            ).decode(),
+            "wall_seconds": round(dt, 4),
+        })
+
     def _analyze_admitted(self) -> None:
         st = self.state
         cfg = st.classifier.config
@@ -537,30 +628,7 @@ class _Handler(BaseHTTPRequestHandler):
         )
         fctx = self._filter_ctx(query)
 
-        body = self._read_body()
-        if body[:4] == b"RIFF":
-            samples, rate = _read_wav_bytes(body)
-        else:
-            if "rate" not in query:
-                raise _HttpError(
-                    400,
-                    "raw PCM analyze needs ?rate= (or send a WAV file body)",
-                )
-            rate = int(query["rate"])
-            if len(body) % 2:
-                raise _HttpError(400, "odd byte count for i16 PCM")
-            samples = np.frombuffer(body, dtype="<i2")
-        if rate != cfg.sample_rate:
-            if not resample:
-                raise AudioFormatError(
-                    f"model expects {cfg.sample_rate} Hz audio, input is "
-                    f"{rate} Hz (pass resample=1 to convert)"
-                )
-            from ..ops.resample import resample_audio
-
-            samples = resample_audio(
-                samples, rate, cfg.sample_rate, out_dtype=np.int16
-            )
+        samples = self._decode_recording(query, cfg, resample)
 
         with st.analyze_lock:
             # t0 starts inside the lock: wall_seconds/segments_per_second

@@ -931,3 +931,81 @@ class TestServeCLI:
         assert args.max_batch == 32
         assert args.max_wait_ms == 5.0
         assert args.provider == "auto"
+
+
+# ---------------------------------------------------------------------------
+# /v1/embed — bulk embedding extraction (round 4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def perch_server(perch_classifier):
+    srv = make_server(perch_classifier, host="127.0.0.1", port=0, max_batch=4)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    yield f"http://{host}:{port}"
+    srv.shutdown()
+    srv.state.close()
+    srv.server_close()
+    thread.join(timeout=10)
+
+
+class TestEmbedEndpoint:
+    def test_embed_matches_direct(self, perch_server, perch_classifier):
+        import base64
+
+        cfg = perch_classifier.config
+        rng = np.random.default_rng(31)
+        audio = (rng.standard_normal(cfg.sample_count * 3) * 3000).astype(
+            np.int16
+        )
+        status, body = _post(
+            perch_server, f"/v1/embed?rate={cfg.sample_rate}",
+            audio.astype("<i2").tobytes(),
+        )
+        assert status == 200, body
+        assert body["model_type"] == "PERCH_V2"
+        assert body["segments"] == 3
+        assert body["embedding_dim"] == 48
+        emb = np.frombuffer(
+            base64.b64decode(body["embeddings_b64"]), dtype=np.float32
+        ).reshape(3, 48)
+        ref_emb, ref_times = perch_classifier.embed_samples(audio)
+        np.testing.assert_allclose(emb, ref_emb, rtol=PIPELINE_RTOL,
+                                   atol=1e-4)
+        assert body["start_times"] == [round(float(t), 3) for t in ref_times]
+
+    def test_embed_client_roundtrip(self, perch_server, perch_classifier):
+        from birdnet_tpu.serve import ServeClient
+
+        cfg = perch_classifier.config
+        c = ServeClient(perch_server)
+        rng = np.random.default_rng(32)
+        audio = (rng.standard_normal(cfg.sample_count * 2) * 3000).astype(
+            np.int16
+        )
+        emb, times = c.embed(audio, rate=cfg.sample_rate)
+        assert emb.shape == (2, 48)
+        ref_emb, _ = perch_classifier.embed_samples(audio)
+        np.testing.assert_allclose(emb, ref_emb, rtol=PIPELINE_RTOL,
+                                   atol=1e-4)
+        assert len(times) == 2
+
+    def test_embed_on_model_without_embeddings_is_400(self, server):
+        status, body = _post(
+            server, "/v1/embed?rate=48000",
+            np.zeros(144000, "<i2").tobytes(),
+        )
+        assert status == 400
+        assert "no embeddings output" in body["message"]
+
+    def test_embed_wav_body_and_overlap_validation(self, perch_server,
+                                                   perch_classifier):
+        cfg = perch_classifier.config
+        status, body = _post(
+            perch_server, "/v1/embed?overlap=99",
+            np.zeros(cfg.sample_count, "<i2").tobytes(),
+        )
+        assert status == 400
+        assert "overlap" in body["message"]
