@@ -701,3 +701,61 @@ def test_wav2vec2_base_real_width_parity():
     maxdiff = float(np.abs(np.asarray(got) - ref).max())
     print(f"wav2vec2-base real-width fp32 maxdiff: {maxdiff:.3e}")
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3, rtol=1e-3)
+
+
+def test_deberta_v2_disentangled_attention():
+    """DeBERTa-v2: content↔position disentangled attention — relative
+    position bucketing (log buckets), separate c2p/p2c score paths with
+    gather-by-relative-index, and scale shared across the added score
+    terms. The most gather-heavy attention variant in mainstream NLP."""
+    from transformers import DebertaV2Config, DebertaV2Model
+
+    torch.manual_seed(50)
+    cfg = DebertaV2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, vocab_size=100, max_position_embeddings=64,
+        relative_attention=True, position_buckets=8, max_relative_positions=16,
+        pos_att_type=["c2p", "p2c"], attn_implementation="eager",
+    )
+    inner = DebertaV2Model(cfg)
+
+    class Ids(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, ids, mask):
+            return self.m(
+                input_ids=ids, attention_mask=mask
+            ).last_hidden_state
+
+    ids = torch.randint(0, 100, (2, 10))
+    mask = torch.ones(2, 10, dtype=torch.int64)
+    mask[1, 7:] = 0  # real padding
+    _assert_engine_matches_torch(Ids(inner), (ids, mask))
+
+
+def test_gpt_neox_parallel_residual_rotary():
+    """GPT-NeoX (Pythia family): parallel attention+MLP residual (one
+    shared LayerNorm input, summed branches) with partial rotary
+    embeddings (rotary_pct < 1 rotates only a head-dim prefix)."""
+    from transformers import GPTNeoXConfig, GPTNeoXModel
+
+    torch.manual_seed(51)
+    cfg = GPTNeoXConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, vocab_size=100, max_position_embeddings=64,
+        rotary_pct=0.5, use_parallel_residual=True,
+        attn_implementation="eager",
+    )
+    inner = GPTNeoXModel(cfg)
+
+    class Ids(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, ids):
+            return self.m(input_ids=ids, use_cache=False).last_hidden_state
+
+    _assert_engine_matches_torch(Ids(inner), (torch.randint(0, 100, (2, 8)),))
