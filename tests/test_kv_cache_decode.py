@@ -474,3 +474,134 @@ def test_whisper_encoder_decoder_kv_protocol():
         cross_kv[0].numpy(), ref_ca.layers[0].keys.numpy(),
         atol=ATOL, rtol=1e-3,
     )
+
+
+# ---------------------------------------------------------------------------
+# onnxruntime-genai-style artifact: the SAME decode-step graph with its
+# projection weights stored as 4-bit MatMulNBits blocks (weight-only
+# quantization), run through the full KV protocol. The quantized file must
+# match a float twin whose weights are the dequantized blocks — bit-level
+# same effective math — per step, including chosen tokens.
+# ---------------------------------------------------------------------------
+
+
+def _nbits_quantize_graph(model_bytes: bytes, block_size: int = 16):
+    """Replace every initializer-weighted Gemm/MatMul in the exported step
+    graph with a 4-bit MatMulNBits node (symmetric, zp=8 default, packed
+    low-nibble-first), exactly how genai exports store LLM projections.
+    Returns (quantized ModelProto, float ModelProto with dequantized
+    weights, n_replaced)."""
+    from birdnet_tpu.onnx import proto as P
+
+    qm = P.decode_model(model_bytes)
+    fm = P.decode_model(model_bytes)
+    q_inits = {t.name: t for t in qm.graph.initializer}
+    f_inits = {t.name: t for t in fm.graph.initializer}
+
+    def pack_nibbles(vals):
+        v = np.asarray(vals, np.uint8) & 0x0F
+        if v.shape[-1] % 2:
+            v = np.concatenate(
+                [v, np.zeros(v.shape[:-1] + (1,), np.uint8)], -1
+            )
+        return (v[..., 0::2] | (v[..., 1::2] << 4)).astype(np.uint8)
+
+    def tensor(name, arr):
+        return P.TensorProto(
+            name=name, data_type=P.DataType.UINT8 if arr.dtype == np.uint8
+            else P.DataType.FLOAT,
+            dims=list(arr.shape), raw_data=arr.tobytes(),
+        )
+
+    n_replaced = 0
+    for qnode in qm.graph.node:
+        if qnode.op_type not in ("Gemm", "MatMul"):
+            continue
+        w_name = qnode.input[1]
+        if w_name not in q_inits:
+            continue
+        if qnode.op_type == "Gemm":
+            attrs = {a.name: a for a in qnode.attribute}
+            if any(k in attrs for k in ("transA", "transB")):
+                continue  # only the plain orientation is surgered here
+        w = q_inits[w_name].to_numpy().astype(np.float32)  # [K, N]
+        if w.ndim != 2 or w.shape[0] % block_size:
+            continue
+        k_dim, n_dim = w.shape
+        wt = np.ascontiguousarray(w.T)  # [N, K] — MatMulNBits layout
+        nb = k_dim // block_size
+        blocks = wt.reshape(n_dim, nb, block_size)
+        scales = (np.abs(blocks).max(-1) / 7.0 + 1e-8).astype(np.float32)
+        q = np.clip(
+            np.rint(blocks / scales[..., None]) + 8, 0, 15
+        ).astype(np.uint8)
+        wdq_t = ((q.astype(np.float32) - 8.0) * scales[..., None]).reshape(
+            n_dim, k_dim
+        )
+
+        # quantized model: swap the node + initializers
+        bias = list(qnode.input[2:3])  # Gemm's C, if present
+        qnode.op_type = "MatMulNBits"
+        qnode.domain = "com.microsoft"
+        qnode.input = [qnode.input[0], w_name + "_q", w_name + "_s",
+                       "", ""] + bias
+        qnode.attribute = [
+            P.make_attr("K", k_dim), P.make_attr("N", n_dim),
+            P.make_attr("bits", 4), P.make_attr("block_size", block_size),
+        ]
+        qm.graph.initializer.remove(q_inits[w_name])
+        qm.graph.initializer.append(tensor(w_name + "_q", pack_nibbles(q)))
+        qm.graph.initializer.append(tensor(w_name + "_s", scales))
+
+        # float twin: same effective weights, plain Gemm/MatMul
+        f_inits[w_name].raw_data = np.ascontiguousarray(
+            wdq_t.T
+        ).tobytes()
+        f_inits[w_name].float_data = []
+        n_replaced += 1
+
+    qm.opset_import.append(P.OperatorSetId(domain="com.microsoft", version=1))
+    return qm, fm, n_replaced
+
+
+def test_genai_style_nbits_decode_matches_dequantized_twin():
+    torch.manual_seed(33)
+    lm = _tiny_gpt2_lm()
+    lm.eval()
+    step = _Step(lm)
+    ids0 = torch.randint(0, 100, (1, 1))
+    pasts = [torch.randn(1, 2, 4, 16) * 0.5 for _ in range(4)]
+    dyn = {"ids": {1: "seq"}}
+    dyn.update({n: {2: "past"} for n in _PAST_NAMES})
+    data = export_onnx_bytes(
+        step, (ids0, *pasts), opset_version=17,
+        input_names=["ids"] + _PAST_NAMES, output_names=_OUTS,
+        dynamic_axes=dyn,
+    )
+
+    qm, fm, n_replaced = _nbits_quantize_graph(data)
+    assert n_replaced == 9  # 8 Gemm projections + the lm_head MatMul
+
+    q_model = import_onnx(qm)
+    f_model = import_onnx(fm)
+    q_fwd = jax.jit(make_forward(q_model, precision="fp32"))
+    f_fwd = jax.jit(make_forward(f_model, precision="fp32"))
+
+    # 3 incremental steps: presents feed the next pasts in BOTH engines;
+    # the quantized file and its dequantized float twin must stay equal.
+    q_pasts = [np.asarray(p) for p in pasts]
+    f_pasts = [np.asarray(p) for p in pasts]
+    ids = np.asarray(ids0)
+    for t in range(3):
+        q_outs = q_fwd(q_model.params, ids, *q_pasts)
+        f_outs = f_fwd(f_model.params, ids, *f_pasts)
+        for q_o, f_o in zip(q_outs, f_outs):
+            np.testing.assert_allclose(
+                np.asarray(q_o), np.asarray(f_o), atol=2e-4, rtol=1e-3
+            )
+        q_tok = int(np.asarray(q_outs[0])[0, -1].argmax())
+        f_tok = int(np.asarray(f_outs[0])[0, -1].argmax())
+        assert q_tok == f_tok
+        q_pasts = [np.asarray(o) for o in q_outs[1:]]
+        f_pasts = [np.asarray(o) for o in f_outs[1:]]
+        ids = np.array([[q_tok]])
