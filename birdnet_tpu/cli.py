@@ -289,6 +289,12 @@ def inspect_model_and_exit(model_path: str) -> int:
         f"  params: {imported.param_bytes() / (1024 * 1024):.1f} MB "
         f"({len(imported.params)} tensors), consts: {len(imported.consts)}"
     )
+    if getattr(imported, "dispatch_inputs", None):
+        print(
+            f"  dispatch: {', '.join(imported.dispatch_inputs)} "
+            f"(merged-decoder flag input(s); one specialized program "
+            f"compiles per concrete value)"
+        )
     hist = Counter(
         f"{n.domain}.{n.op_type}" if n.domain else n.op_type
         for n in imported.graph.node
