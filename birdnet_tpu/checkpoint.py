@@ -102,7 +102,7 @@ def load_checkpoint(path) -> ImportedModel:
         # graph bytes inside a valid zip must surface as ModelLoadError,
         # not a raw IndexError/ValueError traceback.
         raise ModelLoadError(f"invalid checkpoint graph: {e}") from e
-    return ImportedModel(
+    model = ImportedModel(
         graph=graph,
         opset=manifest["opset"],
         params=params,
@@ -112,6 +112,13 @@ def load_checkpoint(path) -> ImportedModel:
         output_names=manifest["output_names"],
         output_shapes=manifest["output_shapes"],
     )
+    # Merged-decoder flag inputs are a pure graph property — re-detect
+    # rather than persist, so pre-0.4.12 checkpoints gain the behavior
+    # on load too (see importer._find_dispatch_inputs).
+    from .compiler.importer import _find_dispatch_inputs
+
+    model.dispatch_inputs = _find_dispatch_inputs(graph, model.input_names)
+    return model
 
 
 def import_any(source: Union[str, bytes]) -> ImportedModel:

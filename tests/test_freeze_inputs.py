@@ -222,3 +222,25 @@ def test_freeze_casts_to_declared_dtype_and_folds_shape_math():
     (y,) = fwd(frozen.params, x)
     assert y.shape == (3, 4)
     np.testing.assert_allclose(y, x.reshape(3, 4))
+
+
+def test_auto_specialize_survives_checkpoint_roundtrip(tmp_path):
+    """dispatch_inputs is re-detected on .btck load (not persisted), so
+    checkpointed merged decoders keep call-time dispatch."""
+    from birdnet_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    m = _merged_decoder_like()
+    im = import_onnx(m)
+    assert im.dispatch_inputs == ["use_cache_branch"]
+    p = tmp_path / "merged.btck"
+    save_checkpoint(im, p)
+    back = load_checkpoint(p)
+    assert back.dispatch_inputs == ["use_cache_branch"]
+
+    fwd = make_forward(back, precision="fp32")
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    past = np.arange(8, dtype=np.float32).reshape(2, 4)
+    (y,) = fwd(back.params, x, np.array([True]), past)
+    np.testing.assert_allclose(np.asarray(y), np.concatenate([past, x], 1))
+    (y,) = fwd(back.params, x, np.array([False]), past)
+    np.testing.assert_allclose(np.asarray(y), x)
