@@ -244,3 +244,44 @@ def test_auto_specialize_survives_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(y), np.concatenate([past, x], 1))
     (y,) = fwd(back.params, x, np.array([False]), past)
     np.testing.assert_allclose(np.asarray(y), x)
+
+
+def test_auto_specialize_two_independent_flags():
+    """Two flag inputs gating two Ifs: dispatch keys on the combination
+    (specializations compile lazily per observed pair)."""
+    def branch(op, shape):
+        return P.GraphProto(
+            name=f"b_{op}", node=[P.make_node(op, ["x"], ["o"])],
+            output=[P.make_value_info("o", P.DataType.FLOAT, list(shape))],
+        )
+
+    nodes = [
+        P.make_node("If", ["f1"], ["a"], then_branch=branch("Identity", [2]),
+                    else_branch=branch("Neg", [2])),
+        P.make_node("If", ["f2"], ["y"],
+                    then_branch=P.GraphProto(
+                        name="t2",
+                        node=[P.make_node("Mul", ["a", "a"], ["o"])],
+                        output=[P.make_value_info("o", P.DataType.FLOAT, [2])],
+                    ),
+                    else_branch=P.GraphProto(
+                        name="e2",
+                        node=[P.make_node("Identity", ["a"], ["o"])],
+                        output=[P.make_value_info("o", P.DataType.FLOAT, [2])],
+                    )),
+    ]
+    m = _model(
+        nodes,
+        [_vi("x", (2,)), _vi("f1", (1,), P.DataType.BOOL),
+         _vi("f2", (1,), P.DataType.BOOL)],
+        [P.make_value_info("y", P.DataType.FLOAT, [2])], [],
+    )
+    im = import_onnx(m)
+    assert im.dispatch_inputs == ["f1", "f2"]
+    fwd = make_forward(im, precision="fp32")
+    x = np.array([2.0, -3.0], np.float32)
+    t, f = np.array([True]), np.array([False])
+    np.testing.assert_allclose(np.asarray(fwd(im.params, x, t, t)[0]), x * x)
+    np.testing.assert_allclose(np.asarray(fwd(im.params, x, t, f)[0]), x)
+    np.testing.assert_allclose(np.asarray(fwd(im.params, x, f, t)[0]), x * x)
+    np.testing.assert_allclose(np.asarray(fwd(im.params, x, f, f)[0]), -x)
