@@ -1405,3 +1405,19 @@ def _murmurhash3(ctx, x):
     if not positive:
         out = jax.lax.bitcast_convert_type(out, jnp.int32)
     return [out]
+
+
+@ms_op("QLinearReduceMean")
+def _qlinear_reduce_mean(ctx, x, x_s, x_zp, y_s, y_zp=None):
+    """Dequantize → ReduceMean (axes/keepdims attrs, opset-13 attr form —
+    the vintage ORT's quantizer emits) → requantize; the tail-pool kernel
+    in ORT-quantized MobileNet-class files."""
+    xf = _dq(x, x_s, x_zp)
+    axes = ctx.attr("axes")
+    keepdims = bool(int(ctx.attr("keepdims", 1)))
+    if axes is None:
+        ax = None
+    else:
+        ax = tuple(int(a) for a in np.asarray(axes).reshape(-1))
+    y = jnp.mean(xf, axis=ax, keepdims=keepdims)
+    return [_requantize(ctx, y, y_s, _default_zp(y_zp, x))]

@@ -1004,3 +1004,28 @@ def test_murmurhash3_float_and_static_paths_match_sklearn_bytes():
         dtype=np.uint32,
     )
     np.testing.assert_array_equal(np.asarray(y).astype(np.uint32), ref)
+
+
+def test_qlinear_reduce_mean():
+    rng = _rng(47)
+    x_q = rng.integers(0, 255, (2, 3, 4, 4), dtype=np.uint8)
+    x_s, x_zp = np.float32(0.02), np.uint8(120)
+    y_s, y_zp = np.float32(0.02), np.uint8(120)
+    node = P.make_node(
+        "QLinearReduceMean", ["x", "xs", "xzp", "ys", "yzp"], ["y"],
+        domain=MS, axes=[2, 3], keepdims=1,
+    )
+    m = _model(
+        [node], [_vi("x", (2, 3, 4, 4), P.DataType.UINT8)],
+        [P.make_value_info("y", P.DataType.UINT8, [2, 3, 1, 1])],
+        [_tensor("xs", x_s), _tensor("xzp", x_zp), _tensor("ys", y_s),
+         _tensor("yzp", y_zp)],
+    )
+    (y,) = _run(m, x_q)
+    xf = (x_q.astype(np.float32) - 120) * 0.02
+    ref = np.clip(
+        np.rint(xf.mean(axis=(2, 3), keepdims=True) / y_s) + 120, 0, 255
+    ).astype(np.uint8)
+    np.testing.assert_allclose(
+        y.astype(np.int32), ref.astype(np.int32), atol=1
+    )
