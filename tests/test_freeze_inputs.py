@@ -285,3 +285,63 @@ def test_auto_specialize_two_independent_flags():
     np.testing.assert_allclose(np.asarray(fwd(im.params, x, t, f)[0]), x)
     np.testing.assert_allclose(np.asarray(fwd(im.params, x, f, t)[0]), x * x)
     np.testing.assert_allclose(np.asarray(fwd(im.params, x, f, f)[0]), -x)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_auto_specialize_fuzz_matches_freeze(seed):
+    """Random flag graphs (optional Cast/Not chain into an If whose
+    branches are randomly shape-divergent): for both flag values the
+    auto-specialized dispatch must equal the explicitly-frozen import."""
+    rng = np.random.default_rng(3000 + seed)
+    n = int(rng.integers(2, 5))
+    x = rng.normal(size=(2, n)).astype(np.float32)
+    past = rng.normal(size=(2, int(rng.integers(1, 4)))).astype(np.float32)
+
+    then_g = P.GraphProto(
+        name="t",
+        node=[P.make_node("Concat", ["past", "x"], ["o"], axis=1)],
+        output=[P.make_value_info("o", P.DataType.FLOAT, [])],
+    )
+    else_ops = [("Identity", None), ("Neg", None), ("Relu", None)]
+    op_name, _ = else_ops[int(rng.integers(0, len(else_ops)))]
+    else_g = P.GraphProto(
+        name="e",
+        node=[P.make_node(op_name, ["x"], ["o"])],
+        output=[P.make_value_info("o", P.DataType.FLOAT, [])],
+    )
+
+    flag_dt = [P.DataType.BOOL, P.DataType.INT32, P.DataType.INT64][
+        int(rng.integers(0, 3))
+    ]
+    chain = int(rng.integers(0, 3))  # 0: direct, 1: Cast, 2: Cast+Not
+    nodes, cond = [], "flag"
+    if chain >= 1:
+        nodes.append(P.make_node("Cast", ["flag"], ["fb"],
+                                 to=P.DataType.BOOL))
+        cond = "fb"
+    if chain == 2:
+        nodes.append(P.make_node("Not", ["fb"], ["nf"]))
+        cond = "nf"
+    nodes.append(P.make_node("If", [cond], ["y"], then_branch=then_g,
+                             else_branch=else_g))
+    m = _model(
+        nodes,
+        [_vi("x", (2, n)), _vi("flag", (1,), flag_dt),
+         _vi("past", past.shape)],
+        [P.make_value_info("y", P.DataType.FLOAT, [])], [],
+    )
+
+    im = import_onnx(m)
+    assert im.dispatch_inputs == ["flag"]
+    fwd = make_forward(im, precision="fp32")
+    for v in (True, False):
+        (got,) = fwd(im.params, x, np.array([v]), past)
+        frozen = import_onnx(m, freeze_inputs={"flag": v})
+        import jax
+
+        ffwd = jax.jit(make_forward(frozen, precision="fp32"))
+        (want,) = ffwd(frozen.params, x, past)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7,
+            err_msg=f"seed={seed} flag={v}",
+        )
