@@ -44,6 +44,9 @@ def save_checkpoint(model: ImportedModel, path) -> None:
         "output_shapes": model.output_shapes,
         "params": _tensor_meta(model.params),
         "consts": _tensor_meta(model.consts),
+        # Persisted so an explicit import_onnx(auto_specialize=False)
+        # opt-out survives the save/load round trip.
+        "dispatch_inputs": list(model.dispatch_inputs),
     }
     # The flat p/ and c/ entries are the authoritative weights; the graph's
     # initializer list still holds the PRE-optimization tensors (BN-fold
@@ -112,12 +115,17 @@ def load_checkpoint(path) -> ImportedModel:
         output_names=manifest["output_names"],
         output_shapes=manifest["output_shapes"],
     )
-    # Merged-decoder flag inputs are a pure graph property — re-detect
-    # rather than persist, so pre-0.4.12 checkpoints gain the behavior
-    # on load too (see importer._find_dispatch_inputs).
-    from .compiler.importer import _find_dispatch_inputs
+    # Checkpoints from 0.4.12+ persist dispatch_inputs (so an explicit
+    # auto_specialize=False opt-out round-trips); older checkpoints
+    # re-detect from the graph and gain the behavior on load.
+    if "dispatch_inputs" in manifest:
+        model.dispatch_inputs = list(manifest["dispatch_inputs"])
+    else:
+        from .compiler.importer import _find_dispatch_inputs
 
-    model.dispatch_inputs = _find_dispatch_inputs(graph, model.input_names)
+        model.dispatch_inputs = _find_dispatch_inputs(
+            graph, model.input_names
+        )
     return model
 
 

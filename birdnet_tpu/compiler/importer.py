@@ -223,7 +223,10 @@ def import_onnx(
 # Value-preserving (or truthiness-preserving) unary ops through which a
 # dispatch flag may pass on its way to an ``If`` condition. Only input 0 is
 # the data path for each (Squeeze/Unsqueeze/Reshape carry axes/shape at
-# position 1, which must NOT be the flag).
+# position 1, which must NOT be the flag). Cast qualifies ONLY when the
+# target is BOOL (checked in the walk): a narrowing integer cast is not
+# truthiness-preserving (int32 256 → uint8 0), and keying the dispatch on
+# the flag's truthiness would then pick the wrong branch.
 _DISPATCH_PASSTHROUGH = frozenset(
     {"Cast", "Identity", "Not", "Squeeze", "Unsqueeze", "Reshape"}
 )
@@ -290,11 +293,18 @@ def _flag_only_gates_if(graph: GraphProto, flag: str) -> bool:
                 i for i, inp in enumerate(node.input) if inp and inp in derived
             ]
             if used:
+                ok_passthrough = (
+                    node.op_type in _DISPATCH_PASSTHROUGH and used == [0]
+                )
+                if ok_passthrough and node.op_type == "Cast":
+                    to = node.attrs.get("to")
+                    ok_passthrough = (
+                        to is not None
+                        and int(to) == onnx_proto.DataType.BOOL
+                    )
                 if node.op_type == "If" and used == [0]:
                     found_if[0] = True
-                elif (
-                    node.op_type in _DISPATCH_PASSTHROUGH and used == [0]
-                ):
+                elif ok_passthrough:
                     derived.update(o for o in node.output if o)
                 else:
                     return False

@@ -447,12 +447,13 @@ def _prelu(ctx, x, slope):
     if (
         ctx.opset <= 6
         and slope.ndim == 1
-        and x.ndim >= 2
+        and x.ndim > 2
         and slope.shape[0] == x.shape[1]
-        and slope.shape[0] != x.shape[-1]
     ):
         # Legacy dialect: a 1-D slope is per-CHANNEL (NCHW axis 1), not
-        # trailing-aligned as modern unidirectional broadcast would read it.
+        # trailing-aligned as modern unidirectional broadcast would read
+        # it — including when C coincidentally equals the trailing dim
+        # (the caffe2-era semantic is unconditionally per-channel).
         slope = slope.reshape((1, -1) + (1,) * (x.ndim - 2))
     return [jnp.where(x >= 0, x, slope * x)]
 
@@ -1364,7 +1365,13 @@ def _pad(ctx, x, pads=None, constant_value=None, axes=None):
     if isinstance(mode, bytes):
         mode = mode.decode()
     if pads is None:
-        pads_l = [int(p) for p in ctx.attr("pads")]
+        pads_attr = ctx.attr("pads")
+        if pads_attr is None:
+            # Opset 1 spells the attribute `paddings` (renamed in opset 2).
+            pads_attr = ctx.attr("paddings")
+        if pads_attr is None:
+            raise ValueError("Pad without pads input or pads/paddings attr")
+        pads_l = [int(p) for p in pads_attr]
     else:
         pads_l = _static_ints(pads, "Pad pads")
     if axes is not None:

@@ -60,6 +60,18 @@ def _raise_for(status: int, payload: dict) -> None:
     raise ServeError(status, name, message)
 
 
+def _to_i16_pcm(samples) -> np.ndarray:
+    """int16 passthrough; float samples in [-1, 1) clip-scale to i16 (the
+    single conversion point for every recording-upload method)."""
+    arr = np.asarray(samples)
+    if arr.dtype == np.int16:
+        return arr
+    return (
+        np.clip(np.asarray(arr, np.float32), -1.0, 1.0 - 1.0 / 32768)
+        * 32768.0
+    ).astype(np.int16)
+
+
 class ServeClient:
     """Client for one ``birdnet-serve`` endpoint."""
 
@@ -188,12 +200,7 @@ class ServeClient:
         [-1, 1)). Returns ``[(start_time, [Prediction, ...]), ...]``.
         ``species``: per-request candidate restriction (see
         :meth:`predict`)."""
-        arr = np.asarray(samples)
-        if arr.dtype != np.int16:
-            arr = (
-                np.clip(np.asarray(arr, np.float32), -1.0, 1.0 - 1.0 / 32768)
-                * 32768.0
-            ).astype(np.int16)
+        arr = _to_i16_pcm(samples)
         params = {
             "rate": rate,
             "overlap": overlap or None,
@@ -248,12 +255,7 @@ class ServeClient:
         start_times [N])``."""
         import base64
 
-        arr = np.asarray(samples)
-        if arr.dtype != np.int16:
-            arr = (
-                np.clip(np.asarray(arr, np.float32), -1.0, 1.0 - 1.0 / 32768)
-                * 32768.0
-            ).astype(np.int16)
+        arr = _to_i16_pcm(samples)
         params = {"rate": rate, "overlap": overlap or None}
         if resample:
             params["resample"] = 1

@@ -45,7 +45,27 @@ def _pump_filter(read_fd: int, write_fd: int,
     """Forward ``read_fd`` → ``write_fd`` line-wise, dropping lines that
     contain any of ``substrings`` within their first ``_SCAN_BYTES``
     bytes. Runs until EOF on ``read_fd``; closes ``read_fd`` on exit
-    (never ``write_fd``, which the caller owns)."""
+    (never ``write_fd``, which the caller owns).
+
+    The pump must NEVER die while writers still hold the pipe: if the
+    real stderr goes away (EPIPE under ``… 2>&1 | head``, a closed tty),
+    it keeps DRAINING the pipe and discards the bytes — otherwise fd 2
+    would fill after 64 KB and block every stderr write in the process.
+    Partial writes (tty backpressure, EINTR) are completed in a loop."""
+
+    sink_dead = [False]
+
+    def emit(data: bytes) -> None:
+        if sink_dead[0]:
+            return
+        view = memoryview(data)
+        while view:
+            try:
+                n = os.write(write_fd, view)
+            except OSError:
+                sink_dead[0] = True  # drain-and-discard from here on
+                return
+            view = view[n:]
 
     def drop(segment: bytes) -> bool:
         return any(s in segment for s in substrings)
@@ -59,7 +79,7 @@ def _pump_filter(read_fd: int, write_fd: int,
             chunk = b""
         if not chunk:
             if buf and not drop(buf):
-                os.write(write_fd, buf)
+                emit(buf)
             break
         data = buf + chunk
         buf = b""
@@ -69,7 +89,7 @@ def _pump_filter(read_fd: int, write_fd: int,
                 if nl != -1:
                     line, data = data[: nl + 1], data[nl + 1:]
                     if not drop(line):
-                        os.write(write_fd, line)
+                        emit(line)
                 elif len(data) >= _SCAN_BYTES:
                     mode = "drop" if drop(data) else "fwd"
                 else:
@@ -80,7 +100,7 @@ def _pump_filter(read_fd: int, write_fd: int,
                     (data, b"") if nl == -1 else (data[: nl + 1], data[nl + 1:])
                 )
                 if mode == "fwd":
-                    os.write(write_fd, seg)
+                    emit(seg)
                 if nl != -1:
                     mode = "scan"
     try:

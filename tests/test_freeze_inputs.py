@@ -345,3 +345,47 @@ def test_auto_specialize_fuzz_matches_freeze(seed):
             np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7,
             err_msg=f"seed={seed} flag={v}",
         )
+
+
+def test_auto_specialize_rejects_narrowing_cast_chain():
+    """Cast to a narrower int is NOT truthiness-preserving (int32 256 →
+    uint8 0), so a flag reaching the If through one must not dispatch on
+    truthiness (review round 4)."""
+    then_g = P.GraphProto(
+        name="t", node=[P.make_node("Identity", ["x"], ["o"])],
+        output=[P.make_value_info("o", P.DataType.FLOAT, [2])],
+    )
+    else_g = P.GraphProto(
+        name="e", node=[P.make_node("Neg", ["x"], ["o"])],
+        output=[P.make_value_info("o", P.DataType.FLOAT, [2])],
+    )
+    nodes = [
+        P.make_node("Cast", ["flag"], ["f8"], to=P.DataType.UINT8),
+        P.make_node("Cast", ["f8"], ["fb"], to=P.DataType.BOOL),
+        P.make_node("If", ["fb"], ["y"], then_branch=then_g,
+                    else_branch=else_g),
+    ]
+    m = _model(
+        nodes, [_vi("x", (2,)), _vi("flag", (1,), P.DataType.INT32)],
+        [P.make_value_info("y", P.DataType.FLOAT, [2])], [],
+    )
+    im = import_onnx(m)
+    assert im.dispatch_inputs == []
+    # and the single-program path evaluates 256 → uint8 0 → False
+    import jax
+
+    fwd = jax.jit(make_forward(im, precision="fp32"))
+    x = np.array([1.0, -2.0], np.float32)
+    (y,) = fwd(im.params, x, np.array([256], np.int32))
+    np.testing.assert_allclose(np.asarray(y), -x)
+
+
+def test_auto_specialize_opt_out_survives_checkpoint(tmp_path):
+    from birdnet_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    m = _merged_decoder_like()
+    im = import_onnx(m, auto_specialize=False)
+    assert im.dispatch_inputs == []
+    p = tmp_path / "optout.btck"
+    save_checkpoint(im, p)
+    assert load_checkpoint(p).dispatch_inputs == []

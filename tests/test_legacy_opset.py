@@ -325,3 +325,32 @@ def test_legacy_broadcast_fuzz(seed):
     np.testing.assert_allclose(
         y, npfn(a, b_aligned), rtol=1e-5, atol=1e-6
     )
+
+
+def test_legacy_prelu_channel_slope_when_c_equals_trailing_dim():
+    """C == W must STILL align the 1-D slope to the channel axis (the
+    guard that skipped alignment when slope length matched the trailing
+    dim was a silent-wrong-values bug, review round 4)."""
+    x = np.random.default_rng(7).normal(size=(1, 3, 8, 3)).astype(np.float32)
+    slope = np.array([0.1, 0.2, 0.3], np.float32)
+    node = P.make_node("PRelu", ["x", "s"], ["y"])
+    m = _legacy_model(
+        [node], [_vi("x", x.shape), _vi("s", slope.shape)], [_out()], opset=6
+    )
+    (y,) = _run(m, x, slope)
+    ref = np.where(x >= 0, x, slope.reshape(1, 3, 1, 1) * x)
+    np.testing.assert_allclose(y, ref, rtol=1e-6)
+
+
+def test_legacy_pad_opset1_paddings_attribute():
+    """Pad-1 spells the attribute `paddings` (renamed `pads` in opset 2)
+    and the fill value `value`."""
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    node = P.make_node(
+        "Pad", ["x"], ["y"], mode="constant",
+        paddings=[0, 1, 0, 2], value=9.0,
+    )
+    m = _legacy_model([node], [_vi("x", x.shape)], [_out()], opset=1)
+    (y,) = _run(m, x)
+    ref = np.pad(x, ((0, 0), (1, 2)), constant_values=9.0)
+    np.testing.assert_allclose(y, ref)

@@ -107,3 +107,26 @@ print("after restore", file=sys.stderr)
     assert "native kept line" in err
     assert "python kept line" in err
     assert "after restore" in err
+
+
+def test_pump_survives_dead_sink_and_keeps_draining():
+    """If the real stderr dies (EPIPE: `… 2>&1 | head`), the pump must
+    keep DRAINING the pipe — a dead pump would let fd 2 fill and block
+    every stderr write in the process (review round 4)."""
+    r_in, w_in = os.pipe()
+    r_out, w_out = os.pipe()
+    os.close(r_out)  # sink's reader is gone → first write raises EPIPE
+
+    t = threading.Thread(
+        target=_pump_filter, args=(r_in, w_out, (b"cpu_aot_loader.cc",))
+    )
+    t.start()
+    # Feed well past the 64 KB pipe capacity: only a live, draining pump
+    # lets all these writes complete.
+    blob = b"x" * 1000 + b"\n"
+    for _ in range(200):
+        os.write(w_in, blob)
+    os.close(w_in)
+    t.join(timeout=10)
+    assert not t.is_alive()
+    os.close(w_out)
