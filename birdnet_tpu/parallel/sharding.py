@@ -99,7 +99,16 @@ def _species_pad(
     head matmul / its bias / per-class vectors), so zero pad columns add
     new logit positions without touching real ones; the sharded programs
     mask pad positions to -inf before top-K and slice them off returned
-    logits. Returns (padded params, padded species extent)."""
+    logits. Returns (padded params, padded species extent).
+
+    Scope note: the dim match is by SIZE, so a non-head tensor whose dim
+    coincidentally equals ``num_species`` would also pad. Zero-padding
+    stays value-exact on real positions through matmul (zero
+    contributions), add, and mul; a mismatched interior pad otherwise
+    fails the trace loudly with a shape error — silent corruption would
+    require a softmax/mean/div over the species axis inside the graph,
+    which no supported family has (their logits are raw head outputs).
+    At the real class counts (6,522 / 14,795) collisions do not occur."""
     n = config.num_species
     if model_size is None or model_size <= 1 or n % model_size == 0:
         return params, n
