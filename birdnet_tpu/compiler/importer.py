@@ -168,7 +168,13 @@ def import_onnx(
     # Resolve externally-stored weights (ONNX external data) against the
     # model's directory before materializing.
     try:
-        for init in graph.initializer:
+        sparse_parts = [
+            t
+            for sp in graph.sparse_initializer
+            for t in (sp.values, sp.indices)
+            if t is not None
+        ]
+        for init in list(graph.initializer) + sparse_parts:
             if init.data_location == onnx_proto._DATA_LOCATION_EXTERNAL:
                 if model_dir is None:
                     raise ModelLoadError(
@@ -179,6 +185,19 @@ def import_onnx(
         tensors: Dict[str, np.ndarray] = {
             init.name: init.to_numpy() for init in graph.initializer
         }
+        # Sparse initializers (GraphProto field 15) densify at import —
+        # XLA/TPU weights are dense on the MXU; ORT likewise evaluates
+        # these files (reference: src/classifier.rs:348-350). Names must
+        # be unique across initializer + sparse_initializer per spec.
+        for sp in graph.sparse_initializer:
+            if not sp.name:
+                raise ModelLoadError("sparse initializer has no name")
+            if sp.name in tensors:
+                raise ModelLoadError(
+                    f"initializer name {sp.name!r} appears in both "
+                    f"initializer and sparse_initializer"
+                )
+            tensors[sp.name] = sp.to_dense()
     except ModelLoadError:
         raise
     except Exception as e:  # noqa: BLE001 - any decode failure of untrusted
@@ -213,11 +232,59 @@ def import_onnx(
         output_names=output_names,
         output_shapes=output_shapes,
     )
-    if auto_specialize:
-        imported.dispatch_inputs = _find_dispatch_inputs(graph, input_names)
     _validate_ops(imported)
     _validate_outputs(imported)
+    _validate_refs(imported)
+    # Reference/topology validation runs BEFORE dispatch detection:
+    # _find_dispatch_inputs' single-pass use analysis is only sound on a
+    # topologically-ordered graph (a consumer listed before the
+    # passthrough producing its derived name would escape the walk).
+    if auto_specialize:
+        imported.dispatch_inputs = _find_dispatch_inputs(graph, input_names)
     return imported
+
+
+def _validate_refs(model: ImportedModel) -> None:
+    """Import-time reference validation: every node input must resolve to
+    a graph input, an initializer, or the output of an *earlier* node, and
+    every node must therefore appear in topological order (the ONNX spec
+    requires it; ORT rejects both dangling references and out-of-order
+    graphs at session creation — reference: src/classifier.rs:348-350).
+    Without this, a dangling weight reference imported cleanly and only
+    surfaced at trace time, and the dispatch-flag use analysis
+    (``_flag_only_gates_if``) could be fooled by a non-topological
+    listing. Subgraphs validate recursively with ONNX closure capture:
+    outer names are visible, plus the subgraph's formal inputs and local
+    initializers."""
+
+    def walk(g: GraphProto, available: set, where: str) -> None:
+        produced_later = set()
+        for n in g.node:
+            produced_later.update(o for o in n.output if o)
+        avail = set(available)
+        for node in g.node:
+            for inp in node.input:
+                if not inp or inp in avail:
+                    continue
+                label = f"node {node.name!r} ({node.op_type}){where}"
+                if inp in produced_later:
+                    raise ModelLoadError(
+                        f"graph is not topologically sorted: {label} "
+                        f"consumes {inp!r} before the node producing it"
+                    )
+                raise ModelLoadError(
+                    f"{label} references unknown value {inp!r}"
+                )
+            for sub in _node_subgraphs(node):
+                sub_avail = set(avail)
+                sub_avail.update(vi.name for vi in sub.input)
+                sub_avail.update(t.name for t in sub.initializer)
+                sub_avail.update(sp.name for sp in sub.sparse_initializer)
+                walk(sub, sub_avail, f" in subgraph {sub.name!r}")
+            avail.update(o for o in node.output if o)
+
+    top = set(model.input_names) | set(model.params) | set(model.consts)
+    walk(model.graph, top, "")
 
 
 # Value-preserving (or truthiness-preserving) unary ops through which a

@@ -261,17 +261,28 @@ def _cast_like(ctx, x, like):
 
 @op("Constant")
 def _constant(ctx):
-    for key in ("value", "value_float", "value_int", "value_floats", "value_ints"):
+    for key in (
+        "value", "sparse_value", "value_float", "value_int",
+        "value_floats", "value_ints", "value_string", "value_strings",
+    ):
         v = ctx.attr(key)
         if v is not None:
             if key == "value":
                 return [v.to_numpy()]
+            if key == "sparse_value":
+                # SparseTensorProto (Constant-12+): densified, same as
+                # sparse initializers (TPU weights are dense on the MXU).
+                return [v.to_dense()]
             if key == "value_float":
                 return [np.float32(v)]
             if key == "value_int":
                 return [np.int64(v)]
             if key == "value_floats":
                 return [np.asarray(v, dtype=np.float32)]
+            if key == "value_string":
+                return [np.asarray(v, dtype=object).reshape(())]
+            if key == "value_strings":
+                return [np.asarray(list(v), dtype=object)]
             return [np.asarray(v, dtype=np.int64)]
     raise ValueError("Constant node without a value attribute")
 

@@ -81,11 +81,41 @@ def eliminate_identity(graph: GraphProto) -> int:
         else:
             kept.append(node)
     if rename:
-        for node in kept:
-            node.input[:] = [rename.get(i, i) for i in node.input]
+        _apply_rename(kept, rename)
     removed = len(graph.node) - len(kept)
     graph.node[:] = kept
     return removed
+
+
+def _apply_rename(nodes: List[NodeProto], rename: Dict[str, str]) -> None:
+    """Rewrite value references per ``rename`` — including closure-captured
+    references inside If/Loop/Scan subgraph bodies, minus any name a
+    subgraph defines locally (formal input, local initializer, or local
+    node output), which shadows the outer binding per ONNX scoping. A
+    top-level-only rewrite would leave subgraphs reading the eliminated
+    Identity's stale output name (latent bug surfaced by the round-5
+    import-time reference validator)."""
+    for node in nodes:
+        node.input[:] = [rename.get(i, i) for i in node.input]
+        for attr in node.attribute:
+            for sub in _attr_subgraphs(attr):
+                shadowed = {vi.name for vi in sub.input}
+                shadowed.update(t.name for t in sub.initializer)
+                shadowed.update(sp.name for sp in sub.sparse_initializer)
+                for n2 in sub.node:
+                    shadowed.update(o for o in n2.output if o)
+                inner = {
+                    k: v for k, v in rename.items() if k not in shadowed
+                }
+                if inner:
+                    _apply_rename(sub.node, inner)
+
+
+def _attr_subgraphs(attr):
+    if attr.g is not None:
+        yield attr.g
+    for g in attr.graphs:
+        yield g
 
 
 def fold_batchnorm(graph: GraphProto, tensors: Dict[str, np.ndarray]) -> int:

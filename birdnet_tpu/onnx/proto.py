@@ -392,6 +392,88 @@ class TensorProto:
         )
 
 
+@dataclass
+class SparseTensorProto:
+    """COO sparse tensor (onnx.proto ``SparseTensorProto``).
+
+    ``values`` holds the NNZ entries (its ``name`` names the whole sparse
+    tensor, per spec); ``indices`` is an int64 tensor of shape
+    ``[NNZ, rank]`` (one coordinate row per entry) or ``[NNZ]``
+    (C-order linearized offsets); ``dims`` is the dense shape. ONNX
+    Runtime densifies these at session load (reference:
+    src/classifier.rs:348-350 ``commit_from_file``); so do we, at import
+    (compiler/importer.py) — TPU/XLA has no sparse tensor representation,
+    and classifier weights are dense on the MXU anyway."""
+
+    values: Optional["TensorProto"] = None
+    indices: Optional["TensorProto"] = None
+    dims: List[int] = field(default_factory=list)
+
+    @property
+    def name(self) -> str:
+        return self.values.name if self.values is not None else ""
+
+    def to_dense(self) -> np.ndarray:
+        """Materialize as a dense numpy array (zero-fill + scatter)."""
+        if self.values is None:
+            raise ValueError("sparse tensor has no values tensor")
+        vals = self.values.to_numpy().reshape(-1)
+        shape = tuple(int(d) for d in self.dims)
+        if any(d < 0 for d in shape):
+            raise ValueError(
+                f"sparse tensor {self.name!r}: negative dim in shape {shape}"
+            )
+        dense = np.zeros(shape, dtype=vals.dtype)
+        if self.indices is None or vals.size == 0:
+            if vals.size:
+                raise ValueError(
+                    f"sparse tensor {self.name!r}: {vals.size} values but "
+                    f"no indices tensor"
+                )
+            return dense
+        idx = self.indices.to_numpy()
+        if idx.dtype != np.int64:
+            raise ValueError(
+                f"sparse tensor {self.name!r}: indices must be int64, "
+                f"got {idx.dtype}"
+            )
+        if idx.ndim == 1:
+            # Linearized C-order offsets into the dense tensor.
+            if idx.shape[0] != vals.size:
+                raise ValueError(
+                    f"sparse tensor {self.name!r}: {vals.size} values but "
+                    f"{idx.shape[0]} linear indices"
+                )
+            n_total = int(np.prod(shape)) if shape else 1
+            if idx.size and (idx.min() < 0 or idx.max() >= n_total):
+                raise ValueError(
+                    f"sparse tensor {self.name!r}: linear index out of "
+                    f"range for shape {shape}"
+                )
+            dense.reshape(-1)[idx] = vals
+            return dense
+        if idx.ndim == 2:
+            # COO coordinate rows: [NNZ, rank].
+            if idx.shape != (vals.size, len(shape)):
+                raise ValueError(
+                    f"sparse tensor {self.name!r}: COO indices shape "
+                    f"{idx.shape} does not match ({vals.size}, {len(shape)})"
+                )
+            for axis, size in enumerate(shape):
+                col = idx[:, axis]
+                if col.size and (col.min() < 0 or col.max() >= size):
+                    raise ValueError(
+                        f"sparse tensor {self.name!r}: coordinate out of "
+                        f"range on axis {axis} (dim {size})"
+                    )
+            dense[tuple(idx[:, a] for a in range(len(shape)))] = vals
+            return dense
+        raise ValueError(
+            f"sparse tensor {self.name!r}: indices must be rank 1 or 2, "
+            f"got rank {idx.ndim}"
+        )
+
+
 class AttrType:
     UNDEFINED = 0
     FLOAT = 1
@@ -404,6 +486,10 @@ class AttrType:
     STRINGS = 8
     TENSORS = 9
     GRAPHS = 10
+    SPARSE_TENSOR = 11
+    SPARSE_TENSORS = 12
+    TYPE_PROTO = 13
+    TYPE_PROTOS = 14
 
 
 @dataclass
@@ -424,6 +510,10 @@ class AttributeProto:
     strings: List[bytes] = field(default_factory=list)
     tensors: List["TensorProto"] = field(default_factory=list)
     graphs: List["GraphProto"] = field(default_factory=list)
+    sparse_tensor: Optional["SparseTensorProto"] = None
+    sparse_tensors: List["SparseTensorProto"] = field(default_factory=list)
+    tp: Optional["TypeProto"] = None
+    type_protos: List["TypeProto"] = field(default_factory=list)
 
     @property
     def value(self):
@@ -449,6 +539,14 @@ class AttributeProto:
             return list(self.tensors)
         if t == AttrType.GRAPHS:
             return list(self.graphs)
+        if t == AttrType.SPARSE_TENSOR:
+            return self.sparse_tensor
+        if t == AttrType.SPARSE_TENSORS:
+            return list(self.sparse_tensors)
+        if t == AttrType.TYPE_PROTO:
+            return self.tp
+        if t == AttrType.TYPE_PROTOS:
+            return list(self.type_protos)
         return None
 
 
@@ -484,8 +582,37 @@ class TensorTypeProto:
 
 
 @dataclass
+class MapTypeProto:
+    key_type: int = DataType.UNDEFINED
+    value_type: Optional["TypeProto"] = None
+
+
+@dataclass
 class TypeProto:
+    """Declared value type. ``tensor_type`` is the common case; the
+    container kinds (sequence/map/optional/sparse tensor) are decoded so
+    no declared type silently drops — at runtime they flow as trace-time
+    containers (compiler/ops_extended.py module docstring)."""
+
     tensor_type: Optional[TensorTypeProto] = None
+    sequence_type: Optional["TypeProto"] = None  # Sequence.elem_type
+    map_type: Optional[MapTypeProto] = None
+    sparse_tensor_type: Optional[TensorTypeProto] = None
+    optional_type: Optional["TypeProto"] = None  # Optional.elem_type
+
+    @property
+    def kind(self) -> str:
+        if self.tensor_type is not None:
+            return "tensor"
+        if self.sequence_type is not None:
+            return "sequence"
+        if self.map_type is not None:
+            return "map"
+        if self.sparse_tensor_type is not None:
+            return "sparse_tensor"
+        if self.optional_type is not None:
+            return "optional"
+        return ""
 
 
 @dataclass
@@ -511,6 +638,7 @@ class GraphProto:
     name: str = ""
     node: List[NodeProto] = field(default_factory=list)
     initializer: List[TensorProto] = field(default_factory=list)
+    sparse_initializer: List[SparseTensorProto] = field(default_factory=list)
     input: List[ValueInfoProto] = field(default_factory=list)
     output: List[ValueInfoProto] = field(default_factory=list)
     value_info: List[ValueInfoProto] = field(default_factory=list)
@@ -617,6 +745,15 @@ def decode_tensor(buf: memoryview, pos: int, end: int) -> TensorProto:
             _decode_repeated_int64(buf, vpos, wt, t.dims)
         elif fnum == 2:
             t.data_type, _ = _read_varint(buf, vpos)
+        elif fnum == 3:
+            # TensorProto.segment: a *slice* of a logically larger tensor
+            # split across multiple protos. Decoding the payload without
+            # stitching segments would silently truncate the weights, so
+            # this is a loud typed rejection (WIRE_POLICY "rejected").
+            raise ValueError(
+                "TensorProto.segment (field 3, segmented large-tensor "
+                "storage) is not supported"
+            )
         elif fnum == 4:
             _decode_repeated_float(buf, vpos, wt, t.float_data)
         elif fnum == 5:
@@ -659,6 +796,20 @@ def decode_tensor(buf: memoryview, pos: int, end: int) -> TensorProto:
     return t
 
 
+def decode_sparse_tensor(buf: memoryview, pos: int, end: int) -> SparseTensorProto:
+    s = SparseTensorProto()
+    for fnum, wt, vpos in _iter_fields(buf, pos, end):
+        if fnum == 1:
+            b, p, e = _submsg(buf, vpos, end)
+            s.values = decode_tensor(b, p, e)
+        elif fnum == 2:
+            b, p, e = _submsg(buf, vpos, end)
+            s.indices = decode_tensor(b, p, e)
+        elif fnum == 3:
+            _decode_repeated_int64(buf, vpos, wt, s.dims)
+    return s
+
+
 def decode_attribute(buf: memoryview, pos: int, end: int) -> AttributeProto:
     a = AttributeProto()
     for fnum, wt, vpos in _iter_fields(buf, pos, end):
@@ -688,10 +839,22 @@ def decode_attribute(buf: memoryview, pos: int, end: int) -> AttributeProto:
         elif fnum == 11:
             b, p, e = _submsg(buf, vpos, end)
             a.graphs.append(decode_graph(b, p, e))
+        elif fnum == 14:
+            b, p, e = _submsg(buf, vpos, end)
+            a.tp = decode_type(b, p, e)
+        elif fnum == 15:
+            b, p, e = _submsg(buf, vpos, end)
+            a.type_protos.append(decode_type(b, p, e))
         elif fnum == 20:
             a.type, _ = _read_varint(buf, vpos)
         elif fnum == 21:
             a.ref_attr_name = _get_str(buf, vpos)
+        elif fnum == 22:
+            b, p, e = _submsg(buf, vpos, end)
+            a.sparse_tensor = decode_sparse_tensor(b, p, e)
+        elif fnum == 23:
+            b, p, e = _submsg(buf, vpos, end)
+            a.sparse_tensors.append(decode_sparse_tensor(b, p, e))
     if a.type == AttrType.UNDEFINED and not a.ref_attr_name:
         a.type = _infer_attr_type(a)
     return a
@@ -713,6 +876,14 @@ def _infer_attr_type(a: AttributeProto) -> int:
         return AttrType.TENSOR
     if a.g is not None:
         return AttrType.GRAPH
+    if a.sparse_tensors:
+        return AttrType.SPARSE_TENSORS
+    if a.sparse_tensor is not None:
+        return AttrType.SPARSE_TENSOR
+    if a.type_protos:
+        return AttrType.TYPE_PROTOS
+    if a.tp is not None:
+        return AttrType.TYPE_PROTO
     if a.s:
         return AttrType.STRING
     if a.f != 0.0:
@@ -758,19 +929,52 @@ def decode_shape(buf: memoryview, pos: int, end: int) -> TensorShapeProto:
     return s
 
 
+def _decode_tensor_type(buf: memoryview, pos: int, end: int) -> TensorTypeProto:
+    tt = TensorTypeProto()
+    for f2, w2, v2 in _iter_fields(buf, pos, end):
+        if f2 == 1:
+            tt.elem_type, _ = _read_varint(buf, v2)
+        elif f2 == 2:
+            b2, p2, e2 = _submsg(buf, v2, end)
+            tt.shape = decode_shape(b2, p2, e2)
+    return tt
+
+
 def decode_type(buf: memoryview, pos: int, end: int) -> TypeProto:
     t = TypeProto()
     for fnum, wt, vpos in _iter_fields(buf, pos, end):
         if fnum == 1:
-            tt = TensorTypeProto()
+            b, p, e = _submsg(buf, vpos, end)
+            t.tensor_type = _decode_tensor_type(b, p, e)
+        elif fnum == 4:  # TypeProto.Sequence{elem_type=1}
             b, p, e = _submsg(buf, vpos, end)
             for f2, w2, v2 in _iter_fields(b, p, e):
                 if f2 == 1:
-                    tt.elem_type, _ = _read_varint(b, v2)
+                    b2, p2, e2 = _submsg(b, v2, e)
+                    t.sequence_type = decode_type(b2, p2, e2)
+            if t.sequence_type is None:
+                t.sequence_type = TypeProto()
+        elif fnum == 5:  # TypeProto.Map{key_type=1, value_type=2}
+            mt = MapTypeProto()
+            b, p, e = _submsg(buf, vpos, end)
+            for f2, w2, v2 in _iter_fields(b, p, e):
+                if f2 == 1:
+                    mt.key_type, _ = _read_varint(b, v2)
                 elif f2 == 2:
                     b2, p2, e2 = _submsg(b, v2, e)
-                    tt.shape = decode_shape(b2, p2, e2)
-            t.tensor_type = tt
+                    mt.value_type = decode_type(b2, p2, e2)
+            t.map_type = mt
+        elif fnum == 8:  # TypeProto.SparseTensor{elem_type=1, shape=2}
+            b, p, e = _submsg(buf, vpos, end)
+            t.sparse_tensor_type = _decode_tensor_type(b, p, e)
+        elif fnum == 9:  # TypeProto.Optional{elem_type=1}
+            b, p, e = _submsg(buf, vpos, end)
+            for f2, w2, v2 in _iter_fields(b, p, e):
+                if f2 == 1:
+                    b2, p2, e2 = _submsg(b, v2, e)
+                    t.optional_type = decode_type(b2, p2, e2)
+            if t.optional_type is None:
+                t.optional_type = TypeProto()
     return t
 
 
@@ -796,6 +1000,9 @@ def decode_graph(buf: memoryview, pos: int, end: int) -> GraphProto:
         elif fnum == 5:
             b, p, e = _submsg(buf, vpos, end)
             g.initializer.append(decode_tensor(b, p, e))
+        elif fnum == 15:
+            b, p, e = _submsg(buf, vpos, end)
+            g.sparse_initializer.append(decode_sparse_tensor(b, p, e))
         elif fnum == 11:
             b, p, e = _submsg(buf, vpos, end)
             g.input.append(decode_value_info(b, p, e))
@@ -918,6 +1125,17 @@ def encode_tensor(t: TensorProto) -> bytes:
     return bytes(out)
 
 
+def encode_sparse_tensor(s: SparseTensorProto) -> bytes:
+    out = bytearray()
+    if s.values is not None:
+        _write_len_field(out, 1, encode_tensor(s.values))
+    if s.indices is not None:
+        _write_len_field(out, 2, encode_tensor(s.indices))
+    if s.dims:
+        _write_packed_int64(out, 3, s.dims)
+    return bytes(out)
+
+
 def encode_attribute(a: AttributeProto) -> bytes:
     out = bytearray()
     _write_string(out, 1, a.name)
@@ -944,6 +1162,16 @@ def encode_attribute(a: AttributeProto) -> bytes:
     elif a.type == AttrType.GRAPHS:
         for g in a.graphs:
             _write_len_field(out, 11, encode_graph(g))
+    elif a.type == AttrType.SPARSE_TENSOR and a.sparse_tensor is not None:
+        _write_len_field(out, 22, encode_sparse_tensor(a.sparse_tensor))
+    elif a.type == AttrType.SPARSE_TENSORS:
+        for s in a.sparse_tensors:
+            _write_len_field(out, 23, encode_sparse_tensor(s))
+    elif a.type == AttrType.TYPE_PROTO and a.tp is not None:
+        _write_len_field(out, 14, encode_type(a.tp))
+    elif a.type == AttrType.TYPE_PROTOS:
+        for tp in a.type_protos:
+            _write_len_field(out, 15, encode_type(tp))
     if a.type != AttrType.UNDEFINED:
         _write_int_field(out, 20, a.type)
     if a.ref_attr_name:
@@ -967,26 +1195,50 @@ def encode_node(n: NodeProto) -> bytes:
     return bytes(out)
 
 
+def _encode_tensor_type(tt: TensorTypeProto) -> bytes:
+    tt_out = bytearray()
+    _write_int_field(tt_out, 1, tt.elem_type)
+    if tt.shape is not None:
+        sh_out = bytearray()
+        for d in tt.shape.dim:
+            d_out = bytearray()
+            if d.dim_value is not None:
+                _write_int_field(d_out, 1, d.dim_value)
+            elif d.dim_param:
+                _write_string(d_out, 2, d.dim_param)
+            _write_len_field(sh_out, 1, bytes(d_out))
+        _write_len_field(tt_out, 2, bytes(sh_out))
+    return bytes(tt_out)
+
+
+def encode_type(t: TypeProto) -> bytes:
+    out = bytearray()
+    if t.tensor_type is not None:
+        _write_len_field(out, 1, _encode_tensor_type(t.tensor_type))
+    elif t.sequence_type is not None:
+        seq = bytearray()
+        _write_len_field(seq, 1, encode_type(t.sequence_type))
+        _write_len_field(out, 4, bytes(seq))
+    elif t.map_type is not None:
+        mp = bytearray()
+        _write_int_field(mp, 1, t.map_type.key_type)
+        if t.map_type.value_type is not None:
+            _write_len_field(mp, 2, encode_type(t.map_type.value_type))
+        _write_len_field(out, 5, bytes(mp))
+    elif t.sparse_tensor_type is not None:
+        _write_len_field(out, 8, _encode_tensor_type(t.sparse_tensor_type))
+    elif t.optional_type is not None:
+        opt = bytearray()
+        _write_len_field(opt, 1, encode_type(t.optional_type))
+        _write_len_field(out, 9, bytes(opt))
+    return bytes(out)
+
+
 def encode_value_info(v: ValueInfoProto) -> bytes:
     out = bytearray()
     _write_string(out, 1, v.name)
-    if v.type is not None and v.type.tensor_type is not None:
-        tt = v.type.tensor_type
-        tt_out = bytearray()
-        _write_int_field(tt_out, 1, tt.elem_type)
-        if tt.shape is not None:
-            sh_out = bytearray()
-            for d in tt.shape.dim:
-                d_out = bytearray()
-                if d.dim_value is not None:
-                    _write_int_field(d_out, 1, d.dim_value)
-                elif d.dim_param:
-                    _write_string(d_out, 2, d.dim_param)
-                _write_len_field(sh_out, 1, bytes(d_out))
-            _write_len_field(tt_out, 2, bytes(sh_out))
-        type_out = bytearray()
-        _write_len_field(type_out, 1, bytes(tt_out))
-        _write_len_field(out, 2, bytes(type_out))
+    if v.type is not None:
+        _write_len_field(out, 2, encode_type(v.type))
     return bytes(out)
 
 
@@ -998,6 +1250,8 @@ def encode_graph(g: GraphProto) -> bytes:
         _write_string(out, 2, g.name)
     for t in g.initializer:
         _write_len_field(out, 5, encode_tensor(t))
+    for s in g.sparse_initializer:
+        _write_len_field(out, 15, encode_sparse_tensor(s))
     for v in g.input:
         _write_len_field(out, 11, encode_value_info(v))
     for v in g.output:
@@ -1061,6 +1315,209 @@ def encode_function(f: FunctionProto) -> bytes:
 def save_model(m: ModelProto, path) -> None:
     with open(path, "wb") as f:
         f.write(encode_model(m))
+
+
+# ---------------------------------------------------------------------------
+# Wire-schema field policy
+# ---------------------------------------------------------------------------
+#
+# Every field number of every onnx.proto message this codec touches is
+# pinned here as exactly one of:
+#   "decoded"  — the decoder materializes it into the dataclass above;
+#   "skipped"  — deliberately ignored, with a rationale proving the skip
+#                cannot change inference semantics (doc strings, metadata,
+#                advisory annotations, training-only payloads);
+#   "rejected" — semantically load-bearing but unsupported: the decoder
+#                raises loudly instead of dropping it.
+# tests/test_wire_schema_audit.py cross-checks this table against a frozen
+# transcription of the onnx.proto schema (same discipline as the operator
+# spec table, tests/_onnx_spec_table.py), so no semantic field can fall
+# through ``_skip_field`` silently again — the failure mode a round-4
+# review demonstrated for GraphProto.sparse_initializer. ONNX Runtime
+# consumes every "decoded"/"rejected" field at session load (reference:
+# src/classifier.rs:348-350).
+#
+# Format: {message: {field_number: (field_name, status, rationale)}}
+# (rationale empty for "decoded").
+
+WIRE_POLICY = {
+    "ModelProto": {
+        1: ("ir_version", "decoded", ""),
+        2: ("producer_name", "decoded", ""),
+        3: ("producer_version", "decoded", ""),
+        4: ("domain", "decoded", ""),
+        5: ("model_version", "decoded", ""),
+        6: ("doc_string", "skipped", "documentation only"),
+        7: ("graph", "decoded", ""),
+        8: ("opset_import", "decoded", ""),
+        14: ("metadata_props", "skipped", "free-form key/value metadata"),
+        20: (
+            "training_info",
+            "skipped",
+            "training-only (TrainingInfoProto); this engine and the "
+            "reference are inference-only (SURVEY §0) and ONNX Runtime "
+            "InferenceSession likewise ignores it",
+        ),
+        25: ("functions", "decoded", ""),
+        26: (
+            "configuration",
+            "skipped",
+            "IR v11 multi-device deployment annotation (advisory device "
+            "placement hints); this engine shards via jax.sharding "
+            "meshes, and plain single-device evaluation of the graph "
+            "remains correct when ignored",
+        ),
+    },
+    "GraphProto": {
+        1: ("node", "decoded", ""),
+        2: ("name", "decoded", ""),
+        5: ("initializer", "decoded", ""),
+        10: ("doc_string", "skipped", "documentation only"),
+        11: ("input", "decoded", ""),
+        12: ("output", "decoded", ""),
+        13: ("value_info", "decoded", ""),
+        14: (
+            "quantization_annotation",
+            "skipped",
+            "advisory tensor-to-quant-parameter name map; quantization "
+            "semantics come from the Q/DQ and QLinear* nodes themselves, "
+            "which are fully evaluated",
+        ),
+        15: ("sparse_initializer", "decoded", ""),
+        16: ("metadata_props", "skipped", "free-form key/value metadata"),
+    },
+    "NodeProto": {
+        1: ("input", "decoded", ""),
+        2: ("output", "decoded", ""),
+        3: ("name", "decoded", ""),
+        4: ("op_type", "decoded", ""),
+        5: ("attribute", "decoded", ""),
+        6: ("doc_string", "skipped", "documentation only"),
+        7: ("domain", "decoded", ""),
+        8: (
+            "overload",
+            "skipped",
+            "selects between same-name model-local function overloads "
+            "(IR v10); function inlining matches on (domain, op_type) and "
+            "no known exporter emits overloaded functions — a model that "
+            "does inlines the first definition, and differing signatures "
+            "fail loudly at trace time",
+        ),
+        9: ("metadata_props", "skipped", "free-form key/value metadata"),
+        10: (
+            "device_configurations",
+            "skipped",
+            "IR v11 multi-device annotation (advisory sharding hints "
+            "keyed to ModelProto.configuration); see ModelProto field 26",
+        ),
+    },
+    "AttributeProto": {
+        1: ("name", "decoded", ""),
+        2: ("f", "decoded", ""),
+        3: ("i", "decoded", ""),
+        4: ("s", "decoded", ""),
+        5: ("t", "decoded", ""),
+        6: ("g", "decoded", ""),
+        7: ("floats", "decoded", ""),
+        8: ("ints", "decoded", ""),
+        9: ("strings", "decoded", ""),
+        10: ("tensors", "decoded", ""),
+        11: ("graphs", "decoded", ""),
+        13: ("doc_string", "skipped", "documentation only"),
+        14: ("tp", "decoded", ""),
+        15: ("type_protos", "decoded", ""),
+        20: ("type", "decoded", ""),
+        21: ("ref_attr_name", "decoded", ""),
+        22: ("sparse_tensor", "decoded", ""),
+        23: ("sparse_tensors", "decoded", ""),
+    },
+    "TensorProto": {
+        1: ("dims", "decoded", ""),
+        2: ("data_type", "decoded", ""),
+        3: (
+            "segment",
+            "rejected",
+            "a segment is a *slice* of a logically larger tensor split "
+            "across protos; decoding without stitching would silently "
+            "truncate weights, so decode_tensor raises",
+        ),
+        4: ("float_data", "decoded", ""),
+        5: ("int32_data", "decoded", ""),
+        6: ("string_data", "decoded", ""),
+        7: ("int64_data", "decoded", ""),
+        8: ("name", "decoded", ""),
+        9: ("raw_data", "decoded", ""),
+        10: ("double_data", "decoded", ""),
+        11: ("uint64_data", "decoded", ""),
+        12: ("doc_string", "skipped", "documentation only"),
+        13: ("external_data", "decoded", ""),
+        14: ("data_location", "decoded", ""),
+        16: ("metadata_props", "skipped", "free-form key/value metadata"),
+    },
+    "SparseTensorProto": {
+        1: ("values", "decoded", ""),
+        2: ("indices", "decoded", ""),
+        3: ("dims", "decoded", ""),
+    },
+    "TypeProto": {
+        1: ("tensor_type", "decoded", ""),
+        4: ("sequence_type", "decoded", ""),
+        5: ("map_type", "decoded", ""),
+        6: ("denotation", "skipped", "semantic documentation tag only"),
+        7: (
+            "opaque_type",
+            "skipped",
+            "declares a custom non-tensor type consumed only by custom "
+            "ops; any node consuming one is itself rejected by the op "
+            "registry (unsupported-op ModelLoadError), so the type "
+            "declaration alone is inert",
+        ),
+        8: ("sparse_tensor_type", "decoded", ""),
+        9: ("optional_type", "decoded", ""),
+    },
+    "TensorShapeProto": {
+        1: ("dim", "decoded", ""),
+    },
+    "TensorShapeProto.Dimension": {
+        1: ("dim_value", "decoded", ""),
+        2: ("dim_param", "decoded", ""),
+        3: ("denotation", "skipped", "semantic documentation tag only"),
+    },
+    "ValueInfoProto": {
+        1: ("name", "decoded", ""),
+        2: ("type", "decoded", ""),
+        3: ("doc_string", "skipped", "documentation only"),
+        4: ("metadata_props", "skipped", "free-form key/value metadata"),
+    },
+    "OperatorSetIdProto": {
+        1: ("domain", "decoded", ""),
+        2: ("version", "decoded", ""),
+    },
+    "StringStringEntryProto": {
+        1: ("key", "decoded", ""),
+        2: ("value", "decoded", ""),
+    },
+    "FunctionProto": {
+        1: ("name", "decoded", ""),
+        4: ("input", "decoded", ""),
+        5: ("output", "decoded", ""),
+        6: ("attribute", "decoded", ""),
+        7: ("node", "decoded", ""),
+        8: ("doc_string", "skipped", "documentation only"),
+        9: ("opset_import", "decoded", ""),
+        10: ("domain", "decoded", ""),
+        11: ("attribute_proto", "decoded", ""),
+        12: (
+            "value_info",
+            "skipped",
+            "optional declared types for values *inside* a function body; "
+            "purely advisory (shape/type hints), inlined bodies infer "
+            "types from the actual tensors flowing through",
+        ),
+        13: ("overload", "decoded", ""),
+        14: ("metadata_props", "skipped", "free-form key/value metadata"),
+    },
+}
 
 
 # ---------------------------------------------------------------------------
