@@ -1026,13 +1026,17 @@ def run_with_args(args: argparse.Namespace) -> int:
 
 
 def main(argv=None) -> int:
-    from .utils.logfilter import filter_native_stderr
+    from .utils.logfilter import filter_native_stderr, silence_cosmetic_python_logs
 
     args = build_parser().parse_args(argv)
-    # Drop XLA's cosmetic cpu_aot_loader pseudo-feature "SIGILL" lines
-    # (emitted on every persistent-cache load on CPU) so the first screen
-    # stays clean like the reference CLI's
-    # (reference: src/bin/birdnet-analyze.rs:621-647).
+    # Drop the known-cosmetic native noise (XLA cpu_aot_loader
+    # pseudo-feature "SIGILL" lines; libtpu/axon discovery probes on
+    # TPU-less hosts) and the Python-side experimental-platform warning,
+    # so the first screen stays clean like the reference CLI's
+    # (reference: src/bin/birdnet-analyze.rs:621-647). --verbose keeps
+    # everything.
+    if not getattr(args, "verbose", False):
+        silence_cosmetic_python_logs()
     with filter_native_stderr():
         try:
             return run_with_args(args)

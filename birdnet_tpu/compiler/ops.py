@@ -1821,11 +1821,16 @@ def _upsample(ctx, x, scales=None):
     if scales is None and ctx.opset <= 6:
         # Original 2017 experimental spelling: per-axis scale attributes
         # on NCHW images.
-        scales = [
-            1.0, 1.0,
-            float(ctx.attr("height_scale")),
-            float(ctx.attr("width_scale")),
-        ]
+        h_scale = ctx.attr("height_scale")
+        w_scale = ctx.attr("width_scale")
+        if h_scale is None or w_scale is None:
+            raise ValueError(
+                "Upsample (opset<=6) requires height_scale and "
+                "width_scale attributes"
+            )
+        scales = [1.0, 1.0, float(h_scale), float(w_scale)]
+    if scales is None:
+        raise ValueError("Upsample node carries no scales input or attribute")
     sc = np.asarray(scales, dtype=np.float64).reshape(-1)
     linear = mode in ("linear", "bilinear", "trilinear")
     for axis, s in enumerate(sc):

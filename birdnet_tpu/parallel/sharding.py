@@ -130,6 +130,60 @@ def _species_pad(
     return out, n + pad
 
 
+# Ops that mix values ACROSS positions of an axis (normalizers, axis
+# reductions, axis selections). Zero pad logits are value-exact through
+# every positionwise op (matmul contributions, add, mul, sigmoid), but a
+# cross-position op over the species axis would let the pads change real
+# positions (exp(0)=1 joins a softmax denominator; zero wins an all-negative
+# ArgMax/ReduceMax; zero poisons ReduceProd). None of the supported
+# families carries one downstream of the head (their logits are raw head
+# outputs), so hitting this is a custom-graph safety refusal, not a
+# supported-path branch.
+_PAD_UNSAFE_OPS = frozenset({
+    "Softmax", "LogSoftmax", "Hardmax", "ArgMax", "ArgMin", "TopK",
+    "ReduceMean", "ReduceSum", "ReduceProd", "ReduceMin", "ReduceMax",
+    "ReduceL1", "ReduceL2", "ReduceLogSum", "ReduceLogSumExp",
+    "ReduceSumSquare",
+})
+
+
+def _check_pad_safety(graph, padded_names) -> None:
+    """Refuse (typed error) to species-pad when a cross-position op
+    consumes a value derived from a padded tensor (advisor finding: a
+    softmax-head custom classifier would otherwise be silently wrong —
+    zero pad logits contribute exp(0)=1 to the denominator). Conservative
+    by design: axis attributes are not inspected (input ranks are unknown
+    before trace), so ANY such op downstream of a padded tensor refuses;
+    run on an unpadded mesh extent (a model axis dividing num_species)
+    to shard such graphs instead."""
+    from ..errors import ModelLoadError
+
+    derived = set(padded_names)
+
+    def walk(g) -> None:
+        for node in g.node:
+            hit = [i for i in node.input if i and i in derived]
+            if hit:
+                if node.op_type in _PAD_UNSAFE_OPS:
+                    raise ModelLoadError(
+                        f"cannot species-pad for tensor-parallel sharding: "
+                        f"node {node.name!r} ({node.op_type}) consumes "
+                        f"{hit[0]!r}, which derives from a zero-padded "
+                        f"species tensor — a cross-position op over the "
+                        f"padded axis would corrupt real class values. "
+                        f"Use a model-axis size that divides num_species, "
+                        f"or run unsharded."
+                    )
+                derived.update(o for o in node.output if o)
+            for v in node.attrs.values():
+                subs = v if isinstance(v, (list, tuple)) else [v]
+                for sub in subs:
+                    if hasattr(sub, "node"):
+                        walk(sub)
+
+    walk(graph)
+
+
 def _species_pad_model(imported, config: ModelConfig, model_size: int):
     """Species-pad an ImportedModel for head TP: pads the species dim in
     ``params`` AND in float ``consts`` (tiny per-class vectors — e.g. a
@@ -147,6 +201,15 @@ def _species_pad_model(imported, config: ModelConfig, model_size: int):
     consts, _ = _species_pad(
         imported.consts, config, model_size, floats_only=True
     )
+    padded_names = {
+        name for name, before in imported.params.items()
+        if params[name].shape != before.shape
+    }
+    padded_names.update(
+        name for name, before in imported.consts.items()
+        if consts[name].shape != before.shape
+    )
+    _check_pad_safety(imported.graph, padded_names)
     return (
         dataclasses.replace(imported, params=params, consts=consts),
         n_padded,

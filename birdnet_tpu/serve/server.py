@@ -791,10 +791,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    from ..utils.logfilter import filter_native_stderr
+    from ..utils.logfilter import filter_native_stderr, silence_cosmetic_python_logs
 
     # Same cosmetic-log suppression as the CLI (cpu_aot_loader
-    # pseudo-feature lines on every persistent-cache load).
+    # pseudo-feature lines, libtpu/axon discovery probes,
+    # experimental-platform warning).
+    silence_cosmetic_python_logs()
     with filter_native_stderr():
         return _main(argv)
 

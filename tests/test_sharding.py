@@ -317,3 +317,67 @@ def test_species_pad_helper():
     # divisible → untouched (identity)
     same, n_same = _species_pad(params, cfg, 5)
     assert n_same == 15 and same["head_w"] is params["head_w"]
+
+
+def test_species_pad_refuses_softmax_head():
+    """A graph whose padded head feeds a cross-position op (Softmax over
+    the species axis) must refuse species padding with a typed error —
+    zero pad logits would contribute exp(0)=1 to the softmax denominator
+    and silently change real-class probabilities (advisor finding)."""
+    import birdnet_tpu.onnx.proto as P
+    from birdnet_tpu.compiler.importer import import_onnx
+    from birdnet_tpu.errors import ModelLoadError
+    from birdnet_tpu.parallel.sharding import _species_pad_model
+
+    n = 15  # does not divide 4 → padding engages
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(64, n)).astype(np.float32)
+    graph = P.GraphProto(
+        name="softmax_head",
+        node=[
+            P.make_node("MatMul", ["x", "w"], ["logits"]),
+            P.make_node("Softmax", ["logits"], ["probs"], axis=-1),
+        ],
+        initializer=[P.TensorProto.from_numpy(w, name="w")],
+        input=[P.make_value_info("x", P.DataType.FLOAT, [1, 64])],
+        output=[P.make_value_info("probs", P.DataType.FLOAT, [1, n])],
+    )
+    imp = import_onnx(P.encode_model(P.make_model(graph)))
+    cfg = detect_model_type([1, 144000], [[1, n]])
+    with pytest.raises(ModelLoadError, match="species-pad"):
+        _species_pad_model(imp, cfg, 4)
+    # Divisible model axis: no padding, no refusal.
+    same, n_same = _species_pad_model(imp, cfg, 5)
+    assert n_same == n and same is imp
+
+
+def test_species_pad_allows_positionwise_tail():
+    """Positionwise ops downstream of the padded head (Sigmoid, Add, Mul)
+    stay allowed — zero pads are value-exact through them."""
+    import birdnet_tpu.onnx.proto as P
+    from birdnet_tpu.compiler.importer import import_onnx
+    from birdnet_tpu.parallel.sharding import _species_pad_model
+
+    n = 15
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(64, n)).astype(np.float32)
+    b = rng.normal(size=(n,)).astype(np.float32)
+    graph = P.GraphProto(
+        name="sigmoid_head",
+        node=[
+            P.make_node("MatMul", ["x", "w"], ["h"]),
+            P.make_node("Add", ["h", "b"], ["logits"]),
+            P.make_node("Sigmoid", ["logits"], ["y"]),
+        ],
+        initializer=[
+            P.TensorProto.from_numpy(w, name="w"),
+            P.TensorProto.from_numpy(b, name="b"),
+        ],
+        input=[P.make_value_info("x", P.DataType.FLOAT, [1, 64])],
+        output=[P.make_value_info("y", P.DataType.FLOAT, [1, n])],
+    )
+    imp = import_onnx(P.encode_model(P.make_model(graph)))
+    cfg = detect_model_type([1, 144000], [[1, n]])
+    padded, n_pad = _species_pad_model(imp, cfg, 4)
+    assert n_pad == 16
+    assert padded.params["w"].shape == (64, 16)
