@@ -381,3 +381,91 @@ def test_species_pad_allows_positionwise_tail():
     padded, n_pad = _species_pad_model(imp, cfg, 4)
     assert n_pad == 16
     assert padded.params["w"].shape == (64, 16)
+
+
+# ---------------------------------------------------------------------------
+# Full-geometry sharded parity (slow tier; round-4 verdict item 2).
+# The fast tier shards width-0.1 backbones; these run the REAL channel
+# geometry through make_sharded_program once:
+#   BIRDNET_TEST_SLOW=1 python -m pytest tests/test_sharding.py -k full_geometry
+# ---------------------------------------------------------------------------
+
+
+def _full_geometry_parity(imp, cfg, with_embeddings, seed):
+    mesh = make_mesh()  # (4 data, 2 model) on the virtual 8-device mesh
+    dp = mesh.shape["data"]
+    fn, shard_inputs = make_sharded_program(
+        imp, cfg, mesh, top_k=10, with_embeddings=with_embeddings
+    )
+    x = np.random.default_rng(seed).normal(
+        size=(dp * 2, cfg.sample_count)
+    ).astype(np.float32)
+    params, xs = shard_inputs(imp.params, x)
+    outs = fn(params, xs)
+    jax.block_until_ready(outs)
+    conf, idx, logits = outs[:3]
+    ref_logits, ref_idx, ref_conf, ref_emb = _single_device_oracle(
+        imp, cfg, x, 10
+    )
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_logits, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(conf), ref_conf, rtol=1e-4, atol=1e-5
+    )
+    if with_embeddings:
+        np.testing.assert_allclose(
+            np.asarray(outs[3]), ref_emb, rtol=1e-4, atol=1e-5
+        )
+
+
+def _slow_gate():
+    import os
+
+    if not os.environ.get("BIRDNET_TEST_SLOW"):
+        pytest.skip("set BIRDNET_TEST_SLOW=1 for full-geometry sharded runs")
+
+
+def test_full_geometry_v24_sharded_parity():
+    """Full-size BirdNET v2.4 (50 MB params, 6,522 species — the exact
+    build entry() single-chips) through DP+TP: 6,522 divides the 2-way
+    model axis, so the head shards WITHOUT species padding at real
+    reduction-axis sizes."""
+    _slow_gate()
+    from birdnet_tpu.models import birdnet_v24
+
+    imp = import_onnx(P.encode_model(birdnet_v24.build_model()))
+    cfg = detect_model_type(*imp.detection_shapes())
+    assert cfg.num_species == 6522
+    assert imp.param_bytes() > 45e6  # genuinely the 50 MB geometry
+    _full_geometry_parity(imp, cfg, with_embeddings=False, seed=11)
+
+
+def test_full_geometry_perch_sharded_parity():
+    """Real-width Perch v2 (published head: 14,795 classes, 1536-dim
+    embeddings; full-width backbone) through DP+TP: 14,795 divides no
+    power-of-two axis, so the real-width head rides the species-pad TP
+    path with real channel counts on both matmul operands."""
+    _slow_gate()
+    from birdnet_tpu.models import perch_v2
+
+    imp = import_onnx(
+        P.encode_model(
+            perch_v2.build_model(num_species=14795, embedding_dim=1536)
+        )
+    )
+    cfg = detect_model_type(*imp.detection_shapes())
+    assert cfg.num_species == 14795
+    _full_geometry_parity(imp, cfg, with_embeddings=True, seed=12)
+
+
+def test_full_geometry_v30_sharded_parity():
+    """Full-size BirdNET v3.0 (dual output: 1024-dim embeddings at 0,
+    6,522-class logits at 1) through DP+TP at real geometry."""
+    _slow_gate()
+    from birdnet_tpu.models import birdnet_v30
+
+    imp = import_onnx(P.encode_model(birdnet_v30.build_model()))
+    cfg = detect_model_type(*imp.detection_shapes())
+    _full_geometry_parity(imp, cfg, with_embeddings=True, seed=13)
