@@ -103,6 +103,23 @@ PYEOF
     export PERCH_V2_MODEL="$STAND/perch.onnx"
     export PERCH_V2_LABELS="$STAND/perch_labels.csv"
     export BIRDNET_META_MODEL="$STAND/meta.onnx"
+
+    # Oracle-leg rehearsal: record .npz oracles through the fake-ORT shim
+    # (tests/_fake_ort — the engine plays the oracle; files are branded
+    # non-independent) so step 1's oracle-parity gates RUN instead of
+    # skipping. Proves record → gate → compare end to end; on day one,
+    # record on a machine with real onnxruntime instead.
+    echo "== rehearsal: recording shim oracles (record_oracle.py) =="
+    REC_PP="$PWD/tests/_fake_ort:$PWD${PYTHONPATH:+:$PYTHONPATH}"
+    PYTHONPATH="$REC_PP" python scripts/record_oracle.py \
+        --model "$BIRDNET_V24_MODEL" --out "$STAND/v24_oracle.npz" --n 2
+    PYTHONPATH="$REC_PP" python scripts/record_oracle.py \
+        --model "$BIRDNET_V30_MODEL" --out "$STAND/v30_oracle.npz" --n 2
+    PYTHONPATH="$REC_PP" python scripts/record_oracle.py \
+        --model "$PERCH_V2_MODEL" --out "$STAND/perch_oracle.npz" --n 2
+    export BIRDNET_V24_ORACLE="$STAND/v24_oracle.npz"
+    export BIRDNET_V30_ORACLE="$STAND/v30_oracle.npz"
+    export PERCH_V2_ORACLE="$STAND/perch_oracle.npz"
 fi
 
 have_any=0

@@ -44,6 +44,22 @@ def main() -> int:
         )
         return 1
 
+    # Rehearsal shim detection (tests/_fake_ort): a session backed by this
+    # repo's own engine proves the record → gate → compare plumbing but is
+    # NOT an independent oracle — brand the file so the parity tier can
+    # say so loudly.
+    source = getattr(
+        ort, "ORACLE_SOURCE",
+        f"onnxruntime-{getattr(ort, '__version__', 'unknown')}",
+    )
+    if source == "birdnet_tpu-fake-ort":
+        print(
+            "WARNING: recording through the REHEARSAL shim "
+            "(tests/_fake_ort) — this oracle is the engine checked "
+            "against itself, not ONNX Runtime. Harness validation only.",
+            file=sys.stderr,
+        )
+
     sess = ort.InferenceSession(args.model, providers=["CPUExecutionProvider"])
     inp = sess.get_inputs()[0]
     sample_count = int(inp.shape[-1])
@@ -58,8 +74,14 @@ def main() -> int:
         outs.append(np.asarray(result[-1]).reshape(-1))  # logits = last output
     logits = np.stack(outs)
 
-    np.savez_compressed(args.out, inputs=inputs, logits=logits, seed=args.seed)
-    print(f"recorded {args.n} inputs -> {args.out} (logits {logits.shape})")
+    np.savez_compressed(
+        args.out, inputs=inputs, logits=logits, seed=args.seed,
+        oracle_source=np.asarray(source),
+    )
+    print(
+        f"recorded {args.n} inputs -> {args.out} (logits {logits.shape}, "
+        f"source {source})"
+    )
     return 0
 
 

@@ -137,6 +137,16 @@ def _oracle_case(model_var, labels_var, oracle_var):
     if not oracle_path:
         pytest.skip(f"{oracle_var} not set (record with scripts/record_oracle.py)")
     data = np.load(oracle_path)
+    source = str(data["oracle_source"]) if "oracle_source" in data else "unknown"
+    if source == "birdnet_tpu-fake-ort":
+        import warnings
+
+        warnings.warn(
+            f"{oracle_var} was recorded through the REHEARSAL shim "
+            "(tests/_fake_ort): this run validates the record→gate→"
+            "compare harness, NOT independent ORT numerics.",
+            stacklevel=2,
+        )
     clf = (
         Classifier.builder()
         .model_path(model)
