@@ -605,3 +605,325 @@ def test_genai_style_nbits_decode_matches_dequantized_twin():
         q_pasts = [np.asarray(o) for o in q_outs[1:]]
         f_pasts = [np.asarray(o) for o in f_outs[1:]]
         ids = np.array([[q_tok]])
+
+
+# ---------------------------------------------------------------------------
+# Combined genai artifact (round-4 verdict item 7): ONE merged-decoder file
+# stacking every mechanism previously proven separately — an If gated on
+# ``use_cache_branch`` (auto-dispatch, zero user flags), explicit
+# com.microsoft RotaryEmbedding nodes in the scalar-offset decode idiom,
+# GroupQueryAttention with grouped KV heads and past/present caches, and
+# every projection stored as 4-bit MatMulNBits blocks — hand-built through
+# the wire codec the way onnxruntime-genai exports llama-family models
+# (reference consumes such files whole via ort, src/classifier.rs:348-350).
+# The quantized merged file must match its float twin (same graphs, MatMul
+# on the dequantized blocks) per decode step, and the float merged file
+# must match the float split prompt/step pair exactly.
+# ---------------------------------------------------------------------------
+
+_G_V, _G_D, _G_N, _G_KVN, _G_H, _G_F = 50, 32, 4, 2, 8, 64
+_G_BLOCK = 16
+_G_MAXPOS = 32
+_G_MS = "com.microsoft"
+
+
+def _quant4(w_t: np.ndarray, block: int):
+    """Symmetric 4-bit block quantization of W.T [N, K] (zp=8 default):
+    returns (packed nibbles [N, nb, block/2], scales [N, nb],
+    dequantized W [K, N])."""
+    n, k = w_t.shape
+    nb = k // block
+    blocks = w_t.reshape(n, nb, block)
+    scales = (np.abs(blocks).max(-1) / 7.0 + 1e-8).astype(np.float32)
+    q = np.clip(
+        np.rint(blocks / scales[..., None]) + 8, 0, 15
+    ).astype(np.uint8)
+    packed = (q[..., 0::2] | (q[..., 1::2] << 4)).astype(np.uint8)
+    wdq = ((q.astype(np.float32) - 8.0) * scales[..., None]).reshape(n, k)
+    return packed, scales, np.ascontiguousarray(wdq.T)
+
+
+def _genai_weights(seed=44):
+    """Float weights + their quantized forms for the one-layer llama-style
+    decoder. Every projection is block-quantized once here so the
+    quantized graph and its float twin share the exact effective math."""
+    r = np.random.default_rng(seed)
+
+    def w(k, n):
+        return (r.standard_normal((k, n)) / np.sqrt(k)).astype(np.float32)
+
+    proj = {
+        "Wq": w(_G_D, _G_N * _G_H), "Wk": w(_G_D, _G_KVN * _G_H),
+        "Wv": w(_G_D, _G_KVN * _G_H), "Wo": w(_G_N * _G_H, _G_D),
+        "Wg": w(_G_D, _G_F), "Wu": w(_G_D, _G_F), "Wd": w(_G_F, _G_D),
+        "Wlm": w(_G_D, _G_V),
+    }
+    quant = {
+        name: _quant4(np.ascontiguousarray(W.T), _G_BLOCK)
+        for name, W in proj.items()
+    }
+    inv = 1.0 / (10000.0 ** (np.arange(_G_H // 2) / (_G_H // 2)))
+    ang = np.arange(_G_MAXPOS)[:, None] * inv[None]
+    return {
+        "quant": quant,
+        "E": (r.standard_normal((_G_V, _G_D)) * 0.3).astype(np.float32),
+        "g1": (1.0 + 0.1 * r.standard_normal(_G_D)).astype(np.float32),
+        "g2": (1.0 + 0.1 * r.standard_normal(_G_D)).astype(np.float32),
+        "g3": (1.0 + 0.1 * r.standard_normal(_G_D)).astype(np.float32),
+        "cos": np.cos(ang).astype(np.float32),
+        "sin": np.sin(ang).astype(np.float32),
+    }
+
+
+def _genai_branch(w, *, with_past: bool, quantize: bool):
+    """One llama-style decoder layer + lm head as a GraphProto whose
+    inputs bind by OUTER name (If-branch convention): ids always; pk, pv,
+    seqlens, total, pos only on the with-past branch. Outputs logits,
+    present_k, present_v."""
+    from birdnet_tpu.onnx import proto as P
+
+    tag = "s" if with_past else "p"
+    nodes, inits = [], []
+
+    def mm(x_name, w_name, out_name):
+        packed, scales, wdq = w["quant"][w_name]
+        n_dim, k_dim = packed.shape[0], wdq.shape[0]
+        if quantize:
+            inits.append(P.TensorProto(
+                name=f"{w_name}_{tag}_q", data_type=P.DataType.UINT8,
+                dims=list(packed.shape), raw_data=packed.tobytes(),
+            ))
+            inits.append(P.TensorProto(
+                name=f"{w_name}_{tag}_s", data_type=P.DataType.FLOAT,
+                dims=list(scales.shape), raw_data=scales.tobytes(),
+            ))
+            nodes.append(P.make_node(
+                "MatMulNBits",
+                [x_name, f"{w_name}_{tag}_q", f"{w_name}_{tag}_s"],
+                [out_name], domain=_G_MS,
+                K=k_dim, N=n_dim, bits=4, block_size=_G_BLOCK,
+            ))
+        else:
+            inits.append(P.TensorProto(
+                name=f"{w_name}_{tag}", data_type=P.DataType.FLOAT,
+                dims=list(wdq.shape), raw_data=wdq.tobytes(),
+            ))
+            nodes.append(P.make_node(
+                "MatMul", [x_name, f"{w_name}_{tag}"], [out_name]
+            ))
+
+    def t(name, arr):
+        arr = np.asarray(arr)
+        dt = {np.dtype(np.float32): P.DataType.FLOAT,
+              np.dtype(np.int64): P.DataType.INT64}[arr.dtype]
+        return P.TensorProto(name=name, data_type=dt, dims=list(arr.shape),
+                             raw_data=arr.tobytes())
+
+    inits += [t(f"E_{tag}", w["E"]), t(f"g1_{tag}", w["g1"]),
+              t(f"g2_{tag}", w["g2"]), t(f"g3_{tag}", w["g3"]),
+              t(f"cos_{tag}", w["cos"]), t(f"sin_{tag}", w["sin"])]
+
+    nodes.append(P.make_node("Gather", [f"E_{tag}", "ids"], [f"x_{tag}"]))
+    nodes.append(P.make_node(
+        "SimplifiedLayerNormalization", [f"x_{tag}", f"g1_{tag}"],
+        [f"n1_{tag}"], axis=-1, epsilon=1e-5,
+    ))
+    mm(f"n1_{tag}", "Wq", f"q_{tag}")
+    mm(f"n1_{tag}", "Wk", f"k_{tag}")
+    mm(f"n1_{tag}", "Wv", f"v_{tag}")
+    if with_past:
+        pos_name = "pos"
+    else:
+        inits.append(t(f"pos0_{tag}", np.zeros(1, np.int64)))
+        pos_name = f"pos0_{tag}"
+    nodes.append(P.make_node(
+        "RotaryEmbedding", [f"q_{tag}", pos_name, f"cos_{tag}", f"sin_{tag}"],
+        [f"qr_{tag}"], domain=_G_MS, num_heads=_G_N,
+    ))
+    nodes.append(P.make_node(
+        "RotaryEmbedding", [f"k_{tag}", pos_name, f"cos_{tag}", f"sin_{tag}"],
+        [f"kr_{tag}"], domain=_G_MS, num_heads=_G_KVN,
+    ))
+    gqa_in = [f"qr_{tag}", f"kr_{tag}", f"v_{tag}"]
+    if with_past:
+        gqa_in += ["pk", "pv", "seqlens", "total"]
+    nodes.append(P.make_node(
+        "GroupQueryAttention", gqa_in,
+        [f"attn_{tag}", "present_k", "present_v"], domain=_G_MS,
+        num_heads=_G_N, kv_num_heads=_G_KVN,
+    ))
+    mm(f"attn_{tag}", "Wo", f"ao_{tag}")
+    nodes.append(P.make_node("Add", [f"x_{tag}", f"ao_{tag}"], [f"x2_{tag}"]))
+    nodes.append(P.make_node(
+        "SimplifiedLayerNormalization", [f"x2_{tag}", f"g2_{tag}"],
+        [f"n2_{tag}"], axis=-1, epsilon=1e-5,
+    ))
+    mm(f"n2_{tag}", "Wg", f"gate_{tag}")
+    mm(f"n2_{tag}", "Wu", f"up_{tag}")
+    nodes.append(P.make_node("Sigmoid", [f"gate_{tag}"], [f"sg_{tag}"]))
+    nodes.append(P.make_node(
+        "Mul", [f"gate_{tag}", f"sg_{tag}"], [f"silu_{tag}"]
+    ))
+    nodes.append(P.make_node(
+        "Mul", [f"silu_{tag}", f"up_{tag}"], [f"h_{tag}"]
+    ))
+    mm(f"h_{tag}", "Wd", f"down_{tag}")
+    nodes.append(P.make_node(
+        "Add", [f"x2_{tag}", f"down_{tag}"], [f"x3_{tag}"]
+    ))
+    nodes.append(P.make_node(
+        "SimplifiedLayerNormalization", [f"x3_{tag}", f"g3_{tag}"],
+        [f"n3_{tag}"], axis=-1, epsilon=1e-5,
+    ))
+    mm(f"n3_{tag}", "Wlm", "logits")
+
+    F = P.DataType.FLOAT
+    outputs = [
+        P.make_value_info("logits", F, [1, "seq", _G_V]),
+        P.make_value_info("present_k", F, [1, _G_KVN, "total", _G_H]),
+        P.make_value_info("present_v", F, [1, _G_KVN, "total", _G_H]),
+    ]
+    return P.GraphProto(
+        name=f"genai_{'step' if with_past else 'prompt'}",
+        node=nodes, input=[], output=outputs, initializer=inits,
+    )
+
+
+def _genai_model(graph_nodes, inputs, outputs, *, initializers=()):
+    from birdnet_tpu.onnx import proto as P
+
+    graph = P.GraphProto(
+        name="genai_combined", node=list(graph_nodes), input=inputs,
+        output=outputs, initializer=list(initializers),
+    )
+    m = P.ModelProto(
+        ir_version=8, producer_name="onnxruntime-genai-like", graph=graph,
+        opset_import=[P.OperatorSetId(domain="", version=17),
+                      P.OperatorSetId(domain=_G_MS, version=1)],
+    )
+    return P.decode_model(P.encode_model(m))
+
+
+def _genai_merged(w, *, quantize: bool):
+    from birdnet_tpu.onnx import proto as P
+
+    then_g = _genai_branch(w, with_past=True, quantize=quantize)
+    else_g = _genai_branch(w, with_past=False, quantize=quantize)
+    node = P.make_node(
+        "If", ["use_cache_branch"], ["logits", "present_k", "present_v"],
+        then_branch=then_g, else_branch=else_g,
+    )
+    F, I, B = P.DataType.FLOAT, P.DataType.INT64, P.DataType.BOOL
+    I32 = P.DataType.INT32
+    inputs = [
+        P.make_value_info("ids", I, [1, "seq"]),
+        P.make_value_info("use_cache_branch", B, [1]),
+        P.make_value_info("pk", F, [1, _G_KVN, "past", _G_H]),
+        P.make_value_info("pv", F, [1, _G_KVN, "past", _G_H]),
+        P.make_value_info("seqlens", I32, [1]),
+        P.make_value_info("total", I32, [1]),
+        P.make_value_info("pos", I, [1]),
+    ]
+    outputs = [
+        P.make_value_info("logits", F, []),
+        P.make_value_info("present_k", F, []),
+        P.make_value_info("present_v", F, []),
+    ]
+    return _genai_model([node], inputs, outputs)
+
+
+def _genai_split(w, *, with_past: bool, quantize: bool):
+    """The same branch as a standalone (non-merged) model file."""
+    from birdnet_tpu.onnx import proto as P
+
+    g = _genai_branch(w, with_past=with_past, quantize=quantize)
+    F, I, I32 = P.DataType.FLOAT, P.DataType.INT64, P.DataType.INT32
+    inputs = [P.make_value_info("ids", I, [1, "seq"])]
+    if with_past:
+        inputs += [
+            P.make_value_info("pk", F, [1, _G_KVN, "past", _G_H]),
+            P.make_value_info("pv", F, [1, _G_KVN, "past", _G_H]),
+            P.make_value_info("seqlens", I32, [1]),
+            P.make_value_info("total", I32, [1]),
+            P.make_value_info("pos", I, [1]),
+        ]
+    return _genai_model(g.node, inputs, list(g.output),
+                        initializers=g.initializer)
+
+
+def test_genai_combined_artifact_decode_loop():
+    """The combined file imports with ZERO user flags (auto-detected
+    ``use_cache_branch`` dispatch), runs a greedy prompt + 3-step decode
+    loop, and matches its float twin per step — logits, present caches,
+    and chosen tokens; the float merged file equals the float split pair
+    exactly."""
+    w = _genai_weights()
+
+    qm = import_onnx(_genai_merged(w, quantize=True))
+    fm = import_onnx(_genai_merged(w, quantize=False))
+    assert qm.dispatch_inputs == ["use_cache_branch"]
+    assert fm.dispatch_inputs == ["use_cache_branch"]
+    assert qm.input_names == [
+        "ids", "use_cache_branch", "pk", "pv", "seqlens", "total", "pos"
+    ]
+    q_fwd = make_forward(qm, precision="fp32")
+    f_fwd = make_forward(fm, precision="fp32")
+
+    sp = import_onnx(_genai_split(w, with_past=False, quantize=False))
+    ss = import_onnx(_genai_split(w, with_past=True, quantize=False))
+    sp_fwd = jax.jit(make_forward(sp, precision="fp32"))
+    ss_fwd = make_forward(ss, precision="fp32")
+
+    r = np.random.default_rng(7)
+    prompt = r.integers(0, _G_V, (1, 4)).astype(np.int64)
+    s0 = prompt.shape[1]
+
+    ids = prompt
+    q_pk = np.zeros((1, _G_KVN, 0, _G_H), np.float32)
+    q_pv = np.zeros((1, _G_KVN, 0, _G_H), np.float32)
+    f_pk, f_pv = q_pk, q_pv
+    s_pk = s_pv = None
+    toks_q, toks_f, toks_s = [], [], []
+    for t in range(4):
+        use_cache = t > 0
+        past = 0 if not use_cache else s0 + t - 1
+        s_len = ids.shape[1]
+        seqlens = np.array([past + s_len - 1], np.int32)
+        total = np.array([past + s_len], np.int32)
+        pos = np.array([past], np.int64)
+        flag = np.array([use_cache])
+
+        q_outs = q_fwd(qm.params, ids, flag, q_pk, q_pv, seqlens, total, pos)
+        f_outs = f_fwd(fm.params, ids, flag, f_pk, f_pv, seqlens, total, pos)
+        if use_cache:
+            s_outs = ss_fwd(ss.params, ids, s_pk, s_pv, seqlens, total, pos)
+        else:
+            s_outs = sp_fwd(sp.params, ids)
+
+        # float merged == float split pair, exactly (same graphs)
+        for f_o, s_o in zip(f_outs, s_outs):
+            np.testing.assert_allclose(
+                np.asarray(f_o), np.asarray(s_o), atol=1e-6, rtol=1e-6
+            )
+        # quantized == float twin (identical effective math; fp32 run)
+        for q_o, f_o in zip(q_outs, f_outs):
+            np.testing.assert_allclose(
+                np.asarray(q_o), np.asarray(f_o), atol=2e-4, rtol=1e-3
+            )
+
+        q_log = np.asarray(q_outs[0])[0, -1]
+        f_log = np.asarray(f_outs[0])[0, -1]
+        s_log = np.asarray(s_outs[0])[0, -1]
+        toks_q.append(int(q_log.argmax()))
+        toks_f.append(int(f_log.argmax()))
+        toks_s.append(int(s_log.argmax()))
+
+        # caches grew to past + s_len on every path
+        assert np.asarray(q_outs[1]).shape == (1, _G_KVN, past + s_len, _G_H)
+        q_pk, q_pv = np.asarray(q_outs[1]), np.asarray(q_outs[2])
+        f_pk, f_pv = np.asarray(f_outs[1]), np.asarray(f_outs[2])
+        s_pk, s_pv = np.asarray(s_outs[1]), np.asarray(s_outs[2])
+        ids = np.array([[toks_q[-1]]], np.int64)
+
+    assert toks_q == toks_f == toks_s
+    assert len(set(toks_q)) > 1  # the loop actually moved through states
