@@ -21,6 +21,8 @@ Engine-side cache-update machinery (TensorScatter, opset 24) is covered in
 test_external_onnx.py; this file proves the end-to-end decode protocol.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -927,3 +929,173 @@ def test_genai_combined_artifact_decode_loop():
 
     assert toks_q == toks_f == toks_s
     assert len(set(toks_q)) > 1  # the loop actually moved through states
+
+
+# ---------------------------------------------------------------------------
+# Real-width Whisper encoder-decoder decode (round-4 verdict item 6):
+# whisper-tiny at its PUBLISHED config — d_model 384, 4 encoder + 4
+# decoder layers, 6 heads, ffn 1536, 80 mel bins, 1500 source positions,
+# vocab 51865 — through the same prefill + with-past greedy protocol the
+# 32-dim test proves, matching torch per step. Slow tier (~40M params
+# exported + imported at fp32), matching the GPT-2-124M / Wav2Vec2-base
+# real-width precedent in tests/test_hf_architectures.py.
+# ---------------------------------------------------------------------------
+
+
+class _WhisperPrefillN(torch.nn.Module):
+    """_WhisperPrefill generalized to n decoder layers: logits, then all
+    self-cache (k,v) pairs, then all cross-cache (k,v) pairs."""
+
+    def __init__(self, m, n_layers):
+        super().__init__()
+        self.m = m
+        self.n = n_layers
+
+    def forward(self, ids, enc):
+        from transformers.cache_utils import DynamicCache, EncoderDecoderCache
+
+        cache = EncoderDecoderCache(DynamicCache(), DynamicCache())
+        out = self.m.model.decoder(
+            input_ids=ids, encoder_hidden_states=enc,
+            past_key_values=cache, use_cache=True,
+        )
+        logits = self.m.proj_out(out.last_hidden_state)
+        sa = out.past_key_values.self_attention_cache
+        ca = out.past_key_values.cross_attention_cache
+        outs = [logits]
+        for i in range(self.n):
+            outs += [sa.layers[i].keys, sa.layers[i].values]
+        for i in range(self.n):
+            outs += [ca.layers[i].keys, ca.layers[i].values]
+        return tuple(outs)
+
+
+class _WhisperStepN(torch.nn.Module):
+    """_WhisperStep generalized to n decoder layers; cross caches are
+    STATIC inputs reused via is_updated."""
+
+    def __init__(self, m, n_layers):
+        super().__init__()
+        self.m = m
+        self.n = n_layers
+
+    def forward(self, ids, enc, *caches):
+        from transformers.cache_utils import DynamicCache, EncoderDecoderCache
+
+        sa, ca = DynamicCache(), DynamicCache()
+        for i in range(self.n):
+            sa.update(caches[2 * i], caches[2 * i + 1], i)
+            ca.update(caches[2 * self.n + 2 * i],
+                      caches[2 * self.n + 2 * i + 1], i)
+        cache = EncoderDecoderCache(sa, ca)
+        out = self.m.model.decoder(
+            input_ids=ids, encoder_hidden_states=enc,
+            past_key_values=cache, use_cache=True,
+        )
+        logits = self.m.proj_out(out.last_hidden_state)
+        sa = out.past_key_values.self_attention_cache
+        outs = [logits]
+        for i in range(self.n):
+            outs += [sa.layers[i].keys, sa.layers[i].values]
+        return tuple(outs)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("BIRDNET_TEST_SLOW"),
+    reason="set BIRDNET_TEST_SLOW=1 for real-width whisper-tiny decode",
+)
+def test_whisper_tiny_real_width_decode():
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    torch.manual_seed(31)
+    cfg = WhisperConfig(  # whisper-tiny's published geometry
+        vocab_size=51865, d_model=384, encoder_layers=4, decoder_layers=4,
+        encoder_attention_heads=6, decoder_attention_heads=6,
+        encoder_ffn_dim=1536, decoder_ffn_dim=1536, num_mel_bins=80,
+        max_source_positions=1500, max_target_positions=448,
+        attn_implementation="eager",
+        pad_token_id=50256, bos_token_id=50257, eos_token_id=50256,
+        decoder_start_token_id=50257, suppress_tokens=None,
+        begin_suppress_tokens=None,
+    )
+    m = WhisperForConditionalGeneration(cfg)
+    m.eval()
+    n_layers, heads = 4, 6
+    head_dim = 384 // heads
+    feats = torch.randn(1, 80, 3000) * 0.5
+    prompt = torch.tensor([[50257, 50358, 50362]])  # sot, task-ish, no-ts
+    n_steps = 3
+
+    from transformers.cache_utils import DynamicCache, EncoderDecoderCache
+
+    torch_logits, torch_toks = [], []
+    with torch.no_grad():
+        enc_t = m.model.encoder(feats).last_hidden_state
+        cache = EncoderDecoderCache(DynamicCache(), DynamicCache())
+        ids = prompt
+        for _ in range(n_steps):
+            out = m.model.decoder(
+                input_ids=ids, encoder_hidden_states=enc_t,
+                past_key_values=cache, use_cache=True,
+            )
+            cache = out.past_key_values
+            logits = m.proj_out(out.last_hidden_state)
+            torch_logits.append(logits[:, -1].numpy().copy())
+            tok = int(logits[:, -1].argmax())
+            torch_toks.append(tok)
+            ids = torch.tensor([[tok]])
+
+    enc = np.asarray(_run_engine_step(_WhisperEncoder(m), (feats,))[0])
+    enc_md = float(np.abs(enc - enc_t.numpy()).max())
+    np.testing.assert_allclose(enc, enc_t.numpy(), atol=5e-4, rtol=1e-3)
+
+    outs = _run_engine_step(
+        _WhisperPrefillN(m, n_layers), (prompt, torch.from_numpy(enc))
+    )
+    logits = np.asarray(outs[0])[:, -1]
+    pre_md = float(np.abs(logits - torch_logits[0]).max())
+    np.testing.assert_allclose(logits, torch_logits[0], atol=5e-3, rtol=1e-3)
+    self_kv = [
+        torch.from_numpy(np.asarray(o).copy())
+        for o in outs[1:1 + 2 * n_layers]
+    ]
+    cross_kv = [
+        torch.from_numpy(np.asarray(o).copy())
+        for o in outs[1 + 2 * n_layers:]
+    ]
+    assert cross_kv[0].shape == (1, heads, 1500, head_dim)
+    assert self_kv[0].shape == (1, heads, 3, head_dim)
+    engine_toks = [int(logits[0].argmax())]
+
+    step = _WhisperStepN(m, n_layers)
+    enc_in = torch.from_numpy(enc)
+    names = ["ids", "enc"]
+    names += [f"s{c}{i}" for i in range(n_layers) for c in "kv"]
+    names += [f"c{c}{i}" for i in range(n_layers) for c in "kv"]
+    step_md = 0.0
+    for t in range(1, n_steps):
+        ids = torch.tensor([[engine_toks[-1]]])
+        step_model, outs = _run_engine_step_named(
+            step, (ids, enc_in, *self_kv, *cross_kv), names
+        )
+        if t == 1:
+            assert "enc" not in step_model.input_names  # cross reuse, real
+        logits = np.asarray(outs[0])[:, -1]
+        step_md = max(
+            step_md, float(np.abs(logits - torch_logits[t]).max())
+        )
+        np.testing.assert_allclose(
+            logits, torch_logits[t], atol=5e-3, rtol=1e-3
+        )
+        new_self = [
+            torch.from_numpy(np.asarray(o).copy()) for o in outs[1:]
+        ]
+        assert new_self[0].shape[2] == self_kv[0].shape[2] + 1
+        self_kv = new_self
+        engine_toks.append(int(logits[0].argmax()))
+
+    assert engine_toks == torch_toks
+    print(
+        f"whisper-tiny real-width fp32 maxdiff: enc {enc_md:.3e}, "
+        f"prefill logits {pre_md:.3e}, step logits {step_md:.3e}"
+    )
