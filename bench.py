@@ -402,6 +402,12 @@ def main() -> int:
                     # same probe re-run right after the timed runs, when
                     # available (None if the stall watchdog emitted)
                     "chip_hbm_gbs_after": guard.get("hbm_after"),
+                    # 3-point tile operating curve (64/128/192), recorded
+                    # only when the HBM window is healthy (or forced via
+                    # BIRDNET_BENCH_CURVE=1) so the headline carries its
+                    # own shape evidence; None when the window never
+                    # allowed it
+                    "tile_curve": guard.get("curve"),
                 }
             ),
             flush=True,
@@ -467,6 +473,65 @@ def main() -> int:
     # Re-probe HBM in the same window the headline ran (provenance: the
     # pre-headline probe is ~2 min stale by now).
     guard["hbm_after"] = round(_hbm_calibration(device))
+
+    def _tile_curve():
+        """3-point tile operating curve (the round-4 verdict's 'shape
+        evidence'): re-time the sustained loop at tile 64 and 192 on a
+        smaller superchunk; the 128-point comes from the headline runs.
+        Healthy windows only — a curve measured under co-tenant HBM
+        pressure would mis-rank tiles."""
+        curve = [{"tile": TILE,
+                  "seg_s": round(
+                      N_SEGMENTS / statistics.median(
+                          _stall_filter(guard["dts"])
+                      ), 1),
+                  "runs": "headline"}]
+        curve_segs = 4096
+        for c_tile in (64, 192):
+            c_tiles = curve_segs // c_tile
+            c_engine = StreamingEngine(
+                imported, config, device=device, top_k=10, tile=c_tile,
+                precision=PRECISION,
+            )
+            c_fn = c_engine._compile(c_tiles, step, np.int16)
+            c_len = (c_tiles * c_tile - 1) * step + config.sample_count
+            c_pad = np.zeros(c_len, np.int16)
+            c_pad[: min(n_samples, c_len)] = audio[: min(n_samples, c_len)]
+            c_dev = jax.device_put(
+                chunk_to_device_layout(c_pad, step, config.sample_count),
+                device,
+            )
+            c_out = c_fn(c_engine.params, c_dev)
+            np.asarray(c_out[0])  # compile + warm
+            guard["t"] = time.monotonic()
+            c_dts = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                c_out = c_fn(c_engine.params, c_dev)
+                np.asarray(c_out[0])
+                np.asarray(c_out[1])
+                c_dts.append(time.monotonic() - t0)
+                guard["t"] = time.monotonic()
+            curve.append({
+                "tile": c_tile,
+                "seg_s": round(
+                    c_tiles * c_tile
+                    / statistics.median(_stall_filter(c_dts)), 1),
+                "runs": len(c_dts),
+            })
+        curve.sort(key=lambda p: p["tile"])
+        guard["curve"] = curve
+        print(f"# tile curve: {curve}", file=sys.stderr)
+
+    if guard["hbm_after"] >= HEALTHY_GBS or os.environ.get(
+        "BIRDNET_BENCH_CURVE"
+    ):
+        try:
+            _tile_curve()
+        except Exception as e:  # curve is evidence, never the headline's risk
+            print(f"# tile curve failed (headline unaffected): {e}",
+                  file=sys.stderr)
+
     print(
         f"# precision: {PRECISION} (top-1 parity with mixed measured: "
         f"0.9998 agreement)",
