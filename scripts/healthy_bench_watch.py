@@ -1,0 +1,107 @@
+"""Healthy-window bench watcher.
+
+Four rounds of bench artifacts were captured in HBM-contended windows
+(every probe 61-360 GB/s vs the bench's own >=550 GB/s health gate —
+BENCH_r01..r04 `hbm_window_probes_gbs`). This watcher turns the manual
+"try again later" loop into a standing process: probe the chip's HBM
+stream every PERIOD seconds; the moment a healthy window appears, run
+the full bench immediately (its own health wait set short since the
+window was just verified) and write the artifact.
+
+Usage:
+    python scripts/healthy_bench_watch.py [--out BENCH_healthy.json]
+        [--threshold 550] [--period 300] [--max-hours 6]
+
+Stop early by creating <out>.stop next to the output path. Exit code 0
+if a healthy-window artifact was captured, 3 if the watch expired.
+The probe is the same elementwise-stream measurement bench.py uses
+(bench._hbm_calibration), so "healthy" means the same thing in both.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _probe() -> float:
+    from birdnet_tpu.runtime import default_device, init_runtime
+
+    import bench
+
+    init_runtime()
+    return bench._hbm_calibration(default_device())
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_healthy.json"))
+    ap.add_argument("--threshold", type=float, default=550.0)
+    ap.add_argument("--period", type=float, default=300.0)
+    ap.add_argument("--max-hours", type=float, default=6.0)
+    args = ap.parse_args()
+
+    stop_file = args.out + ".stop"
+    deadline = time.monotonic() + args.max_hours * 3600.0
+    readings = []
+    while time.monotonic() < deadline:
+        if os.path.exists(stop_file):
+            print(f"# stop file {stop_file} present; exiting", flush=True)
+            return 3
+        try:
+            gbs = _probe()
+        except Exception as e:  # tunnel hiccup: log and keep watching
+            print(f"# probe failed ({e}); retrying next period", flush=True)
+            time.sleep(args.period)
+            continue
+        readings.append(round(gbs))
+        print(
+            f"# HBM probe: {gbs:.0f} GB/s "
+            f"({'HEALTHY' if gbs >= args.threshold else 'contended'}; "
+            f"history {readings[-12:]})",
+            flush=True,
+        )
+        if gbs >= args.threshold:
+            env = dict(
+                os.environ,
+                BIRDNET_BENCH_HEALTH_WAIT="60",  # window just verified
+                BIRDNET_BENCH_CURVE="1",  # capture shape evidence with it
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                capture_output=True, text=True, env=env, cwd=REPO,
+                timeout=3600,
+            )
+            sys.stderr.write(proc.stderr)
+            line = next(
+                (ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")), None,
+            )
+            if proc.returncode == 0 and line:
+                data = json.loads(line)
+                data["watcher_probe_gbs"] = round(gbs)
+                data["watcher_history_gbs"] = readings
+                with open(args.out, "w") as f:
+                    json.dump(data, f, indent=1)
+                print(f"# healthy-window artifact written: {args.out}",
+                      flush=True)
+                print(line)
+                return 0
+            print(
+                f"# bench failed in the healthy window (rc="
+                f"{proc.returncode}); resuming watch", flush=True,
+            )
+        time.sleep(args.period)
+    print("# watch expired with no healthy window", flush=True)
+    return 3
+
+
+if __name__ == "__main__":
+    sys.exit(main())

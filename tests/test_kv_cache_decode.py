@@ -623,57 +623,78 @@ def test_genai_style_nbits_decode_matches_dequantized_twin():
 # must match the float split prompt/step pair exactly.
 # ---------------------------------------------------------------------------
 
-_G_V, _G_D, _G_N, _G_KVN, _G_H, _G_F = 50, 32, 4, 2, 8, 64
-_G_BLOCK = 16
-_G_MAXPOS = 32
+_G_DIMS = dict(V=50, D=32, N=4, KVN=2, H=8, F=64, BLOCK=16, MAXPOS=32)
 _G_MS = "com.microsoft"
 
 
-def _quant4(w_t: np.ndarray, block: int):
-    """Symmetric 4-bit block quantization of W.T [N, K] (zp=8 default):
-    returns (packed nibbles [N, nb, block/2], scales [N, nb],
-    dequantized W [K, N])."""
+def _quant4(w_t: np.ndarray, block: int, zp: np.ndarray | None = None):
+    """4-bit block quantization of W.T [N, K]: returns (packed nibbles
+    [N, nb, block/2], scales [N, nb], dequantized W [K, N]). Symmetric
+    (zp=8 implicit) when ``zp`` is None; otherwise ``zp`` [N, nb] uint8
+    in 0..15 is the per-block zero point (the asymmetric MatMulNBits
+    form with an explicit zero_points input)."""
     n, k = w_t.shape
     nb = k // block
     blocks = w_t.reshape(n, nb, block)
     scales = (np.abs(blocks).max(-1) / 7.0 + 1e-8).astype(np.float32)
+    zp_e = 8.0 if zp is None else zp[..., None].astype(np.float32)
     q = np.clip(
-        np.rint(blocks / scales[..., None]) + 8, 0, 15
+        np.rint(blocks / scales[..., None]) + zp_e, 0, 15
     ).astype(np.uint8)
     packed = (q[..., 0::2] | (q[..., 1::2] << 4)).astype(np.uint8)
-    wdq = ((q.astype(np.float32) - 8.0) * scales[..., None]).reshape(n, k)
+    wdq = ((q.astype(np.float32) - zp_e) * scales[..., None]).reshape(n, k)
     return packed, scales, np.ascontiguousarray(wdq.T)
 
 
-def _genai_weights(seed=44):
+def _pack_zp_nibbles(zp: np.ndarray) -> np.ndarray:
+    """MatMulNBits zero_points wire layout: each row's blocks packed as
+    nibbles, padded to a byte boundary per row ([N, ceil(nb/2)] uint8)."""
+    n, nb = zp.shape
+    if nb % 2:
+        zp = np.concatenate([zp, np.zeros((n, 1), np.uint8)], axis=1)
+    return (zp[:, 0::2] | (zp[:, 1::2] << 4)).astype(np.uint8)
+
+
+def _genai_weights(seed=44, dims=None, asym_zp=False):
     """Float weights + their quantized forms for the one-layer llama-style
     decoder. Every projection is block-quantized once here so the
-    quantized graph and its float twin share the exact effective math."""
+    quantized graph and its float twin share the exact effective math.
+    ``dims`` overrides the default geometry (fuzz tier); ``asym_zp``
+    stores explicit per-block zero points instead of the implicit 8."""
+    d = dict(_G_DIMS, **(dims or {}))
+    assert d["N"] * d["H"] == d["D"] and d["N"] % d["KVN"] == 0
     r = np.random.default_rng(seed)
 
     def w(k, n):
         return (r.standard_normal((k, n)) / np.sqrt(k)).astype(np.float32)
 
     proj = {
-        "Wq": w(_G_D, _G_N * _G_H), "Wk": w(_G_D, _G_KVN * _G_H),
-        "Wv": w(_G_D, _G_KVN * _G_H), "Wo": w(_G_N * _G_H, _G_D),
-        "Wg": w(_G_D, _G_F), "Wu": w(_G_D, _G_F), "Wd": w(_G_F, _G_D),
-        "Wlm": w(_G_D, _G_V),
+        "Wq": w(d["D"], d["N"] * d["H"]), "Wk": w(d["D"], d["KVN"] * d["H"]),
+        "Wv": w(d["D"], d["KVN"] * d["H"]), "Wo": w(d["N"] * d["H"], d["D"]),
+        "Wg": w(d["D"], d["F"]), "Wu": w(d["D"], d["F"]),
+        "Wd": w(d["F"], d["D"]), "Wlm": w(d["D"], d["V"]),
     }
-    quant = {
-        name: _quant4(np.ascontiguousarray(W.T), _G_BLOCK)
-        for name, W in proj.items()
-    }
-    inv = 1.0 / (10000.0 ** (np.arange(_G_H // 2) / (_G_H // 2)))
-    ang = np.arange(_G_MAXPOS)[:, None] * inv[None]
+    quant = {}
+    for name, W in proj.items():
+        wt = np.ascontiguousarray(W.T)
+        zp = None
+        if asym_zp:
+            zp = r.integers(5, 12, (wt.shape[0], wt.shape[1] // d["BLOCK"]),
+                            dtype=np.uint8)
+        packed, scales, wdq = _quant4(wt, d["BLOCK"], zp)
+        quant[name] = (packed, scales, wdq, zp)
+    inv = 1.0 / (10000.0 ** (np.arange(d["H"] // 2) / (d["H"] // 2)))
+    ang = np.arange(d["MAXPOS"])[:, None] * inv[None]
     return {
+        "dims": d,
         "quant": quant,
-        "E": (r.standard_normal((_G_V, _G_D)) * 0.3).astype(np.float32),
-        "g1": (1.0 + 0.1 * r.standard_normal(_G_D)).astype(np.float32),
-        "g2": (1.0 + 0.1 * r.standard_normal(_G_D)).astype(np.float32),
-        "g3": (1.0 + 0.1 * r.standard_normal(_G_D)).astype(np.float32),
+        "E": (r.standard_normal((d["V"], d["D"])) * 0.3).astype(np.float32),
+        "g1": (1.0 + 0.1 * r.standard_normal(d["D"])).astype(np.float32),
+        "g2": (1.0 + 0.1 * r.standard_normal(d["D"])).astype(np.float32),
+        "g3": (1.0 + 0.1 * r.standard_normal(d["D"])).astype(np.float32),
         "cos": np.cos(ang).astype(np.float32),
         "sin": np.sin(ang).astype(np.float32),
+        "interleaved": bool(asym_zp),  # fuzz flips both forms across seeds
     }
 
 
@@ -684,11 +705,12 @@ def _genai_branch(w, *, with_past: bool, quantize: bool):
     present_k, present_v."""
     from birdnet_tpu.onnx import proto as P
 
+    d = w["dims"]
     tag = "s" if with_past else "p"
     nodes, inits = [], []
 
     def mm(x_name, w_name, out_name):
-        packed, scales, wdq = w["quant"][w_name]
+        packed, scales, wdq, zp = w["quant"][w_name]
         n_dim, k_dim = packed.shape[0], wdq.shape[0]
         if quantize:
             inits.append(P.TensorProto(
@@ -699,11 +721,17 @@ def _genai_branch(w, *, with_past: bool, quantize: bool):
                 name=f"{w_name}_{tag}_s", data_type=P.DataType.FLOAT,
                 dims=list(scales.shape), raw_data=scales.tobytes(),
             ))
+            mm_in = [x_name, f"{w_name}_{tag}_q", f"{w_name}_{tag}_s"]
+            if zp is not None:
+                zpk = _pack_zp_nibbles(zp)
+                inits.append(P.TensorProto(
+                    name=f"{w_name}_{tag}_z", data_type=P.DataType.UINT8,
+                    dims=list(zpk.shape), raw_data=zpk.tobytes(),
+                ))
+                mm_in.append(f"{w_name}_{tag}_z")
             nodes.append(P.make_node(
-                "MatMulNBits",
-                [x_name, f"{w_name}_{tag}_q", f"{w_name}_{tag}_s"],
-                [out_name], domain=_G_MS,
-                K=k_dim, N=n_dim, bits=4, block_size=_G_BLOCK,
+                "MatMulNBits", mm_in, [out_name], domain=_G_MS,
+                K=k_dim, N=n_dim, bits=4, block_size=d["BLOCK"],
             ))
         else:
             inits.append(P.TensorProto(
@@ -738,13 +766,14 @@ def _genai_branch(w, *, with_past: bool, quantize: bool):
     else:
         inits.append(t(f"pos0_{tag}", np.zeros(1, np.int64)))
         pos_name = f"pos0_{tag}"
+    ileave = int(w.get("interleaved", False))
     nodes.append(P.make_node(
         "RotaryEmbedding", [f"q_{tag}", pos_name, f"cos_{tag}", f"sin_{tag}"],
-        [f"qr_{tag}"], domain=_G_MS, num_heads=_G_N,
+        [f"qr_{tag}"], domain=_G_MS, num_heads=d["N"], interleaved=ileave,
     ))
     nodes.append(P.make_node(
         "RotaryEmbedding", [f"k_{tag}", pos_name, f"cos_{tag}", f"sin_{tag}"],
-        [f"kr_{tag}"], domain=_G_MS, num_heads=_G_KVN,
+        [f"kr_{tag}"], domain=_G_MS, num_heads=d["KVN"], interleaved=ileave,
     ))
     gqa_in = [f"qr_{tag}", f"kr_{tag}", f"v_{tag}"]
     if with_past:
@@ -752,7 +781,7 @@ def _genai_branch(w, *, with_past: bool, quantize: bool):
     nodes.append(P.make_node(
         "GroupQueryAttention", gqa_in,
         [f"attn_{tag}", "present_k", "present_v"], domain=_G_MS,
-        num_heads=_G_N, kv_num_heads=_G_KVN,
+        num_heads=d["N"], kv_num_heads=d["KVN"],
     ))
     mm(f"attn_{tag}", "Wo", f"ao_{tag}")
     nodes.append(P.make_node("Add", [f"x_{tag}", f"ao_{tag}"], [f"x2_{tag}"]))
@@ -781,9 +810,9 @@ def _genai_branch(w, *, with_past: bool, quantize: bool):
 
     F = P.DataType.FLOAT
     outputs = [
-        P.make_value_info("logits", F, [1, "seq", _G_V]),
-        P.make_value_info("present_k", F, [1, _G_KVN, "total", _G_H]),
-        P.make_value_info("present_v", F, [1, _G_KVN, "total", _G_H]),
+        P.make_value_info("logits", F, [1, "seq", d["V"]]),
+        P.make_value_info("present_k", F, [1, d["KVN"], "total", d["H"]]),
+        P.make_value_info("present_v", F, [1, d["KVN"], "total", d["H"]]),
     ]
     return P.GraphProto(
         name=f"genai_{'step' if with_past else 'prompt'}",
@@ -809,6 +838,7 @@ def _genai_model(graph_nodes, inputs, outputs, *, initializers=()):
 def _genai_merged(w, *, quantize: bool):
     from birdnet_tpu.onnx import proto as P
 
+    d = w["dims"]
     then_g = _genai_branch(w, with_past=True, quantize=quantize)
     else_g = _genai_branch(w, with_past=False, quantize=quantize)
     node = P.make_node(
@@ -820,8 +850,8 @@ def _genai_merged(w, *, quantize: bool):
     inputs = [
         P.make_value_info("ids", I, [1, "seq"]),
         P.make_value_info("use_cache_branch", B, [1]),
-        P.make_value_info("pk", F, [1, _G_KVN, "past", _G_H]),
-        P.make_value_info("pv", F, [1, _G_KVN, "past", _G_H]),
+        P.make_value_info("pk", F, [1, d["KVN"], "past", d["H"]]),
+        P.make_value_info("pv", F, [1, d["KVN"], "past", d["H"]]),
         P.make_value_info("seqlens", I32, [1]),
         P.make_value_info("total", I32, [1]),
         P.make_value_info("pos", I, [1]),
@@ -838,13 +868,14 @@ def _genai_split(w, *, with_past: bool, quantize: bool):
     """The same branch as a standalone (non-merged) model file."""
     from birdnet_tpu.onnx import proto as P
 
+    d = w["dims"]
     g = _genai_branch(w, with_past=with_past, quantize=quantize)
     F, I, I32 = P.DataType.FLOAT, P.DataType.INT64, P.DataType.INT32
     inputs = [P.make_value_info("ids", I, [1, "seq"])]
     if with_past:
         inputs += [
-            P.make_value_info("pk", F, [1, _G_KVN, "past", _G_H]),
-            P.make_value_info("pv", F, [1, _G_KVN, "past", _G_H]),
+            P.make_value_info("pk", F, [1, d["KVN"], "past", d["H"]]),
+            P.make_value_info("pv", F, [1, d["KVN"], "past", d["H"]]),
             P.make_value_info("seqlens", I32, [1]),
             P.make_value_info("total", I32, [1]),
             P.make_value_info("pos", I, [1]),
@@ -853,14 +884,13 @@ def _genai_split(w, *, with_past: bool, quantize: bool):
                         initializers=g.initializer)
 
 
-def test_genai_combined_artifact_decode_loop():
-    """The combined file imports with ZERO user flags (auto-detected
-    ``use_cache_branch`` dispatch), runs a greedy prompt + 3-step decode
-    loop, and matches its float twin per step — logits, present caches,
-    and chosen tokens; the float merged file equals the float split pair
-    exactly."""
-    w = _genai_weights()
-
+def _genai_run_loop(w, *, prompt_len=4, n_steps=4, check_split=True,
+                    prompt_seed=7):
+    """Greedy prompt + incremental decode through the quantized merged
+    file, its float twin, and (optionally) the float split pair,
+    asserting per-step equality of logits, present caches, and chosen
+    tokens. Returns the token trajectory."""
+    d = w["dims"]
     qm = import_onnx(_genai_merged(w, quantize=True))
     fm = import_onnx(_genai_merged(w, quantize=False))
     assert qm.dispatch_inputs == ["use_cache_branch"]
@@ -871,22 +901,23 @@ def test_genai_combined_artifact_decode_loop():
     q_fwd = make_forward(qm, precision="fp32")
     f_fwd = make_forward(fm, precision="fp32")
 
-    sp = import_onnx(_genai_split(w, with_past=False, quantize=False))
-    ss = import_onnx(_genai_split(w, with_past=True, quantize=False))
-    sp_fwd = jax.jit(make_forward(sp, precision="fp32"))
-    ss_fwd = make_forward(ss, precision="fp32")
+    if check_split:
+        sp = import_onnx(_genai_split(w, with_past=False, quantize=False))
+        ss = import_onnx(_genai_split(w, with_past=True, quantize=False))
+        sp_fwd = jax.jit(make_forward(sp, precision="fp32"))
+        ss_fwd = make_forward(ss, precision="fp32")
 
-    r = np.random.default_rng(7)
-    prompt = r.integers(0, _G_V, (1, 4)).astype(np.int64)
+    r = np.random.default_rng(prompt_seed)
+    prompt = r.integers(0, d["V"], (1, prompt_len)).astype(np.int64)
     s0 = prompt.shape[1]
 
     ids = prompt
-    q_pk = np.zeros((1, _G_KVN, 0, _G_H), np.float32)
-    q_pv = np.zeros((1, _G_KVN, 0, _G_H), np.float32)
+    q_pk = np.zeros((1, d["KVN"], 0, d["H"]), np.float32)
+    q_pv = np.zeros((1, d["KVN"], 0, d["H"]), np.float32)
     f_pk, f_pv = q_pk, q_pv
     s_pk = s_pv = None
     toks_q, toks_f, toks_s = [], [], []
-    for t in range(4):
+    for t in range(n_steps):
         use_cache = t > 0
         past = 0 if not use_cache else s0 + t - 1
         s_len = ids.shape[1]
@@ -897,38 +928,77 @@ def test_genai_combined_artifact_decode_loop():
 
         q_outs = q_fwd(qm.params, ids, flag, q_pk, q_pv, seqlens, total, pos)
         f_outs = f_fwd(fm.params, ids, flag, f_pk, f_pv, seqlens, total, pos)
-        if use_cache:
-            s_outs = ss_fwd(ss.params, ids, s_pk, s_pv, seqlens, total, pos)
-        else:
-            s_outs = sp_fwd(sp.params, ids)
-
-        # float merged == float split pair, exactly (same graphs)
-        for f_o, s_o in zip(f_outs, s_outs):
-            np.testing.assert_allclose(
-                np.asarray(f_o), np.asarray(s_o), atol=1e-6, rtol=1e-6
-            )
+        if check_split:
+            if use_cache:
+                s_outs = ss_fwd(
+                    ss.params, ids, s_pk, s_pv, seqlens, total, pos
+                )
+            else:
+                s_outs = sp_fwd(sp.params, ids)
+            # float merged == float split pair, exactly (same graphs)
+            for f_o, s_o in zip(f_outs, s_outs):
+                np.testing.assert_allclose(
+                    np.asarray(f_o), np.asarray(s_o), atol=1e-6, rtol=1e-6
+                )
         # quantized == float twin (identical effective math; fp32 run)
         for q_o, f_o in zip(q_outs, f_outs):
             np.testing.assert_allclose(
                 np.asarray(q_o), np.asarray(f_o), atol=2e-4, rtol=1e-3
             )
 
-        q_log = np.asarray(q_outs[0])[0, -1]
-        f_log = np.asarray(f_outs[0])[0, -1]
-        s_log = np.asarray(s_outs[0])[0, -1]
-        toks_q.append(int(q_log.argmax()))
-        toks_f.append(int(f_log.argmax()))
-        toks_s.append(int(s_log.argmax()))
+        toks_q.append(int(np.asarray(q_outs[0])[0, -1].argmax()))
+        toks_f.append(int(np.asarray(f_outs[0])[0, -1].argmax()))
+        if check_split:
+            toks_s.append(int(np.asarray(s_outs[0])[0, -1].argmax()))
+            s_pk, s_pv = np.asarray(s_outs[1]), np.asarray(s_outs[2])
 
         # caches grew to past + s_len on every path
-        assert np.asarray(q_outs[1]).shape == (1, _G_KVN, past + s_len, _G_H)
+        assert np.asarray(q_outs[1]).shape == (
+            1, d["KVN"], past + s_len, d["H"]
+        )
         q_pk, q_pv = np.asarray(q_outs[1]), np.asarray(q_outs[2])
         f_pk, f_pv = np.asarray(f_outs[1]), np.asarray(f_outs[2])
-        s_pk, s_pv = np.asarray(s_outs[1]), np.asarray(s_outs[2])
         ids = np.array([[toks_q[-1]]], np.int64)
 
-    assert toks_q == toks_f == toks_s
-    assert len(set(toks_q)) > 1  # the loop actually moved through states
+    assert toks_q == toks_f
+    if check_split:
+        assert toks_q == toks_s
+    return toks_q
+
+
+def test_genai_combined_artifact_decode_loop():
+    """The combined file imports with ZERO user flags (auto-detected
+    ``use_cache_branch`` dispatch), runs a greedy prompt + 3-step decode
+    loop, and matches its float twin per step — logits, present caches,
+    and chosen tokens; the float merged file equals the float split pair
+    exactly."""
+    toks = _genai_run_loop(_genai_weights())
+    assert len(set(toks)) > 1  # the loop actually moved through states
+
+
+def test_genai_combined_artifact_fuzz():
+    """Property fuzz over the combined-artifact geometry: random head
+    counts / KV groupings / hidden sizes / block sizes / prompt lengths,
+    alternating interleaved rotary and asymmetric (explicit zero-point)
+    4-bit storage — each seed's quantized merged file must match its
+    float twin per decode step. Widen with BIRDNET_GENAI_FUZZ_COUNT=N."""
+    count = int(os.environ.get("BIRDNET_GENAI_FUZZ_COUNT", "4"))
+    for seed in range(100, 100 + count):
+        r = np.random.default_rng(seed)
+        h = int(r.choice([4, 8, 16]))
+        n = int(r.choice([2, 4]))
+        kvn = int(r.choice([g for g in (1, 2, 4) if n % g == 0]))
+        d_model = n * h
+        block = int(r.choice([b for b in (16, 32) if d_model % b == 0]))
+        dims = dict(
+            V=int(r.choice([37, 50])), D=d_model, N=n, KVN=kvn, H=h,
+            F=2 * d_model, BLOCK=block, MAXPOS=32,
+        )
+        w = _genai_weights(seed=seed, dims=dims, asym_zp=bool(seed % 2))
+        _genai_run_loop(
+            w, prompt_len=int(r.integers(2, 6)), n_steps=3,
+            check_split=False, prompt_seed=seed,
+        )
 
 
 # ---------------------------------------------------------------------------
