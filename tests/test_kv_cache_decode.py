@@ -987,6 +987,8 @@ def test_genai_combined_artifact_fuzz():
         r = np.random.default_rng(seed)
         h = int(r.choice([4, 8, 16]))
         n = int(r.choice([2, 4]))
+        if (n * h) % 16:  # MatMulNBits block_size is >= 16 in ORT exports
+            h *= 2
         kvn = int(r.choice([g for g in (1, 2, 4) if n % g == 0]))
         d_model = n * h
         block = int(r.choice([b for b in (16, 32) if d_model % b == 0]))
@@ -1169,3 +1171,43 @@ def test_whisper_tiny_real_width_decode():
         f"whisper-tiny real-width fp32 maxdiff: enc {enc_md:.3e}, "
         f"prefill logits {pre_md:.3e}, step logits {step_md:.3e}"
     )
+
+
+def test_genai_combined_artifact_checkpoint_roundtrip(tmp_path):
+    """The quantized merged artifact survives a .btck checkpoint
+    round-trip: the reloaded model re-detects ``use_cache_branch`` as a
+    dispatch input (round-4 fix, commit 6cdb7f1) and both dispatch arms
+    produce outputs identical to the original import's."""
+    from birdnet_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    w = _genai_weights(seed=45)
+    d = w["dims"]
+    orig = import_onnx(_genai_merged(w, quantize=True))
+    ck = tmp_path / "genai.btck"
+    save_checkpoint(orig, ck)
+    back = load_checkpoint(ck)
+    assert back.dispatch_inputs == ["use_cache_branch"]
+    assert back.input_names == orig.input_names
+
+    o_fwd = make_forward(orig, precision="fp32")
+    b_fwd = make_forward(back, precision="fp32")
+    r = np.random.default_rng(9)
+    ids = r.integers(0, d["V"], (1, 3)).astype(np.int64)
+    pk = np.zeros((1, d["KVN"], 0, d["H"]), np.float32)
+    args_prompt = (ids, np.array([False]), pk, pk,
+                   np.array([2], np.int32), np.array([3], np.int32),
+                   np.array([0], np.int64))
+    o_outs = o_fwd(orig.params, *args_prompt)
+    b_outs = b_fwd(back.params, *args_prompt)
+    for o, b in zip(o_outs, b_outs):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(b))
+    # with-past arm through the reloaded model too
+    pk5 = r.standard_normal((1, d["KVN"], 5, d["H"])).astype(np.float32)
+    pv5 = r.standard_normal((1, d["KVN"], 5, d["H"])).astype(np.float32)
+    args_step = (np.array([[4]], np.int64), np.array([True]), pk5, pv5,
+                 np.array([5], np.int32), np.array([6], np.int32),
+                 np.array([5], np.int64))
+    o_outs = o_fwd(orig.params, *args_step)
+    b_outs = b_fwd(back.params, *args_step)
+    for o, b in zip(o_outs, b_outs):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(b))
