@@ -655,12 +655,14 @@ def _pack_zp_nibbles(zp: np.ndarray) -> np.ndarray:
     return (zp[:, 0::2] | (zp[:, 1::2] << 4)).astype(np.uint8)
 
 
-def _genai_weights(seed=44, dims=None, asym_zp=False):
+def _genai_weights(seed=44, dims=None, asym_zp=False, quant_emb=False):
     """Float weights + their quantized forms for the one-layer llama-style
     decoder. Every projection is block-quantized once here so the
     quantized graph and its float twin share the exact effective math.
     ``dims`` overrides the default geometry (fuzz tier); ``asym_zp``
-    stores explicit per-block zero points instead of the implicit 8."""
+    stores explicit per-block zero points instead of the implicit 8;
+    ``quant_emb`` stores the embedding table 4-bit too, looked up via
+    GatherBlockQuantized (genai exports quantize embeddings this way)."""
     d = dict(_G_DIMS, **(dims or {}))
     assert d["N"] * d["H"] == d["D"] and d["N"] % d["KVN"] == 0
     r = np.random.default_rng(seed)
@@ -683,12 +685,21 @@ def _genai_weights(seed=44, dims=None, asym_zp=False):
                             dtype=np.uint8)
         packed, scales, wdq = _quant4(wt, d["BLOCK"], zp)
         quant[name] = (packed, scales, wdq, zp)
+    emb = (r.standard_normal((d["V"], d["D"])) * 0.3).astype(np.float32)
+    equant = None
+    if quant_emb:
+        packed, scales, edq_t = _quant4(emb, d["BLOCK"])  # rows are "N"
+        # GatherBlockQuantized wire layout: nibble pairs packed flat
+        # along the quantize axis → [V, D/2] uint8; scales [V, D/block].
+        equant = (packed.reshape(d["V"], d["D"] // 2), scales)
+        emb = np.ascontiguousarray(edq_t.T)  # dequantized twin [V, D]
     inv = 1.0 / (10000.0 ** (np.arange(d["H"] // 2) / (d["H"] // 2)))
     ang = np.arange(d["MAXPOS"])[:, None] * inv[None]
     return {
         "dims": d,
         "quant": quant,
-        "E": (r.standard_normal((d["V"], d["D"])) * 0.3).astype(np.float32),
+        "equant": equant,
+        "E": emb,
         "g1": (1.0 + 0.1 * r.standard_normal(d["D"])).astype(np.float32),
         "g2": (1.0 + 0.1 * r.standard_normal(d["D"])).astype(np.float32),
         "g3": (1.0 + 0.1 * r.standard_normal(d["D"])).astype(np.float32),
@@ -745,15 +756,27 @@ def _genai_branch(w, *, with_past: bool, quantize: bool):
     def t(name, arr):
         arr = np.asarray(arr)
         dt = {np.dtype(np.float32): P.DataType.FLOAT,
-              np.dtype(np.int64): P.DataType.INT64}[arr.dtype]
+              np.dtype(np.int64): P.DataType.INT64,
+              np.dtype(np.uint8): P.DataType.UINT8}[arr.dtype]
         return P.TensorProto(name=name, data_type=dt, dims=list(arr.shape),
                              raw_data=arr.tobytes())
 
-    inits += [t(f"E_{tag}", w["E"]), t(f"g1_{tag}", w["g1"]),
+    inits += [t(f"g1_{tag}", w["g1"]),
               t(f"g2_{tag}", w["g2"]), t(f"g3_{tag}", w["g3"]),
               t(f"cos_{tag}", w["cos"]), t(f"sin_{tag}", w["sin"])]
 
-    nodes.append(P.make_node("Gather", [f"E_{tag}", "ids"], [f"x_{tag}"]))
+    if quantize and w.get("equant") is not None:
+        packed, scales = w["equant"]
+        inits += [t(f"E_{tag}_q", packed), t(f"E_{tag}_s", scales)]
+        nodes.append(P.make_node(
+            "GatherBlockQuantized",
+            [f"E_{tag}_q", "ids", f"E_{tag}_s"], [f"x_{tag}"],
+            domain=_G_MS, gather_axis=0, quantize_axis=1,
+            block_size=d["BLOCK"],
+        ))
+    else:
+        inits.append(t(f"E_{tag}", w["E"]))
+        nodes.append(P.make_node("Gather", [f"E_{tag}", "ids"], [f"x_{tag}"]))
     nodes.append(P.make_node(
         "SimplifiedLayerNormalization", [f"x_{tag}", f"g1_{tag}"],
         [f"n1_{tag}"], axis=-1, epsilon=1e-5,
@@ -996,7 +1019,8 @@ def test_genai_combined_artifact_fuzz():
             V=int(r.choice([37, 50])), D=d_model, N=n, KVN=kvn, H=h,
             F=2 * d_model, BLOCK=block, MAXPOS=32,
         )
-        w = _genai_weights(seed=seed, dims=dims, asym_zp=bool(seed % 2))
+        w = _genai_weights(seed=seed, dims=dims, asym_zp=bool(seed % 2),
+                           quant_emb=(seed % 3 == 0))
         _genai_run_loop(
             w, prompt_len=int(r.integers(2, 6)), n_steps=3,
             check_split=False, prompt_seed=seed,
@@ -1211,3 +1235,11 @@ def test_genai_combined_artifact_checkpoint_roundtrip(tmp_path):
     b_outs = b_fwd(back.params, *args_step)
     for o, b in zip(o_outs, b_outs):
         np.testing.assert_array_equal(np.asarray(o), np.asarray(b))
+
+
+def test_genai_combined_artifact_quantized_embedding():
+    """The combined artifact with the embedding table ALSO stored 4-bit
+    (GatherBlockQuantized lookup) matches the float twin per step —
+    all nine weight tensors quantized, the full genai storage story."""
+    toks = _genai_run_loop(_genai_weights(seed=46, quant_emb=True))
+    assert len(set(toks)) > 1
