@@ -63,7 +63,13 @@ def contrib_op(domain, *names):
 # name collides with a core op but whose contract differs (com.microsoft
 # Attention/Unique vs their core namesakes).
 _GRADUATED_MS_OPS = frozenset(
-    {"Gelu", "LayerNormalization", "Trilu", "Range", "GridSample"}
+    {"Gelu", "LayerNormalization", "Trilu", "Range", "GridSample",
+     # The contrib QDQ pair is the pre-opset-21 spelling of wide-type
+     # quantization (int16/uint16/int32 ORT-quantized files carry it);
+     # signature (x, scale, zp) + axis is identical and the core
+     # lowerings derive the target dtype from the zero point, so they
+     # evaluate these nodes exactly.
+     "QuantizeLinear", "DequantizeLinear"}
 )
 
 

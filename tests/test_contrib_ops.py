@@ -1029,3 +1029,58 @@ def test_qlinear_reduce_mean():
     np.testing.assert_allclose(
         y.astype(np.int32), ref.astype(np.int32), atol=1
     )
+
+
+# ---------------------------------------------------------------------------
+# com.microsoft QuantizeLinear / DequantizeLinear — the pre-opset-21
+# spelling of wide-type QDQ. ORT's quantizer emits these for int16/uint16
+# activation quantization (QInt16/QUInt16 modes); the signature matches
+# the core pair exactly and the zero point carries the target dtype.
+# ---------------------------------------------------------------------------
+
+
+def _tensor_u16(name, v):
+    return P.TensorProto(name=name, data_type=P.DataType.UINT16,
+                         dims=[], raw_data=np.uint16(v).tobytes())
+
+
+def test_ms_qdq_int16_roundtrip():
+    r = _rng(70)
+    x = (r.standard_normal((2, 5)) * 3).astype(np.float32)
+    sc = np.float32(0.002)
+    zp = np.uint16(32768)
+
+    nodes = [
+        P.make_node("QuantizeLinear", ["x", "sc", "zp"], ["q"],
+                    domain="com.microsoft"),
+        P.make_node("DequantizeLinear", ["q", "sc", "zp"], ["y"],
+                    domain="com.microsoft"),
+    ]
+    m = _model(nodes, [_vi("x", x.shape)], [_vi("y", x.shape)],
+               [_tensor("sc", sc.reshape(())), _tensor_u16("zp", zp)])
+    (y,) = _run(m, x)
+
+    q = np.clip(np.round(x / sc) + 32768.0, 0, 65535)
+    want = (q - 32768.0) * sc
+    np.testing.assert_allclose(y, want, atol=1e-6)
+
+
+def test_ms_dequantize_int32_bias():
+    """int32 dequantize (conv/gemm bias path in ORT-quantized files)."""
+    b = np.array([-120000, 0, 345678], np.int32)
+    sc = np.float32(1.5e-4)
+
+    nodes = [P.make_node("DequantizeLinear", ["b", "sc"], ["y"],
+                         domain="com.microsoft")]
+    m = _model(
+        nodes, [], [_vi("y", b.shape)],
+        [_tensor("b", b), _tensor("sc", sc.reshape(()))],
+    )
+    import jax
+
+    from birdnet_tpu.compiler.importer import import_onnx, make_forward
+
+    model = import_onnx(m)
+    fwd = jax.jit(make_forward(model, precision="fp32"))
+    (y,) = [np.asarray(o) for o in fwd(model.params)]
+    np.testing.assert_allclose(y, b.astype(np.float32) * sc, rtol=1e-6)
