@@ -1892,20 +1892,48 @@ def _eyelike(ctx, x):
     return [jnp.eye(x.shape[0], x.shape[1], k=kk, dtype=dt)]
 
 
-@op("DequantizeLinear")
-def _dequantize_linear(ctx, x, scale, zero_point=None):
-    """QDQ dequantize: (x - zero_point) * scale, broadcast along ``axis``."""
-    x = jnp.asarray(x)
+def _qdq_scale_zp(ctx, x, scale, zero_point):
+    """Expand a QDQ scale/zero-point to broadcast against ``x``.
+
+    Three spec granularities: per-tensor (scalar), per-axis (1-D along
+    ``axis``), and blocked (opset 21: ``block_size`` > 0, scale has x's
+    rank with the ``axis`` dim divided by the block size — each block's
+    scale repeats ``block_size`` times along ``axis``, tail block
+    clamped)."""
     scale = jnp.asarray(scale)
     axis = int(ctx.attr("axis", 1))
-    if scale.ndim == 1 and scale.shape[0] > 1:
+    if axis < 0:
+        axis += x.ndim
+    bs = int(ctx.attr("block_size", 0))
+    if bs > 0:
+        if scale.ndim != x.ndim:
+            raise ValueError(
+                f"{ctx.op_type}: blocked quantization needs a scale of "
+                f"x's rank ({x.ndim}); got rank {scale.ndim}"
+            )
+        blk = jnp.minimum(
+            jnp.arange(x.shape[axis]) // bs, scale.shape[axis] - 1
+        )
+        scale = jnp.take(scale, blk, axis=axis)
+        if zero_point is not None:
+            zero_point = jnp.take(
+                jnp.asarray(zero_point), blk, axis=axis
+            )
+    elif scale.ndim == 1 and scale.shape[0] > 1:
         shape = [1] * x.ndim
-        if axis < 0:
-            axis += x.ndim
         shape[axis] = -1
         scale = scale.reshape(shape)
         if zero_point is not None:
             zero_point = jnp.asarray(zero_point).reshape(shape)
+    return scale, zero_point
+
+
+@op("DequantizeLinear")
+def _dequantize_linear(ctx, x, scale, zero_point=None):
+    """QDQ dequantize: (x - zero_point) * scale — per-tensor, per-axis,
+    or blocked (opset 21 ``block_size``) granularity."""
+    x = jnp.asarray(x)
+    scale, zero_point = _qdq_scale_zp(ctx, x, scale, zero_point)
     xf = x.astype(jnp.float32)
     if zero_point is not None:
         xf = xf - jnp.asarray(zero_point).astype(jnp.float32)
@@ -1914,23 +1942,20 @@ def _dequantize_linear(ctx, x, scale, zero_point=None):
 
 @op("QuantizeLinear")
 def _quantize_linear(ctx, x, scale, zero_point=None):
-    """QDQ quantize: saturating round(x / scale) + zero_point."""
+    """QDQ quantize: saturating round(x / scale) + zero_point — per-tensor,
+    per-axis, or blocked (opset 21 ``block_size``) granularity; the target
+    dtype comes from the zero point, the ``output_dtype`` attribute
+    (opset 21, zero-point-free form), or defaults to uint8."""
     x = jnp.asarray(x).astype(jnp.float32)
-    scale = jnp.asarray(scale).astype(jnp.float32)
-    axis = int(ctx.attr("axis", 1))
-    if scale.ndim == 1 and scale.shape[0] > 1:
-        shape = [1] * x.ndim
-        if axis < 0:
-            axis += x.ndim
-        shape[axis] = -1
-        scale = scale.reshape(shape)
+    scale, zero_point = _qdq_scale_zp(ctx, x, scale, zero_point)
+    scale = scale.astype(jnp.float32)
     q = jnp.round(x / scale)
     if zero_point is not None:
         zp = jnp.asarray(zero_point)
-        if zp.ndim == 1 and zp.shape[0] > 1:
-            zp = zp.reshape(scale.shape)
         q = q + zp.astype(jnp.float32)
-        out_dtype = jnp.asarray(zero_point).dtype
+        out_dtype = zp.dtype
+    elif ctx.attr("output_dtype") is not None:
+        out_dtype = jnp.dtype(_ONNX_TO_NP[int(ctx.attr("output_dtype"))])
     else:
         out_dtype = jnp.dtype(jnp.uint8)
     if jnp.issubdtype(out_dtype, jnp.floating):

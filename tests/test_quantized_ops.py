@@ -367,3 +367,62 @@ def test_dynamic_quantize_linear_all_zero():
     )
     assert np.all(y == zp)
     assert np.isfinite(scale)
+
+
+# ---------------------------------------------------------------------------
+# Blocked quantization (opset 21): block_size attr on QDQ — scale/zp carry
+# x's rank with the quantize axis divided by block_size; each block's
+# scale repeats along the axis (tail clamped). This is the ONNX-standard
+# int4/int8 blocked form the onnx quantizer emits for LLM weights.
+# ---------------------------------------------------------------------------
+
+
+def test_dequantize_linear_blocked():
+    r = np.random.default_rng(80)
+    k, n, bs = 10, 3, 4  # K not divisible: tail block of 2 (clamped index)
+    q = r.integers(0, 255, (k, n), dtype=np.uint8)
+    nb = -(-k // bs)
+    sc = (r.random((nb, n)) * 0.1 + 0.01).astype(np.float32)
+    zp = r.integers(0, 255, (nb, n), dtype=np.uint8)
+
+    (y,) = run_graph(
+        [P.make_node("DequantizeLinear", ["q", "sc", "zp"], ["y"],
+                     axis=0, block_size=bs)],
+        {"q": q}, {"sc": sc, "zp": zp}, opset=21,
+    )
+    idx = np.minimum(np.arange(k) // bs, nb - 1)
+    want = (q.astype(np.float32) - zp[idx].astype(np.float32)) * sc[idx]
+    np.testing.assert_allclose(y, want, rtol=1e-6)
+
+
+def test_quantize_linear_blocked_roundtrip():
+    r = np.random.default_rng(81)
+    k, n, bs = 8, 2, 4
+    x = (r.standard_normal((k, n)) * 2).astype(np.float32)
+    nb = k // bs
+    sc = (r.random((nb, n)) * 0.05 + 0.01).astype(np.float32)
+    zp = r.integers(100, 156, (nb, n), dtype=np.uint8)
+
+    (q,) = run_graph(
+        [P.make_node("QuantizeLinear", ["x", "sc", "zp"], ["y"],
+                     axis=0, block_size=bs)],
+        {"x": x}, {"sc": sc, "zp": zp}, opset=21,
+    )
+    idx = np.arange(k) // bs
+    want = np.clip(
+        np.round(x / sc[idx]) + zp[idx].astype(np.float32), 0, 255
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(q, want)
+
+
+def test_quantize_linear_output_dtype_attr():
+    """opset-21 zero-point-free form: output_dtype names the target."""
+    x = np.array([[0.5, -3.2, 100.7]], np.float32)
+    sc = np.float32(0.1)
+    (q,) = run_graph(
+        [P.make_node("QuantizeLinear", ["x", "sc"], ["y"],
+                     output_dtype=int(P.DataType.INT16))],
+        {"x": x}, {"sc": sc.reshape(())}, opset=21,
+    )
+    assert q.dtype == np.int16
+    np.testing.assert_array_equal(q, np.array([[5, -32, 1007]], np.int16))
