@@ -38,6 +38,8 @@ from .ops import (  # noqa: F401 - shared helpers
     _mxu_operands,
     _out_cast,
     _requantize,
+    _run_subgraph,
+    _static_int,
     _static_ints,
     contrib_op,
     op,
@@ -1421,3 +1423,249 @@ def _qlinear_reduce_mean(ctx, x, x_s, x_zp, y_s, y_zp=None):
         ax = tuple(int(a) for a in np.asarray(axes).reshape(-1))
     y = jnp.mean(xf, axis=ax, keepdims=keepdims)
     return [_requantize(ctx, y, y_s, _default_zp(y_zp, x))]
+
+
+# ---------------------------------------------------------------------------
+# In-graph generation: com.microsoft GreedySearch — onnxruntime's
+# convert_generation.py wraps an entire GPT-style decoder in ONE node whose
+# ``decoder`` attribute is the full per-step subgraph (input_ids /
+# position_ids / attention_mask / past_* in, logits / present_* out), and
+# the op runs the whole autoregressive loop. The reference consumes such
+# files whole via ort (src/classifier.rs:348-350). Conventions hand-read
+# from the contrib schema docs + convert_generation.py (no ORT wheel in
+# this environment); the docstring records what is implemented.
+#
+# TPU-native design: XLA cannot grow tensor shapes inside one program, so
+# the growing-KV protocol the subgraph speaks is run against a FIXED
+# max_length cache buffer — each step feeds the full buffer as ``past``
+# (garbage tail masked off via the subgraph's own attention_mask input),
+# and the present row the step appends at the buffer's end is scattered
+# back into its true slot. The whole loop is one ``lax.while_loop`` over
+# static shapes: compiled once, resident on device, no host round-trips
+# per token.
+# ---------------------------------------------------------------------------
+
+
+def _gen_subgraph_io(graph, what):
+    """Split a generation decoder subgraph's formal inputs into the fixed
+    triple (input_ids, position_ids, attention_mask) + past names, and
+    outputs into logits + present names (the convert_generation.py
+    layout)."""
+    in_names = [v.name for v in graph.input]
+    out_names = [v.name for v in graph.output]
+    if len(in_names) < 3 or len(out_names) < 1:
+        raise ValueError(
+            f"{what}: decoder subgraph needs >= 3 inputs "
+            f"(input_ids, position_ids, attention_mask) and a logits "
+            f"output; got {in_names} -> {out_names}"
+        )
+    n_layers = len(in_names) - 3
+    if len(out_names) != 1 + n_layers:
+        raise ValueError(
+            f"{what}: expected one present per past "
+            f"({n_layers}), got outputs {out_names}"
+        )
+    return in_names[:3], in_names[3:], out_names
+
+
+def _gen_past_shape(graph, b_sz, what):
+    """Static [2, B, heads, 0, head] prefill shape from the first past
+    input's declared dims (GPT stacked-KV convention; the seq axis is
+    index 3 and may be symbolic)."""
+    dims = []
+    vi = graph.input[3]
+    tensor_type = vi.type.tensor_type
+    for i, d in enumerate(tensor_type.shape.dim):
+        if i == 3:
+            dims.append(0)
+        elif d.dim_value:
+            dims.append(int(d.dim_value))
+        elif i == 1:
+            dims.append(b_sz)
+        else:
+            raise NotImplementedError(
+                f"{what}: past dim {i} of {vi.name!r} must be static "
+                f"(or the batch/sequence axis)"
+            )
+    if len(dims) != 5 or dims[0] != 2:
+        raise NotImplementedError(
+            f"{what}: past must be the stacked [2,B,heads,seq,head] GPT "
+            f"layout; {vi.name!r} declares rank {len(dims)}"
+        )
+    return tuple(dims)
+
+
+def _gen_process_logits(logits, *, seen, length, min_length, eos,
+                        repetition_penalty, vocab_mask):
+    """ORT's GPT logits processors: vocab mask, CTRL-style repetition
+    penalty over every token already in the sequence, and EOS suppression
+    below min_length."""
+    lf = jnp.asarray(logits).astype(jnp.float32)
+    if vocab_mask is not None:
+        lf = jnp.where(
+            jnp.asarray(vocab_mask).astype(jnp.bool_)[None, :], lf, -jnp.inf
+        )
+    if repetition_penalty is not None:
+        p = jnp.asarray(repetition_penalty).reshape(()).astype(jnp.float32)
+        penalized = jnp.where(lf > 0, lf / p, lf * p)
+        lf = jnp.where(seen.astype(jnp.bool_), penalized, lf)
+    if min_length is not None:
+        ml = jnp.asarray(min_length).reshape(()).astype(jnp.int32)
+        lf = lf.at[:, eos].set(
+            jnp.where(length < ml, -jnp.inf, lf[:, eos])
+        )
+    return lf
+
+
+@ms_op("GreedySearch")
+def _greedy_search(ctx, input_ids, max_length, min_length=None,
+                   repetition_penalty=None, vocab_mask=None,
+                   prefix_vocab_mask=None, attention_mask=None):
+    """com.microsoft GreedySearch (GPT branch of convert_generation.py).
+
+    ``sequences`` [B, max_length] int32 = the prompt followed by greedy
+    continuations; rows stop at ``eos_token_id`` and pad with
+    ``pad_token_id``. Logits processors: ``vocab_mask`` [V],
+    ``repetition_penalty`` (CTRL form: positive logits divide, negative
+    multiply, over every token already emitted), ``min_length`` (EOS
+    suppressed while the sequence is shorter). ``max_length`` must be
+    static (it sizes the device cache buffer — the same specialization
+    ORT's cache allocation performs). Scope: ``model_type=0`` (GPT) with
+    the stacked [2,B,heads,seq,head] past layout; encoder-decoder model
+    types, ``no_repeat_ngram_size``, ``prefix_vocab_mask``, and padded
+    prompts (``attention_mask`` with zeros) raise typed errors."""
+    if int(ctx.attr("model_type", 0)) != 0:
+        raise NotImplementedError(
+            "com.microsoft.GreedySearch: only model_type=0 (GPT) is "
+            "implemented; encoder-decoder generation uses the split "
+            "encoder/decoder file layout instead"
+        )
+    if int(ctx.attr("no_repeat_ngram_size", 0)):
+        raise NotImplementedError(
+            "com.microsoft.GreedySearch: no_repeat_ngram_size"
+        )
+    if prefix_vocab_mask is not None:
+        raise NotImplementedError(
+            "com.microsoft.GreedySearch: prefix_vocab_mask"
+        )
+    eos = int(ctx.attr("eos_token_id"))
+    pad = int(ctx.attr("pad_token_id"))
+    decoder = ctx.attr("decoder")
+    if decoder is None:
+        raise ValueError("com.microsoft.GreedySearch: missing decoder graph")
+    init_decoder = ctx.attr("init_decoder") or decoder
+
+    from jax import lax
+
+    ids0 = jnp.asarray(input_ids).astype(jnp.int32)
+    b_sz, s0 = ids0.shape
+    max_len = _static_int(max_length, "GreedySearch max_length")
+    if attention_mask is not None:
+        am = np.asarray(attention_mask) if not isinstance(
+            attention_mask, jax.core.Tracer
+        ) else None
+        if am is None or not np.all(am != 0):
+            raise NotImplementedError(
+                "com.microsoft.GreedySearch: padded prompts "
+                "(attention_mask with zeros / traced mask)"
+            )
+
+    out_seq = jnp.full((b_sz, max_len), pad, jnp.int32)
+    if s0 >= max_len:  # nothing to generate: prompt (truncated) + pads
+        return [out_seq.at[:, :max_len].set(ids0[:, :max_len])]
+    out_seq = out_seq.at[:, :s0].set(ids0)
+
+    (in_ids_n, in_pos_n, in_mask_n), past_names, out_names = \
+        _gen_subgraph_io(decoder, "com.microsoft.GreedySearch")
+    init_in, init_past, init_out = _gen_subgraph_io(
+        init_decoder, "com.microsoft.GreedySearch init_decoder"
+    )
+
+    # ---- prefill: whole prompt, empty past --------------------------------
+    p_shape = _gen_past_shape(init_decoder, b_sz, "GreedySearch")
+    prefill_env = {
+        init_in[0]: ids0,
+        init_in[1]: jnp.broadcast_to(
+            jnp.arange(s0, dtype=jnp.int32)[None], (b_sz, s0)
+        ),
+        init_in[2]: jnp.ones((b_sz, s0), jnp.int32),
+    }
+    for name in init_past:
+        prefill_env[name] = jnp.zeros(p_shape, jnp.float32)
+    pre = _run_subgraph(ctx, init_decoder, prefill_env)
+    logits0 = jnp.asarray(pre[0])
+    vocab = logits0.shape[-1]
+    p_buf = max_len  # cache slots; valid prefix grows, tail stays masked
+
+    def pad_to_buf(t):
+        t = jnp.asarray(t).astype(jnp.float32)
+        padding = [(0, 0)] * 5
+        padding[3] = (0, p_buf - t.shape[3])
+        return jnp.pad(t, padding)
+
+    bufs = tuple(pad_to_buf(p) for p in pre[1:])
+
+    seen = jnp.zeros((b_sz, vocab), jnp.bool_)
+    seen = seen.at[
+        jnp.repeat(jnp.arange(b_sz), s0), ids0.reshape(-1)
+    ].set(True)
+    first = jnp.argmax(
+        _gen_process_logits(
+            logits0[:, -1], seen=seen, length=jnp.int32(s0 + 1),
+            min_length=min_length, eos=eos,
+            repetition_penalty=repetition_penalty, vocab_mask=vocab_mask,
+        ),
+        axis=-1,
+    ).astype(jnp.int32)
+    done = first == eos
+    out_seq = out_seq.at[:, s0].set(first)
+    seen = seen.at[jnp.arange(b_sz), first].set(True)
+
+    # ---- steps: fixed-buffer past, one while_loop -------------------------
+    def step(state):
+        t, cur, done, out_seq, seen, bufs = state
+        # keys: buffer slots 0..p_buf-1 (valid where slot < t-1) + current
+        key_mask = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    (jnp.arange(p_buf, dtype=jnp.int32) < t - 1)[None],
+                    (b_sz, p_buf),
+                ),
+                jnp.ones((b_sz, 1), jnp.bool_),
+            ],
+            axis=1,
+        ).astype(jnp.int32)
+        env = {
+            in_ids_n: cur[:, None],
+            in_pos_n: jnp.full((b_sz, 1), t - 1, jnp.int32),
+            in_mask_n: key_mask,
+        }
+        env.update(dict(zip(past_names, bufs)))
+        outs = _run_subgraph(ctx, decoder, env)
+        logits = _gen_process_logits(
+            jnp.asarray(outs[0])[:, -1], seen=seen, length=t + 1,
+            min_length=min_length, eos=eos,
+            repetition_penalty=repetition_penalty, vocab_mask=vocab_mask,
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, jnp.int32(pad), nxt)
+        new_done = done | (nxt == eos)
+        out_seq = out_seq.at[:, t].set(nxt)
+        seen = seen.at[jnp.arange(b_sz), nxt].set(True)
+        # the step appended cur's KV at buffer index p_buf: scatter it
+        # into its true slot t-1
+        new_bufs = tuple(
+            lax.dynamic_update_slice_in_dim(
+                b, jnp.asarray(p)[:, :, :, p_buf:p_buf + 1], t - 1, axis=3
+            )
+            for b, p in zip(bufs, outs[1:])
+        )
+        return t + 1, nxt, new_done, out_seq, seen, new_bufs
+
+    def cont(state):
+        t, _, done, *_ = state
+        return jnp.logical_and(t < max_len, ~jnp.all(done))
+
+    state = (jnp.int32(s0 + 1), first, done, out_seq, seen, bufs)
+    final = lax.while_loop(cont, step, state)
+    return [final[3]]
