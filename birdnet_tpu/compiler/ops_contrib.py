@@ -1497,9 +1497,11 @@ def _gen_past_shape(graph, b_sz, what):
 
 def _gen_process_logits(logits, *, seen, length, min_length, eos,
                         repetition_penalty, vocab_mask):
-    """ORT's GPT logits processors: vocab mask, CTRL-style repetition
-    penalty over every token already in the sequence, and EOS suppression
-    below min_length."""
+    """ORT's GPT logits processors (ported from the HF processor set):
+    vocab mask, CTRL-style repetition penalty over every token already in
+    the sequence, and EOS suppression while ``length`` (the sequence
+    length BEFORE the new token, HF's ``cur_len``) is under
+    ``min_length``."""
     lf = jnp.asarray(logits).astype(jnp.float32)
     if vocab_mask is not None:
         lf = jnp.where(
@@ -1611,7 +1613,7 @@ def _greedy_search(ctx, input_ids, max_length, min_length=None,
     ].set(True)
     first = jnp.argmax(
         _gen_process_logits(
-            logits0[:, -1], seen=seen, length=jnp.int32(s0 + 1),
+            logits0[:, -1], seen=seen, length=jnp.int32(s0),
             min_length=min_length, eos=eos,
             repetition_penalty=repetition_penalty, vocab_mask=vocab_mask,
         ),
@@ -1643,7 +1645,7 @@ def _greedy_search(ctx, input_ids, max_length, min_length=None,
         env.update(dict(zip(past_names, bufs)))
         outs = _run_subgraph(ctx, decoder, env)
         logits = _gen_process_logits(
-            jnp.asarray(outs[0])[:, -1], seen=seen, length=t + 1,
+            jnp.asarray(outs[0])[:, -1], seen=seen, length=t,
             min_length=min_length, eos=eos,
             repetition_penalty=repetition_penalty, vocab_mask=vocab_mask,
         )
@@ -1669,3 +1671,282 @@ def _greedy_search(ctx, input_ids, max_length, min_length=None,
     state = (jnp.int32(s0 + 1), first, done, out_seq, seen, bufs)
     final = lax.while_loop(cont, step, state)
     return [final[3]]
+
+
+@ms_op("BeamSearch")
+def _beam_search_op(ctx, input_ids, max_length, min_length=None,
+                    num_beams=None, num_return_sequences=None,
+                    length_penalty=None, repetition_penalty=None,
+                    vocab_mask=None, prefix_vocab_mask=None,
+                    attention_mask=None):
+    """com.microsoft BeamSearch (GPT branch of convert_generation.py).
+
+    ``sequences`` [B, num_return_sequences, max_length] int32 (prompt +
+    continuation, EOS included, pad-filled) and optional
+    ``sequences_scores`` [B, num_return_sequences] (length-penalized
+    cumulative log-probs, best first). The algorithm is the
+    static-shape beam search HF's generate implements (2·num_beams
+    candidates per step, EOS absorption restricted to the top num_beams
+    ranks, length penalty ``sum_logprobs / ((len - prompt_len) ** p)``,
+    the early-stop improvement heuristic, per-batch freezing) run as ONE
+    ``lax.while_loop`` over fixed max_length KV cache buffers — beam
+    reordering is a gather over the flattened batch·beam cache axis, on
+    device. Logits processors apply to log-softmax scores (the beam
+    convention): vocab_mask, CTRL repetition penalty per beam history,
+    min_length EOS suppression. ``max_length`` / ``num_beams`` /
+    ``num_return_sequences`` must be static (they size device buffers).
+    Scope: ``model_type=0`` (GPT), stacked [2,B,heads,seq,head] pasts;
+    encoder-decoder types, ``no_repeat_ngram_size``,
+    ``prefix_vocab_mask``, and padded prompts raise typed errors."""
+    if int(ctx.attr("model_type", 0)) != 0:
+        raise NotImplementedError(
+            "com.microsoft.BeamSearch: only model_type=0 (GPT) is "
+            "implemented"
+        )
+    if int(ctx.attr("no_repeat_ngram_size", 0)):
+        raise NotImplementedError(
+            "com.microsoft.BeamSearch: no_repeat_ngram_size"
+        )
+    if prefix_vocab_mask is not None:
+        raise NotImplementedError(
+            "com.microsoft.BeamSearch: prefix_vocab_mask"
+        )
+    eos = int(ctx.attr("eos_token_id"))
+    pad = int(ctx.attr("pad_token_id"))
+    early_stop = bool(int(ctx.attr("early_stopping", 0)))
+    decoder = ctx.attr("decoder")
+    if decoder is None:
+        raise ValueError("com.microsoft.BeamSearch: missing decoder graph")
+    init_decoder = ctx.attr("init_decoder") or decoder
+
+    from jax import lax
+
+    ids0 = jnp.asarray(input_ids).astype(jnp.int32)
+    b_sz, s0 = ids0.shape
+    max_len = _static_int(max_length, "BeamSearch max_length")
+    n_beams = _static_int(num_beams, "BeamSearch num_beams")
+    n_return = (
+        _static_int(num_return_sequences, "BeamSearch num_return_sequences")
+        if num_return_sequences is not None else n_beams
+    )
+    if n_return > n_beams:
+        raise ValueError(
+            "com.microsoft.BeamSearch: num_return_sequences > num_beams"
+        )
+    if attention_mask is not None:
+        am = np.asarray(attention_mask) if not isinstance(
+            attention_mask, jax.core.Tracer
+        ) else None
+        if am is None or not np.all(am != 0):
+            raise NotImplementedError(
+                "com.microsoft.BeamSearch: padded prompts"
+            )
+    lp_pen = (
+        jnp.asarray(length_penalty).reshape(()).astype(jnp.float32)
+        if length_penalty is not None else jnp.float32(1.0)
+    )
+    n_cand = 2 * n_beams
+    top_mask = jnp.arange(n_cand) < n_beams  # EOS absorbed from top ranks
+
+    if s0 >= max_len:
+        out = jnp.broadcast_to(
+            ids0[:, None, :max_len], (b_sz, n_return, max_len)
+        ).astype(jnp.int32)
+        outs = [out]
+        if ctx.num_outputs > 1:
+            outs.append(jnp.zeros((b_sz, n_return), jnp.float32))
+        return outs
+
+    (in_ids_n, in_pos_n, in_mask_n), past_names, _ = \
+        _gen_subgraph_io(decoder, "com.microsoft.BeamSearch")
+    init_in, init_past, _ = _gen_subgraph_io(
+        init_decoder, "com.microsoft.BeamSearch init_decoder"
+    )
+    rows = b_sz * n_beams
+    p_buf = max_len
+
+    # ---- prefill: replicated prompt over the beam axis --------------------
+    flat_prompt = jnp.broadcast_to(
+        ids0[:, None], (b_sz, n_beams, s0)
+    ).reshape(rows, s0)
+    p_shape = _gen_past_shape(init_decoder, rows, "BeamSearch")
+    prefill_env = {
+        init_in[0]: flat_prompt,
+        init_in[1]: jnp.broadcast_to(
+            jnp.arange(s0, dtype=jnp.int32)[None], (rows, s0)
+        ),
+        init_in[2]: jnp.ones((rows, s0), jnp.int32),
+    }
+    for name in init_past:
+        prefill_env[name] = jnp.zeros(p_shape, jnp.float32)
+    pre = _run_subgraph(ctx, init_decoder, prefill_env)
+    logits0 = jnp.asarray(pre[0])[:, -1]
+    vocab = logits0.shape[-1]
+
+    def pad_to_buf(t):
+        t = jnp.asarray(t).astype(jnp.float32)
+        padding = [(0, 0)] * 5
+        padding[3] = (0, p_buf - t.shape[3])
+        return jnp.pad(t, padding)
+
+    bufs = tuple(pad_to_buf(p) for p in pre[1:])
+
+    # ---- state ------------------------------------------------------------
+    running_seq = jnp.full((b_sz, n_beams, max_len), pad, jnp.int32)
+    running_seq = running_seq.at[:, :, :s0].set(
+        jnp.broadcast_to(ids0[:, None], (b_sz, n_beams, s0))
+    )
+    running_scores = jnp.zeros((b_sz, n_beams), jnp.float32)
+    running_scores = running_scores.at[:, 1:].set(-1e9)
+    seq = jnp.full((b_sz, n_beams, max_len), pad, jnp.int32)
+    beam_scores = jnp.full((b_sz, n_beams), -1e9, jnp.float32)
+    finished = jnp.zeros((b_sz, n_beams), jnp.bool_)
+    heuristic = jnp.ones((b_sz, 1), jnp.bool_)
+    seen_b = jnp.zeros((b_sz, vocab), jnp.bool_)
+    seen_b = seen_b.at[
+        jnp.repeat(jnp.arange(b_sz), s0), ids0.reshape(-1)
+    ].set(True)
+    seen = jnp.broadcast_to(seen_b[:, None], (b_sz, n_beams, vocab))
+
+    def gather_beams(t, idx):
+        """take_along_axis over the beam axis, trailing dims broadcast."""
+        while idx.ndim < t.ndim:
+            idx = idx[..., None]
+        return jnp.take_along_axis(t, idx, axis=1)
+
+    def one_round(cur_len, logits, state):
+        (running_seq, running_scores, seq, beam_scores, finished,
+         heuristic, seen) = state
+        lp = jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=-1
+        ).reshape(b_sz, n_beams, vocab)
+        lp = jax.vmap(
+            lambda l, s: _gen_process_logits(
+                l, seen=s, length=cur_len, min_length=min_length, eos=eos,
+                repetition_penalty=repetition_penalty,
+                vocab_mask=vocab_mask,
+            ),
+            in_axes=1, out_axes=1,
+        )(lp, seen)
+        total = (lp + running_scores[:, :, None]).reshape(b_sz, -1)
+        vals, idx = lax.top_k(total, n_cand)  # (B, 2K)
+        parent = idx // vocab
+        tok = (idx % vocab).astype(jnp.int32)
+        cand_seq = gather_beams(running_seq, parent)
+        cand_seq = cand_seq.at[:, :, cur_len].set(tok)
+        hits = (tok == eos) | (cur_len + 1 >= max_len)
+
+        # running beams for the next iteration
+        run_vals = vals + hits.astype(jnp.float32) * -1e9
+        _, idx2 = lax.top_k(run_vals, n_beams)
+        new_running_seq = gather_beams(cand_seq, idx2)
+        new_running_scores = jnp.take_along_axis(run_vals, idx2, axis=1)
+        parent2 = jnp.take_along_axis(parent, idx2, axis=1)  # (B, K)
+        tok2 = jnp.take_along_axis(tok, idx2, axis=1)
+        new_seen = gather_beams(seen, parent2)
+        new_seen = new_seen.at[
+            jnp.arange(b_sz)[:, None], jnp.arange(n_beams)[None], tok2
+        ].set(True)
+
+        # finished-beam merge
+        did_finish = hits & top_mask[None, :]
+        gen_len = (cur_len + 1 - s0).astype(jnp.float32)
+        fin_scores = vals / (gen_len ** lp_pen)
+        full_and_stop = jnp.all(finished, axis=-1, keepdims=True)
+        if early_stop:
+            fin_scores = fin_scores + full_and_stop.astype(jnp.float32) * -1e9
+        fin_scores = fin_scores + (~heuristic).astype(jnp.float32) * -1e9
+        fin_scores = fin_scores + (~did_finish).astype(jnp.float32) * -1e9
+        merged_seq = jnp.concatenate([seq, cand_seq], axis=1)
+        merged_scores = jnp.concatenate([beam_scores, fin_scores], axis=1)
+        merged_fin = jnp.concatenate([finished, did_finish], axis=1)
+        _, idx3 = lax.top_k(merged_scores, n_beams)
+        new_seq = gather_beams(merged_seq, idx3)
+        new_beam_scores = jnp.take_along_axis(merged_scores, idx3, axis=1)
+        new_finished = jnp.take_along_axis(merged_fin, idx3, axis=1)
+
+        # early-stop improvement heuristic (next iteration's gate)
+        best_possible = new_running_scores[:, :1] / (
+            (cur_len + 1 - s0).astype(jnp.float32) ** lp_pen
+        )
+        worst_finished = jnp.where(
+            new_finished,
+            jnp.min(new_beam_scores, axis=1, keepdims=True),
+            -1e9,
+        )
+        new_heuristic = heuristic & jnp.any(
+            best_possible > worst_finished, axis=-1, keepdims=True
+        )
+        cont = (
+            jnp.any(new_heuristic)
+            & ~(jnp.all(new_finished) & early_stop)
+            & ~jnp.all(hits)
+        )
+        return (
+            (new_running_seq, new_running_scores, new_seq, new_beam_scores,
+             new_finished, new_heuristic, new_seen),
+            parent2, cont,
+        )
+
+    state = (running_seq, running_scores, seq, beam_scores, finished,
+             heuristic, seen)
+    state, parent2, cont = one_round(jnp.int32(s0), logits0, state)
+    flat_parent = (
+        jnp.arange(b_sz)[:, None] * n_beams + parent2
+    ).reshape(-1)
+    bufs = tuple(b[:, flat_parent] for b in bufs)
+
+    def body(carry):
+        t, cont, state, bufs = carry
+        running_seq = state[0]
+        cur = running_seq[:, :, :].reshape(rows, max_len)
+        cur_tok = jnp.take_along_axis(
+            cur, jnp.full((rows, 1), t - 1, jnp.int32), axis=1
+        )
+        key_mask = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    (jnp.arange(p_buf, dtype=jnp.int32) < t - 1)[None],
+                    (rows, p_buf),
+                ),
+                jnp.ones((rows, 1), jnp.bool_),
+            ],
+            axis=1,
+        ).astype(jnp.int32)
+        env = {
+            in_ids_n: cur_tok,
+            in_pos_n: jnp.full((rows, 1), t - 1, jnp.int32),
+            in_mask_n: key_mask,
+        }
+        env.update(dict(zip(past_names, bufs)))
+        outs = _run_subgraph(ctx, decoder, env)
+        new_bufs = tuple(
+            lax.dynamic_update_slice_in_dim(
+                b, jnp.asarray(p).astype(jnp.float32)[
+                    :, :, :, p_buf:p_buf + 1
+                ], t - 1, axis=3,
+            )
+            for b, p in zip(bufs, outs[1:])
+        )
+        state, parent2, cont = one_round(
+            t, jnp.asarray(outs[0])[:, -1], state
+        )
+        flat_parent = (
+            jnp.arange(b_sz)[:, None] * n_beams + parent2
+        ).reshape(-1)
+        new_bufs = tuple(b[:, flat_parent] for b in new_bufs)
+        return t + 1, cont, state, new_bufs
+
+    def cond(carry):
+        t, cont, *_ = carry
+        return jnp.logical_and(t < max_len, cont)
+
+    final = lax.while_loop(
+        cond, body, (jnp.int32(s0 + 1), cont, state, bufs)
+    )
+    _, _, state, _ = final
+    _, _, seq, beam_scores, *_ = state
+    outs = [seq[:, :n_return]]
+    if ctx.num_outputs > 1:
+        outs.append(beam_scores[:, :n_return])
+    return outs

@@ -70,10 +70,13 @@ def _export_step_graph(m, b_sz=2):
     pasts = [torch.randn(2, b_sz, 2, 5, 16) for _ in range(2)]
     names = ["input_ids", "position_ids", "attention_mask",
              "past_0", "past_1"]
-    dyn = {
-        "input_ids": {1: "seq"}, "position_ids": {1: "seq"},
-        "attention_mask": {1: "total"},
-        "past_0": {3: "past"}, "past_1": {3: "past"},
+    dyn = {  # batch-polymorphic, like real convert_generation exports:
+        # BeamSearch runs the same subgraph at batch*num_beams rows
+        "input_ids": {0: "batch", 1: "seq"},
+        "position_ids": {0: "batch", 1: "seq"},
+        "attention_mask": {0: "batch", 1: "total"},
+        "past_0": {1: "batch", 3: "past"},
+        "past_1": {1: "batch", 3: "past"},
     }
     data = export_onnx_bytes(
         _StepGraph(m), (ids, pos, mask, *pasts), opset_version=17,
@@ -138,7 +141,7 @@ def _torch_greedy(m, prompt, *, max_len, min_len, rep_pen, eos, pad,
                 for tok in seen[b]:
                     lb[tok] = lb[tok] / rep_pen if lb[tok] > 0 \
                         else lb[tok] * rep_pen
-                if t + 1 < min_len:
+                if t < min_len:  # HF cur_len convention
                     lb[eos] = -np.inf
                 tok = int(lb.argmax())
                 if done[b]:
@@ -212,3 +215,142 @@ def test_greedy_search_min_length_and_vocab_mask():
         vocab_mask,
     )
     np.testing.assert_array_equal(np.asarray(seq), want)
+
+
+# ---------------------------------------------------------------------------
+# com.microsoft BeamSearch — the default node convert_generation.py emits.
+# Oracle: HF generate() itself (the static-shape beam search the op
+# ports), token-for-token AND score parity.
+# ---------------------------------------------------------------------------
+
+
+def _beam_model(decoder_graph, *, eos, pad, early_stopping=0, b_sz=2,
+                n_scores=True):
+    inputs = ["input_ids", "max_length", "min_length", "num_beams",
+              "num_return_sequences", "length_penalty",
+              "repetition_penalty"]
+    outputs = ["sequences"] + (["sequences_scores"] if n_scores else [])
+    node = P.make_node(
+        "BeamSearch", inputs, outputs, domain=MS,
+        decoder=decoder_graph, eos_token_id=eos, pad_token_id=pad,
+        model_type=0, early_stopping=early_stopping,
+    )
+    I32, F = P.DataType.INT32, P.DataType.FLOAT
+    vis = [
+        P.make_value_info("input_ids", I32, [b_sz, "seq"]),
+        P.make_value_info("max_length", I32, [1]),
+        P.make_value_info("min_length", I32, [1]),
+        P.make_value_info("num_beams", I32, [1]),
+        P.make_value_info("num_return_sequences", I32, [1]),
+        P.make_value_info("length_penalty", F, [1]),
+        P.make_value_info("repetition_penalty", F, [1]),
+    ]
+    out_vis = [P.make_value_info("sequences", I32, [b_sz, "ret", "len"])]
+    if n_scores:
+        out_vis.append(P.make_value_info("sequences_scores", F, [b_sz, "ret"]))
+    graph = P.GraphProto(
+        name="gpt2_beam", node=[node], input=vis, output=out_vis,
+    )
+    return P.ModelProto(
+        ir_version=8, producer_name="convert_generation-like", graph=graph,
+        opset_import=[P.OperatorSetId(domain="", version=17),
+                      P.OperatorSetId(domain=MS, version=1)],
+    )
+
+
+def _hf_beam(m, prompt, *, max_len, num_beams, num_return, length_penalty,
+             repetition_penalty, eos, pad, early_stopping, min_len=0):
+    kw = dict(
+        max_length=max_len, num_beams=num_beams,
+        num_return_sequences=num_return, do_sample=False,
+        length_penalty=length_penalty, early_stopping=early_stopping,
+        pad_token_id=pad, return_dict_in_generate=True, output_scores=True,
+    )
+    if repetition_penalty != 1.0:
+        kw["repetition_penalty"] = repetition_penalty
+    if min_len:
+        kw["min_length"] = min_len
+    kw["eos_token_id"] = eos if eos >= 0 else None
+    with torch.no_grad():
+        # explicit all-ones mask: generate() would otherwise infer one
+        # from pad_token_id hits inside the (random) prompt
+        out = m.generate(
+            prompt.long(),
+            attention_mask=torch.ones_like(prompt, dtype=torch.long),
+            **kw,
+        )
+    b_sz = prompt.shape[0]
+    seqs = np.full((b_sz * num_return, max_len), pad, np.int32)
+    got = out.sequences.numpy()
+    seqs[:, :got.shape[1]] = got
+    return (
+        seqs.reshape(b_sz, num_return, max_len),
+        out.sequences_scores.numpy().reshape(b_sz, num_return),
+    )
+
+
+def _run_beam(model_proto, prompt, *, max_len, num_beams, num_return,
+              length_penalty, repetition_penalty, min_len=1):
+    model = import_onnx(model_proto)
+    fwd = make_forward(model, precision="fp32")
+    return fwd(
+        model.params, np.asarray(prompt),
+        np.array([max_len], np.int32), np.array([min_len], np.int32),
+        np.array([num_beams], np.int32), np.array([num_return], np.int32),
+        np.array([length_penalty], np.float32),
+        np.array([repetition_penalty], np.float32),
+    )
+
+
+def test_beam_search_matches_hf_generate():
+    """No EOS (pure length-bounded beams): sequences and length-penalized
+    scores match HF generate exactly."""
+    torch.manual_seed(62)
+    m = _tiny_gpt2()
+    m.eval()
+    prompt = torch.randint(0, 50, (2, 3), dtype=torch.int32)
+    max_len, k, r, lp, rp = 9, 3, 2, 1.0, 1.0
+
+    want_seq, want_scores = _hf_beam(
+        m, prompt, max_len=max_len, num_beams=k, num_return=r,
+        length_penalty=lp, repetition_penalty=rp, eos=-1, pad=49,
+        early_stopping=False,
+    )
+    seq, scores = _run_beam(
+        _beam_model(_export_step_graph(m), eos=51, pad=49),
+        prompt, max_len=max_len, num_beams=k, num_return=r,
+        length_penalty=lp, repetition_penalty=rp,
+    )
+    np.testing.assert_array_equal(np.asarray(seq), want_seq)
+    np.testing.assert_allclose(np.asarray(scores), want_scores, atol=2e-4)
+
+
+def test_beam_search_eos_early_stopping_and_penalties():
+    """EOS absorption + early_stopping=True + length/repetition penalties:
+    token-for-token vs HF generate."""
+    torch.manual_seed(63)
+    m = _tiny_gpt2()
+    m.eval()
+    prompt = torch.randint(0, 50, (2, 4), dtype=torch.int32)
+    max_len, k, r, lp, rp = 12, 4, 3, 2.0, 1.2
+
+    # EOS chosen (from a free-run sweep) so several beams genuinely
+    # absorb it under these penalties — exercising hypothesis storage,
+    # the early-stop heuristic, and the finished-beam merge
+    eos = 26
+    pad = 49
+    want_seq, want_scores = _hf_beam(
+        m, prompt, max_len=max_len, num_beams=k, num_return=r,
+        length_penalty=lp, repetition_penalty=rp, eos=eos, pad=pad,
+        early_stopping=True,
+    )
+    assert (want_seq == eos).any()  # absorption actually happened
+
+    seq, scores = _run_beam(
+        _beam_model(_export_step_graph(m), eos=eos, pad=pad,
+                    early_stopping=1),
+        prompt, max_len=max_len, num_beams=k, num_return=r,
+        length_penalty=lp, repetition_penalty=rp,
+    )
+    np.testing.assert_array_equal(np.asarray(seq), want_seq)
+    np.testing.assert_allclose(np.asarray(scores), want_scores, atol=2e-4)
