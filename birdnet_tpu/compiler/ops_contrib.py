@@ -1673,12 +1673,296 @@ def _greedy_search(ctx, input_ids, max_length, min_length=None,
     return [final[3]]
 
 
-@ms_op("BeamSearch")
+def _beam_gather(t, idx):
+    """take_along_axis over the beam axis, trailing dims broadcast."""
+    while idx.ndim < t.ndim:
+        idx = idx[..., None]
+    return jnp.take_along_axis(t, idx, axis=1)
+
+
+def _beam_state_init(ids0, *, b_sz, n_beams, s0, max_len, pad, vocab):
+    """The HF static-shape beam-search state tuple: running sequences /
+    scores (beam 0 seeded at 0, rest -1e9), finished sequences / scores,
+    finished flags, the early-stop heuristic gate, and the per-beam
+    seen-token mask for the repetition penalty."""
+    running_seq = jnp.full((b_sz, n_beams, max_len), pad, jnp.int32)
+    running_seq = running_seq.at[:, :, :s0].set(
+        jnp.broadcast_to(ids0[:, None], (b_sz, n_beams, s0))
+    )
+    running_scores = jnp.zeros((b_sz, n_beams), jnp.float32)
+    running_scores = running_scores.at[:, 1:].set(-1e9)
+    seq = jnp.full((b_sz, n_beams, max_len), pad, jnp.int32)
+    beam_scores = jnp.full((b_sz, n_beams), -1e9, jnp.float32)
+    finished = jnp.zeros((b_sz, n_beams), jnp.bool_)
+    heuristic = jnp.ones((b_sz, 1), jnp.bool_)
+    seen_b = jnp.zeros((b_sz, vocab), jnp.bool_)
+    seen_b = seen_b.at[
+        jnp.repeat(jnp.arange(b_sz), s0), ids0.reshape(-1)
+    ].set(True)
+    seen = jnp.broadcast_to(seen_b[:, None], (b_sz, n_beams, vocab))
+    return (running_seq, running_scores, seq, beam_scores, finished,
+            heuristic, seen)
+
+
+def _make_beam_round(*, b_sz, n_beams, vocab, s0, max_len, eos, early_stop,
+                     lp_pen, min_length, repetition_penalty, vocab_mask):
+    """One beam-search step as a pure function over (cur_len, last-token
+    logits, state) — the candidate/running/finished machinery HF's
+    static-shape generate implements. Returns (new_state, parent beam
+    indices for cache reordering, continue flag)."""
+    from jax import lax
+
+    n_cand = 2 * n_beams
+    top_mask = jnp.arange(n_cand) < n_beams  # EOS absorbed from top ranks
+
+    def one_round(cur_len, logits, state):
+        (running_seq, running_scores, seq, beam_scores, finished,
+         heuristic, seen) = state
+        lp = jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=-1
+        ).reshape(b_sz, n_beams, vocab)
+        lp = jax.vmap(
+            lambda l, s: _gen_process_logits(
+                l, seen=s, length=cur_len, min_length=min_length, eos=eos,
+                repetition_penalty=repetition_penalty,
+                vocab_mask=vocab_mask,
+            ),
+            in_axes=1, out_axes=1,
+        )(lp, seen)
+        total = (lp + running_scores[:, :, None]).reshape(b_sz, -1)
+        vals, idx = lax.top_k(total, n_cand)  # (B, 2K)
+        parent = idx // vocab
+        tok = (idx % vocab).astype(jnp.int32)
+        cand_seq = _beam_gather(running_seq, parent)
+        cand_seq = cand_seq.at[:, :, cur_len].set(tok)
+        hits = (tok == eos) | (cur_len + 1 >= max_len)
+
+        # running beams for the next iteration
+        run_vals = vals + hits.astype(jnp.float32) * -1e9
+        _, idx2 = lax.top_k(run_vals, n_beams)
+        new_running_seq = _beam_gather(cand_seq, idx2)
+        new_running_scores = jnp.take_along_axis(run_vals, idx2, axis=1)
+        parent2 = jnp.take_along_axis(parent, idx2, axis=1)  # (B, K)
+        tok2 = jnp.take_along_axis(tok, idx2, axis=1)
+        new_seen = _beam_gather(seen, parent2)
+        new_seen = new_seen.at[
+            jnp.arange(b_sz)[:, None], jnp.arange(n_beams)[None], tok2
+        ].set(True)
+
+        # finished-beam merge
+        did_finish = hits & top_mask[None, :]
+        gen_len = (cur_len + 1 - s0).astype(jnp.float32)
+        fin_scores = vals / (gen_len ** lp_pen)
+        full_and_stop = jnp.all(finished, axis=-1, keepdims=True)
+        if early_stop:
+            fin_scores = fin_scores + full_and_stop.astype(jnp.float32) * -1e9
+        fin_scores = fin_scores + (~heuristic).astype(jnp.float32) * -1e9
+        fin_scores = fin_scores + (~did_finish).astype(jnp.float32) * -1e9
+        merged_seq = jnp.concatenate([seq, cand_seq], axis=1)
+        merged_scores = jnp.concatenate([beam_scores, fin_scores], axis=1)
+        merged_fin = jnp.concatenate([finished, did_finish], axis=1)
+        _, idx3 = lax.top_k(merged_scores, n_beams)
+        new_seq = _beam_gather(merged_seq, idx3)
+        new_beam_scores = jnp.take_along_axis(merged_scores, idx3, axis=1)
+        new_finished = jnp.take_along_axis(merged_fin, idx3, axis=1)
+
+        # early-stop improvement heuristic (next iteration's gate)
+        best_possible = new_running_scores[:, :1] / (
+            (cur_len + 1 - s0).astype(jnp.float32) ** lp_pen
+        )
+        worst_finished = jnp.where(
+            new_finished,
+            jnp.min(new_beam_scores, axis=1, keepdims=True),
+            -1e9,
+        )
+        new_heuristic = heuristic & jnp.any(
+            best_possible > worst_finished, axis=-1, keepdims=True
+        )
+        cont = (
+            jnp.any(new_heuristic)
+            & ~(jnp.all(new_finished) & early_stop)
+            & ~jnp.all(hits)
+        )
+        return (
+            (new_running_seq, new_running_scores, new_seq, new_beam_scores,
+             new_finished, new_heuristic, new_seen),
+            parent2, cont,
+        )
+
+    return one_round
+
+
+def _beam_search_encdec(ctx, features, max_length, *, min_length,
+                        num_beams, num_return_sequences, length_penalty,
+                        repetition_penalty, vocab_mask, prefix_vocab_mask,
+                        decoder_input_ids):
+    """Encoder-decoder branch of BeamSearch / WhisperBeamSearch
+    (model_type 1/2 — T5 and Whisper exports of convert_generation.py).
+
+    Protocol: the ``encoder`` subgraph (attr ``encoder`` or
+    ``encoder_decoder_init``) runs the encoder AND the decoder prefill —
+    inputs (encoder features, decoder_input_ids), outputs (prefill
+    logits, present_* caches). The ``decoder`` subgraph is the with-past
+    step: its past inputs are matched to encoder outputs by name
+    (``past_X`` ↔ ``present_X``); names containing ``cross`` are the
+    STATIC cross-attention caches, the rest grow by one position per
+    step. Because the step subgraph carries no attention-mask input, the
+    fixed-buffer trick the GPT branch uses is unavailable: the loop runs
+    host-driven with true growing cache shapes (one traced program per
+    past length — the engine's standard decode discipline), each step's
+    beam reordering a gather over the flattened batch·beam cache axis.
+    The beam machinery itself is the same static-shape HF algorithm the
+    GPT branch runs. Inputs must be concrete (a traced call raises)."""
+    if int(ctx.attr("no_repeat_ngram_size", 0)):
+        raise NotImplementedError(
+            f"com.microsoft.{ctx.op_type}: no_repeat_ngram_size"
+        )
+    if prefix_vocab_mask is not None:
+        raise NotImplementedError(
+            f"com.microsoft.{ctx.op_type}: prefix_vocab_mask"
+        )
+    if decoder_input_ids is None:
+        raise NotImplementedError(
+            f"com.microsoft.{ctx.op_type}: decoder_input_ids is required "
+            "(decoder_start_token_id synthesis is not implemented)"
+        )
+    if any(
+        isinstance(v, jax.core.Tracer)
+        for v in (features, decoder_input_ids, max_length)
+    ):
+        raise NotImplementedError(
+            f"com.microsoft.{ctx.op_type}: the encoder-decoder branch "
+            "runs a host-driven loop over growing cache shapes and needs "
+            "concrete inputs (call the forward without jax.jit)"
+        )
+    eos = int(ctx.attr("eos_token_id"))
+    pad = int(ctx.attr("pad_token_id"))
+    early_stop = bool(int(ctx.attr("early_stopping", 0)))
+    decoder = ctx.attr("decoder")
+    encoder = ctx.attr("encoder") or ctx.attr("encoder_decoder_init")
+    if decoder is None or encoder is None:
+        raise ValueError(
+            f"com.microsoft.{ctx.op_type}: missing encoder/decoder graphs"
+        )
+
+    feats = jnp.asarray(features)
+    dec_ids = jnp.asarray(decoder_input_ids).astype(jnp.int32)
+    b_sz, s0 = dec_ids.shape
+    max_len = _static_int(max_length, f"{ctx.op_type} max_length")
+    n_beams = _static_int(num_beams, f"{ctx.op_type} num_beams")
+    n_return = (
+        _static_int(num_return_sequences,
+                    f"{ctx.op_type} num_return_sequences")
+        if num_return_sequences is not None else n_beams
+    )
+    if n_return > n_beams:
+        raise ValueError(
+            f"com.microsoft.{ctx.op_type}: num_return_sequences > num_beams"
+        )
+    lp_pen = (
+        jnp.asarray(length_penalty).reshape(()).astype(jnp.float32)
+        if length_penalty is not None else jnp.float32(1.0)
+    )
+    rows = b_sz * n_beams
+
+    if s0 >= max_len:
+        out = jnp.broadcast_to(
+            dec_ids[:, None, :max_len], (b_sz, n_return, max_len)
+        ).astype(jnp.int32)
+        outs = [out]
+        if ctx.num_outputs > 1:
+            outs.append(jnp.zeros((b_sz, n_return), jnp.float32))
+        return outs
+
+    # ---- encoder + decoder prefill (batch rows; replicated to beams) ------
+    enc_in = [v.name for v in encoder.input]
+    enc_out = [v.name for v in encoder.output]
+    enc_env = {enc_in[0]: feats}
+    if len(enc_in) > 1:
+        enc_env[enc_in[1]] = dec_ids
+    pre = _run_subgraph(ctx, encoder, enc_env)
+    logits0 = jnp.asarray(pre[0])[:, -1]
+    vocab = logits0.shape[-1]
+    present_by_name = dict(zip(enc_out[1:], pre[1:]))
+
+    dec_in = [v.name for v in decoder.input]
+    past_names = dec_in[1:]
+    pasts = {}
+    for name in past_names:
+        src_name = name.replace("past", "present", 1)
+        if src_name not in present_by_name:
+            raise NotImplementedError(
+                f"com.microsoft.{ctx.op_type}: decoder input {name!r} has "
+                f"no matching encoder output {src_name!r}"
+            )
+        p = jnp.asarray(present_by_name[src_name]).astype(jnp.float32)
+        pasts[name] = jnp.repeat(p, n_beams, axis=0)  # beam-replicate
+    is_cross = {n: "cross" in n for n in past_names}
+    dec_out = [v.name for v in decoder.output]
+    out_by_past = {}
+    for i, name in enumerate(dec_out[1:]):
+        out_by_past[name.replace("present", "past", 1)] = i + 1
+
+    state = _beam_state_init(
+        dec_ids, b_sz=b_sz, n_beams=n_beams, s0=s0, max_len=max_len,
+        pad=pad, vocab=vocab,
+    )
+    one_round = _make_beam_round(
+        b_sz=b_sz, n_beams=n_beams, vocab=vocab, s0=s0, max_len=max_len,
+        eos=eos, early_stop=early_stop, lp_pen=lp_pen,
+        min_length=min_length, repetition_penalty=repetition_penalty,
+        vocab_mask=vocab_mask,
+    )
+    logits_bk = jnp.broadcast_to(
+        logits0[:, None], (b_sz, n_beams, vocab)
+    ).reshape(rows, vocab)
+    state, parent2, cont = one_round(jnp.int32(s0), logits_bk, state)
+
+    def reorder(parent2, pasts):
+        flat = np.asarray(
+            jnp.arange(b_sz)[:, None] * n_beams + parent2
+        ).reshape(-1)
+        return {
+            n: (p if is_cross[n] else jnp.take(p, flat, axis=0))
+            for n, p in pasts.items()
+        }
+
+    # cross caches are beam-identical (one encoder pass); only the
+    # growing self caches need the parent gather
+    pasts = reorder(parent2, pasts)
+
+    t = s0
+    while bool(np.asarray(cont)) and t + 1 < max_len:
+        t += 1
+        running_seq = state[0]
+        cur_tok = np.asarray(running_seq[:, :, t - 1]).reshape(rows, 1)
+        env = {dec_in[0]: jnp.asarray(cur_tok)}
+        env.update(pasts)
+        outs = _run_subgraph(ctx, decoder, env)
+        for name in past_names:
+            if not is_cross[name]:
+                pasts[name] = jnp.asarray(
+                    outs[out_by_past[name]]
+                ).astype(jnp.float32)
+        state, parent2, cont = one_round(
+            jnp.int32(t), jnp.asarray(outs[0])[:, -1], state
+        )
+        pasts = reorder(parent2, pasts)
+
+    _, _, seq, beam_scores, *_ = state
+    outs = [seq[:, :n_return]]
+    if ctx.num_outputs > 1:
+        outs.append(beam_scores[:, :n_return])
+    return outs
+
+
+@ms_op("BeamSearch", "WhisperBeamSearch")
 def _beam_search_op(ctx, input_ids, max_length, min_length=None,
                     num_beams=None, num_return_sequences=None,
                     length_penalty=None, repetition_penalty=None,
                     vocab_mask=None, prefix_vocab_mask=None,
-                    attention_mask=None):
+                    attention_mask=None, decoder_input_ids=None,
+                    logits_processor=None):
     """com.microsoft BeamSearch (GPT branch of convert_generation.py).
 
     ``sequences`` [B, num_return_sequences, max_length] int32 (prompt +
@@ -1698,10 +1982,21 @@ def _beam_search_op(ctx, input_ids, max_length, min_length=None,
     Scope: ``model_type=0`` (GPT), stacked [2,B,heads,seq,head] pasts;
     encoder-decoder types, ``no_repeat_ngram_size``,
     ``prefix_vocab_mask``, and padded prompts raise typed errors."""
-    if int(ctx.attr("model_type", 0)) != 0:
+    model_type = int(ctx.attr("model_type", 0))
+    if ctx.op_type == "WhisperBeamSearch":
+        model_type = 2
+    if model_type not in (0, 1, 2):
         raise NotImplementedError(
-            "com.microsoft.BeamSearch: only model_type=0 (GPT) is "
-            "implemented"
+            f"com.microsoft.{ctx.op_type}: model_type={model_type}"
+        )
+    if model_type in (1, 2):
+        return _beam_search_encdec(
+            ctx, input_ids, max_length, min_length=min_length,
+            num_beams=num_beams, num_return_sequences=num_return_sequences,
+            length_penalty=length_penalty,
+            repetition_penalty=repetition_penalty, vocab_mask=vocab_mask,
+            prefix_vocab_mask=prefix_vocab_mask,
+            decoder_input_ids=decoder_input_ids,
         )
     if int(ctx.attr("no_repeat_ngram_size", 0)):
         raise NotImplementedError(
@@ -1791,105 +2086,17 @@ def _beam_search_op(ctx, input_ids, max_length, min_length=None,
 
     bufs = tuple(pad_to_buf(p) for p in pre[1:])
 
-    # ---- state ------------------------------------------------------------
-    running_seq = jnp.full((b_sz, n_beams, max_len), pad, jnp.int32)
-    running_seq = running_seq.at[:, :, :s0].set(
-        jnp.broadcast_to(ids0[:, None], (b_sz, n_beams, s0))
+    state = _beam_state_init(
+        ids0, b_sz=b_sz, n_beams=n_beams, s0=s0, max_len=max_len,
+        pad=pad, vocab=vocab,
     )
-    running_scores = jnp.zeros((b_sz, n_beams), jnp.float32)
-    running_scores = running_scores.at[:, 1:].set(-1e9)
-    seq = jnp.full((b_sz, n_beams, max_len), pad, jnp.int32)
-    beam_scores = jnp.full((b_sz, n_beams), -1e9, jnp.float32)
-    finished = jnp.zeros((b_sz, n_beams), jnp.bool_)
-    heuristic = jnp.ones((b_sz, 1), jnp.bool_)
-    seen_b = jnp.zeros((b_sz, vocab), jnp.bool_)
-    seen_b = seen_b.at[
-        jnp.repeat(jnp.arange(b_sz), s0), ids0.reshape(-1)
-    ].set(True)
-    seen = jnp.broadcast_to(seen_b[:, None], (b_sz, n_beams, vocab))
+    one_round = _make_beam_round(
+        b_sz=b_sz, n_beams=n_beams, vocab=vocab, s0=s0, max_len=max_len,
+        eos=eos, early_stop=early_stop, lp_pen=lp_pen,
+        min_length=min_length, repetition_penalty=repetition_penalty,
+        vocab_mask=vocab_mask,
+    )
 
-    def gather_beams(t, idx):
-        """take_along_axis over the beam axis, trailing dims broadcast."""
-        while idx.ndim < t.ndim:
-            idx = idx[..., None]
-        return jnp.take_along_axis(t, idx, axis=1)
-
-    def one_round(cur_len, logits, state):
-        (running_seq, running_scores, seq, beam_scores, finished,
-         heuristic, seen) = state
-        lp = jax.nn.log_softmax(
-            logits.astype(jnp.float32), axis=-1
-        ).reshape(b_sz, n_beams, vocab)
-        lp = jax.vmap(
-            lambda l, s: _gen_process_logits(
-                l, seen=s, length=cur_len, min_length=min_length, eos=eos,
-                repetition_penalty=repetition_penalty,
-                vocab_mask=vocab_mask,
-            ),
-            in_axes=1, out_axes=1,
-        )(lp, seen)
-        total = (lp + running_scores[:, :, None]).reshape(b_sz, -1)
-        vals, idx = lax.top_k(total, n_cand)  # (B, 2K)
-        parent = idx // vocab
-        tok = (idx % vocab).astype(jnp.int32)
-        cand_seq = gather_beams(running_seq, parent)
-        cand_seq = cand_seq.at[:, :, cur_len].set(tok)
-        hits = (tok == eos) | (cur_len + 1 >= max_len)
-
-        # running beams for the next iteration
-        run_vals = vals + hits.astype(jnp.float32) * -1e9
-        _, idx2 = lax.top_k(run_vals, n_beams)
-        new_running_seq = gather_beams(cand_seq, idx2)
-        new_running_scores = jnp.take_along_axis(run_vals, idx2, axis=1)
-        parent2 = jnp.take_along_axis(parent, idx2, axis=1)  # (B, K)
-        tok2 = jnp.take_along_axis(tok, idx2, axis=1)
-        new_seen = gather_beams(seen, parent2)
-        new_seen = new_seen.at[
-            jnp.arange(b_sz)[:, None], jnp.arange(n_beams)[None], tok2
-        ].set(True)
-
-        # finished-beam merge
-        did_finish = hits & top_mask[None, :]
-        gen_len = (cur_len + 1 - s0).astype(jnp.float32)
-        fin_scores = vals / (gen_len ** lp_pen)
-        full_and_stop = jnp.all(finished, axis=-1, keepdims=True)
-        if early_stop:
-            fin_scores = fin_scores + full_and_stop.astype(jnp.float32) * -1e9
-        fin_scores = fin_scores + (~heuristic).astype(jnp.float32) * -1e9
-        fin_scores = fin_scores + (~did_finish).astype(jnp.float32) * -1e9
-        merged_seq = jnp.concatenate([seq, cand_seq], axis=1)
-        merged_scores = jnp.concatenate([beam_scores, fin_scores], axis=1)
-        merged_fin = jnp.concatenate([finished, did_finish], axis=1)
-        _, idx3 = lax.top_k(merged_scores, n_beams)
-        new_seq = gather_beams(merged_seq, idx3)
-        new_beam_scores = jnp.take_along_axis(merged_scores, idx3, axis=1)
-        new_finished = jnp.take_along_axis(merged_fin, idx3, axis=1)
-
-        # early-stop improvement heuristic (next iteration's gate)
-        best_possible = new_running_scores[:, :1] / (
-            (cur_len + 1 - s0).astype(jnp.float32) ** lp_pen
-        )
-        worst_finished = jnp.where(
-            new_finished,
-            jnp.min(new_beam_scores, axis=1, keepdims=True),
-            -1e9,
-        )
-        new_heuristic = heuristic & jnp.any(
-            best_possible > worst_finished, axis=-1, keepdims=True
-        )
-        cont = (
-            jnp.any(new_heuristic)
-            & ~(jnp.all(new_finished) & early_stop)
-            & ~jnp.all(hits)
-        )
-        return (
-            (new_running_seq, new_running_scores, new_seq, new_beam_scores,
-             new_finished, new_heuristic, new_seen),
-            parent2, cont,
-        )
-
-    state = (running_seq, running_scores, seq, beam_scores, finished,
-             heuristic, seen)
     state, parent2, cont = one_round(jnp.int32(s0), logits0, state)
     flat_parent = (
         jnp.arange(b_sz)[:, None] * n_beams + parent2

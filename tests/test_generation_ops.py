@@ -354,3 +354,198 @@ def test_beam_search_eos_early_stopping_and_penalties():
     )
     np.testing.assert_array_equal(np.asarray(seq), want_seq)
     np.testing.assert_allclose(np.asarray(scores), want_scores, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# WhisperBeamSearch / BeamSearch model_type=2 — the encoder-decoder
+# generation artifact ORT's whisper export script emits. Oracle: HF
+# generate on the same tiny Whisper.
+# ---------------------------------------------------------------------------
+
+
+def _tiny_whisper():
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    cfg = WhisperConfig(
+        vocab_size=100, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_mel_bins=8,
+        max_source_positions=25, max_target_positions=32,
+        attn_implementation="eager",
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1, suppress_tokens=None,
+        begin_suppress_tokens=None,
+    )
+    return WhisperForConditionalGeneration(cfg)
+
+
+class _WhisperEncDecInit(torch.nn.Module):
+    """convert_generation's encoder_decoder_init: encoder + decoder
+    prefill in one graph — logits, then present self/cross caches."""
+
+    def __init__(self, m):
+        super().__init__()
+        self.m = m
+
+    def forward(self, feats, dec_ids):
+        from transformers.cache_utils import DynamicCache, EncoderDecoderCache
+
+        enc = self.m.model.encoder(feats).last_hidden_state
+        cache = EncoderDecoderCache(DynamicCache(), DynamicCache())
+        out = self.m.model.decoder(
+            input_ids=dec_ids.long(), encoder_hidden_states=enc,
+            past_key_values=cache, use_cache=True,
+        )
+        logits = self.m.proj_out(out.last_hidden_state)
+        sa = out.past_key_values.self_attention_cache
+        ca = out.past_key_values.cross_attention_cache
+        outs = [logits]
+        for i in range(2):
+            outs += [sa.layers[i].keys, sa.layers[i].values]
+        for i in range(2):
+            outs += [ca.layers[i].keys, ca.layers[i].values]
+        return tuple(outs)
+
+
+class _WhisperBeamStep(torch.nn.Module):
+    """convert_generation's decoder: with-past step, cross caches static
+    (reused via is_updated), self caches grow; no mask/position inputs."""
+
+    def __init__(self, m):
+        super().__init__()
+        self.m = m
+
+    def forward(self, ids, sk0, sv0, sk1, sv1, ck0, cv0, ck1, cv1):
+        from transformers.cache_utils import DynamicCache, EncoderDecoderCache
+
+        sa, ca = DynamicCache(), DynamicCache()
+        sa.update(sk0, sv0, 0)
+        sa.update(sk1, sv1, 1)
+        ca.update(ck0, cv0, 0)
+        ca.update(ck1, cv1, 1)
+        cache = EncoderDecoderCache(sa, ca)
+        # enc hidden states are never read: cross caches are reused
+        dummy_enc = torch.zeros(ids.shape[0], 1, 32)
+        out = self.m.model.decoder(
+            input_ids=ids.long(), encoder_hidden_states=dummy_enc,
+            past_key_values=cache, use_cache=True,
+        )
+        logits = self.m.proj_out(out.last_hidden_state)
+        sa = out.past_key_values.self_attention_cache
+        outs = [logits]
+        for i in range(2):
+            outs += [sa.layers[i].keys, sa.layers[i].values]
+        return tuple(outs)
+
+
+def _export_whisper_graphs(m):
+    feats = torch.randn(1, 8, 50) * 0.5
+    dec_ids = torch.tensor([[1, 5]], dtype=torch.int32)
+    self_names = [f"present_{c}_self_{i}" for i in range(2)
+                  for c in ("key", "value")]
+    cross_names = [f"present_{c}_cross_{i}" for i in range(2)
+                   for c in ("key", "value")]
+    enc_dyn = {"encoder_input_features": {0: "batch"},
+               "decoder_input_ids": {0: "batch", 1: "seq"}}
+    enc_graph = P.decode_model(export_onnx_bytes(
+        _WhisperEncDecInit(m), (feats, dec_ids), opset_version=17,
+        input_names=["encoder_input_features", "decoder_input_ids"],
+        output_names=["logits"] + self_names + cross_names,
+        dynamic_axes=enc_dyn,
+    )).graph
+
+    sk = [torch.randn(1, 2, 2, 16) for _ in range(4)]
+    ck = [torch.randn(1, 2, 25, 16) for _ in range(4)]
+    past_self = [f"past_{c}_self_{i}" for i in range(2)
+                 for c in ("key", "value")]
+    past_cross = [f"past_{c}_cross_{i}" for i in range(2)
+                  for c in ("key", "value")]
+    dec_dyn = {"input_ids": {0: "batch"}}
+    dec_dyn.update({n: {0: "batch", 2: "past"} for n in past_self})
+    dec_dyn.update({n: {0: "batch"} for n in past_cross})
+    dec_graph = P.decode_model(export_onnx_bytes(
+        _WhisperBeamStep(m),
+        (torch.tensor([[7]], dtype=torch.int32), *sk, *ck),
+        opset_version=17,
+        input_names=["input_ids"] + past_self + past_cross,
+        output_names=["logits"] + self_names,
+        dynamic_axes=dec_dyn,
+    )).graph
+    return enc_graph, dec_graph
+
+
+def _whisper_beam_model(enc_graph, dec_graph, *, eos, pad, early_stopping):
+    inputs = ["input_features", "max_length", "min_length", "num_beams",
+              "num_return_sequences", "length_penalty",
+              "repetition_penalty", "", "", "", "decoder_input_ids"]
+    node = P.make_node(
+        "WhisperBeamSearch", inputs, ["sequences", "sequences_scores"],
+        domain=MS, encoder=enc_graph, decoder=dec_graph,
+        eos_token_id=eos, pad_token_id=pad, model_type=2,
+        early_stopping=early_stopping, decoder_start_token_id=1,
+    )
+    I32, F = P.DataType.INT32, P.DataType.FLOAT
+    vis = [
+        P.make_value_info("input_features", F, [1, 8, 50]),
+        P.make_value_info("max_length", I32, [1]),
+        P.make_value_info("min_length", I32, [1]),
+        P.make_value_info("num_beams", I32, [1]),
+        P.make_value_info("num_return_sequences", I32, [1]),
+        P.make_value_info("length_penalty", F, [1]),
+        P.make_value_info("repetition_penalty", F, [1]),
+        P.make_value_info("decoder_input_ids", I32, [1, "seq"]),
+    ]
+    graph = P.GraphProto(
+        name="whisper_beam", node=[node], input=vis,
+        output=[P.make_value_info("sequences", I32, [1, "ret", "len"]),
+                P.make_value_info("sequences_scores", F, [1, "ret"])],
+    )
+    return P.ModelProto(
+        ir_version=8, producer_name="convert_generation-like", graph=graph,
+        opset_import=[P.OperatorSetId(domain="", version=17),
+                      P.OperatorSetId(domain=MS, version=1)],
+    )
+
+
+def test_whisper_beam_search_matches_hf_generate():
+    torch.manual_seed(64)
+    m = _tiny_whisper()
+    m.eval()
+    feats = torch.randn(1, 8, 50) * 0.5
+    prompt = torch.tensor([[1, 5, 9]], dtype=torch.int32)
+    max_len, k, r, lp = 10, 3, 2, 1.0
+
+    kw = dict(
+        max_length=max_len, num_beams=k, num_return_sequences=r,
+        do_sample=False, length_penalty=lp, early_stopping=False,
+        pad_token_id=0, eos_token_id=2, return_dict_in_generate=True,
+        output_scores=True,
+    )
+    from transformers.generation import GenerationMixin
+
+    with torch.no_grad():
+        # the base beam search, not WhisperForConditionalGeneration's
+        # long-form override (which assumes real task/language tokens)
+        out = GenerationMixin.generate(
+            m, feats, decoder_input_ids=prompt.long(), **kw
+        )
+    want = np.full((1 * r, max_len), 0, np.int32)
+    got = out.sequences.numpy()
+    want[:, :got.shape[1]] = got
+    want = want.reshape(1, r, max_len)
+    want_scores = out.sequences_scores.numpy().reshape(1, r)
+
+    enc_graph, dec_graph = _export_whisper_graphs(m)
+    model = import_onnx(_whisper_beam_model(
+        enc_graph, dec_graph, eos=2, pad=0, early_stopping=0
+    ))
+    fwd = make_forward(model, precision="fp32")
+    seq, scores = fwd(
+        model.params, np.asarray(feats),
+        np.array([max_len], np.int32), np.array([1], np.int32),
+        np.array([k], np.int32), np.array([r], np.int32),
+        np.array([lp], np.float32), np.array([1.0], np.float32),
+        np.asarray(prompt),
+    )
+    np.testing.assert_array_equal(np.asarray(seq), want)
+    np.testing.assert_allclose(np.asarray(scores), want_scores, atol=2e-4)
