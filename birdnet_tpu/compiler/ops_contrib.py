@@ -1539,8 +1539,8 @@ def _greedy_search(ctx, input_ids, max_length, min_length=None,
     if int(ctx.attr("model_type", 0)) != 0:
         raise NotImplementedError(
             "com.microsoft.GreedySearch: only model_type=0 (GPT) is "
-            "implemented; encoder-decoder generation uses the split "
-            "encoder/decoder file layout instead"
+            "implemented — convert_generation.py exports encoder-decoder "
+            "greedy decoding as BeamSearch with num_beams=1 (supported)"
         )
     if int(ctx.attr("no_repeat_ngram_size", 0)):
         raise NotImplementedError(

@@ -549,3 +549,38 @@ def test_whisper_beam_search_matches_hf_generate():
     )
     np.testing.assert_array_equal(np.asarray(seq), want)
     np.testing.assert_allclose(np.asarray(scores), want_scores, atol=2e-4)
+
+
+def test_whisper_beam_one_equals_greedy():
+    """BeamSearch num_beams=1 (how convert_generation exports
+    encoder-decoder greedy decoding) reproduces HF's greedy path."""
+    torch.manual_seed(65)
+    m = _tiny_whisper()
+    m.eval()
+    feats = torch.randn(1, 8, 50) * 0.5
+    prompt = torch.tensor([[1, 4]], dtype=torch.int32)
+    max_len = 8
+
+    from transformers.generation import GenerationMixin
+
+    with torch.no_grad():
+        out = GenerationMixin.generate(
+            m, feats, decoder_input_ids=prompt.long(), max_length=max_len,
+            num_beams=1, do_sample=False, pad_token_id=0, eos_token_id=2,
+        )
+    want = np.full((1, 1, max_len), 0, np.int32)
+    want[0, 0, :out.shape[1]] = out.numpy()
+
+    enc_graph, dec_graph = _export_whisper_graphs(m)
+    model = import_onnx(_whisper_beam_model(
+        enc_graph, dec_graph, eos=2, pad=0, early_stopping=0
+    ))
+    fwd = make_forward(model, precision="fp32")
+    seq, _ = fwd(
+        model.params, np.asarray(feats),
+        np.array([max_len], np.int32), np.array([1], np.int32),
+        np.array([1], np.int32), np.array([1], np.int32),
+        np.array([1.0], np.float32), np.array([1.0], np.float32),
+        np.asarray(prompt),
+    )
+    np.testing.assert_array_equal(np.asarray(seq), want)
