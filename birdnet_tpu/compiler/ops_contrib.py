@@ -1519,72 +1519,59 @@ def _gen_process_logits(logits, *, seen, length, min_length, eos,
     return lf
 
 
-@ms_op("GreedySearch")
-def _greedy_search(ctx, input_ids, max_length, min_length=None,
-                   repetition_penalty=None, vocab_mask=None,
-                   prefix_vocab_mask=None, attention_mask=None):
-    """com.microsoft GreedySearch (GPT branch of convert_generation.py).
-
-    ``sequences`` [B, max_length] int32 = the prompt followed by greedy
-    continuations; rows stop at ``eos_token_id`` and pad with
-    ``pad_token_id``. Logits processors: ``vocab_mask`` [V],
-    ``repetition_penalty`` (CTRL form: positive logits divide, negative
-    multiply, over every token already emitted), ``min_length`` (EOS
-    suppressed while the sequence is shorter). ``max_length`` must be
-    static (it sizes the device cache buffer — the same specialization
-    ORT's cache allocation performs). Scope: ``model_type=0`` (GPT) with
-    the stacked [2,B,heads,seq,head] past layout; encoder-decoder model
-    types, ``no_repeat_ngram_size``, ``prefix_vocab_mask``, and padded
-    prompts (``attention_mask`` with zeros) raise typed errors."""
+def _gpt_search_loop(ctx, input_ids, max_length, min_length,
+                     repetition_penalty, vocab_mask, prefix_vocab_mask,
+                     attention_mask, *, select):
+    """Shared GPT decode loop for GreedySearch and Sampling: prefill +
+    fixed-buffer ``lax.while_loop`` steps; ``select(processed_logits, t)``
+    picks each next token (argmax for greedy, categorical for sampling).
+    Returns ``sequences`` [B, max_length] int32."""
+    what = f"com.microsoft.{ctx.op_type}"
     if int(ctx.attr("model_type", 0)) != 0:
         raise NotImplementedError(
-            "com.microsoft.GreedySearch: only model_type=0 (GPT) is "
-            "implemented — convert_generation.py exports encoder-decoder "
-            "greedy decoding as BeamSearch with num_beams=1 (supported)"
+            f"{what}: only model_type=0 (GPT) is implemented — "
+            "convert_generation.py exports encoder-decoder greedy "
+            "decoding as BeamSearch with num_beams=1 (supported)"
         )
     if int(ctx.attr("no_repeat_ngram_size", 0)):
-        raise NotImplementedError(
-            "com.microsoft.GreedySearch: no_repeat_ngram_size"
-        )
+        raise NotImplementedError(f"{what}: no_repeat_ngram_size")
     if prefix_vocab_mask is not None:
-        raise NotImplementedError(
-            "com.microsoft.GreedySearch: prefix_vocab_mask"
-        )
+        raise NotImplementedError(f"{what}: prefix_vocab_mask")
     eos = int(ctx.attr("eos_token_id"))
     pad = int(ctx.attr("pad_token_id"))
     decoder = ctx.attr("decoder")
     if decoder is None:
-        raise ValueError("com.microsoft.GreedySearch: missing decoder graph")
+        raise ValueError(f"{what}: missing decoder graph")
     init_decoder = ctx.attr("init_decoder") or decoder
 
     from jax import lax
 
     ids0 = jnp.asarray(input_ids).astype(jnp.int32)
     b_sz, s0 = ids0.shape
-    max_len = _static_int(max_length, "GreedySearch max_length")
+    max_len = _static_int(max_length, f"{what} max_length")
     if attention_mask is not None:
         am = np.asarray(attention_mask) if not isinstance(
             attention_mask, jax.core.Tracer
         ) else None
         if am is None or not np.all(am != 0):
             raise NotImplementedError(
-                "com.microsoft.GreedySearch: padded prompts "
+                f"{what}: padded prompts "
                 "(attention_mask with zeros / traced mask)"
             )
 
     out_seq = jnp.full((b_sz, max_len), pad, jnp.int32)
     if s0 >= max_len:  # nothing to generate: prompt (truncated) + pads
-        return [out_seq.at[:, :max_len].set(ids0[:, :max_len])]
+        return out_seq.at[:, :max_len].set(ids0[:, :max_len])
     out_seq = out_seq.at[:, :s0].set(ids0)
 
     (in_ids_n, in_pos_n, in_mask_n), past_names, out_names = \
-        _gen_subgraph_io(decoder, "com.microsoft.GreedySearch")
+        _gen_subgraph_io(decoder, what)
     init_in, init_past, init_out = _gen_subgraph_io(
-        init_decoder, "com.microsoft.GreedySearch init_decoder"
+        init_decoder, f"{what} init_decoder"
     )
 
     # ---- prefill: whole prompt, empty past --------------------------------
-    p_shape = _gen_past_shape(init_decoder, b_sz, "GreedySearch")
+    p_shape = _gen_past_shape(init_decoder, b_sz, what)
     prefill_env = {
         init_in[0]: ids0,
         init_in[1]: jnp.broadcast_to(
@@ -1611,14 +1598,14 @@ def _greedy_search(ctx, input_ids, max_length, min_length=None,
     seen = seen.at[
         jnp.repeat(jnp.arange(b_sz), s0), ids0.reshape(-1)
     ].set(True)
-    first = jnp.argmax(
+    first = select(
         _gen_process_logits(
             logits0[:, -1], seen=seen, length=jnp.int32(s0),
             min_length=min_length, eos=eos,
             repetition_penalty=repetition_penalty, vocab_mask=vocab_mask,
         ),
-        axis=-1,
-    ).astype(jnp.int32)
+        jnp.int32(s0),
+    )
     done = first == eos
     out_seq = out_seq.at[:, s0].set(first)
     seen = seen.at[jnp.arange(b_sz), first].set(True)
@@ -1649,7 +1636,7 @@ def _greedy_search(ctx, input_ids, max_length, min_length=None,
             min_length=min_length, eos=eos,
             repetition_penalty=repetition_penalty, vocab_mask=vocab_mask,
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = select(logits, t)
         nxt = jnp.where(done, jnp.int32(pad), nxt)
         new_done = done | (nxt == eos)
         out_seq = out_seq.at[:, t].set(nxt)
@@ -1670,7 +1657,99 @@ def _greedy_search(ctx, input_ids, max_length, min_length=None,
 
     state = (jnp.int32(s0 + 1), first, done, out_seq, seen, bufs)
     final = lax.while_loop(cont, step, state)
-    return [final[3]]
+    return final[3]
+
+
+def _argmax_select(logits, _t):
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+@ms_op("GreedySearch")
+def _greedy_search(ctx, input_ids, max_length, min_length=None,
+                   repetition_penalty=None, vocab_mask=None,
+                   prefix_vocab_mask=None, attention_mask=None):
+    """com.microsoft GreedySearch (GPT branch of convert_generation.py).
+
+    ``sequences`` [B, max_length] int32 = the prompt followed by greedy
+    continuations; rows stop at ``eos_token_id`` and pad with
+    ``pad_token_id``. Logits processors: ``vocab_mask`` [V],
+    ``repetition_penalty`` (CTRL form: positive logits divide, negative
+    multiply, over every token already emitted), ``min_length`` (EOS
+    suppressed while the sequence is shorter, HF cur_len convention).
+    ``max_length`` must be static (it sizes the device cache buffer —
+    the same specialization ORT's cache allocation performs). Scope:
+    ``model_type=0`` (GPT) with the stacked [2,B,heads,seq,head] past
+    layout; encoder-decoder model types, ``no_repeat_ngram_size``,
+    ``prefix_vocab_mask``, and padded prompts raise typed errors."""
+    return [_gpt_search_loop(
+        ctx, input_ids, max_length, min_length, repetition_penalty,
+        vocab_mask, prefix_vocab_mask, attention_mask,
+        select=_argmax_select,
+    )]
+
+
+def _top_p_filter(logits, top_p, filter_value, min_keep):
+    """HF's TopPLogitsWarper over [B, V] logits: keep the smallest
+    prefix of the descending-softmax whose cumulative probability
+    exceeds ``top_p`` (always at least ``min_keep`` tokens); the rest
+    get ``filter_value``."""
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # HF convention: a token is REMOVED when the cumulative probability
+    # up to and including the previous token already exceeds top_p
+    remove_sorted = (cum - probs) > top_p
+    remove_sorted = remove_sorted.at[:, :min_keep].set(False)
+    # map back: a token is kept iff its logit rank is inside the kept set
+    kth = jnp.sum(~remove_sorted, axis=-1) - 1  # last kept rank
+    threshold = jnp.take_along_axis(
+        sorted_logits, kth[:, None], axis=-1
+    )
+    return jnp.where(logits >= threshold, logits, filter_value)
+
+
+@ms_op("Sampling")
+def _sampling_search(ctx, input_ids, max_length, min_length=None,
+                     repetition_penalty=None, vocab_mask=None,
+                     prefix_vocab_mask=None, attention_mask=None):
+    """com.microsoft Sampling (GPT branch of convert_generation.py):
+    the GreedySearch loop with temperature + top-p (nucleus) sampling
+    instead of argmax. Convention (hand-read from the contrib schema +
+    HF warpers the kernel ports; no ORT wheel here to cross-check):
+    attrs ``temperature`` (divides processed logits), ``top_p`` (< 1.0
+    enables nucleus filtering to ``filter_value`` keeping at least
+    ``min_tokens_to_keep``), ``seed``. RNG: a jax PRNG keyed from
+    ``seed`` and folded with the step index — sequences are drawn from
+    the same distribution as ORT's but are NOT bit-equal to its
+    Philox stream (documented engine convention; with top_p→0 or
+    temperature→0 the draw degenerates to argmax and is exact).
+    ``custom`` sampling and ``presence_mask`` raise typed errors."""
+    if int(ctx.attr("custom", 0)):
+        raise NotImplementedError("com.microsoft.Sampling: custom=1")
+    if ctx.attr("presence_penalty"):
+        raise NotImplementedError(
+            "com.microsoft.Sampling: presence_penalty"
+        )
+    temperature = float(ctx.attr("temperature", 1.0))
+    top_p = float(ctx.attr("top_p", 1.0))
+    filter_value = float(ctx.attr("filter_value", -np.inf))
+    min_keep = int(ctx.attr("min_tokens_to_keep", 1))
+    seed = int(ctx.attr("seed", 0))
+    base_key = jax.random.PRNGKey(seed)
+
+    def select(logits, t):
+        scaled = logits / jnp.float32(max(temperature, 1e-6))
+        if top_p < 1.0:
+            scaled = _top_p_filter(scaled, top_p, filter_value, min_keep)
+        key = jax.random.fold_in(base_key, t)
+        return jax.random.categorical(key, scaled, axis=-1).astype(
+            jnp.int32
+        )
+
+    return [_gpt_search_loop(
+        ctx, input_ids, max_length, min_length, repetition_penalty,
+        vocab_mask, prefix_vocab_mask, attention_mask, select=select,
+    )]
 
 
 def _beam_gather(t, idx):

@@ -584,3 +584,121 @@ def test_whisper_beam_one_equals_greedy():
         np.asarray(prompt),
     )
     np.testing.assert_array_equal(np.asarray(seq), want)
+
+
+# ---------------------------------------------------------------------------
+# com.microsoft Sampling — the third convert_generation op: the greedy
+# loop with temperature + top-p nucleus sampling. RNG is the engine's
+# documented jax-PRNG convention, so the oracle mirrors the exact key
+# schedule against torch logits.
+# ---------------------------------------------------------------------------
+
+
+def _sampling_model(decoder_graph, *, eos, pad, temperature, top_p, seed):
+    node = P.make_node(
+        "Sampling",
+        ["input_ids", "max_length", "min_length", "repetition_penalty"],
+        ["sequences"], domain=MS,
+        decoder=decoder_graph, eos_token_id=eos, pad_token_id=pad,
+        model_type=0, temperature=temperature, top_p=top_p, seed=seed,
+    )
+    I32, F = P.DataType.INT32, P.DataType.FLOAT
+    vis = [
+        P.make_value_info("input_ids", I32, [2, "seq"]),
+        P.make_value_info("max_length", I32, [1]),
+        P.make_value_info("min_length", I32, [1]),
+        P.make_value_info("repetition_penalty", F, [1]),
+    ]
+    graph = P.GraphProto(
+        name="gpt2_sampling", node=[node], input=vis,
+        output=[P.make_value_info("sequences", I32, [2, "max_length"])],
+    )
+    return P.ModelProto(
+        ir_version=8, producer_name="convert_generation-like", graph=graph,
+        opset_import=[P.OperatorSetId(domain="", version=17),
+                      P.OperatorSetId(domain=MS, version=1)],
+    )
+
+
+def _run_sampling(model_proto, prompt, max_len):
+    model = import_onnx(model_proto)
+    fwd = make_forward(model, precision="fp32")
+    (seq,) = fwd(
+        model.params, np.asarray(prompt), np.array([max_len], np.int32),
+        np.array([1], np.int32), np.array([1.0], np.float32),
+    )
+    return np.asarray(seq)
+
+
+def test_sampling_top_p_degenerates_to_greedy():
+    """top_p -> 0 keeps only the most probable token: sampling must
+    reproduce the greedy trajectory exactly regardless of seed."""
+    torch.manual_seed(66)
+    m = _tiny_gpt2()
+    m.eval()
+    prompt = torch.randint(0, 50, (2, 3), dtype=torch.int32)
+    max_len = 8
+    want = _torch_greedy(m, prompt, max_len=max_len, min_len=1,
+                         rep_pen=1.0, eos=-1, pad=-1)
+    step = _export_step_graph(m)
+    for seed in (0, 7):
+        seq = _run_sampling(
+            _sampling_model(step, eos=51, pad=49, temperature=1.0,
+                            top_p=1e-6, seed=seed),
+            prompt, max_len,
+        )
+        np.testing.assert_array_equal(seq, want)
+
+
+def test_sampling_matches_mirrored_rng_oracle():
+    """temperature + top-p sampling matches an independent torch-logits
+    loop that mirrors the documented key schedule
+    (fold_in(PRNGKey(seed), t) + categorical)."""
+    import jax
+    import jax.numpy as jnp
+
+    torch.manual_seed(67)
+    m = _tiny_gpt2()
+    m.eval()
+    prompt = torch.randint(0, 50, (2, 3), dtype=torch.int32)
+    max_len, temperature, top_p, seed = 9, 0.8, 0.9, 13
+    eos, pad = 51, 49  # no EOS in vocab: full-length trajectories
+
+    from transformers.cache_utils import DynamicCache
+
+    b_sz, s0 = prompt.shape
+    want = np.full((b_sz, max_len), pad, np.int32)
+    want[:, :s0] = prompt.numpy()
+    base_key = jax.random.PRNGKey(seed)
+    cache = DynamicCache()
+    cur = prompt
+    with torch.no_grad():
+        for t in range(s0, max_len):
+            o = m(input_ids=cur.long(), past_key_values=cache,
+                  use_cache=True)
+            cache = o.past_key_values
+            logits = o.logits[:, -1].float().numpy() / temperature
+            # mirror the engine's nucleus filter
+            order = np.argsort(-logits, axis=-1)
+            srt = np.take_along_axis(logits, order, axis=-1)
+            probs = np.exp(srt - srt.max(-1, keepdims=True))
+            probs = probs / probs.sum(-1, keepdims=True)
+            cum = np.cumsum(probs, axis=-1)
+            remove = (cum - probs) > top_p
+            remove[:, :1] = False
+            kth = (~remove).sum(-1) - 1
+            thr = np.take_along_axis(srt, kth[:, None], axis=-1)
+            filtered = np.where(logits >= thr, logits, -np.inf)
+            key = jax.random.fold_in(base_key, t)
+            nxt = np.asarray(jax.random.categorical(
+                key, jnp.asarray(filtered), axis=-1
+            )).astype(np.int32)
+            want[:, t] = nxt
+            cur = torch.from_numpy(nxt.astype(np.int64))[:, None]
+
+    seq = _run_sampling(
+        _sampling_model(_export_step_graph(m), eos=eos, pad=pad,
+                        temperature=temperature, top_p=top_p, seed=seed),
+        prompt, max_len,
+    )
+    np.testing.assert_array_equal(seq, want)
