@@ -2236,3 +2236,89 @@ def _beam_search_op(ctx, input_ids, max_length, min_length=None,
     if ctx.num_outputs > 1:
         outs.append(beam_scores[:, :n_return])
     return outs
+
+
+# ---------------------------------------------------------------------------
+# Whisper word-timestamp pair: UnfoldTensor + DynamicTimeWarping — ORT's
+# whisper export with word-level timestamps carries these in the
+# cross-attention post-processing chain (conventions hand-read from the
+# contrib schema + the openai-whisper timing code the kernels port; no
+# ORT wheel here to cross-check).
+# ---------------------------------------------------------------------------
+
+
+@ms_op("UnfoldTensor")
+def _unfold_tensor(ctx, x):
+    """torch.Tensor.unfold semantics: slide a window of ``size`` with
+    ``step`` along ``dim``; the window becomes a NEW TRAILING axis and
+    ``dim`` shrinks to the window count."""
+    dim = int(ctx.attr("dim", -1))
+    size = int(ctx.attr("size"))
+    step = int(ctx.attr("step", 1))
+    x = jnp.asarray(x)
+    if dim < 0:
+        dim += x.ndim
+    n_win = (x.shape[dim] - size) // step + 1
+    if n_win <= 0:
+        raise ValueError(
+            f"com.microsoft.UnfoldTensor: size {size} exceeds dim "
+            f"{x.shape[dim]}"
+        )
+    idx = (jnp.arange(n_win)[:, None] * step
+           + jnp.arange(size)[None, :])  # [n_win, size]
+    y = jnp.take(x, idx, axis=dim)  # dim -> (n_win, size) in place
+    # move the window axis to the end (torch.unfold layout)
+    return [jnp.moveaxis(y, dim + 1, -1)]
+
+
+@ms_op("DynamicTimeWarping")
+def _dynamic_time_warping(ctx, x):
+    """Optimal monotone alignment path of a 2-D cost matrix — the
+    openai-whisper ``dtw`` routine (diag/up/left moves, diagonal wins
+    ties) ORT ships for word-level timestamps. Output [2, path_len]
+    int32 (row indices; column indices), path length data-dependent —
+    so the op needs a concrete input (a traced call raises; whisper
+    timestamp extraction runs it on host-side attention maps)."""
+    if isinstance(x, jax.core.Tracer):
+        raise NotImplementedError(
+            "com.microsoft.DynamicTimeWarping: data-dependent output "
+            "length needs a concrete input (call without jax.jit)"
+        )
+    c = np.asarray(x, dtype=np.float64)
+    if c.ndim == 3 and c.shape[0] == 1:
+        c = c[0]
+    if c.ndim != 2:
+        raise ValueError(
+            f"com.microsoft.DynamicTimeWarping: expected a 2-D cost "
+            f"matrix, got rank {c.ndim}"
+        )
+    n, m = c.shape
+    cost = np.full((n + 1, m + 1), np.inf)
+    trace = np.full((n + 1, m + 1), -1, np.int8)
+    cost[0, 0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            c0 = cost[i - 1, j - 1]  # diagonal (preferred on ties)
+            c1 = cost[i - 1, j]
+            c2 = cost[i, j - 1]
+            if c0 <= c1 and c0 <= c2:
+                t, best = 0, c0
+            elif c1 <= c2:
+                t, best = 1, c1
+            else:
+                t, best = 2, c2
+            cost[i, j] = c[i - 1, j - 1] + best
+            trace[i, j] = t
+    i, j = n, m
+    path_i, path_j = [], []
+    while i > 0 and j > 0:
+        path_i.append(i - 1)
+        path_j.append(j - 1)
+        t = trace[i, j]
+        if t == 0:
+            i, j = i - 1, j - 1
+        elif t == 1:
+            i -= 1
+        else:
+            j -= 1
+    return [np.asarray([path_i[::-1], path_j[::-1]], np.int32)]

@@ -970,3 +970,82 @@ def test_gqa_property_fuzz(seed):
         vh = np.concatenate([pv, vh], axis=2)
     want = _merge(_gqa_oracle(qh, kh, vh, lens, sp=sp, window=window))
     np.testing.assert_allclose(np.asarray(y), want, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Whisper word-timestamp pair: UnfoldTensor + DynamicTimeWarping
+# ---------------------------------------------------------------------------
+
+
+def test_unfold_tensor_matches_torch():
+    import torch
+
+    r = _rng(71)
+    x = r.standard_normal((2, 3, 11)).astype(np.float32)
+    node = P.make_node("UnfoldTensor", ["x"], ["y"], domain=MS,
+                       dim=2, size=4, step=3)
+    m = _model([node], [_vi("x", x.shape)], [_vi("y", (2, 3, 3, 4))], [])
+    (y,) = _run(m, x)
+    want = torch.from_numpy(x).unfold(2, 4, 3).numpy()
+    np.testing.assert_array_equal(y, want)
+
+
+def test_unfold_tensor_middle_dim():
+    import torch
+
+    r = _rng(72)
+    x = r.standard_normal((9, 5)).astype(np.float32)
+    node = P.make_node("UnfoldTensor", ["x"], ["y"], domain=MS,
+                       dim=0, size=2, step=2)
+    m = _model([node], [_vi("x", x.shape)], [_vi("y", (4, 5, 2))], [])
+    (y,) = _run(m, x)
+    np.testing.assert_array_equal(
+        y, torch.from_numpy(x).unfold(0, 2, 2).numpy()
+    )
+
+
+def _dtw_brute(c):
+    """Exhaustive minimal-cost monotone path (diag/down/right moves) —
+    independent of the DP implementation under test."""
+    n, m = c.shape
+    best = {"cost": np.inf, "path": None}
+
+    def walk(i, j, cost, path):
+        cost += c[i, j]
+        path = path + [(i, j)]
+        if cost >= best["cost"]:
+            return
+        if i == n - 1 and j == m - 1:
+            best["cost"], best["path"] = cost, path
+            return
+        if i + 1 < n and j + 1 < m:
+            walk(i + 1, j + 1, cost, path)
+        if i + 1 < n:
+            walk(i + 1, j, cost, path)
+        if j + 1 < m:
+            walk(i, j + 1, cost, path)
+
+    walk(0, 0, 0.0, [])
+    return best["cost"], best["path"]
+
+
+def test_dynamic_time_warping_optimal_path():
+    from birdnet_tpu.compiler.importer import import_onnx, make_forward
+
+    r = _rng(73)
+    for trial in range(5):
+        c = r.random((5, 6)).astype(np.float32)  # continuous: unique optimum
+        node = P.make_node("DynamicTimeWarping", ["x"], ["y"], domain=MS)
+        m = _model([node], [_vi("x", c.shape)],
+                   [_vi("y", (2, 0), P.DataType.INT32)], [])
+        model = import_onnx(m)
+        fwd = make_forward(model, precision="fp32")
+        (y,) = fwd(model.params, c)
+        y = np.asarray(y)
+
+        want_cost, want_path = _dtw_brute(c.astype(np.float64))
+        got_path = list(zip(y[0].tolist(), y[1].tolist()))
+        assert got_path[0] == (0, 0) and got_path[-1] == (4, 5)
+        got_cost = float(sum(c[i, j] for i, j in got_path))
+        np.testing.assert_allclose(got_cost, want_cost, rtol=1e-6)
+        assert got_path == want_path
