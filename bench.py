@@ -423,6 +423,18 @@ def main() -> int:
                 print("# WATCHDOG: stall after headline; exiting",
                       file=sys.stderr, flush=True)
                 _os._exit(0)
+            if stalled and guard.get("in_curve"):
+                # all sustained runs finished; only the optional tile
+                # curve is stuck (compiles can exceed the stall limit on
+                # degraded tunnels) — emit the COMPLETE headline, just
+                # without curve data
+                print(
+                    "# WATCHDOG: tile curve stalled; emitting the full "
+                    "headline without it",
+                    file=sys.stderr, flush=True,
+                )
+                _emit_headline(guard["dts"], note=" [curve aborted]")
+                _os._exit(0)
             if stalled and guard["dts"]:
                 print(
                     f"# WATCHDOG: tunnel stalled with "
@@ -526,11 +538,14 @@ def main() -> int:
     if guard["hbm_after"] >= HEALTHY_GBS or os.environ.get(
         "BIRDNET_BENCH_CURVE"
     ):
+        guard["in_curve"] = True
         try:
             _tile_curve()
         except Exception as e:  # curve is evidence, never the headline's risk
             print(f"# tile curve failed (headline unaffected): {e}",
                   file=sys.stderr)
+        finally:
+            guard["in_curve"] = False
 
     print(
         f"# precision: {PRECISION} (top-1 parity with mixed measured: "

@@ -1472,6 +1472,11 @@ def _gen_past_shape(graph, b_sz, what):
     """Static [2, B, heads, 0, head] prefill shape from the first past
     input's declared dims (GPT stacked-KV convention; the seq axis is
     index 3 and may be symbolic)."""
+    if len(graph.input) < 4:
+        raise NotImplementedError(
+            f"{what}: decoder subgraph declares no past inputs "
+            "(a KV-cache-less decoder is not a generation step graph)"
+        )
     dims = []
     vi = graph.input[3]
     tensor_type = vi.type.tensor_type
@@ -1711,7 +1716,8 @@ def _top_p_filter(logits, top_p, filter_value, min_keep):
 @ms_op("Sampling")
 def _sampling_search(ctx, input_ids, max_length, min_length=None,
                      repetition_penalty=None, vocab_mask=None,
-                     prefix_vocab_mask=None, attention_mask=None):
+                     prefix_vocab_mask=None, attention_mask=None,
+                     presence_mask=None, seed_input=None):
     """com.microsoft Sampling (GPT branch of convert_generation.py):
     the GreedySearch loop with temperature + top-p (nucleus) sampling
     instead of argmax. Convention (hand-read from the contrib schema +
@@ -1726,6 +1732,8 @@ def _sampling_search(ctx, input_ids, max_length, min_length=None,
     ``custom`` sampling and ``presence_mask`` raise typed errors."""
     if int(ctx.attr("custom", 0)):
         raise NotImplementedError("com.microsoft.Sampling: custom=1")
+    if presence_mask is not None:
+        raise NotImplementedError("com.microsoft.Sampling: presence_mask")
     if ctx.attr("presence_penalty"):
         raise NotImplementedError(
             "com.microsoft.Sampling: presence_penalty"
@@ -1734,7 +1742,10 @@ def _sampling_search(ctx, input_ids, max_length, min_length=None,
     top_p = float(ctx.attr("top_p", 1.0))
     filter_value = float(ctx.attr("filter_value", -np.inf))
     min_keep = int(ctx.attr("min_tokens_to_keep", 1))
-    seed = int(ctx.attr("seed", 0))
+    seed = (
+        _static_int(seed_input, "Sampling seed")
+        if seed_input is not None else int(ctx.attr("seed", 0))
+    )
     base_key = jax.random.PRNGKey(seed)
 
     def select(logits, t):
@@ -1874,7 +1885,7 @@ def _make_beam_round(*, b_sz, n_beams, vocab, s0, max_len, eos, early_stop,
 def _beam_search_encdec(ctx, features, max_length, *, min_length,
                         num_beams, num_return_sequences, length_penalty,
                         repetition_penalty, vocab_mask, prefix_vocab_mask,
-                        decoder_input_ids):
+                        attention_mask, decoder_input_ids):
     """Encoder-decoder branch of BeamSearch / WhisperBeamSearch
     (model_type 1/2 — T5 and Whisper exports of convert_generation.py).
 
@@ -1905,6 +1916,15 @@ def _beam_search_encdec(ctx, features, max_length, *, min_length,
             f"com.microsoft.{ctx.op_type}: decoder_input_ids is required "
             "(decoder_start_token_id synthesis is not implemented)"
         )
+    if attention_mask is not None:
+        am = np.asarray(attention_mask) if not isinstance(
+            attention_mask, jax.core.Tracer
+        ) else None
+        if am is None or not np.all(am != 0):
+            raise NotImplementedError(
+                f"com.microsoft.{ctx.op_type}: padded encoder inputs "
+                "(attention_mask with zeros / traced mask)"
+            )
     if any(
         isinstance(v, jax.core.Tracer)
         for v in (features, decoder_input_ids, max_length)
@@ -1956,6 +1976,18 @@ def _beam_search_encdec(ctx, features, max_length, *, min_length,
     # ---- encoder + decoder prefill (batch rows; replicated to beams) ------
     enc_in = [v.name for v in encoder.input]
     enc_out = [v.name for v in encoder.output]
+    if len(enc_in) > 2 or (
+        len(enc_in) == 2 and "mask" in enc_in[1].lower()
+    ):
+        # T5's encoder_decoder_init layout carries encoder_attention_mask
+        # between the ids and decoder_input_ids — binding by position
+        # would feed token ids into the mask slot
+        raise NotImplementedError(
+            f"com.microsoft.{ctx.op_type}: encoder subgraph layout "
+            f"{enc_in} is not the 2-input whisper form "
+            "(encoder features, decoder_input_ids); the T5 "
+            "encoder_attention_mask layout is not implemented"
+        )
     enc_env = {enc_in[0]: feats}
     if len(enc_in) > 1:
         enc_env[enc_in[1]] = dec_ids
@@ -1966,6 +1998,13 @@ def _beam_search_encdec(ctx, features, max_length, *, min_length,
 
     dec_in = [v.name for v in decoder.input]
     past_names = dec_in[1:]
+    non_past = [n for n in past_names if "past" not in n]
+    if non_past:
+        raise NotImplementedError(
+            f"com.microsoft.{ctx.op_type}: decoder subgraph inputs "
+            f"{non_past} beyond input_ids + past_* (e.g. T5's "
+            "encoder_attention_mask) are not implemented"
+        )
     pasts = {}
     for name in past_names:
         src_name = name.replace("past", "present", 1)
@@ -2041,7 +2080,7 @@ def _beam_search_op(ctx, input_ids, max_length, min_length=None,
                     length_penalty=None, repetition_penalty=None,
                     vocab_mask=None, prefix_vocab_mask=None,
                     attention_mask=None, decoder_input_ids=None,
-                    logits_processor=None):
+                    logits_processor=None, *extra_inputs):
     """com.microsoft BeamSearch (GPT branch of convert_generation.py).
 
     ``sequences`` [B, num_return_sequences, max_length] int32 (prompt +
@@ -2061,6 +2100,27 @@ def _beam_search_op(ctx, input_ids, max_length, min_length=None,
     Scope: ``model_type=0`` (GPT), stacked [2,B,heads,seq,head] pasts;
     encoder-decoder types, ``no_repeat_ngram_size``,
     ``prefix_vocab_mask``, and padded prompts raise typed errors."""
+    if any(v is not None for v in extra_inputs):
+        raise NotImplementedError(
+            f"com.microsoft.{ctx.op_type}: inputs beyond decoder_input_ids/"
+            "logits_processor (cross_qk_layer_head / extra_decoding_ids / "
+            "temperature) are not implemented"
+        )
+    if ctx.num_outputs > 2:
+        raise NotImplementedError(
+            f"com.microsoft.{ctx.op_type}: outputs beyond sequences/"
+            "sequences_scores (scores / cross_qk) are not implemented"
+        )
+    if logits_processor is not None:
+        lpv = (
+            None if isinstance(logits_processor, jax.core.Tracer)
+            else int(np.asarray(logits_processor).reshape(-1)[0])
+        )
+        if lpv != 0:
+            raise NotImplementedError(
+                f"com.microsoft.{ctx.op_type}: logits_processor != 0 "
+                "(whisper timestamp logits rules) is not implemented"
+            )
     model_type = int(ctx.attr("model_type", 0))
     if ctx.op_type == "WhisperBeamSearch":
         model_type = 2
@@ -2075,6 +2135,7 @@ def _beam_search_op(ctx, input_ids, max_length, min_length=None,
             length_penalty=length_penalty,
             repetition_penalty=repetition_penalty, vocab_mask=vocab_mask,
             prefix_vocab_mask=prefix_vocab_mask,
+            attention_mask=attention_mask,
             decoder_input_ids=decoder_input_ids,
         )
     if int(ctx.attr("no_repeat_ngram_size", 0)):
@@ -2139,29 +2200,28 @@ def _beam_search_op(ctx, input_ids, max_length, min_length=None,
     rows = b_sz * n_beams
     p_buf = max_len
 
-    # ---- prefill: replicated prompt over the beam axis --------------------
-    flat_prompt = jnp.broadcast_to(
-        ids0[:, None], (b_sz, n_beams, s0)
-    ).reshape(rows, s0)
-    p_shape = _gen_past_shape(init_decoder, rows, "BeamSearch")
+    # ---- prefill ONCE per batch row, then replicate over the beam axis
+    # (all beams share the prompt; recomputing it num_beams times would
+    # be the dominant waste on long prompts)
+    p_shape = _gen_past_shape(init_decoder, b_sz, "BeamSearch")
     prefill_env = {
-        init_in[0]: flat_prompt,
+        init_in[0]: ids0,
         init_in[1]: jnp.broadcast_to(
-            jnp.arange(s0, dtype=jnp.int32)[None], (rows, s0)
+            jnp.arange(s0, dtype=jnp.int32)[None], (b_sz, s0)
         ),
-        init_in[2]: jnp.ones((rows, s0), jnp.int32),
+        init_in[2]: jnp.ones((b_sz, s0), jnp.int32),
     }
     for name in init_past:
         prefill_env[name] = jnp.zeros(p_shape, jnp.float32)
     pre = _run_subgraph(ctx, init_decoder, prefill_env)
-    logits0 = jnp.asarray(pre[0])[:, -1]
+    logits0 = jnp.repeat(jnp.asarray(pre[0])[:, -1], n_beams, axis=0)
     vocab = logits0.shape[-1]
 
     def pad_to_buf(t):
         t = jnp.asarray(t).astype(jnp.float32)
         padding = [(0, 0)] * 5
         padding[3] = (0, p_buf - t.shape[3])
-        return jnp.pad(t, padding)
+        return jnp.repeat(jnp.pad(t, padding), n_beams, axis=1)
 
     bufs = tuple(pad_to_buf(p) for p in pre[1:])
 
@@ -2274,8 +2334,9 @@ def _unfold_tensor(ctx, x):
 @ms_op("DynamicTimeWarping")
 def _dynamic_time_warping(ctx, x):
     """Optimal monotone alignment path of a 2-D cost matrix — the
-    openai-whisper ``dtw`` routine (diag/up/left moves, diagonal wins
-    ties) ORT ships for word-level timestamps. Output [2, path_len]
+    openai-whisper ``dtw`` routine ORT ships for word-level timestamps
+    (diag/up/left moves; on ties the reference's strict comparisons
+    fall through to the LEFT move — ported verbatim, quirks included). Output [2, path_len]
     int32 (row indices; column indices), path length data-dependent —
     so the op needs a concrete input (a traced call raises; whisper
     timestamp extraction runs it on host-side attention maps)."""
@@ -2298,12 +2359,14 @@ def _dynamic_time_warping(ctx, x):
     cost[0, 0] = 0.0
     for i in range(1, n + 1):
         for j in range(1, m + 1):
-            c0 = cost[i - 1, j - 1]  # diagonal (preferred on ties)
+            c0 = cost[i - 1, j - 1]
             c1 = cost[i - 1, j]
             c2 = cost[i, j - 1]
-            if c0 <= c1 and c0 <= c2:
+            # the reference's exact strict-comparison chain: ties fall
+            # through to the left move (t=2), even when c2 is larger
+            if c0 < c1 and c0 < c2:
                 t, best = 0, c0
-            elif c1 <= c2:
+            elif c1 < c0 and c1 < c2:
                 t, best = 1, c1
             else:
                 t, best = 2, c2

@@ -74,11 +74,17 @@ def main() -> int:
                 BIRDNET_BENCH_HEALTH_WAIT="60",  # window just verified
                 BIRDNET_BENCH_CURVE="1",  # capture shape evidence with it
             )
-            proc = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py")],
-                capture_output=True, text=True, env=env, cwd=REPO,
-                timeout=3600,
-            )
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py")],
+                    capture_output=True, text=True, env=env, cwd=REPO,
+                    timeout=3600,
+                )
+            except subprocess.TimeoutExpired:
+                print("# bench timed out in the healthy window; "
+                      "resuming watch", flush=True)
+                time.sleep(args.period)
+                continue
             sys.stderr.write(proc.stderr)
             line = next(
                 (ln for ln in proc.stdout.splitlines()
