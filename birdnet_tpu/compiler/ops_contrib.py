@@ -1887,7 +1887,10 @@ def _beam_search_encdec(ctx, features, max_length, *, min_length,
                         repetition_penalty, vocab_mask, prefix_vocab_mask,
                         attention_mask, decoder_input_ids):
     """Encoder-decoder branch of BeamSearch / WhisperBeamSearch
-    (model_type 1/2 — T5 and Whisper exports of convert_generation.py).
+    (model_type 1/2). Scope: the 2-input whisper subgraph layout
+    (encoder features + decoder_input_ids); T5 exports whose subgraphs
+    carry encoder_attention_mask raise typed errors — binding them
+    positionally would silently feed token ids into the mask slot.
 
     Protocol: the ``encoder`` subgraph (attr ``encoder`` or
     ``encoder_decoder_init``) runs the encoder AND the decoder prefill —
