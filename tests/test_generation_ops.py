@@ -702,3 +702,127 @@ def test_sampling_matches_mirrored_rng_oracle():
         prompt, max_len,
     )
     np.testing.assert_array_equal(seq, want)
+
+
+# ---------------------------------------------------------------------------
+# Typed-rejection coverage: malformed or out-of-scope generation nodes
+# must fail with NotImplementedError/ValueError naming the feature, never
+# raw TypeError / IndexError / KeyError.
+# ---------------------------------------------------------------------------
+
+
+def test_generation_typed_rejections():
+    torch.manual_seed(68)
+    m = _tiny_whisper()
+    m.eval()
+    enc_graph, dec_graph = _export_whisper_graphs(m)
+    feats = np.zeros((1, 8, 50), np.float32)
+    prompt = np.array([[1, 5]], np.int32)
+    args = (
+        feats, np.array([8], np.int32), np.array([1], np.int32),
+        np.array([2], np.int32), np.array([1], np.int32),
+        np.array([1.0], np.float32), np.array([1.0], np.float32),
+    )
+
+    def build(**node_kw):
+        inputs = node_kw.pop("inputs", [
+            "input_features", "max_length", "min_length", "num_beams",
+            "num_return_sequences", "length_penalty",
+            "repetition_penalty", "", "", "", "decoder_input_ids",
+        ])
+        outputs = node_kw.pop("outputs", ["sequences"])
+        node = P.make_node(
+            "WhisperBeamSearch", inputs, outputs, domain=MS,
+            encoder=node_kw.pop("encoder", enc_graph),
+            decoder=node_kw.pop("decoder", dec_graph),
+            eos_token_id=2, pad_token_id=0, model_type=2,
+            **node_kw,
+        )
+        I32, F = P.DataType.INT32, P.DataType.FLOAT
+        vis = [
+            P.make_value_info("input_features", F, [1, 8, 50]),
+            P.make_value_info("max_length", I32, [1]),
+            P.make_value_info("min_length", I32, [1]),
+            P.make_value_info("num_beams", I32, [1]),
+            P.make_value_info("num_return_sequences", I32, [1]),
+            P.make_value_info("length_penalty", F, [1]),
+            P.make_value_info("repetition_penalty", F, [1]),
+            P.make_value_info("decoder_input_ids", I32, [1, "seq"]),
+        ]
+        extra_vis = node_kw_extra.get("vis", [])
+        graph = P.GraphProto(
+            name="g", node=[node], input=vis + extra_vis,
+            output=[P.make_value_info(o, I32, []) for o in outputs],
+        )
+        return P.ModelProto(
+            ir_version=8, graph=graph,
+            opset_import=[P.OperatorSetId(domain="", version=17),
+                          P.OperatorSetId(domain=MS, version=1)],
+        )
+
+    node_kw_extra = {}
+
+    # 1. logits_processor != 0 (whisper timestamp rules)
+    node_kw_extra["vis"] = [
+        P.make_value_info("lp", P.DataType.INT32, [1])
+    ]
+    mdl = build(inputs=[
+        "input_features", "max_length", "min_length", "num_beams",
+        "num_return_sequences", "length_penalty", "repetition_penalty",
+        "", "", "", "decoder_input_ids", "lp",
+    ])
+    fwd = make_forward(import_onnx(mdl), precision="fp32")
+    with pytest.raises(NotImplementedError, match="logits_processor"):
+        fwd(import_onnx(mdl).params, *args, prompt, np.array([1], np.int32))
+
+    # 2. extra inputs beyond logits_processor (cross_qk_layer_head etc.)
+    node_kw_extra["vis"] = [
+        P.make_value_info("lp", P.DataType.INT32, [1]),
+        P.make_value_info("cq", P.DataType.INT32, [1, 2]),
+    ]
+    mdl = build(inputs=[
+        "input_features", "max_length", "min_length", "num_beams",
+        "num_return_sequences", "length_penalty", "repetition_penalty",
+        "", "", "", "decoder_input_ids", "", "cq",
+    ])
+    fwd = make_forward(import_onnx(mdl), precision="fp32")
+    with pytest.raises(NotImplementedError, match="cross_qk_layer_head"):
+        fwd(import_onnx(mdl).params, *args, prompt,
+            np.array([0], np.int32), np.zeros((1, 2), np.int32))
+
+    # 3. third output (cross_qk)
+    node_kw_extra["vis"] = []
+    mdl = build(outputs=["sequences", "sequences_scores", "cross_qk"])
+    fwd = make_forward(import_onnx(mdl), precision="fp32")
+    with pytest.raises(NotImplementedError, match="outputs beyond"):
+        fwd(import_onnx(mdl).params, *args, prompt)
+
+    # 4. T5-style mask-carrying encoder layout
+    import copy
+
+    t5_enc = copy.deepcopy(enc_graph)
+    t5_enc.input[1].name = "encoder_attention_mask"
+    mdl = build(encoder=t5_enc)
+    fwd = make_forward(import_onnx(mdl), precision="fp32")
+    with pytest.raises(NotImplementedError, match="whisper form"):
+        fwd(import_onnx(mdl).params, *args, prompt)
+
+
+def test_greedy_pastless_decoder_rejected():
+    """A decoder subgraph without past inputs is a typed error, not an
+    IndexError."""
+    nodes = [P.make_node("Identity", ["input_ids"], ["logits"])]
+    g = P.GraphProto(
+        name="no_past", node=nodes, input=[
+            P.make_value_info("input_ids", P.DataType.INT32, [1, "s"]),
+            P.make_value_info("position_ids", P.DataType.INT32, [1, "s"]),
+            P.make_value_info("attention_mask", P.DataType.INT32, [1, "s"]),
+        ],
+        output=[P.make_value_info("logits", P.DataType.FLOAT, [1, "s", 5])],
+    )
+    mdl = _greedy_model(g, eos=4, pad=0)
+    fwd = make_forward(import_onnx(mdl), precision="fp32")
+    with pytest.raises(NotImplementedError, match="no past inputs"):
+        fwd(import_onnx(mdl).params, np.array([[1, 2]], np.int32),
+            np.array([5], np.int32), np.array([1], np.int32),
+            np.array([1.0], np.float32))
