@@ -826,3 +826,23 @@ def test_greedy_pastless_decoder_rejected():
         fwd(import_onnx(mdl).params, np.array([[1, 2]], np.int32),
             np.array([5], np.int32), np.array([1], np.int32),
             np.array([1.0], np.float32))
+
+
+def test_greedy_search_checkpoint_roundtrip(tmp_path):
+    """The GreedySearch node's decoder graph attribute survives a .btck
+    round-trip; sequences identical before/after."""
+    from birdnet_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    torch.manual_seed(60)
+    m = _tiny_gpt2()
+    m.eval()
+    orig = import_onnx(_greedy_model(_export_step_graph(m), eos=51, pad=49))
+    ck = tmp_path / "greedy.btck"
+    save_checkpoint(orig, ck)
+    back = load_checkpoint(ck)
+    prompt = np.array([[3, 7, 11, 2], [9, 1, 4, 40]], np.int32)
+    args = (prompt, np.array([8], np.int32), np.array([1], np.int32),
+            np.array([1.1], np.float32))
+    a = make_forward(orig, precision="fp32")(orig.params, *args)[0]
+    b = make_forward(back, precision="fp32")(back.params, *args)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
