@@ -426,3 +426,36 @@ def test_quantize_linear_output_dtype_attr():
     )
     assert q.dtype == np.int16
     np.testing.assert_array_equal(q, np.array([[5, -32, 1007]], np.int16))
+
+
+def test_blocked_qdq_property_fuzz():
+    """Random blocked-QDQ configurations (rank, quantize axis, block
+    size, signed/unsigned, divisible and tail-block K) round-trip
+    against a direct numpy expansion of the per-block scale/zp."""
+    rng = np.random.default_rng(90)
+    for trial in range(10):
+        rank = int(rng.integers(2, 4))
+        shape = tuple(int(rng.integers(2, 7)) for _ in range(rank))
+        axis = int(rng.integers(0, rank))
+        bs = int(rng.choice([2, 3, 4]))
+        signed = bool(rng.integers(0, 2))
+        k = shape[axis]
+        nb = -(-k // bs)
+        sshape = list(shape)
+        sshape[axis] = nb
+        dt = np.int8 if signed else np.uint8
+        lo, hi = (-128, 127) if signed else (0, 255)
+        q = rng.integers(lo, hi + 1, shape).astype(dt)
+        sc = (rng.random(sshape) * 0.1 + 0.01).astype(np.float32)
+        zp = rng.integers(lo, hi + 1, sshape).astype(dt)
+
+        (y,) = run_graph(
+            [P.make_node("DequantizeLinear", ["q", "sc", "zp"], ["y"],
+                         axis=axis, block_size=bs)],
+            {"q": q}, {"sc": sc, "zp": zp}, opset=21,
+        )
+        idx = np.minimum(np.arange(k) // bs, nb - 1)
+        sc_e = np.take(sc, idx, axis=axis)
+        zp_e = np.take(zp, idx, axis=axis)
+        want = (q.astype(np.float32) - zp_e.astype(np.float32)) * sc_e
+        np.testing.assert_allclose(y, want, rtol=1e-6, atol=1e-7)
