@@ -846,3 +846,47 @@ def test_greedy_search_checkpoint_roundtrip(tmp_path):
     a = make_forward(orig, precision="fp32")(orig.params, *args)[0]
     b = make_forward(back, precision="fp32")(back.params, *args)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_whisper_beam_search_batched():
+    """B=2 distinct recordings through the encoder-decoder branch:
+    per-batch freezing and beam bookkeeping must match HF generate."""
+    torch.manual_seed(69)
+    m = _tiny_whisper()
+    m.eval()
+    feats = torch.randn(2, 8, 50) * 0.5
+    prompt = torch.tensor([[1, 6, 3], [1, 6, 3]], dtype=torch.int32)
+    max_len, k, r, lp = 9, 3, 2, 1.2
+
+    from transformers.generation import GenerationMixin
+
+    with torch.no_grad():
+        out = GenerationMixin.generate(
+            m, feats, decoder_input_ids=prompt.long(), max_length=max_len,
+            num_beams=k, num_return_sequences=r, do_sample=False,
+            length_penalty=lp, early_stopping=False, pad_token_id=0,
+            eos_token_id=2, return_dict_in_generate=True,
+            output_scores=True,
+        )
+    want = np.full((2 * r, max_len), 0, np.int32)
+    got = out.sequences.numpy()
+    want[:, :got.shape[1]] = got
+    want = want.reshape(2, r, max_len)
+    want_scores = out.sequences_scores.numpy().reshape(2, r)
+
+    enc_graph, dec_graph = _export_whisper_graphs(m)
+    mdl = _whisper_beam_model(enc_graph, dec_graph, eos=2, pad=0,
+                              early_stopping=0)
+    # widen the declared batch dim to 2
+    mdl.graph.input[0].type.tensor_type.shape.dim[0].dim_value = 2
+    model = import_onnx(mdl)
+    fwd = make_forward(model, precision="fp32")
+    seq, scores = fwd(
+        model.params, np.asarray(feats),
+        np.array([max_len], np.int32), np.array([1], np.int32),
+        np.array([k], np.int32), np.array([r], np.int32),
+        np.array([lp], np.float32), np.array([1.0], np.float32),
+        np.asarray(prompt),
+    )
+    np.testing.assert_array_equal(np.asarray(seq), want)
+    np.testing.assert_allclose(np.asarray(scores), want_scores, atol=2e-4)
