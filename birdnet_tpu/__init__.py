@@ -10,7 +10,7 @@ Public surface mirrors the reference's re-export list (reference:
 src/lib.rs:93-111).
 """
 
-__version__ = "0.4.13"
+__version__ = "0.5.0"
 
 from .detection import detect_model_type  # noqa: F401
 from .errors import (  # noqa: F401
