@@ -1729,15 +1729,12 @@ def _sampling_search(ctx, input_ids, max_length, min_length=None,
     the same distribution as ORT's but are NOT bit-equal to its
     Philox stream (documented engine convention; with top_p→0 or
     temperature→0 the draw degenerates to argmax and is exact).
-    ``custom`` sampling and ``presence_mask`` raise typed errors."""
+    ``presence_mask`` [B,V] scaled by ``presence_penalty`` subtracts
+    from the temperature-scaled logits before filtering (the genai
+    convention); ``custom`` sampling raises a typed error."""
     if int(ctx.attr("custom", 0)):
         raise NotImplementedError("com.microsoft.Sampling: custom=1")
-    if presence_mask is not None:
-        raise NotImplementedError("com.microsoft.Sampling: presence_mask")
-    if ctx.attr("presence_penalty"):
-        raise NotImplementedError(
-            "com.microsoft.Sampling: presence_penalty"
-        )
+    presence_penalty = float(ctx.attr("presence_penalty", 0.0))
     temperature = float(ctx.attr("temperature", 1.0))
     top_p = float(ctx.attr("top_p", 1.0))
     filter_value = float(ctx.attr("filter_value", -np.inf))
@@ -1750,6 +1747,13 @@ def _sampling_search(ctx, input_ids, max_length, min_length=None,
 
     def select(logits, t):
         scaled = logits / jnp.float32(max(temperature, 1e-6))
+        if presence_mask is not None:
+            # per-(batch, vocab) presence counts scaled by the penalty
+            # and subtracted from the scaled logits (genai convention)
+            scaled = scaled - (
+                jnp.asarray(presence_mask).astype(jnp.float32)
+                * presence_penalty
+            )
         if top_p < 1.0:
             scaled = _top_p_filter(scaled, top_p, filter_value, min_keep)
         key = jax.random.fold_in(base_key, t)

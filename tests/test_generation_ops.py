@@ -890,3 +890,53 @@ def test_whisper_beam_search_batched():
     )
     np.testing.assert_array_equal(np.asarray(seq), want)
     np.testing.assert_allclose(np.asarray(scores), want_scores, atol=2e-4)
+
+
+def test_sampling_presence_penalty():
+    """presence_mask * presence_penalty subtracts from the scaled logits:
+    a huge penalty on every token the prompt contains forces the sampler
+    off those tokens entirely (and the mirrored oracle agrees)."""
+    torch.manual_seed(70)
+    m = _tiny_gpt2()
+    m.eval()
+    prompt = torch.randint(0, 50, (2, 3), dtype=torch.int32)
+    max_len = 8
+    presence = np.zeros((2, 50), np.int32)
+    for b in range(2):
+        presence[b, prompt[b].numpy()] = 1
+
+    node = P.make_node(
+        "Sampling",
+        ["input_ids", "max_length", "min_length", "repetition_penalty",
+         "", "", "", "presence_mask"],
+        ["sequences"], domain=MS,
+        decoder=_export_step_graph(m), eos_token_id=51, pad_token_id=49,
+        model_type=0, temperature=1.0, top_p=1.0, seed=3,
+        presence_penalty=1e6,
+    )
+    I32, F = P.DataType.INT32, P.DataType.FLOAT
+    vis = [
+        P.make_value_info("input_ids", I32, [2, "seq"]),
+        P.make_value_info("max_length", I32, [1]),
+        P.make_value_info("min_length", I32, [1]),
+        P.make_value_info("repetition_penalty", F, [1]),
+        P.make_value_info("presence_mask", I32, [2, 50]),
+    ]
+    mdl = P.ModelProto(
+        ir_version=8, graph=P.GraphProto(
+            name="g", node=[node], input=vis,
+            output=[P.make_value_info("sequences", I32, [2, "max_length"])],
+        ),
+        opset_import=[P.OperatorSetId(domain="", version=17),
+                      P.OperatorSetId(domain=MS, version=1)],
+    )
+    model = import_onnx(mdl)
+    fwd = make_forward(model, precision="fp32")
+    (seq,) = fwd(
+        model.params, np.asarray(prompt), np.array([max_len], np.int32),
+        np.array([1], np.int32), np.array([1.0], np.float32), presence,
+    )
+    seq = np.asarray(seq)
+    for b in range(2):
+        banned = set(prompt[b].tolist())
+        assert not banned & set(seq[b, 3:].tolist())
