@@ -1799,7 +1799,8 @@ def _beam_state_init(ids0, *, b_sz, n_beams, s0, max_len, pad, vocab):
 
 
 def _make_beam_round(*, b_sz, n_beams, vocab, s0, max_len, eos, early_stop,
-                     lp_pen, min_length, repetition_penalty, vocab_mask):
+                     lp_pen, min_length, repetition_penalty, vocab_mask,
+                     extra_processor=None):
     """One beam-search step as a pure function over (cur_len, last-token
     logits, state) — the candidate/running/finished machinery HF's
     static-shape generate implements. Returns (new_state, parent beam
@@ -1823,6 +1824,8 @@ def _make_beam_round(*, b_sz, n_beams, vocab, s0, max_len, eos, early_stop,
             ),
             in_axes=1, out_axes=1,
         )(lp, seen)
+        if extra_processor is not None:
+            lp = extra_processor(lp, running_seq, cur_len)
         total = (lp + running_scores[:, :, None]).reshape(b_sz, -1)
         vals, idx = lax.top_k(total, n_cand)  # (B, 2K)
         parent = idx // vocab
@@ -1886,10 +1889,61 @@ def _make_beam_round(*, b_sz, n_beams, vocab, s0, max_len, eos, early_stop,
     return one_round
 
 
+def _whisper_timestamp_rules(*, timestamp_begin, no_timestamps, eos,
+                             begin_index, max_initial):
+    """The whisper timestamp logits rules (ORT's TimestampLogitsProcessor,
+    ported from openai-whisper / HF's WhisperTimeStampLogitsProcessor):
+    suppress <|notimestamps|>; timestamps appear in pairs (after a lone
+    timestamp only text-or-eos, after a pair only non-timestamps);
+    timestamps never decrease; the first generated token must be a
+    timestamp within ``max_initial`` of the start; and when the summed
+    timestamp log-probability beats every text token, text is masked.
+    Runs host-side on concrete values (the encoder-decoder branch is a
+    host-driven loop), as a beam extra_processor over log-prob scores."""
+
+    def apply(lp, running_seq, cur_len):
+        b_sz, n_beams, vocab = lp.shape
+        s = np.array(lp, np.float32).reshape(b_sz * n_beams, vocab)
+        seqs = np.asarray(running_seq).reshape(b_sz * n_beams, -1)
+        t = int(cur_len)
+        s[:, no_timestamps] = -np.inf
+        for k in range(s.shape[0]):
+            sampled = seqs[k, begin_index:t]
+            last_ts = sampled.size >= 1 and sampled[-1] >= timestamp_begin
+            pen_ts = sampled.size < 2 or sampled[-2] >= timestamp_begin
+            if last_ts:
+                if pen_ts:
+                    s[k, timestamp_begin:] = -np.inf
+                else:
+                    s[k, :eos] = -np.inf
+            stamps = sampled[sampled >= timestamp_begin]
+            if stamps.size > 0:
+                last = stamps[-1] if (last_ts and not pen_ts) \
+                    else stamps[-1] + 1
+                s[k, timestamp_begin:last] = -np.inf
+        if t == begin_index:
+            s[:, :timestamp_begin] = -np.inf
+            if max_initial is not None:
+                s[:, timestamp_begin + max_initial + 1:] = -np.inf
+        # prob rule on the masked scores
+        m = s - s.max(axis=-1, keepdims=True)
+        with np.errstate(divide="ignore"):
+            logprobs = m - np.log(np.exp(m).sum(axis=-1, keepdims=True))
+        for k in range(s.shape[0]):
+            ts_lp = np.logaddexp.reduce(logprobs[k, timestamp_begin:])
+            max_text = logprobs[k, :timestamp_begin].max()
+            if ts_lp > max_text:
+                s[k, :timestamp_begin] = -np.inf
+        return jnp.asarray(s.reshape(b_sz, n_beams, vocab))
+
+    return apply
+
+
 def _beam_search_encdec(ctx, features, max_length, *, min_length,
                         num_beams, num_return_sequences, length_penalty,
                         repetition_penalty, vocab_mask, prefix_vocab_mask,
-                        attention_mask, decoder_input_ids):
+                        attention_mask, decoder_input_ids,
+                        timestamp_rules=False):
     """Encoder-decoder branch of BeamSearch / WhisperBeamSearch
     (model_type 1/2). Scope: the 2-input whisper subgraph layout
     (encoder features + decoder_input_ids); T5 exports whose subgraphs
@@ -2032,11 +2086,24 @@ def _beam_search_encdec(ctx, features, max_length, *, min_length,
         dec_ids, b_sz=b_sz, n_beams=n_beams, s0=s0, max_len=max_len,
         pad=pad, vocab=vocab,
     )
+    extra = None
+    if timestamp_rules:
+        # id layout: ORT's whisper kernel derives the timestamp region
+        # from the vocab tail; the attrs override when present
+        # (hand-read convention — no ORT wheel here to cross-check)
+        no_ts = ctx.attr("no_timestamps_token_id")
+        no_ts = int(no_ts) if no_ts is not None else eos + 106
+        max_init = ctx.attr("max_initial_timestamp_index")
+        max_init = int(max_init) if max_init is not None else 50
+        extra = _whisper_timestamp_rules(
+            timestamp_begin=no_ts + 1, no_timestamps=no_ts, eos=eos,
+            begin_index=s0, max_initial=max_init,
+        )
     one_round = _make_beam_round(
         b_sz=b_sz, n_beams=n_beams, vocab=vocab, s0=s0, max_len=max_len,
         eos=eos, early_stop=early_stop, lp_pen=lp_pen,
         min_length=min_length, repetition_penalty=repetition_penalty,
-        vocab_mask=vocab_mask,
+        vocab_mask=vocab_mask, extra_processor=extra,
     )
     logits_bk = jnp.broadcast_to(
         logits0[:, None], (b_sz, n_beams, vocab)
@@ -2118,19 +2185,20 @@ def _beam_search_op(ctx, input_ids, max_length, min_length=None,
             f"com.microsoft.{ctx.op_type}: outputs beyond sequences/"
             "sequences_scores (scores / cross_qk) are not implemented"
         )
+    lpv = 0
     if logits_processor is not None:
         lpv = (
             None if isinstance(logits_processor, jax.core.Tracer)
             else int(np.asarray(logits_processor).reshape(-1)[0])
         )
-        if lpv != 0:
-            raise NotImplementedError(
-                f"com.microsoft.{ctx.op_type}: logits_processor != 0 "
-                "(whisper timestamp logits rules) is not implemented"
-            )
     model_type = int(ctx.attr("model_type", 0))
     if ctx.op_type == "WhisperBeamSearch":
         model_type = 2
+    if lpv not in (0, 1) or (lpv == 1 and model_type not in (1, 2)):
+        raise NotImplementedError(
+            f"com.microsoft.{ctx.op_type}: logits_processor={lpv} "
+            "(timestamp rules apply to the encoder-decoder branch only)"
+        )
     if model_type not in (0, 1, 2):
         raise NotImplementedError(
             f"com.microsoft.{ctx.op_type}: model_type={model_type}"
@@ -2144,6 +2212,7 @@ def _beam_search_op(ctx, input_ids, max_length, min_length=None,
             prefix_vocab_mask=prefix_vocab_mask,
             attention_mask=attention_mask,
             decoder_input_ids=decoder_input_ids,
+            timestamp_rules=(lpv == 1),
         )
     if int(ctx.attr("no_repeat_ngram_size", 0)):
         raise NotImplementedError(

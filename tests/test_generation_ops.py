@@ -762,7 +762,8 @@ def test_generation_typed_rejections():
 
     node_kw_extra = {}
 
-    # 1. logits_processor != 0 (whisper timestamp rules)
+    # 1. unknown logits_processor value (1 = timestamp rules is
+    # supported; anything else is not)
     node_kw_extra["vis"] = [
         P.make_value_info("lp", P.DataType.INT32, [1])
     ]
@@ -773,7 +774,7 @@ def test_generation_typed_rejections():
     ])
     fwd = make_forward(import_onnx(mdl), precision="fp32")
     with pytest.raises(NotImplementedError, match="logits_processor"):
-        fwd(import_onnx(mdl).params, *args, prompt, np.array([1], np.int32))
+        fwd(import_onnx(mdl).params, *args, prompt, np.array([2], np.int32))
 
     # 2. extra inputs beyond logits_processor (cross_qk_layer_head etc.)
     node_kw_extra["vis"] = [
@@ -940,3 +941,81 @@ def test_sampling_presence_penalty():
     for b in range(2):
         banned = set(prompt[b].tolist())
         assert not banned & set(seq[b, 3:].tolist())
+
+
+def test_whisper_beam_search_timestamp_rules():
+    """logits_processor=1 applies the whisper timestamp rules; oracle is
+    HF generate with its own WhisperTimeStampLogitsProcessor configured
+    to the node's id layout (notimestamps=108, timestamps 109.., initial
+    cap 5)."""
+    from transformers import (GenerationConfig, WhisperConfig,
+                              WhisperForConditionalGeneration)
+    from transformers.generation import GenerationMixin
+    from transformers.generation.logits_process import (
+        WhisperTimeStampLogitsProcessor,
+    )
+
+    torch.manual_seed(71)
+    cfg = WhisperConfig(
+        vocab_size=150, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_mel_bins=8,
+        max_source_positions=25, max_target_positions=32,
+        attn_implementation="eager",
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1, suppress_tokens=None,
+        begin_suppress_tokens=None,
+    )
+    m = WhisperForConditionalGeneration(cfg)
+    m.eval()
+    feats = torch.randn(1, 8, 50) * 0.5
+    prompt = torch.tensor([[1, 5]], dtype=torch.int32)
+    max_len, k, r, no_ts = 10, 3, 2, 108
+
+    gcfg = GenerationConfig(
+        no_timestamps_token_id=no_ts, eos_token_id=2,
+        max_initial_timestamp_index=5,
+    )
+    proc = WhisperTimeStampLogitsProcessor(gcfg, begin_index=2)
+    with torch.no_grad():
+        out = GenerationMixin.generate(
+            m, feats, decoder_input_ids=prompt.long(), max_length=max_len,
+            num_beams=k, num_return_sequences=r, do_sample=False,
+            length_penalty=1.0, early_stopping=False, pad_token_id=0,
+            eos_token_id=2, logits_processor=[proc],
+            return_dict_in_generate=True, output_scores=True,
+        )
+    want = np.full((1 * r, max_len), 0, np.int32)
+    got = out.sequences.numpy()
+    want[:, :got.shape[1]] = got
+    want = want.reshape(1, r, max_len)
+    want_scores = out.sequences_scores.numpy().reshape(1, r)
+    # the rules actually bit: the first generated token is a timestamp
+    # inside the initial cap
+    assert 109 <= want[0, 0, 2] <= 114
+
+    enc_graph, dec_graph = _export_whisper_graphs(m)
+    mdl = _whisper_beam_model(enc_graph, dec_graph, eos=2, pad=0,
+                              early_stopping=0)
+    # add the logits_processor input + timestamp attrs to the node
+    node = mdl.graph.node[0]
+    ins = list(node.input)
+    while len(ins) < 10:
+        ins.append("")
+    node.input = ins[:10] + ["decoder_input_ids", "lp_flag"]
+    node.attribute.append(P.make_attr("no_timestamps_token_id", no_ts))
+    node.attribute.append(P.make_attr("max_initial_timestamp_index", 5))
+    mdl.graph.input.append(
+        P.make_value_info("lp_flag", P.DataType.INT32, [1])
+    )
+    model = import_onnx(mdl)
+    fwd = make_forward(model, precision="fp32")
+    seq, scores = fwd(
+        model.params, np.asarray(feats),
+        np.array([max_len], np.int32), np.array([1], np.int32),
+        np.array([k], np.int32), np.array([r], np.int32),
+        np.array([1.0], np.float32), np.array([1.0], np.float32),
+        np.asarray(prompt), np.array([1], np.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(seq), want)
+    np.testing.assert_allclose(np.asarray(scores), want_scores, atol=2e-4)
