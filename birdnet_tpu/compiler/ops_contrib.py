@@ -1945,10 +1945,11 @@ def _beam_search_encdec(ctx, features, max_length, *, min_length,
                         attention_mask, decoder_input_ids,
                         timestamp_rules=False):
     """Encoder-decoder branch of BeamSearch / WhisperBeamSearch
-    (model_type 1/2). Scope: the 2-input whisper subgraph layout
-    (encoder features + decoder_input_ids); T5 exports whose subgraphs
-    carry encoder_attention_mask raise typed errors — binding them
-    positionally would silently feed token ids into the mask slot.
+    (model_type 1/2). Two subgraph layouts: whisper's 2-input form
+    (encoder features + decoder_input_ids) and T5's 3-input form with
+    encoder_attention_mask between them (the decoder carries the mask
+    too; it binds to all-ones — prompts here are unpadded, padded
+    encoder inputs raise typed errors).
 
     Protocol: the ``encoder`` subgraph (attr ``encoder`` or
     ``encoder_decoder_init``) runs the encoder AND the decoder prefill —
@@ -2035,22 +2036,30 @@ def _beam_search_encdec(ctx, features, max_length, *, min_length,
         return outs
 
     # ---- encoder + decoder prefill (batch rows; replicated to beams) ------
+    # Two subgraph layouts exist: whisper's 2-input form (features,
+    # decoder_input_ids) and T5's 3-input form with encoder_attention_mask
+    # between them (the decoder then carries the mask too, for
+    # cross-attention). Prompts here are unpadded (guarded above), so the
+    # mask binds to ones.
     enc_in = [v.name for v in encoder.input]
     enc_out = [v.name for v in encoder.output]
-    if len(enc_in) > 2 or (
+    t5_layout = (
+        len(enc_in) == 3 and "mask" in enc_in[1].lower()
+    )
+    if len(enc_in) > 3 or (
         len(enc_in) == 2 and "mask" in enc_in[1].lower()
-    ):
-        # T5's encoder_decoder_init layout carries encoder_attention_mask
-        # between the ids and decoder_input_ids — binding by position
-        # would feed token ids into the mask slot
+    ) or (len(enc_in) == 3 and not t5_layout):
         raise NotImplementedError(
             f"com.microsoft.{ctx.op_type}: encoder subgraph layout "
-            f"{enc_in} is not the 2-input whisper form "
-            "(encoder features, decoder_input_ids); the T5 "
-            "encoder_attention_mask layout is not implemented"
+            f"{enc_in} is neither the 2-input whisper form (features, "
+            "decoder_input_ids) nor the 3-input T5 form (ids, "
+            "encoder_attention_mask, decoder_input_ids)"
         )
     enc_env = {enc_in[0]: feats}
-    if len(enc_in) > 1:
+    if t5_layout:
+        enc_env[enc_in[1]] = jnp.ones(feats.shape[:2], jnp.int32)
+        enc_env[enc_in[2]] = dec_ids
+    elif len(enc_in) > 1:
         enc_env[enc_in[1]] = dec_ids
     pre = _run_subgraph(ctx, encoder, enc_env)
     logits0 = jnp.asarray(pre[0])[:, -1]
@@ -2058,14 +2067,19 @@ def _beam_search_encdec(ctx, features, max_length, *, min_length,
     present_by_name = dict(zip(enc_out[1:], pre[1:]))
 
     dec_in = [v.name for v in decoder.input]
-    past_names = dec_in[1:]
-    non_past = [n for n in past_names if "past" not in n]
-    if non_past:
-        raise NotImplementedError(
-            f"com.microsoft.{ctx.op_type}: decoder subgraph inputs "
-            f"{non_past} beyond input_ids + past_* (e.g. T5's "
-            "encoder_attention_mask) are not implemented"
-        )
+    dec_mask_name = None
+    past_names = []
+    for n in dec_in[1:]:
+        if "past" in n:
+            past_names.append(n)
+        elif "mask" in n.lower() and dec_mask_name is None:
+            dec_mask_name = n  # T5: encoder_attention_mask per step
+        else:
+            raise NotImplementedError(
+                f"com.microsoft.{ctx.op_type}: decoder subgraph input "
+                f"{n!r} beyond input_ids + past_* + encoder_attention_mask "
+                "(e.g. explicit encoder_hidden_states) is not implemented"
+            )
     pasts = {}
     for name in past_names:
         src_name = name.replace("past", "present", 1)
@@ -2077,6 +2091,14 @@ def _beam_search_encdec(ctx, features, max_length, *, min_length,
         p = jnp.asarray(present_by_name[src_name]).astype(jnp.float32)
         pasts[name] = jnp.repeat(p, n_beams, axis=0)  # beam-replicate
     is_cross = {n: "cross" in n for n in past_names}
+    enc_len = next(
+        (int(pasts[n].shape[2]) for n in past_names if is_cross[n]), None
+    )
+    if dec_mask_name is not None and enc_len is None:
+        raise NotImplementedError(
+            f"com.microsoft.{ctx.op_type}: {dec_mask_name!r} without "
+            "cross-attention caches to derive the encoder length from"
+        )
     dec_out = [v.name for v in decoder.output]
     out_by_past = {}
     for i, name in enumerate(dec_out[1:]):
@@ -2129,6 +2151,10 @@ def _beam_search_encdec(ctx, features, max_length, *, min_length,
         running_seq = state[0]
         cur_tok = np.asarray(running_seq[:, :, t - 1]).reshape(rows, 1)
         env = {dec_in[0]: jnp.asarray(cur_tok)}
+        if dec_mask_name is not None:
+            # unpadded encoder positions (guarded above): all-ones over
+            # the cross-cache length
+            env[dec_mask_name] = jnp.ones((rows, enc_len), jnp.int32)
         env.update(pasts)
         outs = _run_subgraph(ctx, decoder, env)
         for name in past_names:

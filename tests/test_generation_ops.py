@@ -1019,3 +1019,185 @@ def test_whisper_beam_search_timestamp_rules():
     )
     np.testing.assert_array_equal(np.asarray(seq), want)
     np.testing.assert_allclose(np.asarray(scores), want_scores, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# BeamSearch model_type=1 — the T5 subgraph layout (encoder_attention_mask
+# threaded through both subgraphs). Oracle: HF generate on a tiny T5.
+# ---------------------------------------------------------------------------
+
+
+def _tiny_t5():
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    cfg = T5Config(
+        vocab_size=80, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, decoder_start_token_id=0, pad_token_id=0,
+        eos_token_id=1,
+    )
+    return T5ForConditionalGeneration(cfg)
+
+
+class _T5EncDecInit(torch.nn.Module):
+    def __init__(self, m):
+        super().__init__()
+        self.m = m
+
+    def forward(self, enc_ids, enc_mask, dec_ids):
+        from transformers.cache_utils import DynamicCache, EncoderDecoderCache
+
+        enc = self.m.encoder(
+            input_ids=enc_ids.long(), attention_mask=enc_mask.long()
+        ).last_hidden_state
+        cache = EncoderDecoderCache(DynamicCache(), DynamicCache())
+        out = self.m.decoder(
+            input_ids=dec_ids.long(), encoder_hidden_states=enc,
+            encoder_attention_mask=enc_mask.long(),
+            past_key_values=cache, use_cache=True,
+        )
+        seq = out.last_hidden_state
+        if self.m.config.tie_word_embeddings:
+            seq = seq * (self.m.model_dim ** -0.5)
+        logits = self.m.lm_head(seq)
+        sa = out.past_key_values.self_attention_cache
+        ca = out.past_key_values.cross_attention_cache
+        outs = [logits]
+        for i in range(2):
+            outs += [sa.layers[i].keys, sa.layers[i].values]
+        for i in range(2):
+            outs += [ca.layers[i].keys, ca.layers[i].values]
+        return tuple(outs)
+
+
+class _T5BeamStep(torch.nn.Module):
+    def __init__(self, m):
+        super().__init__()
+        self.m = m
+
+    def forward(self, ids, enc_mask, sk0, sv0, sk1, sv1, ck0, cv0, ck1, cv1):
+        from transformers.cache_utils import DynamicCache, EncoderDecoderCache
+
+        sa, ca = DynamicCache(), DynamicCache()
+        sa.update(sk0, sv0, 0)
+        sa.update(sk1, sv1, 1)
+        ca.update(ck0, cv0, 0)
+        ca.update(ck1, cv1, 1)
+        cache = EncoderDecoderCache(sa, ca)
+        dummy_enc = torch.zeros(ids.shape[0], enc_mask.shape[1], 32)
+        out = self.m.decoder(
+            input_ids=ids.long(), encoder_hidden_states=dummy_enc,
+            encoder_attention_mask=enc_mask.long(),
+            past_key_values=cache, use_cache=True,
+        )
+        seq = out.last_hidden_state
+        if self.m.config.tie_word_embeddings:
+            seq = seq * (self.m.model_dim ** -0.5)
+        logits = self.m.lm_head(seq)
+        sa = out.past_key_values.self_attention_cache
+        outs = [logits]
+        for i in range(2):
+            outs += [sa.layers[i].keys, sa.layers[i].values]
+        return tuple(outs)
+
+
+def test_t5_beam_search_matches_hf_generate():
+    torch.manual_seed(72)
+    m = _tiny_t5()
+    m.eval()
+    enc_ids = torch.randint(2, 80, (1, 7), dtype=torch.int32)
+    prompt = torch.tensor([[0, 9]], dtype=torch.int32)
+    max_len, k, r, lp = 9, 3, 2, 1.0
+
+    with torch.no_grad():
+        out = m.generate(
+            enc_ids.long(),
+            attention_mask=torch.ones_like(enc_ids, dtype=torch.long),
+            decoder_input_ids=prompt.long(), max_length=max_len,
+            num_beams=k, num_return_sequences=r, do_sample=False,
+            length_penalty=lp, early_stopping=False, pad_token_id=0,
+            eos_token_id=1, return_dict_in_generate=True,
+            output_scores=True,
+        )
+    want = np.full((1 * r, max_len), 0, np.int32)
+    got = out.sequences.numpy()
+    want[:, :got.shape[1]] = got
+    want = want.reshape(1, r, max_len)
+    want_scores = out.sequences_scores.numpy().reshape(1, r)
+
+    self_names = [f"present_{c}_self_{i}" for i in range(2)
+                  for c in ("key", "value")]
+    cross_names = [f"present_{c}_cross_{i}" for i in range(2)
+                   for c in ("key", "value")]
+    enc_graph = P.decode_model(export_onnx_bytes(
+        _T5EncDecInit(m),
+        (enc_ids, torch.ones_like(enc_ids), prompt), opset_version=17,
+        input_names=["encoder_input_ids", "encoder_attention_mask",
+                     "decoder_input_ids"],
+        output_names=["logits"] + self_names + cross_names,
+        dynamic_axes={"encoder_input_ids": {0: "batch", 1: "enc"},
+                      "encoder_attention_mask": {0: "batch", 1: "enc"},
+                      "decoder_input_ids": {0: "batch", 1: "seq"}},
+    )).graph
+
+    sk = [torch.randn(1, 4, 2, 8) for _ in range(4)]
+    ck = [torch.randn(1, 4, 7, 8) for _ in range(4)]
+    past_self = [f"past_{c}_self_{i}" for i in range(2)
+                 for c in ("key", "value")]
+    past_cross = [f"past_{c}_cross_{i}" for i in range(2)
+                  for c in ("key", "value")]
+    dec_dyn = {"input_ids": {0: "batch"},
+               "encoder_attention_mask": {0: "batch", 1: "enc"}}
+    dec_dyn.update({n: {0: "batch", 2: "past"} for n in past_self})
+    dec_dyn.update({n: {0: "batch", 2: "enc"} for n in past_cross})
+    dec_graph = P.decode_model(export_onnx_bytes(
+        _T5BeamStep(m),
+        (torch.tensor([[3]], dtype=torch.int32),
+         torch.ones_like(enc_ids), *sk, *ck),
+        opset_version=17,
+        input_names=["input_ids", "encoder_attention_mask"]
+        + past_self + past_cross,
+        output_names=["logits"] + self_names,
+        dynamic_axes=dec_dyn,
+    )).graph
+
+    node = P.make_node(
+        "BeamSearch",
+        ["input_ids", "max_length", "min_length", "num_beams",
+         "num_return_sequences", "length_penalty", "repetition_penalty",
+         "", "", "", "decoder_input_ids"],
+        ["sequences", "sequences_scores"], domain=MS,
+        encoder=enc_graph, decoder=dec_graph,
+        eos_token_id=1, pad_token_id=0, model_type=1, early_stopping=0,
+        decoder_start_token_id=0,
+    )
+    I32, F = P.DataType.INT32, P.DataType.FLOAT
+    vis = [
+        P.make_value_info("input_ids", I32, [1, "enc"]),
+        P.make_value_info("max_length", I32, [1]),
+        P.make_value_info("min_length", I32, [1]),
+        P.make_value_info("num_beams", I32, [1]),
+        P.make_value_info("num_return_sequences", I32, [1]),
+        P.make_value_info("length_penalty", F, [1]),
+        P.make_value_info("repetition_penalty", F, [1]),
+        P.make_value_info("decoder_input_ids", I32, [1, "seq"]),
+    ]
+    mdl = P.ModelProto(
+        ir_version=8, graph=P.GraphProto(
+            name="t5_beam", node=[node], input=vis,
+            output=[P.make_value_info("sequences", I32, [1, "ret", "len"]),
+                    P.make_value_info("sequences_scores", F, [1, "ret"])],
+        ),
+        opset_import=[P.OperatorSetId(domain="", version=17),
+                      P.OperatorSetId(domain=MS, version=1)],
+    )
+    model = import_onnx(mdl)
+    fwd = make_forward(model, precision="fp32")
+    seq, scores = fwd(
+        model.params, np.asarray(enc_ids),
+        np.array([max_len], np.int32), np.array([1], np.int32),
+        np.array([k], np.int32), np.array([r], np.int32),
+        np.array([lp], np.float32), np.array([1.0], np.float32),
+        np.asarray(prompt),
+    )
+    np.testing.assert_array_equal(np.asarray(seq), want)
+    np.testing.assert_allclose(np.asarray(scores), want_scores, atol=2e-4)
